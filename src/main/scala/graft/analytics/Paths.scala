@@ -1,0 +1,75 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Scalars
+
+/** W6 — movement-path expansion (pathCreator.js:101-133).
+  *
+  * For each consecutive pair of rels at DIFFERENT studios, the reference
+  * emits a 51-point track: linear lat interpolation, anti-meridian-aware lon
+  * interpolation (pathCreator.js:178-199), a parabolic altitude bulge
+  * `(-(countShift*rise)^2 + (maxCount/2*rise)^2) * height + verticalOffset`
+  * with `height = random()*50+50` (pathCreator.js:115), and per-point
+  * linearly interpolated timestamps (pathCreator.js:148-160).
+  *
+  * Spark-first: lead() over the person window → filter(from =!= to) →
+  * explode(sequence(0, maxCount)) + pure Column math. The reference's
+  * `Math.random()` height is replaced by a DETERMINISTIC per-path jitter
+  * (xxhash64 of the pair keys scaled into [50,100)) so results are
+  * reproducible and oracle-checkable — same distribution, stable plans.
+  */
+object Paths {
+
+  final case class Keys(person: String, order: Seq[String], company: String,
+                        lat: String, lon: String, timeMs: String)
+
+  def expand(df: DataFrame, k: Keys, maxCount: Int = 50,
+             rise: Double = 1.0, verticalOffset: Double = 0.0): DataFrame = {
+    val w = Window.partitionBy(col(k.person)).orderBy(k.order.map(col): _*)
+    val paired = df
+      .withColumn("to_company", lead(col(k.company), 1).over(w))
+      .withColumn("to_lat", lead(col(k.lat), 1).over(w))
+      .withColumn("to_lon", lead(col(k.lon), 1).over(w))
+      .withColumn("to_time_ms", lead(col(k.timeMs), 1).over(w))
+      .filter(col("to_company").isNotNull && col("to_company") =!= col(k.company))
+
+    // Deterministic stand-in for Math.random()*50+50 (pathCreator.js:115).
+    val pathId = xxhash64(col(k.person), col(k.company), col("to_company"), col(k.timeMs))
+    val height = pmod(pathId, lit(5000L)).cast("double") / 100.0 + 50.0
+
+    val diflat = col("to_lat") - col(k.lat)
+    val diflon = Scalars.lonDiff(col(k.lon), col("to_lon"))
+
+    paired
+      .withColumn("path_id", pathId)
+      .withColumn("seq", explode(sequence(lit(0), lit(maxCount))))
+      .withColumn("lat", col(k.lat) + diflat * col("seq") / maxCount)
+      .withColumn("lon", col(k.lon) + diflon * col("seq") / maxCount)
+      .withColumn("alt", {
+        val countShift = col("seq") - lit(maxCount / 2.0)
+        (-pow(countShift * rise, 2) + pow(lit(maxCount / 2.0 * rise), 2)) * height + verticalOffset
+      })
+      .withColumn("when_ms", Scalars.interpMillis(col(k.timeMs), col("to_time_ms"), col("seq"), maxCount))
+      .select(col(k.person).as("person_id"), col("path_id"),
+              col(k.company).as("from_company"), col("to_company"),
+              col("seq"), col("lat"), col("lon"), col("alt"), col("when_ms"))
+  }
+
+  /** KML gx:Track rendering (sink-side; pathCreator.js:108-131). One
+    * Placemark per path, points concatenated in seq order. */
+  def toKml(expanded: DataFrame): DataFrame = {
+    val whenStr = date_format(timestamp_millis(col("when_ms")), "yyyy-MM-dd")
+    expanded
+      .withColumn("when_tag", concat(lit("<when>"), whenStr, lit("</when>")))
+      .withColumn("coord_tag",
+        concat(lit("<gx:coord>"), col("lon"), lit(" "), col("lat"), lit(" "), col("alt"), lit("</gx:coord>")))
+      .groupBy(col("person_id"), col("path_id"), col("from_company"), col("to_company"))
+      .agg(
+        concat(lit("<Placemark><gx:Track><altitudeMode>absolute</altitudeMode>"),
+          concat_ws("\n", array_sort(collect_list(struct(col("seq"), col("when_tag")))).getField("when_tag")),
+          concat_ws("\n", array_sort(collect_list(struct(col("seq"), col("coord_tag")))).getField("coord_tag")),
+          lit("</gx:Track></Placemark>")).as("kml"))
+  }
+}

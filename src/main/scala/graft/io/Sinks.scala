@@ -1,0 +1,63 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sink-side operators (SURVEY.md §2.1: S3, S5, S6, S7, S11).
+  *
+  * Fixed column orders and the comma-strip come from the reference's CSV
+  * writers (dwwApi.js:14-46 all-people; dwwApi.js:145 jumps header).
+  */
+object Sinks {
+
+  /** S5 — the 9-column all-people CSV projection (dwwApi.js:16-18), with the
+    * reference's comma strip on role and company (dwwApi.js:33-35). Column
+    * order is part of the contract. */
+  val allPeopleCols: Seq[String] = Seq(
+    "personId", "personName", "personRole", "imdbMovieId", "searchedCompany",
+    "searchedMatchRatio", "movieReleaseYear", "matchedCompanyId", "matchedCompanyName")
+
+  def allPeopleCsvProjection(df: DataFrame): DataFrame =
+    df.select(
+      col("personId"), col("personName"),
+      regexp_replace(col("personRole"), ",", "").as("personRole"),
+      col("imdbMovieId"),
+      regexp_replace(col("searchedCompany"), ",", "").as("searchedCompany"),
+      col("searchedMatchRatio"), col("movieReleaseYear"),
+      col("matchedCompanyId"), col("matchedCompanyName"))
+
+  /** S6 — the jumps CSV projection (dwwApi.js:145,191-196). */
+  val jumpsCols: Seq[String] = Seq("person", "role", "date", "company", "location", "region")
+
+  def writeCsv(df: DataFrame, path: String, cols: Seq[String]): Unit =
+    df.select(cols.map(col): _*)
+      .write.mode("overwrite").option("header", "true").csv(path)
+
+  /** S7 — nested JSON documents sink (dwwApi.js:201-223). */
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  /** S3 — partitioned table sink (the Neo4j node/edge store + label indexes
+    * become partitioned parquet; partition column ≙ label index). */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
+  /** S11 — dim upsert with versioned snapshot (dwwRoutes.js:131-172): the old
+    * snapshot is preserved under `backups/<name>_<version>`, then the new
+    * table is written. Returns the backup path, like the reference's
+    * copyFileSync naming. */
+  def upsertWithBackup(spark: SparkSession, newDim: DataFrame, basePath: String,
+                       name: String, version: Long): String = {
+    val live = s"$basePath/$name"
+    val backup = s"$basePath/backups/${name}_$version"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val livePath = new org.apache.hadoop.fs.Path(live)
+    if (fs.exists(livePath)) {
+      org.apache.hadoop.fs.FileUtil.copy(fs, livePath, fs,
+        new org.apache.hadoop.fs.Path(backup), false, spark.sparkContext.hadoopConfiguration)
+    }
+    newDim.write.mode("overwrite").parquet(live)
+    backup
+  }
+}

@@ -1,0 +1,76 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline: language ID,
+  * quality scoring, token counting, fingerprinting. All pure Column
+  * combinators (generalizing the reference's F1/F11 string pipelines) —
+  * no per-row UDFs, so everything stays in whole-stage codegen and the
+  * operators cost one scan at any scale.
+  */
+object TextAnalysis {
+
+  /** Stopword tables for the n-gram/stopword language heuristic. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "pour", "dans", "que", "des"),
+    "es" -> Seq("el", "la", "los", "y", "es", "una", "para", "en", "que", "por"),
+    "zh" -> Seq("的", "是", "在", "了", "和", "有", "我", "不", "这", "人"))
+
+  def tokens(text: Column): Column = split(lower(text), "\\s+")
+
+  /** Language ID: score = stopword hits per language; argmax, ties and
+    * zero-score → "unknown". One pass, array ops only. */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scored = array(stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(
+        size(array_intersect(toks, array(words.map(lit): _*))).as("score"),
+        lit(lang).as("lang"))
+    }: _*)
+    val best = array_max(scored)
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("unknown"))
+  }
+
+  /** Whitespace-delimited token count without materializing the array:
+    * spaces+1 arithmetic — exact, cheap, oracle-reproducible. */
+  def wordCount(text: Column): Column =
+    when(length(text) === 0, 0)
+      .otherwise(length(text) - length(regexp_replace(text, " ", "")) + 1)
+
+  /** BPE-ish token estimate: count of `\w+|[^\w\s]` matches (words and
+    * isolated punctuation), the standard pre-tokenizer shape. */
+  def tokenEstimate(text: Column): Column = regexp_count(text, lit("""\w+|[^\w\s]"""))
+
+  /** Quality scoring: length, word stats, punctuation/digit/space ratios,
+    * and a composite [0,1] score (longer docs with normal word length and
+    * low symbol noise score higher). */
+  def qualityFeatures(df: DataFrame, text: String): DataFrame = {
+    val t = col(text)
+    val nChars = length(t)
+    val nWords = wordCount(t)
+    val punct = nChars - length(regexp_replace(t, """[^\w\s]""", ""))
+    val digits = nChars - length(regexp_replace(t, """[0-9]""", ""))
+    df.withColumn("n_chars_calc", nChars)
+      .withColumn("n_words", nWords)
+      .withColumn("mean_word_len", (nChars - (nWords - 1)).cast("double") / nWords)
+      .withColumn("punct_ratio", punct.cast("double") / nChars)
+      .withColumn("digit_ratio", digits.cast("double") / nChars)
+      .withColumn("quality_score",
+        round(greatest(lit(0.0), least(lit(1.0),
+          lit(1.0)
+            - abs(col("mean_word_len") - 5.0) / 10.0
+            - col("punct_ratio")
+            - col("digit_ratio"))), 6))
+  }
+
+  /** Document fingerprint: md5 of whitespace-normalized lowercase text
+    * (exact-dup key), plus a 64-bit content hash for cheap joins. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(text), """\s+""", " "))
+
+  def fingerprint64(text: Column): Column =
+    xxhash64(regexp_replace(lower(text), """\s+""", " "))
+}

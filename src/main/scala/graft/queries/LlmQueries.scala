@@ -1,0 +1,217 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.streaming.EventStreams
+
+/** Training-data-pipeline operators over documents/embeddings/events:
+  * dedup (exact, MinHash-LSH, SimHash, n-gram Jaccard), similarity search
+  * (brute-force + LSH-bucketed ANN), text analysis, multimodal plumbing,
+  * and the batch form of the streaming daily-window aggregation.
+  *
+  * Hash-algorithm-dependent results (xxhash64 signatures) are rows-only;
+  * recall/quality properties are asserted in LlmSpec instead.
+  */
+object LlmQueries {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables.table(s, d, n)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- exact dedup: content-hash groups ----
+    QueryDef("dd1_exact_dedup",
+      (s, d) => Dedup.exact(t(s, d, "documents"), "doc_id", "text").orderBy("h"),
+      Some("""SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS cnt
+             |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin)),
+
+    // ---- exact dedup survivors (first id wins) ----
+    QueryDef("dd2_exact_survivors",
+      (s, d) => Dedup.exactSurvivors(t(s, d, "documents"), "doc_id", "text")
+        .select("doc_id").orderBy("doc_id"),
+      Some("""SELECT doc_id FROM documents
+             |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---- MinHash-LSH near-dup pairs + Jaccard verify (rows-only: banded
+    // xxhash64 signatures; recall asserted in LlmSpec) ----
+    QueryDef("dd3_minhash_neardup",
+      (s, d) => Dedup.minhashDedup(t(s, d, "documents"), "doc_id", "text",
+          k = 5, bands = 8, rows = 4, threshold = 0.5)
+        .withColumn("jaccard", round(col("jaccard"), 4))
+        .orderBy("id1", "id2"),
+      None),
+
+    // ---- SimHash near-dup candidates (rows-only) ----
+    QueryDef("dd4_simhash_neardup",
+      (s, d) => Dedup.simhashCandidates(t(s, d, "documents"), "doc_id", "text", maxDist = 10)
+        .orderBy("id1", "id2"),
+      None),
+
+    // ---- word-3-gram Jaccard over exact-dup survivors of a small slice
+    // (rows-only; pair source is LSH candidates) ----
+    QueryDef("dd5_ngram_jaccard",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val pairs = Dedup.minhashCandidates(docs, "doc_id", "text", k = 5, bands = 8, rows = 4)
+        Dedup.ngramJaccard(docs, "doc_id", "text", 3, pairs)
+          .withColumn("jaccard", round(col("jaccard"), 4))
+          .orderBy("id1", "id2")
+      },
+      None),
+
+    // ---- language ID: simple deterministic heuristic (oracle-checked);
+    // the stopword-scored variant is ts1b below ----
+    QueryDef("ts1_lang_id",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"),
+          when(col("text").contains(" the "), "en")
+            .when(col("text").contains(" der ") || col("text").contains(" und "), "de")
+            .when(col("text").contains(" le ") || col("text").contains(" et "), "fr")
+            .when(col("text").contains(" el ") || col("text").contains(" por "), "es")
+            .otherwise("unknown").as("lang_pred"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CASE WHEN contains(text, ' the ') THEN 'en'
+             |       WHEN contains(text, ' der ') OR contains(text, ' und ') THEN 'de'
+             |       WHEN contains(text, ' le ') OR contains(text, ' et ') THEN 'fr'
+             |       WHEN contains(text, ' el ') OR contains(text, ' por ') THEN 'es'
+             |       ELSE 'unknown' END AS lang_pred
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- language ID: stopword-scored argmax (rows-only; asserted vs the
+    // labeled lang column in LlmSpec) ----
+    QueryDef("ts1b_lang_scored",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id"),
+      None),
+
+    // ---- quality scoring features ----
+    QueryDef("ts2_quality_score",
+      (s, d) => TextAnalysis.qualityFeatures(t(s, d, "documents"), "text")
+        .select(col("doc_id"), col("n_words"),
+          round(col("mean_word_len"), 6).as("mean_word_len"),
+          round(col("punct_ratio"), 6).as("punct_ratio"),
+          col("quality_score"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  (length(text) - length(replace(text, ' ', '')) + 1)::INT AS n_words,
+             |  round((length(text) - (length(text) - length(replace(text, ' ', '')))) /
+             |        (length(text) - length(replace(text, ' ', '')) + 1.0), 6) AS mean_word_len,
+             |  round((length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))) /
+             |        (length(text) * 1.0), 6) AS punct_ratio,
+             |  round(greatest(0.0, least(1.0,
+             |    1.0 - abs(((length(text) - (length(text) - length(replace(text, ' ', '')))) /
+             |               (length(text) - length(replace(text, ' ', '')) + 1.0)) - 5.0) / 10.0
+             |        - (length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))) / (length(text) * 1.0)
+             |        - (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) / (length(text) * 1.0)
+             |  )), 6) AS quality_score
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- token counting: whitespace + BPE-ish regex ----
+    QueryDef("ts3_token_count",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.wordCount(col("text")).as("n_words"),
+          TextAnalysis.tokenEstimate(col("text")).as("n_tokens"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CASE WHEN length(text) = 0 THEN 0
+             |       ELSE length(text) - length(replace(text, ' ', '')) + 1 END::INT AS n_words,
+             |  len(regexp_extract_all(text, '\w+|[^\w\s]'))::INT AS n_tokens
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- document fingerprinting ----
+    QueryDef("ts4_fingerprint",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- similarity: cosine scores against a fixed query vector ----
+    QueryDef("sim1_cosine_scores",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+        emb.crossJoin(broadcast(q))
+          .select(col("vec_id"),
+            round(Similarity.cosine(col("embedding"), col("qvec")), 4).as("sim"))
+          .orderBy("vec_id")
+      },
+      Some("""SELECT e.vec_id,
+             |       round(list_cosine_similarity(e.embedding::DOUBLE[], q.qvec::DOUBLE[]), 4) AS sim
+             |FROM embeddings e,
+             |     (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0) q
+             |ORDER BY e.vec_id""".stripMargin)),
+
+    // ---- similarity: brute-force exact top-k (rows-only: rank ties near
+    // float equality are engine-sensitive; invariants in LlmSpec) ----
+    QueryDef("sim2_topk_exact",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val q = emb.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, "qid", "qvec", k = 10)
+          .withColumn("sim", round(col("sim"), 4))
+          .orderBy("query_id", "rank")
+      },
+      None),
+
+    // ---- similarity: LSH-bucketed ANN (rows-only; recall vs exact in LlmSpec) ----
+    QueryDef("sim3_lsh_ann",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val q = emb.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        Similarity.lshTopK(emb, "vec_id", "embedding", q, "qid", "qvec", k = 10)
+          .withColumn("sim", round(col("sim"), 4))
+          .orderBy("query_id", "rank")
+      },
+      None),
+
+    // ---- similarity: embedding cosine near-dup pairs (rows-only) ----
+    QueryDef("sim4_cosine_neardup",
+      (s, d) => Similarity.cosineNearDupPairs(t(s, d, "embeddings"), "vec_id", "embedding",
+          threshold = 0.95)
+        .withColumn("sim", round(col("sim"), 4))
+        .orderBy("id1", "id2"),
+      None),
+
+    // ---- multimodal: binary payload + metadata plumbing ----
+    QueryDef("mm1_media_meta",
+      (s, d) => Multimodal.asMediaTable(t(s, d, "documents"), "doc_id", "text")
+        .select(col("media_id"), col("meta.n_bytes").as("n_bytes"))
+        .orderBy("media_id"),
+      Some("""SELECT doc_id AS media_id, octet_length(encode(text))::BIGINT AS n_bytes
+             |FROM documents ORDER BY media_id""".stripMargin)),
+
+    // ---- multimodal: strided frame sampling counts ----
+    QueryDef("mm2_frame_sample",
+      (s, d) => Multimodal.sampleFrames(
+          Multimodal.asMediaTable(t(s, d, "documents"), "doc_id", "text"), chunk = 64, stride = 4)
+        .groupBy("media_id").agg(count(lit(1)).as("n_frames"))
+        .orderBy("media_id"),
+      Some("""SELECT doc_id AS media_id,
+             |       (greatest(ceil(octet_length(encode(text)) / 64.0)::BIGINT - 1, 0) // 4 + 1) AS n_frames
+             |FROM documents ORDER BY media_id""".stripMargin)),
+
+    // ---- multimodal: stubbed decode → feature extraction (rows-only) ----
+    QueryDef("mm3_features",
+      (s, d) => Multimodal.extractFeatures(
+          Multimodal.asMediaTable(t(s, d, "documents"), "doc_id", "text"), dim = 8)
+        .select(col("media_id"), round(element_at(col("features"), 1), 4).as("f0"))
+        .orderBy("media_id"),
+      None),
+
+    // ---- streaming tier, batch-equivalent form: 1-day tumbling windows ----
+    QueryDef("st1_daily_counts",
+      (s, d) => EventStreams.dailyCounts(Tables.events(s, d))
+        .orderBy("day", "event_type"),
+      Some("""SELECT date_trunc('day', ts)::TIMESTAMP AS day, event_type,
+             |       count(*) AS cnt, round(sum(value), 2) AS sum_value
+             |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin))
+  )
+}

@@ -1,0 +1,300 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+import graft.analytics.Catalog
+import graft.io.Sources
+
+/** SURVEY.md §2.2 filters (P1-P8), §2.3 joins (J1-J9), §2.4 catalog aggs
+  * (A1-A7, A10), §2.6 sorts (O1-O4), §2.1 source ops (S2, S5) — each over
+  * the driver testdata with a DuckDB oracle.
+  *
+  * Scale notes: all dim joins (nation/region/supplier) are explicit
+  * `broadcast()`; aggregates are partial+final hash aggs; filters and
+  * projections sit directly on the parquet scan so pushdown/pruning apply.
+  */
+object RelationalQueries {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables.table(s, d, n)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- P1: quality predicate (matchRatio > 80 ≙ quantity threshold) ----
+    QueryDef("p1_quality_filter",
+      (s, d) => t(s, d, "lineitem")
+        .filter(col("l_quantity") > 45)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+             |WHERE l_quantity > 45 ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // ---- P2: compound mapped+geocoded predicate (dwwApi.js:65) ----
+    QueryDef("p2_mapped_geocoded",
+      (s, d) => t(s, d, "lineitem")
+        .filter(col("l_returnflag") === "R" && col("l_discount") > 0.05 && col("l_tax") > 0.02)
+        .select("l_orderkey", "l_linenumber", "l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem
+             |WHERE l_returnflag = 'R' AND l_discount > 0.05 AND l_tax > 0.02
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // ---- P3: curation threshold (matchRatio > 90, GetWeta.py:497) ----
+    QueryDef("p3_curation_filter",
+      (s, d) => t(s, d, "orders")
+        .filter(col("o_totalprice") > 90000)
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |WHERE o_totalprice > 90000 ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- P4: sentinel discard (zzz_baddata, GetWeta.py:161-164) ----
+    QueryDef("p4_sentinel_discard",
+      (s, d) => t(s, d, "part")
+        .filter(!col("p_name").startsWith("zzz_baddata") && !col("p_name").contains("red"))
+        .select("p_partkey", "p_name")
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey, p_name FROM part
+             |WHERE p_name NOT LIKE 'zzz_baddata%' AND p_name NOT LIKE '%red%'
+             |ORDER BY p_partkey""".stripMargin)),
+
+    // ---- P5: min-count HAVING (dwwFront.js:85-87) ----
+    QueryDef("p5_having_min_count",
+      (s, d) => Catalog.havingMinCount(t(s, d, "orders"), Seq("o_custkey"), 12L)
+        .orderBy("o_custkey"),
+      Some("""SELECT o_custkey, count(*) AS cnt FROM orders
+             |GROUP BY o_custkey HAVING count(*) >= 12 ORDER BY o_custkey""".stripMargin)),
+
+    // ---- P6: column projection ----
+    QueryDef("p6_projection",
+      (s, d) => t(s, d, "customer")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer ORDER BY c_custkey""")),
+
+    // ---- P7: non-empty filter (functions.js:249) ----
+    QueryDef("p7_nonempty_filter",
+      (s, d) => t(s, d, "orders")
+        .filter(col("o_orderpriority").isNotNull && col("o_orderpriority") =!= "")
+        .select("o_orderkey", "o_orderpriority")
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, o_orderpriority FROM orders
+             |WHERE o_orderpriority IS NOT NULL AND o_orderpriority <> ''
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- P8: tag containment (GetWeta.py:104-108) ----
+    QueryDef("p8_tag_containment",
+      (s, d) => t(s, d, "part")
+        .filter(col("p_type").contains("AR"))
+        .select("p_partkey", "p_type")
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey, p_type FROM part
+             |WHERE p_type LIKE '%AR%' ORDER BY p_partkey""".stripMargin)),
+
+    // ---- J1: dim broadcast join chain (GetWeta.py:157-175) ----
+    QueryDef("j1_company_dim_join",
+      (s, d) => t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name").agg(count(lit(1)).as("cnt"))
+        .orderBy("n_name"),
+      Some("""SELECT n_name, count(*) AS cnt FROM lineitem
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |GROUP BY n_name ORDER BY n_name""".stripMargin)),
+
+    // ---- J2: left join + coalesce default (SetTrueRoles, GetWeta.py:518-545) ----
+    QueryDef("j2_rolemap_join",
+      (s, d) => t(s, d, "customer")
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"), "left")
+        .select(col("c_custkey"), coalesce(col("n_name"), lit("")).as("true_role"))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, coalesce(n_name, '') AS true_role FROM customer
+             |LEFT JOIN nation ON c_nationkey = n_nationkey ORDER BY c_custkey""".stripMargin)),
+
+    // ---- J3: 2-level snowflake (SetLocations, GetWeta.py:547-584) ----
+    QueryDef("j3_snowflake_join",
+      (s, d) => t(s, d, "customer")
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey"), col("n_name").as("nation"), col("r_name").as("region"))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, n_name AS nation, r_name AS region FROM customer
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey ORDER BY c_custkey""".stripMargin)),
+
+    // ---- J4: distinct-then-broadcast memoized enrichment (GetWeta.py:177-196) ----
+    QueryDef("j4_memoized_search",
+      (s, d) => {
+        val part = t(s, d, "part")
+        // resolve each distinct search string once, then broadcast back — the
+        // reference's in-process memo dict as a dataflow.
+        val resolved = part.select(col("p_type")).distinct()
+          .withColumn("resolved", length(col("p_type")))
+        part.join(broadcast(resolved), Seq("p_type"))
+          .groupBy("p_type", "resolved").agg(count(lit(1)).as("cnt"))
+          .orderBy("p_type")
+      },
+      Some("""SELECT p_type, length(p_type)::INT AS resolved, count(*) AS cnt
+             |FROM part GROUP BY 1, 2 ORDER BY p_type""".stripMargin)),
+
+    // ---- J5: hub coordinate lookup (functions.js:124-127) ----
+    QueryDef("j5_hub_lookup",
+      (s, d) => t(s, d, "nation")
+        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .select("n_name", "r_name")
+        .orderBy("n_name"),
+      Some("""SELECT n_name, r_name FROM nation
+             |JOIN region ON n_regionkey = r_regionkey ORDER BY n_name""".stripMargin)),
+
+    // ---- J6: region echo at sink (dwwApi.js:163) ----
+    QueryDef("j6_region_echo",
+      (s, d) => t(s, d, "orders")
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .select(col("o_orderkey"), col("r_name").as("region"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, r_name AS region FROM orders
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- J7: semi-join membership probe (GetWeta.py:436-440) ----
+    QueryDef("j7_semi_join",
+      (s, d) => t(s, d, "customer")
+        .join(t(s, d, "orders").select(col("o_custkey")), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE c_custkey IN (SELECT o_custkey FROM orders) ORDER BY c_custkey""".stripMargin)),
+
+    // ---- J8: dedup probe, deterministic first-wins (GetWeta.py:239-245) ----
+    QueryDef("j8_dedup_probe",
+      (s, d) => Catalog.firstWins(
+          t(s, d, "lineitem").withColumn("__key", concat_ws("|", col("l_partkey"), col("l_suppkey"))),
+          "__key", Seq(col("l_orderkey"), col("l_linenumber")))
+        .select("l_partkey", "l_suppkey", "l_orderkey", "l_linenumber")
+        .orderBy("l_partkey", "l_suppkey"),
+      Some("""SELECT l_partkey, l_suppkey, l_orderkey, l_linenumber FROM (
+             |  SELECT l_partkey, l_suppkey, l_orderkey, l_linenumber,
+             |         row_number() OVER (PARTITION BY l_partkey, l_suppkey
+             |                            ORDER BY l_orderkey, l_linenumber) AS rn
+             |  FROM lineitem) WHERE rn = 1 ORDER BY l_partkey, l_suppkey""".stripMargin)),
+
+    // ---- J9: case-insensitive equi-join (GetWeta.py:442-446) ----
+    QueryDef("j9_case_insensitive_join",
+      (s, d) => {
+        val cust = t(s, d, "customer")
+        val segs = cust.select(upper(col("c_mktsegment")).as("seg")).distinct()
+        cust.join(broadcast(segs), lower(col("c_mktsegment")) === lower(col("seg")))
+          .select("c_custkey", "seg")
+          .orderBy("c_custkey", "seg")
+      },
+      Some("""SELECT c_custkey, seg FROM customer
+             |JOIN (SELECT DISTINCT upper(c_mktsegment) AS seg FROM customer) s
+             |  ON lower(c_mktsegment) = lower(seg)
+             |ORDER BY c_custkey, seg""".stripMargin)),
+
+    // ---- A1: search-term frequency (dwwApi.js:321-342) ----
+    QueryDef("a1_search_frequency",
+      (s, d) => Catalog.frequency(t(s, d, "part"), "p_brand"),
+      Some("""SELECT p_brand AS search, count(*) AS cnt FROM part
+             |GROUP BY p_brand ORDER BY cnt DESC, search""".stripMargin)),
+
+    // ---- A2: role frequency (dwwApi.js:368-391) ----
+    QueryDef("a2_role_frequency",
+      (s, d) => Catalog.frequency(t(s, d, "orders"), "o_orderpriority"),
+      Some("""SELECT o_orderpriority AS search, count(*) AS cnt FROM orders
+             |GROUP BY o_orderpriority ORDER BY cnt DESC, search""".stripMargin)),
+
+    // ---- A3: grouped mapping counts (dwwApi.js:394-423) ----
+    QueryDef("a3_mapping_counts",
+      (s, d) => Catalog.mappingCounts(t(s, d, "lineitem"), Seq("l_returnflag", "l_linestatus")),
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS cnt FROM lineitem
+             |GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // ---- A4: first-wins seeding via row_number (GetWeta.py:493-512) ----
+    QueryDef("a4_first_wins",
+      (s, d) => Catalog.firstWins(t(s, d, "customer"), "c_nationkey", Seq(col("c_custkey")))
+        .select("c_nationkey", "c_custkey", "c_name")
+        .orderBy("c_nationkey"),
+      Some("""SELECT c_nationkey, c_custkey, c_name FROM (
+             |  SELECT c_nationkey, c_custkey, c_name,
+             |         row_number() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS rn
+             |  FROM customer) WHERE rn = 1 ORDER BY c_nationkey""".stripMargin)),
+
+    // ---- A5: reverse-map totals (dwwFront.js:54-75) ----
+    QueryDef("a5_reverse_map_totals",
+      (s, d) => Catalog.reverseMapTotals(t(s, d, "nation"), "n_regionkey", "n_name", "n_nationkey")
+        .orderBy("n_regionkey"),
+      Some("""SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS searches,
+             |       sum(n_nationkey)::BIGINT AS total
+             |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)),
+
+    // ---- A6: blacklist term tally (dwwFront.js:159-169) ----
+    QueryDef("a6_blacklist_tally",
+      (s, d) => Catalog.termTally(t(s, d, "part"), "p_name", Seq("blue", "green", "ivory", "red"))
+        .orderBy("term"),
+      Some("""SELECT term, count(*) AS cnt
+             |FROM (VALUES ('blue'), ('green'), ('ivory'), ('red')) t(term)
+             |JOIN part ON contains(lower(p_name), term)
+             |GROUP BY term ORDER BY term""".stripMargin)),
+
+    // ---- A7: duplicate-row total merge (dwwFront.js:83-102) ----
+    QueryDef("a7_merge_totals",
+      (s, d) => {
+        val sub = t(s, d, "lineitem").groupBy("l_partkey", "l_suppkey").agg(count(lit(1)).as("cnt"))
+        Catalog.mergeTotals(sub, col("l_partkey"), "cnt").orderBy("key")
+      },
+      Some("""SELECT l_partkey AS key, sum(cnt)::BIGINT AS total FROM (
+             |  SELECT l_partkey, l_suppkey, count(*) AS cnt FROM lineitem GROUP BY 1, 2)
+             |GROUP BY l_partkey ORDER BY key""".stripMargin)),
+
+    // ---- O1: global person/date sort (dwwApi.js:67) ----
+    QueryDef("o1_global_sort",
+      (s, d) => t(s, d, "orders")
+        .select("o_custkey", "o_orderkey", "o_orderdate")
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey"),
+      Some("""SELECT o_custkey, o_orderkey, o_orderdate FROM orders
+             |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin)),
+
+    // ---- O2: count-desc sort (dwwApi.js:325) ----
+    QueryDef("o2_count_sort",
+      (s, d) => Catalog.frequency(t(s, d, "part"), "p_type"),
+      Some("""SELECT p_type AS search, count(*) AS cnt FROM part
+             |GROUP BY p_type ORDER BY cnt DESC, search""".stripMargin)),
+
+    // ---- O4: depth limit (GetWeta.py:81-86) ----
+    QueryDef("o4_depth_limit",
+      (s, d) => t(s, d, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        .limit(100),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)),
+
+    // ---- S2: incremental anti-join load (GetWeta.py:253-337) ----
+    QueryDef("s2_incremental_load",
+      (s, d) => {
+        val orders = t(s, d, "orders")
+        val staged = orders.filter(col("o_orderkey") % 10 === 0)
+        Sources.incrementalLoad(orders, staged, "o_orderkey")
+          .select("o_orderkey").orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey FROM orders
+             |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderkey % 10 = 0)
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- S5: CSV sink projection with comma strip (dwwApi.js:33-35) ----
+    QueryDef("s5_csv_projection",
+      (s, d) => t(s, d, "part")
+        .select(col("p_partkey"),
+          regexp_replace(col("p_name"), ",", "").as("name_clean"),
+          regexp_replace(col("p_type"), ",", "").as("type_clean"))
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey, replace(p_name, ',', '') AS name_clean,
+             |       replace(p_type, ',', '') AS type_clean
+             |FROM part ORDER BY p_partkey""".stripMargin))
+  )
+}

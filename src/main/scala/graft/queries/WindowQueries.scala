@@ -1,0 +1,277 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+import graft.analytics.{Density, Jumps, Paths}
+
+/** SURVEY.md §2.5 window/sequence operators (W1-W7), §2.4 density (A8-A9),
+  * grouped jumps (A11), nested docs (W3/A10/S10) — the heart of the engine.
+  *
+  * Mapping onto testdata: person ≙ o_custkey, company ≙ o_orderstatus,
+  * role ≙ o_orderpriority, release ≙ (o_orderdate, o_orderkey). Every
+  * operator is a lag/lead or generator over
+  * Window.partitionBy(custkey).orderBy(date, key) — hash partition + local
+  * sort, no global sort, no driver loop; the exact shape that scales.
+  */
+object WindowQueries {
+
+  private def orders(s: SparkSession, d: String) = Tables.table(s, d, "orders")
+
+  private val K = Jumps.Keys("o_custkey", Seq("o_orderdate", "o_orderkey"), "o_orderstatus")
+
+  /** Shared DuckDB CTE: consecutive-company dedup (W2) over orders. */
+  private val jumpsCte =
+    """WITH led AS (
+      |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus, o_orderpriority,
+      |         lag(o_orderstatus) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS pc
+      |  FROM orders),
+      |j AS (SELECT * FROM led WHERE pc IS NULL OR o_orderstatus <> pc)""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- W1: jump detection + run-length tallies (GetWeta.py:587-673) ----
+    QueryDef("w1_jump_segments",
+      (s, d) => Jumps.segments(orders(s, d), K)
+        .orderBy("o_custkey", "seg_id"),
+      Some("""WITH flagged AS (
+             |  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+             |         CASE WHEN lag(o_orderstatus) OVER w IS NULL
+             |                OR o_orderstatus <> lag(o_orderstatus) OVER w
+             |              THEN 1 ELSE 0 END AS chg
+             |  FROM orders
+             |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+             |seg AS (
+             |  SELECT o_custkey, o_orderstatus,
+             |         sum(chg) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |                        ROWS UNBOUNDED PRECEDING)::BIGINT AS seg_id
+             |  FROM flagged)
+             |SELECT o_custkey, seg_id, o_orderstatus, count(*) AS stay_count
+             |FROM seg GROUP BY 1, 2, 3 ORDER BY o_custkey, seg_id""".stripMargin)),
+
+    // ---- W2: consecutive-company dedup (dwwApi.js:100-107) ----
+    QueryDef("w2_jumps_only",
+      (s, d) => Jumps.jumpsOnly(orders(s, d), K)
+        .select("o_custkey", "o_orderkey", "o_orderstatus")
+        .orderBy("o_custkey", "o_orderkey"),
+      Some(s"""$jumpsCte
+              |SELECT o_custkey, o_orderkey, o_orderstatus FROM j
+              |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    // ---- W3 + S10: nested document assembly then flatten back ----
+    // (dwwApi.js:80-142 / utils/jsonToCsv.py) — exercises collect_list(struct)
+    // + explode; the flat oracle is the roundtrip identity.
+    QueryDef("w3_doc_roundtrip",
+      (s, d) => {
+        val docs = Jumps.assembleDocs(
+          orders(s, d).withColumn("o_name", concat(lit("cust_"), col("o_custkey"))),
+          "o_custkey", "o_name",
+          Seq(col("o_orderdate"), col("o_orderkey"), col("o_orderstatus")))
+        docs.select(col("o_custkey"), explode(col("rels")).as("rel"))
+          .select(col("o_custkey"), col("rel.o_orderkey").as("o_orderkey"),
+                  col("rel.o_orderstatus").as("o_orderstatus"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_orderstatus FROM orders
+             |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    // ---- W4: dummy in-transit synthesis (dwwApi.js:281-293) ----
+    QueryDef("w4_dummy_synthesis",
+      (s, d) => {
+        val base = orders(s, d)
+          .withColumn("time_ms", unix_millis(col("o_orderdate").cast("timestamp")))
+          .withColumn("lat", ((col("o_custkey") % 120) - 60).cast("double"))
+          .withColumn("lon", (((col("o_custkey") * 7) % 360) - 180).cast("double"))
+        Jumps.withDummies(base, K, "time_ms", "lat", "lon")
+          .withColumnRenamed("company", "o_orderstatus")
+          .orderBy("o_custkey", "time_ms", "dummy", "o_orderstatus")
+      },
+      Some {
+        val lat = QueryDef.latFromKeySql("o_custkey")
+        val lon = QueryDef.lonFromKeySql("o_custkey")
+        val hav = QueryDef.haversineSql("lat", "lon", "nlat", "nlon")
+        s"""WITH base AS (
+           |  SELECT o_custkey, o_orderstatus, epoch_ms(o_orderdate) AS tms,
+           |         ($lat)::DOUBLE AS lat, ($lon)::DOUBLE AS lon, o_orderdate, o_orderkey
+           |  FROM orders),
+           |led AS (
+           |  SELECT *, lead(tms) OVER w AS nt, lead(lat) OVER w AS nlat, lead(lon) OVER w AS nlon
+           |  FROM base WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+           |recs AS (
+           |  SELECT o_custkey, o_orderstatus, tms AS time_ms, false AS dummy FROM led
+           |  UNION ALL
+           |  SELECT o_custkey, o_orderstatus,
+           |         nt - 86400000 * greatest(1::BIGINT, floor(($hav) / 100)::BIGINT) AS time_ms,
+           |         true AS dummy
+           |  FROM led WHERE nt IS NOT NULL)
+           |SELECT o_custkey, o_orderstatus, time_ms, dummy FROM recs
+           |ORDER BY o_custkey, time_ms, dummy, o_orderstatus""".stripMargin
+      }),
+
+    // ---- W5: directional jump filter, dir=in (dwwApi.js:256-280) ----
+    QueryDef("w5_directional_in",
+      (s, d) => Jumps.directional(Jumps.jumpsOnly(orders(s, d), K), K, "o_orderstatus", "F", "in")
+        .select("o_custkey", "o_orderkey", "o_orderstatus")
+        .orderBy("o_custkey", "o_orderkey"),
+      Some(s"""$jumpsCte,
+              |nx AS (
+              |  SELECT *, lead(lower(o_orderstatus)) OVER (PARTITION BY o_custkey
+              |            ORDER BY o_orderdate, o_orderkey) AS nk
+              |  FROM j)
+              |SELECT o_custkey, o_orderkey, o_orderstatus FROM nx WHERE nk = 'f'
+              |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    // ---- W5: directional jump filter, dir=out ----
+    QueryDef("w5_directional_out",
+      (s, d) => Jumps.directional(Jumps.jumpsOnly(orders(s, d), K), K, "o_orderstatus", "O", "out")
+        .select("o_custkey", "o_orderkey", "o_orderstatus")
+        .orderBy("o_custkey", "o_orderkey"),
+      Some(s"""$jumpsCte,
+              |pv AS (
+              |  SELECT *, lag(lower(o_orderstatus)) OVER (PARTITION BY o_custkey
+              |            ORDER BY o_orderdate, o_orderkey) AS pk
+              |  FROM j)
+              |SELECT o_custkey, o_orderkey, o_orderstatus FROM pv WHERE pk = 'o'
+              |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    // ---- W7: earliest first-match extraction (GetWeta.py:348-368) ----
+    QueryDef("w7_first_match",
+      (s, d) => Jumps.firstMatch(orders(s, d), K, col("o_orderstatus") === "F")
+        .select("o_custkey", "o_orderkey", "o_orderdate")
+        .orderBy("o_custkey"),
+      Some("""SELECT o_custkey, o_orderkey, o_orderdate FROM (
+             |  SELECT o_custkey, o_orderkey, o_orderdate,
+             |         row_number() OVER (PARTITION BY o_custkey
+             |                            ORDER BY o_orderdate, o_orderkey) AS rn
+             |  FROM orders WHERE o_orderstatus = 'F') WHERE rn = 1
+             |ORDER BY o_custkey""".stripMargin)),
+
+    // ---- A8: gap-filled density cube (densityCalc.js:60-90) ----
+    QueryDef("a8_density_build",
+      (s, d) => Density.build(
+          orders(s, d).withColumn("yr", year(col("o_orderdate"))),
+          Density.Keys("o_custkey", Seq("o_orderdate", "o_orderkey"), "o_orderstatus", "o_orderpriority", "yr"))
+        .orderBy("company", "year", "role"),
+      Some("""WITH base AS (
+             |  SELECT o_custkey, o_orderstatus, o_orderpriority,
+             |         year(o_orderdate)::INT AS yr, o_orderdate, o_orderkey
+             |  FROM orders),
+             |led AS (
+             |  SELECT *, lead(yr) OVER w AS ny, lead(o_orderstatus) OVER w AS nc
+             |  FROM base WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+             |kept AS (
+             |  SELECT * FROM led
+             |  WHERE NOT (ny IS NOT NULL AND yr = ny AND o_orderstatus = nc)),
+             |filled AS (
+             |  SELECT o_orderstatus, o_orderpriority,
+             |         unnest(generate_series(yr,
+             |           CASE WHEN ny IS NULL THEN yr ELSE greatest(yr, ny - 1) END))::INT AS year
+             |  FROM kept)
+             |SELECT o_orderstatus AS company, year, o_orderpriority AS role, count(*) AS cnt
+             |FROM filled GROUP BY 1, 2, 3 ORDER BY company, year, role""".stripMargin)),
+
+    // ---- A9: density totals minus unmapped bucket (densityCalc.js:101-121) ----
+    QueryDef("a9_density_totals",
+      (s, d) => Density.totals(
+          Density.build(
+            orders(s, d).withColumn("yr", year(col("o_orderdate"))),
+            Density.Keys("o_custkey", Seq("o_orderdate", "o_orderkey"), "o_orderstatus", "o_orderpriority", "yr")),
+          unmappedRole = "1-URGENT")
+        .orderBy("company", "year"),
+      Some("""WITH base AS (
+             |  SELECT o_custkey, o_orderstatus, o_orderpriority,
+             |         year(o_orderdate)::INT AS yr, o_orderdate, o_orderkey
+             |  FROM orders),
+             |led AS (
+             |  SELECT *, lead(yr) OVER w AS ny, lead(o_orderstatus) OVER w AS nc
+             |  FROM base WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+             |kept AS (
+             |  SELECT * FROM led
+             |  WHERE NOT (ny IS NOT NULL AND yr = ny AND o_orderstatus = nc)),
+             |filled AS (
+             |  SELECT o_orderstatus, o_orderpriority,
+             |         unnest(generate_series(yr,
+             |           CASE WHEN ny IS NULL THEN yr ELSE greatest(yr, ny - 1) END))::INT AS year
+             |  FROM kept)
+             |SELECT o_orderstatus AS company, year,
+             |       sum(CASE WHEN o_orderpriority <> '1-URGENT' THEN 1 ELSE 0 END)::BIGINT AS total
+             |FROM filled GROUP BY 1, 2 ORDER BY company, year""".stripMargin)),
+
+    // ---- A10: distinct over nested rels (functions.js:116-140) ----
+    QueryDef("a10_distinct_nested",
+      (s, d) => {
+        val docs = Jumps.assembleDocs(
+          orders(s, d).withColumn("o_name", concat(lit("cust_"), col("o_custkey"))),
+          "o_custkey", "o_name",
+          Seq(col("o_orderdate"), col("o_orderkey"), col("o_orderstatus")))
+        graft.analytics.Catalog.distinctNested(docs, "rels", "o_orderstatus")
+          .withColumnRenamed("o_orderstatus", "company")
+          .orderBy("company")
+      },
+      Some("""SELECT DISTINCT o_orderstatus AS company FROM orders ORDER BY company""")),
+
+    // ---- A11: grouped jumps with totals (dwwApi.js:176-189) ----
+    QueryDef("a11_grouped_jumps",
+      (s, d) => Jumps.jumpsOnly(orders(s, d), K)
+        .groupBy(col("o_orderstatus").as("company"))
+        .agg(count(lit(1)).as("total"), countDistinct(col("o_custkey")).as("n_people"))
+        .orderBy("company"),
+      Some(s"""$jumpsCte
+              |SELECT o_orderstatus AS company, count(*) AS total,
+              |       count(DISTINCT o_custkey) AS n_people
+              |FROM j GROUP BY 1 ORDER BY company""".stripMargin)),
+
+    // ---- W6: path expansion — interpolation core (pathCreator.js:101-133) ----
+    QueryDef("w6_path_interp",
+      (s, d) => {
+        val base = orders(s, d)
+          .withColumn("time_ms", unix_millis(col("o_orderdate").cast("timestamp")))
+          .withColumn("lat", ((col("o_orderkey") % 120) - 60).cast("double"))
+          .withColumn("lon", (((col("o_orderkey") * 13) % 360) - 180).cast("double"))
+        val K2 = Paths.Keys("o_custkey", Seq("o_orderdate", "o_orderkey"), "o_orderstatus",
+          "lat", "lon", "time_ms")
+        Paths.expand(base, K2)
+          .select(col("person_id").as("o_custkey"), col("seq"),
+            round(col("lat"), 6).as("plat"), round(col("lon"), 6).as("plon"),
+            col("when_ms"))
+          .orderBy("o_custkey", "when_ms", "seq", "plat", "plon")
+      },
+      Some {
+        val lat = QueryDef.latFromKeySql("o_orderkey")
+        val lon = s"(((o_orderkey * 13) % 360) - 180)"
+        val ld = QueryDef.lonDiffSql("lon", "nlon")
+        s"""WITH base AS (
+           |  SELECT o_custkey, o_orderstatus AS company, epoch_ms(o_orderdate) AS tms,
+           |         ($lat)::DOUBLE AS lat, ($lon)::DOUBLE AS lon, o_orderdate, o_orderkey
+           |  FROM orders),
+           |led AS (
+           |  SELECT *, lead(company) OVER w AS nc, lead(lat) OVER w AS nlat,
+           |         lead(lon) OVER w AS nlon, lead(tms) OVER w AS nt
+           |  FROM base WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+           |pairs AS (SELECT * FROM led WHERE nc IS NOT NULL AND nc <> company),
+           |pts AS (
+           |  SELECT o_custkey, lat, lon, nlat, nlon, tms, nt,
+           |         unnest(generate_series(0, 50))::INT AS seq
+           |  FROM pairs)
+           |SELECT o_custkey, seq,
+           |       round(lat + (nlat - lat) * seq / 50, 6) AS plat,
+           |       round(lon + $ld * seq / 50, 6) AS plon,
+           |       tms + floor(((nt - tms) * seq) / 50.0)::BIGINT AS when_ms
+           |FROM pts ORDER BY o_custkey, when_ms, seq, plat, plon""".stripMargin
+      }),
+
+    // ---- W6 full: parabolic altitude + deterministic jitter (rows-only:
+    // xxhash64 jitter is not expressible in the oracle) ----
+    QueryDef("w6_paths_full",
+      (s, d) => {
+        val base = orders(s, d)
+          .withColumn("time_ms", unix_millis(col("o_orderdate").cast("timestamp")))
+          .withColumn("lat", ((col("o_custkey") % 120) - 60).cast("double"))
+          .withColumn("lon", (((col("o_custkey") * 13) % 360) - 180).cast("double"))
+        val K2 = Paths.Keys("o_custkey", Seq("o_orderdate", "o_orderkey"), "o_orderstatus",
+          "lat", "lon", "time_ms")
+        Paths.expand(base, K2).orderBy("person_id", "path_id", "seq")
+      },
+      None)
+  )
+}

@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming tier (SURVEY.md §2.9): the reference's time-slider is a
+  * day-granularity event-time filter over a precomputed cube
+  * (timeControl.js:135-141 — a "stamp" is a 1-day span). In Spark that is a
+  * Structured Streaming job: 1-day tumbling windows with a watermark, plus a
+  * stateful per-user session operator for the gap-filled occupancy semantics
+  * (densityCalc.js:45-58's "present until next credit" is session state).
+  *
+  * `dailyCounts` is written so the SAME code runs batch (finite DataFrame)
+  * and streaming (readStream) — the Dataset API is identical.
+  */
+object EventStreams {
+
+  /** 1-day tumbling-window counts by event type. Works on a batch OR
+    * streaming DataFrame with columns (ts timestamp, event_type string,
+    * value double). */
+  def dailyCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("w.start").as("day"), col("event_type"), col("cnt"), col("sum_value"))
+
+  /** Streaming entry: parquet file source → watermarked daily counts. */
+  def streamDailyCounts(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    spark.readStream.schema(schema).parquet(dir)
+      .withWatermark("ts", "2 days")
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("day"), col("event_type"), col("cnt"))
+  }
+
+  final case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)
+  final case class SessionSummary(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom state example: per-user running session summary via
+    * mapGroupsWithState — the streaming analog of the reference's per-person
+    * in-memory fold (dwwApi.js:80-142). Used with update-mode sinks. */
+  def sessionSummaries(spark: SparkSession, events: DataFrame) = {
+    import spark.implicits._
+    events.select(col("user_id"), col("ts"), col("event_type"), col("value")).as[Event]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[SessionSummary, SessionSummary](GroupStateTimeout.NoTimeout) {
+        case (uid, it, state: GroupState[SessionSummary]) =>
+          val prev = state.getOption.getOrElse(SessionSummary(uid, 0L, 0.0))
+          val evs = it.toSeq
+          val next = SessionSummary(uid, prev.n_events + evs.size, prev.total_value + evs.map(_.value).sum)
+          state.update(next)
+          next
+      }
+  }
+}
