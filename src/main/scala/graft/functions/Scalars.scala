@@ -70,6 +70,17 @@ object Scalars {
         j2len = newj2len
         i += 1
       }
+      // difflib's extension phases: autojunk-popular chars are dropped from
+      // b2j but are NOT junk, so the best block extends through them at both
+      // ends (difflib.find_longest_match; we pass no isjunk, so bjunk = ∅
+      // and the junk-extension loops are no-ops).
+      while (besti > alo && bestj > blo && a.charAt(besti - 1) == b.charAt(bestj - 1)) {
+        besti -= 1; bestj -= 1; bestsize += 1
+      }
+      while (besti + bestsize < ahi && bestj + bestsize < bhi &&
+             a.charAt(besti + bestsize) == b.charAt(bestj + bestsize)) {
+        bestsize += 1
+      }
       (besti, bestj, bestsize)
     }
 

@@ -62,21 +62,33 @@ object Similarity {
     }.reduce(_.bitwiseOR(_))
   }
 
-  /** Bucketed ANN: probe the query's signature bucket and every 1-bit-flip
-    * neighbor bucket (multi-probe), rerank exactly within candidates.
-    * Output: (query_id, id, sim, rank) — approximate top-k. */
+  /** Bucketed ANN with OR-amplification: `nTables` independent sign-LSH
+    * tables (AND within a table's `nPlanes` bits, OR across tables), plus
+    * 1-bit-flip multi-probe per table; candidates are reranked exactly.
+    * Output: (query_id, id, sim, rank) — approximate top-k.
+    *
+    * Scale shape: the corpus is hashed once per table (a projection, one
+    * scan), candidate generation is an equi-join on (table, bucket), and
+    * only candidate pairs ever pay the full cosine — never n². Tune
+    * nTables up for recall, nPlanes up for precision/bucket size. */
   def lshTopK(corpus: DataFrame, id: String, vec: String,
               queries: DataFrame, qid: String, qvec: String,
-              k: Int, nPlanes: Int = 12, dim: Int = 64, seed: Long = 42L): DataFrame = {
+              k: Int, nPlanes: Int = 8, nTables: Int = 6, dim: Int = 64,
+              seed: Long = 42L): DataFrame = {
+    def sig(c: Column, table: Int) = signature(c, nPlanes, dim, seed + 7919L * table)
     val bucketed = corpus.select(col(id), col(vec),
-      signature(col(vec), nPlanes, dim, seed).as("bucket"))
-    val qsig = queries.select(col(qid), col(qvec),
-      signature(col(qvec), nPlanes, dim, seed).as("qsig"))
-    // multi-probe: own bucket + each single-bit flip
-    val probes = qsig.select(col(qid), col(qvec),
-      explode(array(col("qsig") +: (0 until nPlanes).map(i =>
-        col("qsig").bitwiseXOR(shiftleft(lit(1L), i))): _*)).as("bucket"))
-    val cands = bucketed.join(broadcast(probes), "bucket")
+      explode(array((0 until nTables).map(t =>
+        struct(lit(t).as("tbl"), sig(col(vec), t).as("bucket"))): _*)).as("tb"))
+      .select(col(id), col(vec), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    // per table: own bucket + every 1-bit flip (multi-probe)
+    val probes = queries.select(col(qid), col(qvec),
+      explode(array((for (t <- 0 until nTables; p <- -1 until nPlanes) yield {
+        val base = sig(col(qvec), t)
+        val b = if (p < 0) base else base.bitwiseXOR(shiftleft(lit(1L), p))
+        struct(lit(t).as("tbl"), b.as("bucket"))
+      }): _*)).as("tb"))
+      .select(col(qid), col(qvec), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val cands = bucketed.join(broadcast(probes), Seq("tbl", "bucket"))
       .select(col(qid).as("query_id"), col(id).as("id"),
               cosine(col(vec), col(qvec)).as("sim"))
       .dropDuplicates("query_id", "id")

@@ -1,0 +1,68 @@
+package graft.analytics
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class PathsSpec extends SparkSpecBase {
+
+  private lazy val K = Paths.Keys("person", Seq("ts", "seq"), "company", "lat", "lon", "time_ms")
+
+  private def fixture = {
+    val s = spark; import s.implicits._
+    Seq(
+      // one jump crossing the anti-meridian: 170E → 170W
+      ("p", 1L, 1, "A", 10.0, 170.0, 0L),
+      ("p", 2L, 2, "B", 20.0, -170.0, 50L * 1000L),
+      // same-company consecutive pair → no path
+      ("q", 1L, 1, "C", 0.0, 0.0, 0L),
+      ("q", 2L, 2, "C", 0.0, 10.0, 1000L)
+    ).toDF("person", "ts", "seq", "company", "lat", "lon", "time_ms")
+  }
+
+  test("expand emits 51 points per differing pair and none for same-company pairs") {
+    val out = Paths.expand(fixture, K)
+    assert(out.count() === 51L)
+    assert(out.filter(col("person_id") === "q").count() === 0L)
+  }
+
+  test("endpoints interpolate exactly; longitude crosses the anti-meridian the short way") {
+    val rows = Paths.expand(fixture, K).orderBy("seq").collect()
+    val first = rows.head; val mid = rows(25); val last = rows.last
+    def lat(r: org.apache.spark.sql.Row) = r.getDouble(r.fieldIndex("lat"))
+    def lon(r: org.apache.spark.sql.Row) = r.getDouble(r.fieldIndex("lon"))
+    assert(lat(first) === 10.0 && lon(first) === 170.0)
+    assert(math.abs(lat(last) - 20.0) < 1e-9)
+    // 170 + (+20) = 190, NOT -170: the reference emits the raw sum and lets
+    // the renderer wrap — shortest-path delta is +20 (pathCreator.js:188-199)
+    assert(math.abs(lon(last) - 190.0) < 1e-9)
+    assert(math.abs(lon(mid) - 180.0) < 1e-9)
+  }
+
+  test("altitude is parabolic: equal at endpoints, maximal at midpoint, jitter deterministic") {
+    val rows = Paths.expand(fixture, K, rise = 1.0, verticalOffset = 5.0).orderBy("seq").collect()
+    def alt(i: Int) = rows(i).getDouble(rows(i).fieldIndex("alt"))
+    assert(math.abs(alt(0) - 5.0) < 1e-9)
+    assert(math.abs(alt(50) - 5.0) < 1e-9)
+    assert(alt(25) > alt(0) && alt(25) > alt(49))
+    // deterministic: second run identical (vs the reference's Math.random)
+    val again = Paths.expand(fixture, K, rise = 1.0, verticalOffset = 5.0).orderBy("seq").collect()
+    assert(rows.map(_.getDouble(rows.head.fieldIndex("alt"))).toSeq ===
+           again.map(_.getDouble(rows.head.fieldIndex("alt"))).toSeq)
+  }
+
+  test("timestamps interpolate linearly and monotonically (pathCreator.js:148-160)") {
+    val whens = Paths.expand(fixture, K).orderBy("seq")
+      .select("when_ms").collect().map(_.getLong(0))
+    assert(whens.head === 0L && whens.last === 50000L)
+    assert(whens.sliding(2).forall(p => p(0) < p(1)))
+    assert(whens(25) === 25000L)
+  }
+
+  test("toKml renders one placemark per path") {
+    val kml = Paths.toKml(Paths.expand(fixture, K)).collect()
+    assert(kml.length === 1)
+    val s = kml.head.getString(kml.head.fieldIndex("kml"))
+    assert(s.startsWith("<Placemark>"))
+    assert(s.contains("<gx:coord>"))
+  }
+}

@@ -1,0 +1,144 @@
+package graft.llm
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class LlmSpec extends SparkSpecBase {
+
+  /** Corpus with planted structure: 0/1 exact dups, 2 a near-dup of 0,
+    * 3/4 unrelated. */
+  private lazy val docs = {
+    val s = spark; import s.implicits._
+    val base = "the quick brown fox jumps over the lazy dog while the cat watches from the warm windowsill"
+    Seq(
+      (0L, base),
+      (1L, base),                                             // exact dup of 0
+      (2L, base.replace("lazy", "sleepy")),                   // near dup of 0
+      (3L, "completely different content about spark query optimization and shuffle planning"),
+      (4L, "unrelated text mentioning neither foxes nor dogs just parquet files and row groups")
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical texts, keeps lowest id") {
+    val e = Dedup.exact(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(e === Array((0L, 2L), (2L, 1L), (3L, 1L), (4L, 1L)))
+    val survivors = Dedup.exactSurvivors(docs, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(survivors === Array(0L, 2L, 3L, 4L))
+  }
+
+  test("minhash LSH finds the planted near-dup pair without an all-pairs join") {
+    val pairs = Dedup.minhashDedup(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L))) // exact dup always collides
+    assert(pairs.contains((0L, 2L)) || pairs.contains((1L, 2L))) // near dup found
+    assert(!pairs.exists(p => p._2 == 3L || p._2 == 4L)) // unrelated never ≥0.5
+  }
+
+  test("minhash jaccard approximates true shingle jaccard") {
+    val withJ = Dedup.minhashDedup(docs, "doc_id", "text", threshold = 0.0)
+      .filter(col("id1") === 0L && col("id2") === 1L).head
+    assert(withJ.getDouble(2) === 1.0) // identical docs → jaccard 1
+  }
+
+  test("simhash: identical docs distance 0; near dups close; unrelated far") {
+    val fp = Dedup.simhash(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(0L) === fp(1L))
+    def dist(a: Long, b: Long) = java.lang.Long.bitCount(fp(a) ^ fp(b))
+    assert(dist(0L, 2L) <= 12)
+    assert(dist(0L, 3L) > 12)
+    val cands = Dedup.simhashCandidates(docs, "doc_id", "text", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((0L, 1L)))
+  }
+
+  test("ngram jaccard on candidate pairs") {
+    val pairs = Dedup.minhashCandidates(docs, "doc_id", "text")
+    val j = Dedup.ngramJaccard(docs, "doc_id", "text", 3, pairs).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(j((0L, 1L)) === 1.0)
+    j.get((0L, 2L)).foreach(v => assert(v > 0.5 && v < 1.0))
+  }
+
+  test("brute-force topK: self is rank 1 with sim 1; ranks are dense per query") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 3).select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val top = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, "qid", "qvec", 5)
+    val rows = top.collect()
+    assert(rows.length === 15)
+    val self = rows.filter(r => r.getLong(0) == r.getLong(1))
+    assert(self.length === 3)
+    assert(self.forall(r => r.getInt(3) === 1 && math.abs(r.getDouble(2) - 1.0) < 1e-9))
+  }
+
+  test("LSH ANN recall vs exact topK is usable on real embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 5).select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val k = 5
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, "qid", "qvec", k)
+      .select("query_id", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(emb, "vec_id", "embedding", q, "qid", "qvec", k,
+        nPlanes = 8, nTables = 6, dim = 64, seed = 42L)
+      .select("query_id", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall too low")
+    // every query at least finds itself
+    assert((0L until 5L).forall(i => approx.contains((i, i))))
+  }
+
+  test("language ID scores stopword evidence and falls back to unknown") {
+    // NOTE: the synthetic documents table uses one shared vocabulary for all
+    // lang labels (verified empirically — no token is lang-specific), so
+    // label accuracy is not measurable there; the operator is tested on
+    // constructed input instead.
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1L, "the cat and the dog sat in a house that it liked"),
+      (2L, "der hund und die katze ist nicht mit einem haus auf zu"),
+      (3L, "le chat et la maison est une pour les dans que des"),
+      (4L, "el gato y la casa es una para los en que por"),
+      (5L, "zxcv qwer asdf")
+    ).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"), TextAnalysis.langId(col("text")).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "en")
+    assert(out(2L) === "de")
+    assert(out(3L) === "fr")
+    assert(out(4L) === "es")
+    assert(out(5L) === "unknown")
+  }
+
+  test("token counts and quality features are consistent") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, "hello world, this is text!"), (2L, "one")).toDF("doc_id", "text")
+    val out = TextAnalysis.qualityFeatures(df, "text")
+      .select("doc_id", "n_words", "quality_score").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(out(1L) === 5)
+    assert(out(2L) === 1)
+    val toks = df.select(TextAnalysis.tokenEstimate(col("text"))).collect().map(_.getInt(0))
+    assert(toks === Array(7, 1)) // hello,world,',',this,is,text,'!'
+  }
+
+  test("multimodal: media table schema, deterministic stub features, frame counts") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, "x" * 300), (2L, "y" * 10)).toDF("doc_id", "text")
+    val media = Multimodal.asMediaTable(df, "doc_id", "text")
+    assert(media.columns.toSeq === Seq("media_id", "content", "meta"))
+    val nb = media.select(col("meta.n_bytes")).collect().map(_.getLong(0)).sorted
+    assert(nb === Array(10L, 300L))
+    val f1 = Multimodal.extractFeatures(media, dim = 4).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val f2 = Multimodal.extractFeatures(media, dim = 4).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(f1 === f2) // stub is deterministic
+    assert(f1(1L).length === 4)
+    // frames: 300 bytes → ceil(300/64)=5 chunks → stride 4 → idx 0,4 → 2 frames
+    val frames = Multimodal.sampleFrames(media, chunk = 64, stride = 4)
+      .groupBy("media_id").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(frames(1L) === 2L)
+    assert(frames(2L) === 1L)
+  }
+}

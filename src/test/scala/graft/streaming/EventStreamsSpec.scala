@@ -1,0 +1,58 @@
+package graft.streaming
+
+import graft.SparkSpecBase
+import graft.model.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+class EventStreamsSpec extends SparkSpecBase {
+
+  test("batch dailyCounts matches a direct day-truncated aggregation") {
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val viaWindow = EventStreams.dailyCounts(events)
+      .select(col("day"), col("event_type"), col("cnt"))
+    val direct = events
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    assert(viaWindow.except(direct).count() === 0)
+    assert(direct.except(viaWindow).count() === 0)
+  }
+
+  test("streaming dailyCounts over a memory stream equals the batch result") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val input = mem.toDF().toDF("ts", "event_type", "value")
+    val q = EventStreams.dailyCounts(input)
+      .writeStream.format("memory").queryName("daily_test")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      mem.addData(
+        (java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), "click", 1.0),
+        (java.sql.Timestamp.valueOf("2024-01-01 11:00:00"), "click", 2.0),
+        (java.sql.Timestamp.valueOf("2024-01-02 09:00:00"), "view", 3.0))
+      q.processAllAvailable()
+      val out = s.sql("SELECT day, event_type, cnt, sum_value FROM daily_test ORDER BY day, event_type")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+      assert(out === Array(
+        ("2024-01-01 00:00:00.0", "click", 2L, 3.0),
+        ("2024-01-02 00:00:00.0", "view", 1L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("per-user session summaries fold counts and totals (mapGroupsWithState)") {
+    val s = spark
+    import s.implicits._
+    val events = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), "click", 2.0),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 11:00:00"), "view", 3.0),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 12:00:00"), "click", 5.0)
+    ).toDF("user_id", "ts", "event_type", "value")
+    val out = EventStreams.sessionSummaries(spark, events).collect()
+      .map(ss => ss.user_id -> ((ss.n_events, ss.total_value))).toMap
+    assert(out(1L) === ((2L, 5.0)))
+    assert(out(2L) === ((1L, 5.0)))
+  }
+}
