@@ -42,11 +42,11 @@ object Dedup {
   }
 
   /** MinHash signature: for seed s, min over shingles of a 64-bit hash.
-    * `numHashes` independent permutation approximations. */
+    * Uses the native MinHashSignature Catalyst expression — the equivalent
+    * `array(array_min(transform(...)) * numHashes)` column composition is
+    * semantically identical but costs ~60s of Janino codegen per plan. */
   def minhashSignature(sh: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { s =>
-      array_min(transform(sh, x => xxhash64(x, lit(s))))
-    }: _*)
+    graft.functions.MinHashSignature(sh, numHashes)
 
   /** Banded-LSH candidate pairs: signature split into `bands` bands of
     * `rows` hashes; docs sharing any (band, band-hash) bucket become a
