@@ -15,7 +15,8 @@ import graft.queries._
 object SparkEntry {
 
   val all: Seq[QueryDef] =
-    RelationalQueries.defs ++ WindowQueries.defs ++ ScalarQueries.defs ++ LlmQueries.defs
+    RelationalQueries.defs ++ WindowQueries.defs ++ ScalarQueries.defs ++
+      LlmQueries.defs ++ PipelineQueries.defs
 
   /** Flagship: the §3.2 jumps acceptance slice — quality filter → person
     * window dedup → grouped jump totals with a broadcast region echo. */

@@ -32,6 +32,19 @@ object Sources {
     df
   }
 
+  /** S9b — the reference map-file JSON shape has DYNAMIC keys
+    * (`{"maptype": "...", "maps": {"<raw search>": {"name":..,"id":..}}}`,
+    * companyMap.json). Spark infers `maps` as one wide struct; re-parse it
+    * as a real map and explode to (search, name, id) dim rows. */
+  def mapFileEntries(spark: SparkSession, path: String, expectedMaptype: String): DataFrame = {
+    val df = mapFile(spark, path, expectedMaptype)
+    df.select(from_json(to_json(col("maps")),
+        org.apache.spark.sql.types.DataType.fromDDL("map<string, struct<name:string, id:string>>")
+          .asInstanceOf[org.apache.spark.sql.types.MapType]).as("m"))
+      .select(explode(col("m")).as(Seq("search", "v")))
+      .select(col("search"), col("v.name").as("name"), col("v.id").as("id"))
+  }
+
   /** S10 — JSON→CSV flattening projection (utils/jsonToCsv.py:16-33):
     * select scalar fields out of nested rows; caller writes with Sinks.csv. */
   def flatten(df: DataFrame, cols: Seq[String]): DataFrame =

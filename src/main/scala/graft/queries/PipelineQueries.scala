@@ -1,0 +1,68 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+import graft.etl.Normalize
+import graft.analytics.DwwPipeline
+
+/** The §3.1 + §3.2 pipelines end-to-end over testdata, reference-shaped:
+  * testdata rows are dressed into the raw-credits schema (notes text,
+  * release-date lists, dims), then run through Normalize and the jumps
+  * endpoint. Rows-only (the fuzzy-score and regex chains are not
+  * SQL-expressible); exact semantics are covered by DwwPipelineSpec.
+  */
+object PipelineQueries {
+
+  /** Dress orders+customer into raw credits: customer ≙ person, orderstatus
+    * ≙ studio (via a tiny synthetic company map), order date ≙ release. */
+  private def rawCredits(s: SparkSession, d: String): DataFrame =
+    Tables.table(s, d, "orders")
+      .join(Tables.table(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .select(
+        col("o_custkey").cast("string").as("personId"),
+        col("c_name").as("personName"),
+        col("o_orderkey").cast("string").as("movieId"),
+        concat(lit("order_"), col("o_orderkey")).as("movieTitle"),
+        array(date_format(col("o_orderdate"), "d MMMM yyyy")).as("releaseDates"),
+        concat(lit("artist: studio "), col("o_orderstatus")).as("notes"))
+
+  private def dims(s: SparkSession) = {
+    import s.implicits._
+    val companyMap = Seq(
+      ("studio o", "Studio O", "c1"), ("studio f", "Studio F", "c2"),
+      ("studio p", "Studio P", "c3")).toDF("search", "name", "id")
+    val roleMap = Seq(("artist", "Artist")).toDF("search", "name")
+    val locations = Seq(
+      ("Studio O", "wellington", "-41.3,174.8"),
+      ("Studio F", "london", "51.5,-0.1"),
+      ("Studio P", "los angeles", "34.0,-118.2")).toDF("company", "location", "geoLoc")
+    val regions = Seq(("wellington", "oceania"), ("london", "europe"),
+      ("los angeles", "americas")).toDF("location", "globalRegion")
+    (companyMap, roleMap, locations, regions)
+  }
+
+  private def credits(s: SparkSession, d: String): DataFrame = {
+    val (cm, rm, lo, re) = dims(s)
+    Normalize.credits(rawCredits(s, d), cm, rm, lo, re)
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("e2e_normalize",
+      (s, d) => credits(s, d)
+        .select("personId", "movieId", "matchedCompanyName", "matchRatio",
+                "trueRole", "location", "globalRegion", "releaseStr")
+        .orderBy("personId", "movieId"),
+      None),
+
+    QueryDef("e2e_jumps_endpoint",
+      (s, d) => DwwPipeline.jumpsWithDummies(credits(s, d))
+        .orderBy("personId", "time_ms", "dummy", "company"),
+      None),
+
+    QueryDef("e2e_jumps_grouped_csv",
+      (s, d) => DwwPipeline.jumpsCsv(credits(s, d), "matchedCompanyName", "studio f", "in")
+        .orderBy("person", "date", "company"),
+      None)
+  )
+}
