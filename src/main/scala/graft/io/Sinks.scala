@@ -42,6 +42,19 @@ object Sinks {
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
 
+  /** Bucketed table sink: pre-shuffles by the join/agg key at write time so
+    * every later equi-join or aggregation on `bucketCols` between
+    * co-bucketed tables plans WITHOUT an Exchange — the 100 TB answer to
+    * the reference's per-label Neo4j indexes (GetWeta.py:43-51). Bucketing
+    * requires the table catalog (`saveAsTable`). */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+                    numBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite").format("parquet")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
+
   /** S11 — dim upsert with versioned snapshot (dwwRoutes.js:131-172): the old
     * snapshot is preserved under `backups/<name>_<version>`, then the new
     * table is written. Returns the backup path, like the reference's

@@ -1,8 +1,28 @@
 package graft.llm
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
+
+/** One scored candidate for the top-k aggregate. */
+case class Scored(sim: Double, id: Long)
+
+/** Bounded top-k typed aggregate (SURVEY §2.10 — the one UDAF the engine
+  * needs, for the beyond-reference ANN tier). The buffer never exceeds k
+  * elements, so partial aggregation keeps per-partition state O(k·queries)
+  * and the shuffle carries only k rows per (query, partition). */
+class TopKAgg(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
+  private def keep(xs: Seq[Scored]): Seq[Scored] =
+    xs.sortBy(s => (-s.sim, s.id)).take(k)
+  override def zero: Seq[Scored] = Vector.empty
+  override def reduce(b: Seq[Scored], a: Scored): Seq[Scored] = keep(b :+ a)
+  override def merge(x: Seq[Scored], y: Seq[Scored]): Seq[Scored] = keep(x ++ y)
+  override def finish(r: Seq[Scored]): Seq[Scored] = r
+  override def bufferEncoder: Encoder[Seq[Scored]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored]]()
+  override def outputEncoder: Encoder[Seq[Scored]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored]]()
+}
 
 /** Similarity search over an embedding column (`array<float>`).
   *
@@ -35,15 +55,26 @@ object Similarity {
               lit(0.0), (acc, v) => acc + v)
 
   /** Exact cosine top-k for each query row. `queries` must be small
-    * (broadcast). Output: (query_id, id, sim, rank). */
+    * (broadcast). Output: (query_id, id, sim, rank). Requires a numeric id
+    * (cast upstream if needed).
+    *
+    * The ranking is a custom top-k Aggregator, not a global window: Spark
+    * plans it as a partial+final ObjectHashAggregate, so each partition
+    * keeps at most k candidates per query in its combine map and ONLY those
+    * survivors shuffle. A window row_number would shuffle the whole
+    * |corpus| × |queries| score table. */
   def bruteForceTopK(corpus: DataFrame, id: String, vec: String,
                      queries: DataFrame, qid: String, qvec: String,
                      k: Int): DataFrame = {
-    val scored = corpus.crossJoin(broadcast(queries))
-      .select(col(qid).as("query_id"), col(id).as("id"),
+    val topk = udaf(new TopKAgg(k))
+    corpus.crossJoin(broadcast(queries))
+      .select(col(qid).as("query_id"), col(id).cast("long").as("id"),
               cosine(col(vec), col(qvec)).as("sim"))
-    val w = Window.partitionBy(col("query_id")).orderBy(desc("sim"), asc("id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .groupBy("query_id")
+      .agg(topk(col("sim"), col("id")).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")))
+      .select(col("query_id"), col("col.id").as("id"), col("col.sim").as("sim"),
+              (col("pos") + 1).cast("int").as("rank"))
   }
 
   /** Deterministic random hyperplanes: nPlanes × dim doubles seeded by
