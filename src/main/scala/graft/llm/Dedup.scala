@@ -74,14 +74,29 @@ object Dedup {
   }
 
   /** Verify candidates with true shingle Jaccard; keep pairs >= threshold.
-    * Joins the (small) candidate set back to the docs — payloads only move
-    * for candidates, not for the full corpus. */
+    *
+    * Two-stage verify: band-bucket collisions first get a CHEAP estimated
+    * Jaccard (fraction of equal signature components — unbiased MinHash
+    * estimator) and only pairs whose estimate clears `threshold - margin`
+    * pay the exact shingle intersect/union. Shingle arrays (hundreds of
+    * strings each) therefore only join for plausible pairs; the signature
+    * join moves `numHashes` longs per doc. */
   def minhashDedup(df: DataFrame, id: String, text: String,
                    k: Int = 5, bands: Int = 8, rows: Int = 4,
-                   threshold: Double = 0.8): DataFrame = {
+                   threshold: Double = 0.8, estMargin: Double = 0.2): DataFrame = {
+    val numHashes = bands * rows
     val cands = minhashCandidates(df, id, text, k, bands, rows)
+    val sig = df.select(col(id), minhashSignature(shingles(col(text), k), numHashes).as("sig"))
+    val estimated = cands
+      .join(sig.select(col(id).as("id1"), col("sig").as("sig1")), "id1")
+      .join(sig.select(col(id).as("id2"), col("sig").as("sig2")), "id2")
+      .withColumn("est",
+        aggregate(zip_with(col("sig1"), col("sig2"), (a, b) => when(a === b, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / numHashes)
+      .filter(col("est") >= threshold - estMargin)
+      .select("id1", "id2")
     val sh = df.select(col(id), shingles(col(text), k).as("sh"))
-    cands
+    estimated
       .join(sh.select(col(id).as("id1"), col("sh").as("sh1")), "id1")
       .join(sh.select(col(id).as("id2"), col("sh").as("sh2")), "id2")
       .withColumn("jaccard",

@@ -1,0 +1,78 @@
+package graft
+
+import graft.functions.Scalars
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+/** Property-based invariants (SURVEY §5 test plan item 2). Pure-JVM
+  * properties — the distributed variants are covered by the module specs. */
+object PropertySpec extends Properties("graft") {
+
+  private val word: Gen[String] =
+    Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+
+  property("fuzzRatio bounded and reflexive") = forAll(word, word) { (a, b) =>
+    val r = Scalars.fuzzRatioRaw(a, b)
+    r >= 0 && r <= 100 && Scalars.fuzzRatioRaw(a, a) == 100
+  }
+
+  // difflib's ratio is NOT symmetric (b2j/extension phases are b-relative);
+  // a faithful port must reproduce the asymmetry. Vectors from CPython
+  // difflib: ratio(a,b) vs ratio(b,a).
+  property("fuzzRatio reproduces difflib's asymmetry") = Prop {
+    Scalars.fuzzRatioRaw("baba", "abbba") == 44 &&
+    Scalars.fuzzRatioRaw("abbba", "baba") == 67 &&
+    Scalars.fuzzRatioRaw("abaab", "aaaaba") == 55 &&
+    Scalars.fuzzRatioRaw("aaaaba", "abaab") == 73 &&
+    Scalars.fuzzRatioRaw("abab", "baaaab") == 40 &&
+    Scalars.fuzzRatioRaw("baaaab", "abab") == 60
+  }
+
+  private val dateGen = for {
+    y <- Gen.choose(1950, 2030); m <- Gen.choose(1, 12); d <- Gen.choose(1, 28)
+  } yield (y, m, d)
+
+  property("padded dates: lexicographic == chronological (SURVEY §7.3.1)") =
+    forAll(dateGen, dateGen) { (a, b) =>
+      def pad(t: (Int, Int, Int)) = f"${t._1}%04d-${t._2}%02d-${t._3}%02d"
+      val lex = math.signum(pad(a).compare(pad(b)))
+      val chron = math.signum(implicitly[Ordering[(Int, Int, Int)]].compare(a, b))
+      lex == chron
+    }
+
+  private val dateEntry = Gen.oneOf(
+    Gen.const("garbage"),
+    for { d <- Gen.choose(1, 28); y <- Gen.choose(1900, 2100) } yield s"$d March $y",
+    for { d <- Gen.choose(1, 28); y <- Gen.choose(1900, 2100) } yield s"(x) $d January $y")
+
+  property("parseEarliestDate: empty or zero-padded ISO") =
+    forAll(Gen.listOf(dateEntry)) { dates =>
+      val out = Scalars.parseEarliestDateRaw(dates)
+      out.isEmpty || out.matches("""\d{4}-\d{2}-\d{2}""")
+    }
+
+  property("notes parser total + trimmed") = forAll { (notes: String, tag: String) =>
+    val p = Scalars.parseNotesRaw(notes, if (tag == null) "" else tag)
+    p.role == p.role.trim && p.company == p.company.trim
+  }
+
+  property("lonDiff endpoint reachable: lon1 + diff ≡ lon2 (mod 360)") = {
+    val lon = Gen.choose(-180.0, 180.0)
+    forAll(lon, lon) { (l1, l2) =>
+      // evaluate the same formula the Column version encodes
+      val firstWrap = if (l1 > 0) l1 - 180 else l1 + 180
+      val within = l2 >= math.min(l1, firstWrap) && l2 <= math.max(l1, firstWrap)
+      val sameE = l1 >= 0 && l2 >= 0 && l1 <= 180 && l2 <= 180
+      val sameW = l1 <= 0 && l2 <= 0 && l1 >= -180 && l2 >= -180
+      val d =
+        if (within || sameE || sameW) l2 - l1
+        else {
+          val orient = if (l1 >= 0) 1.0 else -1.0
+          orient * (math.abs(180 - math.max(l1, l2)) + math.abs(-180 - math.min(l1, l2)))
+        }
+      val end = ((l1 + d) % 360 + 540) % 360 - 180 // normalize to (-180, 180]
+      val tgt = ((l2) % 360 + 540) % 360 - 180
+      math.abs(end - tgt) < 1e-6 || math.abs(math.abs(end - tgt) - 360) < 1e-6
+    }
+  }
+}
