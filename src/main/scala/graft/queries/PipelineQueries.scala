@@ -48,12 +48,23 @@ object PipelineQueries {
   }
 
   val defs: Seq[QueryDef] = Seq(
+    // For this dressed input every stage's output is statically known
+    // (exact map hits → ratio 100, role 'artist' → 'Artist', status-keyed
+    // geo), so the whole ETL is oracle-checkable end-to-end.
     QueryDef("e2e_normalize",
       (s, d) => credits(s, d)
         .select("personId", "movieId", "matchedCompanyName", "matchRatio",
                 "trueRole", "location", "globalRegion", "releaseStr")
         .orderBy("personId", "movieId"),
-      None),
+      Some("""SELECT o_custkey::VARCHAR AS personId, o_orderkey::VARCHAR AS movieId,
+             |       'Studio ' || o_orderstatus AS matchedCompanyName,
+             |       100::INT AS matchRatio, 'Artist' AS trueRole,
+             |       CASE o_orderstatus WHEN 'O' THEN 'wellington' WHEN 'F' THEN 'london'
+             |            ELSE 'los angeles' END AS location,
+             |       CASE o_orderstatus WHEN 'O' THEN 'oceania' WHEN 'F' THEN 'europe'
+             |            ELSE 'americas' END AS globalRegion,
+             |       strftime(o_orderdate, '%Y-%m-%d') AS releaseStr
+             |FROM orders ORDER BY personId, movieId""".stripMargin)),
 
     QueryDef("e2e_jumps_endpoint",
       (s, d) => DwwPipeline.jumpsWithDummies(credits(s, d))

@@ -265,6 +265,14 @@ object RelationalQueries {
       Some("""SELECT p_type AS search, count(*) AS cnt FROM part
              |GROUP BY p_type ORDER BY cnt DESC, search""".stripMargin)),
 
+    // ---- O3: presentation sort, typed columns (dwwFront.js:422-428) ----
+    QueryDef("o3_presentation_sort",
+      (s, d) => t(s, d, "nation")
+        .select("n_name", "n_regionkey", "n_nationkey")
+        .orderBy(desc("n_regionkey"), asc("n_name")),
+      Some("""SELECT n_name, n_regionkey, n_nationkey FROM nation
+             |ORDER BY n_regionkey DESC, n_name""".stripMargin)),
+
     // ---- O4: depth limit (GetWeta.py:81-86) ----
     QueryDef("o4_depth_limit",
       (s, d) => t(s, d, "orders")

@@ -39,7 +39,9 @@ object ScalarQueries {
         .orderBy("p_partkey"),
       None),
 
-    // ---- F2: earliest-date normalizer (rows-only; vectors in ScalarsSpec) ----
+    // ---- F2: earliest-date normalizer. First entry unparseable, second is
+    // "(tag) 3 March YYYY" → the oracle can state the expected normalized
+    // output directly; hostile-input vectors live in ScalarsSpec. ----
     QueryDef("f2_parse_earliest",
       (s, d) => t(s, d, "documents")
         .withColumn("dates", array(
@@ -47,7 +49,8 @@ object ScalarQueries {
           concat(lit("(tag) 3 March "), (lit(1990) + pmod(col("doc_id"), lit(30))).cast("string"))))
         .select(col("doc_id"), Scalars.parseEarliestDate(col("dates")).as("release"))
         .orderBy("doc_id"),
-      None),
+      Some("""SELECT doc_id, (1990 + doc_id % 30) || '-03-03' AS release
+             |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // ---- F3: zero-pad (GetWeta.py:362-365) ----
     QueryDef("f3_zero_pad",
