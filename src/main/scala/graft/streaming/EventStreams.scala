@@ -25,10 +25,13 @@ object EventStreams {
       .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
       .select(col("w.start").as("day"), col("event_type"), col("cnt"), col("sum_value"))
 
-  /** Streaming entry: parquet file source → watermarked daily counts. */
-  def streamDailyCounts(spark: SparkSession, dir: String): DataFrame = {
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    spark.readStream.schema(schema).parquet(dir)
+  /** Streaming entry: parquet file source → watermarked daily counts.
+    * `path` must point at the events data only (a directory of event
+    * parquet files, or the single file) — NOT a directory shared with
+    * other tables, since the file source globs everything under it. */
+  def streamDailyCounts(spark: SparkSession, path: String): DataFrame = {
+    val schema = spark.read.parquet(path).schema
+    spark.readStream.schema(schema).parquet(path)
       .withWatermark("ts", "2 days")
       .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
       .agg(count(lit(1)).as("cnt"))

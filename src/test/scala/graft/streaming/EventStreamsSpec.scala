@@ -42,6 +42,25 @@ class EventStreamsSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("file-source streaming with watermark matches batch daily counts") {
+    val s = spark
+    // stage events as a normal (non-ns) parquet file the stream can ingest
+    val staged = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    Tables.events(s, "/root/testdata/sf0.001")
+      .write.mode("overwrite").parquet(s"$staged/events")
+    val q = EventStreams.streamDailyCounts(s, s"$staged/events")
+      .writeStream.format("memory").queryName("stream_daily")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = s.sql("SELECT day, event_type, cnt FROM stream_daily")
+      val batch = EventStreams.dailyCounts(Tables.events(s, "/root/testdata/sf0.001"))
+        .select("day", "event_type", "cnt")
+      assert(streamed.except(batch).count() === 0)
+      assert(batch.except(streamed).count() === 0)
+    } finally q.stop()
+  }
+
   test("per-user session summaries fold counts and totals (mapGroupsWithState)") {
     val s = spark
     import s.implicits._
