@@ -1,0 +1,42 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** A composed training-data curation pipeline — the shape a 100 TB corpus
+  * pass actually takes: cheap scan-level scoring first (one pass, all
+  * Column combinators), exact dedup second (hash agg on fingerprints, only
+  * ids + 32-byte hashes shuffle), near-dup LSH last over the survivors
+  * (candidate-bounded). Each stage shrinks the data the next one touches.
+  */
+object Curation {
+
+  final case class Config(
+      minQuality: Double = 0.3,
+      keepLangs: Seq[String] = Seq("en"),
+      nearDupThreshold: Double = 0.85,
+      shingleK: Int = 5)
+
+  /** Stage 1+2: score, language-gate, exact-dedup (first doc per normalized
+    * fingerprint wins). Adds lang_pred / quality_score / fp columns. */
+  def exactCurated(docs: DataFrame, id: String, text: String, cfg: Config): DataFrame = {
+    val scored = TextAnalysis.qualityFeatures(docs, text)
+      .withColumn("lang_pred", TextAnalysis.langId(col(text)))
+      .withColumn("fp", TextAnalysis.fingerprint(col(text)))
+    val gated = scored
+      .filter(col("quality_score") >= cfg.minQuality)
+      .filter(col("lang_pred").isin(cfg.keepLangs: _*))
+    val keep = gated.groupBy(col("fp")).agg(min(col(id)).as(id))
+    gated.join(keep, Seq("fp", id), "left_semi")
+  }
+
+  /** Stage 3: drop the higher-id member of every verified near-dup pair. */
+  def curated(docs: DataFrame, id: String, text: String,
+              cfg: Config = Config()): DataFrame = {
+    val exact = exactCurated(docs, id, text, cfg)
+    val dupIds = Dedup.minhashDedup(exact, id, text, k = cfg.shingleK,
+        threshold = cfg.nearDupThreshold)
+      .select(col("id2").as(id)).distinct()
+    exact.join(dupIds, Seq(id), "left_anti")
+  }
+}

@@ -74,6 +74,46 @@ object PipelineQueries {
     QueryDef("e2e_jumps_grouped_csv",
       (s, d) => DwwPipeline.jumpsCsv(credits(s, d), "matchedCompanyName", "studio f", "in")
         .orderBy("person", "date", "company"),
+      None),
+
+    // ---- F3 batch repair (FixUnpaddedDates, GetWeta.py:675-704): dates
+    // deliberately re-rendered unpadded, then repaired; the oracle is the
+    // properly padded rendering. ----
+    QueryDef("f3b_repair_dates",
+      (s, d) => {
+        val unpadded = Tables.table(s, d, "orders").select(col("o_orderkey"),
+          concat_ws("-", year(col("o_orderdate")), month(col("o_orderdate")),
+            dayofmonth(col("o_orderdate"))).as("fixed"))
+        graft.etl.Repair.fixUnpaddedDates(unpadded, "fixed").orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS fixed
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- A4 as a job: company-map seeding from high-confidence facts
+    // (GetWeta.py:493-512). On the dressed credits every match scores 100
+    // and each search has one canonical target, so the oracle is the
+    // grouped count. ----
+    QueryDef("a4b_map_seeding",
+      (s, d) => graft.etl.MapBuilder.seedCompanyMap(
+          credits(s, d), "companySearch", "matchedCompanyName", "matchedCompanyId", "matchRatio")
+        .orderBy("companySearch"),
+      Some("""SELECT 'studio ' || lower(o_orderstatus) AS companySearch,
+             |       'Studio ' || o_orderstatus AS matchedCompanyName,
+             |       CASE o_orderstatus WHEN 'O' THEN 'c1' WHEN 'F' THEN 'c2' ELSE 'c3' END
+             |         AS matchedCompanyId,
+             |       100::INT AS matchRatio, count(*) AS cnt
+             |FROM orders GROUP BY o_orderstatus ORDER BY companySearch""".stripMargin)),
+
+    // ---- composed curation pass: quality gate + lang gate + exact dedup +
+    // near-dup removal (rows-only: langid argmax + LSH; semantics in
+    // LlmSpec) ----
+    QueryDef("cur1_curation",
+      (s, d) => graft.llm.Curation.curated(
+          Tables.table(s, d, "documents"), "doc_id", "text",
+          graft.llm.Curation.Config(minQuality = 0.3, keepLangs = Seq("en"),
+            nearDupThreshold = 0.85))
+        .select("doc_id", "lang_pred", "quality_score")
+        .orderBy("doc_id"),
       None)
   )
 }

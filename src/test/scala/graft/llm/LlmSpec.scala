@@ -122,6 +122,23 @@ class LlmSpec extends SparkSpecBase {
     assert(toks === Array(7, 1)) // hello,world,',',this,is,text,'!'
   }
 
+  test("curation pipeline: quality gate, lang gate, exact then near dedup") {
+    val s = spark; import s.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and then it sleeps in the sun"
+    val docs2 = Seq(
+      (0L, base),                                   // kept
+      (1L, base),                                   // exact dup → dropped
+      (2L, base.replace("lazy", "sleepy")),         // near dup of 0 → dropped
+      (3L, "der hund und die katze ist nicht mit"), // lang != en → dropped
+      (4L, "!!! ??? ;;; ### 123 456 789 000 111"),  // low quality → dropped
+      (5L, "a completely different english document that the filter keeps because it is clean")
+    ).toDF("doc_id", "text")
+    val kept = Curation.curated(docs2, "doc_id", "text",
+        Curation.Config(minQuality = 0.3, keepLangs = Seq("en"), nearDupThreshold = 0.6))
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept === Array(0L, 5L))
+  }
+
   test("multimodal: media table schema, deterministic stub features, frame counts") {
     val s = spark; import s.implicits._
     val df = Seq((1L, "x" * 300), (2L, "y" * 10)).toDF("doc_id", "text")
