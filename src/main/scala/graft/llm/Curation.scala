@@ -30,12 +30,22 @@ object Curation {
     gated.join(keep, Seq("fp", id), "left_semi")
   }
 
+  /** Standard banding choice: pick (bands, rows) with bands*rows = 32 whose
+    * S-curve midpoint (1/b)^(1/r) sits closest to the target threshold —
+    * a 0.85 threshold wants few wide bands (4×8), 0.5 wants 8×4; using the
+    * wrong banding over-generates candidates that the verify stage then
+    * discards. */
+  private[llm] def banding(threshold: Double): (Int, Int) =
+    Seq((16, 2), (8, 4), (4, 8), (2, 16))
+      .minBy { case (b, r) => math.abs(math.pow(1.0 / b, 1.0 / r) - threshold) }
+
   /** Stage 3: drop the higher-id member of every verified near-dup pair. */
   def curated(docs: DataFrame, id: String, text: String,
               cfg: Config = Config()): DataFrame = {
     val exact = exactCurated(docs, id, text, cfg)
+    val (b, r) = banding(cfg.nearDupThreshold)
     val dupIds = Dedup.minhashDedup(exact, id, text, k = cfg.shingleK,
-        threshold = cfg.nearDupThreshold)
+        bands = b, rows = r, threshold = cfg.nearDupThreshold)
       .select(col("id2").as(id)).distinct()
     exact.join(dupIds, Seq(id), "left_anti")
   }

@@ -2,29 +2,54 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Prints physical-plan summaries for headline queries: exchange counts,
-  * join strategies, scan pushdown — the things that decide whether a plan
-  * survives a 100x scale-up. Run: runMain graft.tools.PlanAudit [sfDir]. */
+/** Plan audit over the whole registry: executes each query at the given
+  * scale factor (so AQE finalizes) and reports the shapes that decide
+  * whether a plan survives a 100x scale-up — exchange count, join
+  * strategies, whole-stage-codegen spans, scan pushdown. With `--md` it
+  * emits the PLANS.md artifact.
+  *
+  * Run: runMain graft.tools.PlanAudit [sfDir] [--md]
+  */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
-    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val sfDir = args.filterNot(_.startsWith("--")).headOption.getOrElse("/root/testdata/sf0.001")
+    val md = args.contains("--md")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val interesting = Seq("p1_quality_filter", "j1_company_dim_join", "j3_snowflake_join",
-      "w1_jump_segments", "a8_density_build", "w6_path_interp", "a1_search_frequency",
-      "dd1_exact_dedup", "sim1_cosine_scores", "st1_daily_counts")
-    for (name <- interesting) {
-      val plan = graft.SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
-      val lines = plan.linesIterator.toSeq
-      def count(p: String) = lines.count(_.contains(p))
-      println(s"== $name")
-      println(s"   exchanges=${count("Exchange")} broadcastJoins=${count("BroadcastHashJoin")}" +
-        s" smjJoins=${count("SortMergeJoin")} wscg=${count("WholeStageCodegen")}")
-      lines.filter(l => l.contains("PushedFilters") || l.contains("ReadSchema"))
-        .take(4).foreach(l => println("   " + l.trim.take(160)))
+
+    if (md) {
+      println("# PLANS - physical-plan audit (finalized AQE plans, " + sfDir + ")")
+      println()
+      println("Exchanges = shuffles (broadcast exchanges excluded); BHJ/SMJ = join strategies;")
+      println("WSCG = whole-stage-codegen spans; pushdown = parquet PushedFilters non-empty.")
+      println()
+      println("| query | exchanges | BHJ | SMJ | BNLJ | WSCG | pushdown |")
+      println("|---|---|---|---|---|---|---|")
+    }
+    for (q <- graft.SparkEntry.all) {
+      try {
+        val df = q.fn(spark, sfDir)
+        df.collect() // finalize adaptive plan
+        // AQE's toString prints Current + Initial plans; audit the final one
+        val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+        val lines = plan.linesIterator.toSeq
+        def count(p: String) = lines.count(_.contains(p))
+        val wscg = lines.count(_.matches(""".*\*\(\d+\).*"""))
+        val shuffles = count("Exchange") - count("BroadcastExchange")
+        val pushed = lines.exists(l => l.contains("PushedFilters: [") && !l.contains("PushedFilters: []"))
+        if (md)
+          println(s"| ${q.name} | $shuffles | ${count("BroadcastHashJoin")} | " +
+            s"${count("SortMergeJoin")} | ${count("BroadcastNestedLoopJoin")} | " +
+            s"$wscg | ${if (pushed) "yes" else "-"} |")
+        else
+          println(f"${q.name}%-28s shuffles=$shuffles bhj=${count("BroadcastHashJoin")} " +
+            f"smj=${count("SortMergeJoin")} wscg=$wscg pushdown=$pushed")
+      } catch {
+        case e: Throwable => println(s"| ${q.name} | audit failed: ${e.getMessage.take(60)} |")
+      }
     }
     spark.stop()
   }
