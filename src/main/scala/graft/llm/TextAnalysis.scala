@@ -73,4 +73,47 @@ object TextAnalysis {
 
   def fingerprint64(text: Column): Column =
     xxhash64(regexp_replace(lower(text), """\s+""", " "))
+
+  /** Fixed-size character chunking with overlap — the pre-tokenization
+    * split of a long-document corpus. A generator (sequence + explode):
+    * one pass, output rows = ceil(len/stride) per doc, no driver state. */
+  def chunk(df: DataFrame, id: String, text: String,
+            size: Int, overlap: Int): DataFrame = {
+    require(overlap < size, "overlap must be smaller than chunk size")
+    val stride = size - overlap
+    df.select(col(id), col(text))
+      .withColumn("chunk_idx",
+        explode(sequence(lit(0),
+          greatest(floor((length(col(text)) - 1) / stride), lit(0)).cast("int"))))
+      .select(col(id), col("chunk_idx"),
+        col(text).substr(col("chunk_idx") * stride + 1, lit(size)).as("chunk"))
+      .filter(length(col("chunk")) > 0)
+  }
+
+  /** PII scrub: redact email addresses and long digit runs (phone/ids).
+    * Conservative patterns a curation pass applies before training. */
+  def scrubPii(text: Column): Column = {
+    val noEmail = regexp_replace(text, """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""", "<EMAIL>")
+    regexp_replace(noEmail, """\d{7,}""", "<NUM>")
+  }
+
+  /** Deterministic content-addressed sampling: keep a doc iff the first hex
+    * nibble of md5(id) falls in the accept set — reproducible across
+    * engines and runs, no RNG state, uniform in expectation. */
+  def deterministicSample(df: DataFrame, id: String, nibbles: Seq[String]): DataFrame =
+    df.filter(substring(md5(col(id).cast("string")), 1, 1).isin(nibbles: _*))
+
+  /** Token-budget packing: assign docs (in a deterministic order) to
+    * consecutive context-window buckets of `budget` tokens via a running
+    * token count — `pack_id = floor((cumsum - tokens) / budget)`.
+    * The running sum is a window over the global order; at scale, pack
+    * within partition-disjoint corpora shards instead of one global order. */
+  def packByTokenBudget(df: DataFrame, id: String, text: String, budget: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col(id))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    df.withColumn("n_tokens", tokenEstimate(col(text)))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("pack_id", ((col("cum_tokens") - col("n_tokens")) / budget).cast("long"))
+      .select(col(id), col("n_tokens"), col("cum_tokens"), col("pack_id"))
+  }
 }

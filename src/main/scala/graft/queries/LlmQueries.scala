@@ -206,6 +206,53 @@ object LlmQueries {
         .orderBy("media_id"),
       None),
 
+    // ---- document chunking: fixed windows with overlap ----
+    QueryDef("ts5_chunking",
+      (s, d) => TextAnalysis.chunk(t(s, d, "documents"), "doc_id", "text", size = 200, overlap = 20)
+        .orderBy("doc_id", "chunk_idx"),
+      Some("""SELECT doc_id, chunk_idx, substr(text, chunk_idx * 180 + 1, 200) AS chunk
+             |FROM (SELECT doc_id, text,
+             |        unnest(generate_series(0, greatest((length(text) - 1) // 180, 0)))::INT AS chunk_idx
+             |      FROM documents)
+             |WHERE length(substr(text, chunk_idx * 180 + 1, 200)) > 0
+             |ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    // ---- PII scrub: email + long digit runs redacted ----
+    QueryDef("ts6_pii_scrub",
+      (s, d) => t(s, d, "documents")
+        .withColumn("raw", concat(lit("contact user"), col("doc_id"), lit("@example.com tel 5551234567 "),
+          substring(col("text"), 1, 60)))
+        .select(col("doc_id"), TextAnalysis.scrubPii(col("raw")).as("clean"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  regexp_replace(
+             |    regexp_replace('contact user' || doc_id || '@example.com tel 5551234567 ' || substr(text, 1, 60),
+             |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |    '\d{7,}', '<NUM>', 'g') AS clean
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- deterministic content-addressed sampling ----
+    QueryDef("cur2_deterministic_sample",
+      (s, d) => TextAnalysis.deterministicSample(t(s, d, "documents"), "doc_id",
+          Seq("0", "1", "2", "3"))
+        .select("doc_id").orderBy("doc_id"),
+      Some("""SELECT doc_id FROM documents
+             |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2','3')
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---- token-budget packing via running sum ----
+    QueryDef("cur3_token_packing",
+      (s, d) => TextAnalysis.packByTokenBudget(t(s, d, "documents"), "doc_id", "text", budget = 256)
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, n_tokens, cum_tokens,
+             |       ((cum_tokens - n_tokens) // 256)::BIGINT AS pack_id
+             |FROM (SELECT doc_id, n_tokens,
+             |        sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens
+             |      FROM (SELECT doc_id,
+             |              len(regexp_extract_all(text, '\w+|[^\w\s]'))::INT AS n_tokens
+             |            FROM documents))
+             |ORDER BY doc_id""".stripMargin)),
+
     // ---- streaming tier, batch-equivalent form: 1-day tumbling windows ----
     QueryDef("st1_daily_counts",
       (s, d) => EventStreams.dailyCounts(Tables.events(s, d))

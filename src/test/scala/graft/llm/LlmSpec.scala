@@ -122,6 +122,46 @@ class LlmSpec extends SparkSpecBase {
     assert(toks === Array(7, 1)) // hello,world,',',this,is,text,'!'
   }
 
+  test("chunking covers the document with the configured overlap") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, "abcdefghij"), (2L, "xy"), (3L, "")).toDF("doc_id", "text")
+    val chunks = TextAnalysis.chunk(df, "doc_id", "text", size = 4, overlap = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sortBy(t => (t._1, t._2))
+    // stride 3: "abcd","defg","ghij","j"; "xy"; empty doc → nothing
+    assert(chunks === Array(
+      (1L, 0, "abcd"), (1L, 1, "defg"), (1L, 2, "ghij"), (1L, 3, "j"),
+      (2L, 0, "xy")))
+  }
+
+  test("PII scrub redacts emails and long digit runs, keeps short numbers") {
+    val s = spark; import s.implicits._
+    val out = Seq("mail me at a.b+c@foo-bar.org or 12345678 but keep 123 ok")
+      .toDF("t").select(TextAnalysis.scrubPii(col("t"))).head.getString(0)
+    assert(out === "mail me at <EMAIL> or <NUM> but keep 123 ok")
+  }
+
+  test("deterministic sample is stable and uses the hash prefix") {
+    val s = spark; import s.implicits._
+    val df = (1L to 200L).toDF("doc_id")
+    val a = TextAnalysis.deterministicSample(df, "doc_id", Seq("0", "1"))
+      .collect().map(_.getLong(0)).sorted
+    val b = TextAnalysis.deterministicSample(df, "doc_id", Seq("0", "1"))
+      .collect().map(_.getLong(0)).sorted
+    assert(a === b)
+    assert(a.nonEmpty && a.length < 200) // strict subset, non-empty
+  }
+
+  test("token packing: cumulative budget bucketing is monotone and bounded") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, "one two three"), (2L, "four five"), (3L, "six"), (4L, "seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val packed = TextAnalysis.packByTokenBudget(df, "doc_id", "text", budget = 5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(3)))
+    // tokens: 3,2,1,4; cum: 3,5,6,10 → pack floor((cum-n)/5): 0,0,1,1
+    assert(packed === Array((1L, 3, 0L), (2L, 2, 0L), (3L, 1, 1L), (4L, 4, 1L)))
+  }
+
   test("curation pipeline: quality gate, lang gate, exact then near dedup") {
     val s = spark; import s.implicits._
     val base = "the quick brown fox jumps over the lazy dog and then it sleeps in the sun"
