@@ -127,17 +127,25 @@ object Similarity {
     cands.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** Embedding-cosine near-duplicate pairs via shared LSH bucket — the
-    * embedding analog of Dedup.minhashCandidates; no all-pairs join. */
+  /** Embedding-cosine near-duplicate pairs via shared LSH buckets — the
+    * embedding analog of Dedup.minhashCandidates; no all-pairs join.
+    * Multi-table OR-construction: a pair is a candidate if it collides in
+    * ANY of `nTables` independent sign-LSH tables; exact cosine then
+    * filters. Recall at angle θ is 1-(1-(1-θ/π)^nPlanes)^nTables. */
   def cosineNearDupPairs(corpus: DataFrame, id: String, vec: String,
-                         threshold: Double, nPlanes: Int = 8, dim: Int = 64,
-                         seed: Long = 42L): DataFrame = {
+                         threshold: Double, nPlanes: Int = 6, nTables: Int = 8,
+                         dim: Int = 64, seed: Long = 42L): DataFrame = {
     val bucketed = corpus.select(col(id).as("doc"), col(vec).as("v"),
-      signature(col(vec), nPlanes, dim, seed).as("bucket"))
+      explode(array((0 until nTables).map(t =>
+        struct(lit(t).as("tbl"),
+          signature(col(vec), nPlanes, dim, seed + 7919L * t).as("bucket"))): _*)).as("tb"))
+      .select(col("doc"), col("v"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
     val a = bucketed.as("a"); val b = bucketed.as("b")
-    a.join(b, col("a.bucket") === col("b.bucket") && col("a.doc") < col("b.doc"))
+    a.join(b, col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+              col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("id1"), col("b.doc").as("id2"),
               cosine(col("a.v"), col("b.v")).as("sim"))
+      .dropDuplicates("id1", "id2")
       .filter(col("sim") >= threshold)
   }
 }

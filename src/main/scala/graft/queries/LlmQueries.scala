@@ -172,10 +172,13 @@ object LlmQueries {
       },
       None),
 
-    // ---- similarity: embedding cosine near-dup pairs (rows-only) ----
+    // ---- similarity: embedding cosine near-dup pairs (rows-only).
+    // Threshold 0.4: this corpus's max pairwise cosine is ~0.51, so higher
+    // thresholds are vacuously empty; 6 planes keeps bucket recall usable
+    // at that (wide) angle. ----
     QueryDef("sim4_cosine_neardup",
       (s, d) => Similarity.cosineNearDupPairs(t(s, d, "embeddings"), "vec_id", "embedding",
-          threshold = 0.95)
+          threshold = 0.4, nPlanes = 6)
         .withColumn("sim", round(col("sim"), 4))
         .orderBy("id1", "id2"),
       None),
