@@ -61,6 +61,37 @@ class EventStreamsSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming jump detection matches batch jumpsOnly across micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long, String)]
+    val q = JumpStream.detect(s, mem.toDF().toDF("personId", "ts", "company"))
+      .writeStream.format("memory").queryName("jumps_stream")
+      .outputMode("append").start()
+    try {
+      // batch 1: p1 A A B; p2 C
+      mem.addData(("p1", 1L, "A"), ("p1", 2L, "A"), ("p1", 3L, "B"), ("p2", 1L, "C"))
+      q.processAllAvailable()
+      // batch 2: p1 returns to A (state must remember B); p2 stays at C (no jump)
+      mem.addData(("p1", 4L, "A"), ("p2", 2L, "C"))
+      q.processAllAvailable()
+      val out = s.sql("SELECT personId, ts, company, jumpIndex FROM jumps_stream ORDER BY personId, ts")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      assert(out === Array(
+        ("p1", 1L, "A", 1L), ("p1", 3L, "B", 2L), ("p1", 4L, "A", 3L),
+        ("p2", 1L, "C", 1L)))
+      // equivalence with the batch engine on the same data
+      val batch = graft.analytics.Jumps.jumpsOnly(
+        Seq(("p1", 1L, "A"), ("p1", 2L, "A"), ("p1", 3L, "B"), ("p1", 4L, "A"),
+            ("p2", 1L, "C"), ("p2", 2L, "C")).toDF("person", "ts", "company"),
+        graft.analytics.Jumps.Keys("person", Seq("ts"), "company"))
+        .select("person", "ts", "company").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2))).sortBy(t => (t._1, t._2))
+      assert(out.map(t => (t._1, t._2, t._3)).toSeq === batch.toSeq)
+    } finally q.stop()
+  }
+
   test("per-user session summaries fold counts and totals (mapGroupsWithState)") {
     val s = spark
     import s.implicits._
