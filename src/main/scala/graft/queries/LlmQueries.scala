@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.Tables
-import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Dedup, Ivf, Multimodal, Similarity, TextAnalysis}
 import graft.streaming.EventStreams
 
 /** Training-data-pipeline operators over documents/embeddings/events:
@@ -167,6 +167,21 @@ object LlmQueries {
         val q = emb.filter(col("vec_id") < 3)
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
         Similarity.lshTopK(emb, "vec_id", "embedding", q, "qid", "qvec", k = 10)
+          .withColumn("sim", round(col("sim"), 4))
+          .orderBy("query_id", "rank")
+      },
+      None),
+
+    // ---- similarity: IVF ANN (k-means coarse quantizer + cell probing;
+    // rows-only: k-means assignment is model-dependent; recall vs exact is
+    // asserted in LlmSpec) ----
+    QueryDef("sim5_ivf_ann",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val q = emb.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val idx = Ivf.build(emb, "vec_id", "embedding", nLists = 16)
+        Ivf.topK(idx, "vec_id", "embedding", q, "qid", "qvec", k = 10, nProbes = 4)
           .withColumn("sim", round(col("sim"), 4))
           .orderBy("query_id", "rank")
       },

@@ -88,6 +88,20 @@ class LlmSpec extends SparkSpecBase {
     assert((0L until 5L).forall(i => approx.contains((i, i))))
   }
 
+  test("IVF ANN: self always found; recall vs exact is usable at nProbes/nLists") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 5).select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val k = 5
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, "qid", "qvec", k)
+      .select("query_id", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val idx = Ivf.build(emb, "vec_id", "embedding", nLists = 16)
+    val approx = Ivf.topK(idx, "vec_id", "embedding", q, "qid", "qvec", k, nProbes = 4)
+      .select("query_id", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((0L until 5L).forall(i => approx.contains((i, i))), "query must find itself")
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.4, s"IVF recall $recall too low")
+  }
+
   test("language ID scores stopword evidence and falls back to unknown") {
     // NOTE: the synthetic documents table uses one shared vocabulary for all
     // lang labels (verified empirically — no token is lang-specific), so
