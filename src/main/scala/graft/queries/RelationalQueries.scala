@@ -282,6 +282,48 @@ object RelationalQueries {
       Some("""SELECT o_orderkey, o_totalprice FROM orders
              |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)),
 
+    // ---- §2.7 set ops (implicit in the reference — distinct-union of
+    // person lists, duplicate suppression; exposed as first-class ops) ----
+    QueryDef("so1_union",
+      (s, d) => t(s, d, "orders").filter(col("o_orderstatus") === "F").select("o_orderkey")
+        .union(t(s, d, "orders").filter(col("o_totalprice") > 100000).select("o_orderkey"))
+        .distinct()
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'
+             |UNION
+             |SELECT o_orderkey FROM orders WHERE o_totalprice > 100000
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    QueryDef("so2_intersect",
+      (s, d) => t(s, d, "orders").filter(col("o_orderstatus") === "F").select("o_custkey")
+        .intersect(t(s, d, "orders").filter(col("o_orderstatus") === "O").select("o_custkey"))
+        .orderBy("o_custkey"),
+      Some("""SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+             |INTERSECT
+             |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+             |ORDER BY o_custkey""".stripMargin)),
+
+    QueryDef("so3_except",
+      (s, d) => t(s, d, "customer").select("c_custkey")
+        .except(t(s, d, "orders").filter(col("o_orderstatus") === "F")
+          .select(col("o_custkey").as("c_custkey")))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey FROM customer
+             |EXCEPT
+             |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // ---- rollup: multi-level totals in one pass (beyond-reference
+    // analytics completeness) ----
+    QueryDef("so4_rollup",
+      (s, d) => t(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")),
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS cnt FROM lineitem
+             |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+             |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)),
+
     // ---- S2: incremental anti-join load (GetWeta.py:253-337) ----
     QueryDef("s2_incremental_load",
       (s, d) => {
