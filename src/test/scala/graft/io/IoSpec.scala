@@ -70,6 +70,22 @@ class IoSpec extends SparkSpecBase {
     }
   }
 
+  test("S8/S12: header CSV and JSON document sources round-trip") {
+    val s = spark; import s.implicits._
+    val dir = tmpDir()
+    Seq(("weta digital", -41.3, 174.8), ("framestore", 51.5, -0.1))
+      .toDF("company", "lat", "lon")
+      .write.option("header", "true").mode("overwrite").csv(s"$dir/geo")
+    val csv = Sources.csv(spark, s"$dir/geo")
+    assert(csv.columns.toSeq === Seq("company", "lat", "lon"))
+    assert(csv.count() === 2)
+    assert(csv.schema("lat").dataType === org.apache.spark.sql.types.DoubleType)
+
+    Seq(("p1", "Alice")).toDF("id", "name").write.mode("overwrite").json(s"$dir/docs")
+    val json = Sources.json(spark, s"$dir/docs")
+    assert(json.select("id", "name").head.getString(1) === "Alice")
+  }
+
   test("S10: flattener projects nested fields to scalar columns") {
     val s = spark; import s.implicits._
     val nested = Seq((1, ("x", 2.0))).toDF("id", "payload")
