@@ -124,6 +124,43 @@ object Dedup {
     summed.select(col(id), fp.as("simhash"))
   }
 
+  /** Portable SimHash (60-bit): identical to `simhash` but the token hash
+    * is the first 15 hex digits of md5 — computable bit-for-bit by any
+    * engine, so the fingerprint itself is oracle-checkable. Tokens split on
+    * a single space to keep both sides' tokenization identical. */
+  def simhashPortable(df: DataFrame, id: String, text: String): DataFrame = {
+    val tokens = df.select(col(id), explode(split(lower(col(text)), " ")).as("tok"))
+      .withColumn("h", conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
+    val bitSums = (0 until 60).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
+    }
+    val summed = tokens.groupBy(col(id)).agg(bitSums.head, bitSums.tail: _*)
+    // bits are disjoint → arithmetic sum == bitwise OR
+    val fp = (0 until 60).map { i =>
+      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    summed.select(col(id), fp.as("simhash"))
+  }
+
+  /** DuckDB SQL computing the identical 60-bit portable SimHash. */
+  def simhashPortableOracleSql(table: String, id: String, text: String): String = {
+    val sums = (0 until 60).map { i =>
+      s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i"
+    }.mkString(",\n         ")
+    val combine = (0 until 60).map { i =>
+      s"(CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH tok0 AS (
+       |  SELECT $id, unnest(string_split(lower($text), ' ')) AS tok FROM $table),
+       |toks AS (
+       |  SELECT $id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tok0),
+       |sums AS (
+       |  SELECT $id,
+       |         $sums
+       |  FROM toks GROUP BY $id)
+       |SELECT $id, ($combine)::BIGINT AS simhash FROM sums ORDER BY $id""".stripMargin
+  }
+
   /** Near-dup pairs by SimHash hamming distance <= maxDist, bucketed by the
     * 4 16-bit chunks (pigeonhole: any pair within distance 3 shares at least
     * one exact chunk) — again no all-pairs join. */

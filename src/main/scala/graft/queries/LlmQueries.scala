@@ -43,11 +43,18 @@ object LlmQueries {
         .orderBy("id1", "id2"),
       None),
 
-    // ---- SimHash near-dup candidates (rows-only) ----
+    // ---- SimHash near-dup candidates (rows-only: xxhash64 fingerprint) ----
     QueryDef("dd4_simhash_neardup",
       (s, d) => Dedup.simhashCandidates(t(s, d, "documents"), "doc_id", "text", maxDist = 10)
         .orderBy("id1", "id2"),
       None),
+
+    // ---- portable SimHash fingerprints — bit-exact oracle via md5-derived
+    // token hashes ----
+    QueryDef("dd4b_simhash_portable",
+      (s, d) => Dedup.simhashPortable(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some(Dedup.simhashPortableOracleSql("documents", "doc_id", "text"))),
 
     // ---- word-3-gram Jaccard over exact-dup survivors of a small slice
     // (rows-only; pair source is LSH candidates) ----
