@@ -124,6 +124,39 @@ object Dedup {
     summed.select(col(id), fp.as("simhash"))
   }
 
+  /** Portable MinHash signature columns (m0..m{n-1}): min over shingles of
+    * an md5-derived 60-bit hash salted per seed — bit-exact across engines,
+    * so the signature algebra itself is oracle-checkable (the fast path
+    * stays on the native MinHashSignature expression). */
+  def minhashPortable(df: DataFrame, id: String, text: String,
+                      k: Int = 5, numHashes: Int = 8): DataFrame = {
+    val sh = df.select(col(id), explode(shingles(col(text), k)).as("s"))
+    val mins = (0 until numHashes).map { seed =>
+      min(conv(substring(md5(concat(lit(seed.toString), lit(":"), col("s"))), 1, 15), 16, 10)
+        .cast("long")).as(s"m$seed")
+    }
+    sh.groupBy(col(id)).agg(mins.head, mins.tail: _*)
+  }
+
+  /** DuckDB SQL computing the identical portable MinHash signature. */
+  def minhashPortableOracleSql(table: String, id: String, text: String,
+                               k: Int = 5, numHashes: Int = 8): String = {
+    val mins = (0 until numHashes).map { seed =>
+      s"min(('0x' || substr(md5('$seed' || ':' || s), 1, 15))::BIGINT) AS m$seed"
+    }.mkString(",\n         ")
+    s"""WITH base AS (SELECT $id, lower($text) AS t FROM $table),
+       |sh AS (
+       |  SELECT $id, substr(t, i, $k) AS s
+       |  FROM (SELECT $id, t,
+       |          unnest(generate_series(1, greatest(length(t) - ${k - 1}, 1)))::INT AS i
+       |        FROM base)),
+       |mins AS (
+       |  SELECT $id,
+       |         $mins
+       |  FROM sh GROUP BY $id)
+       |SELECT * FROM mins ORDER BY $id""".stripMargin
+  }
+
   /** Portable SimHash (60-bit): identical to `simhash` but the token hash
     * is the first 15 hex digits of md5 — computable bit-for-bit by any
     * engine, so the fingerprint itself is oracle-checkable. Tokens split on

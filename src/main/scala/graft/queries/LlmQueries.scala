@@ -49,6 +49,13 @@ object LlmQueries {
         .orderBy("id1", "id2"),
       None),
 
+    // ---- portable MinHash signatures — bit-exact oracle via md5-derived
+    // shingle hashes ----
+    QueryDef("dd3b_minhash_portable",
+      (s, d) => Dedup.minhashPortable(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some(Dedup.minhashPortableOracleSql("documents", "doc_id", "text"))),
+
     // ---- portable SimHash fingerprints — bit-exact oracle via md5-derived
     // token hashes ----
     QueryDef("dd4b_simhash_portable",
