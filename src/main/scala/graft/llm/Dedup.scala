@@ -157,6 +157,36 @@ object Dedup {
        |SELECT * FROM mins ORDER BY $id""".stripMargin
   }
 
+  /** Portable banded-LSH candidate pairs over the portable signature:
+    * 4 bands × 2 hashes; a pair is a candidate if ANY band matches exactly.
+    * Same join-only shape as minhashCandidates, but every value is
+    * md5-derived so the pairing logic itself is oracle-checkable. */
+  def minhashCandidatesPortable(df: DataFrame, id: String, text: String, k: Int = 5): DataFrame = {
+    val sig = minhashPortable(df, id, text, k, numHashes = 8)
+    val bands = Seq(Seq("m0", "m1"), Seq("m2", "m3"), Seq("m4", "m5"), Seq("m6", "m7"))
+    bands.map { cols =>
+      val a = sig.as("a"); val b = sig.as("b")
+      val cond = cols.map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _) &&
+        col(s"a.$id") < col(s"b.$id")
+      a.join(b, cond).select(col(s"a.$id").as("id1"), col(s"b.$id").as("id2"))
+    }.reduce(_ union _).distinct()
+  }
+
+  /** DuckDB SQL for the identical portable candidate pairs. */
+  def minhashCandidatesPortableOracleSql(table: String, id: String, text: String,
+                                         k: Int = 5): String = {
+    val mins = minhashPortableOracleSql(table, id, text, k, 8)
+    val bandJoins = Seq(("m0", "m1"), ("m2", "m3"), ("m4", "m5"), ("m6", "m7")).map {
+      case (x, y) =>
+        s"""SELECT a.$id AS id1, b.$id AS id2 FROM mins a JOIN mins b
+           |  ON a.$x = b.$x AND a.$y = b.$y AND a.$id < b.$id""".stripMargin
+    }.mkString("\nUNION\n")
+    s"""WITH mins AS ($mins)
+       |SELECT DISTINCT id1, id2 FROM (
+       |$bandJoins)
+       |ORDER BY id1, id2""".stripMargin
+  }
+
   /** Portable SimHash (60-bit): identical to `simhash` but the token hash
     * is the first 15 hex digits of md5 — computable bit-for-bit by any
     * engine, so the fingerprint itself is oracle-checkable. Tokens split on

@@ -56,6 +56,13 @@ object LlmQueries {
         .orderBy("doc_id"),
       Some(Dedup.minhashPortableOracleSql("documents", "doc_id", "text"))),
 
+    // ---- portable banded-LSH candidate pairs — the pairing machinery
+    // itself oracle-checked ----
+    QueryDef("dd3c_minhash_candidates_portable",
+      (s, d) => Dedup.minhashCandidatesPortable(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("id1", "id2"),
+      Some(Dedup.minhashCandidatesPortableOracleSql("documents", "doc_id", "text"))),
+
     // ---- portable SimHash fingerprints — bit-exact oracle via md5-derived
     // token hashes ----
     QueryDef("dd4b_simhash_portable",
