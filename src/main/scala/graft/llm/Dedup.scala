@@ -53,13 +53,21 @@ object Dedup {
     * candidate pair (id1 < id2, distinct). Only (bucket, id) tuples are
     * shuffled — never document text. */
   def minhashCandidates(df: DataFrame, id: String, text: String,
-                        k: Int = 5, bands: Int = 8, rows: Int = 4): DataFrame = {
-    val numHashes = bands * rows
-    // materialize shingles ONCE per row — inlining the shingle expression
-    // into each per-seed transform re-evaluates the substring array
-    // numHashes times (measured 30x slowdown).
-    val sig = df.select(col(id).as("doc"), shingles(col(text), k).as("__sh"))
+                        k: Int = 5, bands: Int = 8, rows: Int = 4): DataFrame =
+    minhashCandidatesFromSig(signatures(df, id, text, k, bands * rows), bands, rows)
+
+  /** Signature table (doc, sig): shingles materialized ONCE per row —
+    * inlining the shingle expression into each per-seed transform
+    * re-evaluates the substring array numHashes times (measured 30x
+    * slowdown) — and the result locally checkpointed, because both sides
+    * of the candidate self-join and the verify joins reuse it (6 scans of
+    * the corpus otherwise). */
+  def signatures(df: DataFrame, id: String, text: String, k: Int, numHashes: Int): DataFrame =
+    df.select(col(id).as("doc"), shingles(col(text), k).as("__sh"))
       .select(col("doc"), minhashSignature(col("__sh"), numHashes).as("sig"))
+      .localCheckpoint()
+
+  def minhashCandidatesFromSig(sig: DataFrame, bands: Int, rows: Int): DataFrame = {
     val banded = sig.select(col("doc"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"), xxhash64(slice(col("sig"), b * rows + 1, rows)).as("bucket"))
@@ -85,17 +93,21 @@ object Dedup {
                    k: Int = 5, bands: Int = 8, rows: Int = 4,
                    threshold: Double = 0.8, estMargin: Double = 0.2): DataFrame = {
     val numHashes = bands * rows
-    val cands = minhashCandidates(df, id, text, k, bands, rows)
-    val sig = df.select(col(id), minhashSignature(shingles(col(text), k), numHashes).as("sig"))
+    val sig = signatures(df, id, text, k, numHashes) // checkpointed: reused 4x below
+    val cands = minhashCandidatesFromSig(sig, bands, rows)
     val estimated = cands
-      .join(sig.select(col(id).as("id1"), col("sig").as("sig1")), "id1")
-      .join(sig.select(col(id).as("id2"), col("sig").as("sig2")), "id2")
+      .join(sig.select(col("doc").as("id1"), col("sig").as("sig1")), "id1")
+      .join(sig.select(col("doc").as("id2"), col("sig").as("sig2")), "id2")
       .withColumn("est",
         aggregate(zip_with(col("sig1"), col("sig2"), (a, b) => when(a === b, 1).otherwise(0)),
           lit(0), (acc, v) => acc + v).cast("double") / numHashes)
       .filter(col("est") >= threshold - estMargin)
       .select("id1", "id2")
-    val sh = df.select(col(id), shingles(col(text), k).as("sh"))
+    // exact verify over HASHED shingles: long-array intersect/union is
+    // several times cheaper than string sets, and exact up to negligible
+    // 64-bit collisions.
+    val sh = df.select(col(id),
+      array_distinct(transform(shingles(col(text), k), s => xxhash64(s))).as("sh"))
     estimated
       .join(sh.select(col(id).as("id1"), col("sh").as("sh1")), "id1")
       .join(sh.select(col(id).as("id2"), col("sh").as("sh2")), "id2")
@@ -247,13 +259,14 @@ object Dedup {
       .filter(col("dist") <= maxDist)
   }
 
-  /** Word n-gram Jaccard similarity for a candidate pair set. */
+  /** Word n-gram Jaccard similarity for a candidate pair set. Grams are
+    * hashed to longs before the set ops (exact up to 64-bit collisions). */
   def ngramJaccard(df: DataFrame, id: String, text: String, n: Int,
                    pairs: DataFrame): DataFrame = {
     val toks = split(lower(col(text)), "\\s+")
     val grams = array_distinct(transform(
       sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
-      i => concat_ws(" ", slice(toks, i, lit(n)))))
+      i => xxhash64(concat_ws(" ", slice(toks, i, lit(n))))))
     val g = df.select(col(id), grams.as("g"))
     pairs
       .join(g.select(col(id).as("id1"), col("g").as("g1")), "id1")
