@@ -103,6 +103,30 @@ object TextAnalysis {
   def deterministicSample(df: DataFrame, id: String, nibbles: Seq[String]): DataFrame =
     df.filter(substring(md5(col(id).cast("string")), 1, 1).isin(nibbles: _*))
 
+  /** Mixture sampling: per-source acceptance rates (a training-data mix
+    * like "keep 80% of src A, 20% of src B"), decided by the md5 fraction
+    * of the doc id — deterministic, engine-portable, no RNG state. The
+    * first 8 hex digits of md5(id) form a uniform 32-bit fraction. */
+  def mixtureSample(df: DataFrame, id: String, source: String,
+                    weights: Map[String, Double], defaultWeight: Double = 0.0): DataFrame = {
+    val frac = conv(substring(md5(col(id).cast("string")), 1, 8), 16, 10)
+      .cast("double") / 4294967296.0
+    val rate = weights.foldLeft(lit(defaultWeight)) { case (acc, (src, w)) =>
+      when(col(source) === src, w).otherwise(acc)
+    }
+    df.filter(frac < rate)
+  }
+
+  /** Corpus statistics per group: docs, token totals, char totals, mean
+    * quality proxy — the report a mixing decision is based on. */
+  def corpusStats(df: DataFrame, text: String, groupCols: Seq[String]): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(tokenEstimate(col(text)).cast("long")).as("total_tokens"),
+        sum(length(col(text)).cast("long")).as("total_chars"),
+        round(avg(length(col(text))), 4).as("mean_chars"))
+
   /** Token-budget packing: assign docs (in a deterministic order) to
     * consecutive context-window buckets of `budget` tokens via a running
     * token count — `pack_id = floor((cumsum - tokens) / budget)`.

@@ -279,6 +279,27 @@ object LlmQueries {
              |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2','3')
              |ORDER BY doc_id""".stripMargin)),
 
+    // ---- mixture sampling: per-source acceptance rates ----
+    QueryDef("cur4_source_mixture",
+      (s, d) => TextAnalysis.mixtureSample(t(s, d, "documents"), "doc_id", "source",
+          Map("src0" -> 0.8, "src1" -> 0.5, "src2" -> 0.25), defaultWeight = 0.1)
+        .select("doc_id", "source").orderBy("doc_id"),
+      Some("""SELECT doc_id, source FROM documents
+             |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0
+             |      < (CASE source WHEN 'src0' THEN 0.8 WHEN 'src1' THEN 0.5
+             |              WHEN 'src2' THEN 0.25 ELSE 0.1 END)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---- corpus statistics per (source, lang) ----
+    QueryDef("cur5_corpus_stats",
+      (s, d) => TextAnalysis.corpusStats(t(s, d, "documents"), "text", Seq("source", "lang"))
+        .orderBy("source", "lang"),
+      Some("""SELECT source, lang, count(*) AS n_docs,
+             |       sum(len(regexp_extract_all(text, '\w+|[^\w\s]')))::BIGINT AS total_tokens,
+             |       sum(length(text))::BIGINT AS total_chars,
+             |       round(avg(length(text)), 4) AS mean_chars
+             |FROM documents GROUP BY source, lang ORDER BY source, lang""".stripMargin)),
+
     // ---- token-budget packing via running sum ----
     QueryDef("cur3_token_packing",
       (s, d) => TextAnalysis.packByTokenBudget(t(s, d, "documents"), "doc_id", "text", budget = 256)
