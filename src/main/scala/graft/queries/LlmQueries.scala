@@ -313,6 +313,27 @@ object LlmQueries {
              |            FROM documents))
              |ORDER BY doc_id""".stripMargin)),
 
+    // ---- as-of join: each click matched to the user's latest prior view.
+    // Oracle: DuckDB's native ASOF JOIN — two independent implementations
+    // of the backward-match semantics. ----
+    QueryDef("ao1_asof_join",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts"), col("value").as("view_value"))
+        graft.operators.AsOf.joinBackward(clicks, views, "user_id", "ts",
+            Seq("event_id", "value"), Seq("view_value"))
+          .orderBy("user_id", "ts", "event_id")
+      },
+      Some("""SELECT c.user_id, c.ts::TIMESTAMP AS ts, c.event_id, c.value,
+             |       v.ts::TIMESTAMP AS r_ts, v.value AS r_view_value
+             |FROM (SELECT * FROM events WHERE event_type = 'click') c
+             |ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+             |  ON c.user_id = v.user_id AND c.ts >= v.ts
+             |ORDER BY c.user_id, c.ts, c.event_id""".stripMargin)),
+
     // ---- streaming tier, batch-equivalent form: 1-day tumbling windows ----
     QueryDef("st1_daily_counts",
       (s, d) => EventStreams.dailyCounts(Tables.events(s, d))
