@@ -334,6 +334,27 @@ object LlmQueries {
              |  ON c.user_id = v.user_id AND c.ts >= v.ts
              |ORDER BY c.user_id, c.ts, c.event_id""".stripMargin)),
 
+    // ---- range join: event values inside part price bands, bucketized
+    // equi-join instead of a nested-loop BETWEEN ----
+    QueryDef("rj1_range_join",
+      (s, d) => {
+        val points = Tables.events(s, d).filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("value"))
+        val bands = Tables.table(s, d, "part")
+          .filter(col("p_partkey") % 50 === 0)
+          .select(col("p_partkey"),
+            (col("p_retailprice") / 100 - 1).as("lo"), (col("p_retailprice") / 100 + 1).as("hi"))
+        graft.operators.RangeJoin.joinContains(points, bands, "value", "lo", "hi", binWidth = 2.0)
+          .select("event_id", "p_partkey", "value")
+          .orderBy("event_id", "p_partkey")
+      },
+      Some("""SELECT event_id, p_partkey, value
+             |FROM (SELECT event_id, value FROM events WHERE event_type = 'purchase') e
+             |JOIN (SELECT p_partkey, p_retailprice / 100 - 1 AS lo, p_retailprice / 100 + 1 AS hi
+             |      FROM part WHERE p_partkey % 50 = 0) p
+             |  ON e.value >= p.lo AND e.value <= p.hi
+             |ORDER BY event_id, p_partkey""".stripMargin)),
+
     // ---- streaming tier, batch-equivalent form: 1-day tumbling windows ----
     QueryDef("st1_daily_counts",
       (s, d) => EventStreams.dailyCounts(Tables.events(s, d))
