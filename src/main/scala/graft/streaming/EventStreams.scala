@@ -38,6 +38,14 @@ object EventStreams {
       .select(col("w.start").as("day"), col("event_type"), col("cnt"))
   }
 
+  /** Streaming exact dedup: drop repeated event ids within the watermark
+    * horizon — the streaming face of the batch exact-dedup operator (state
+    * is bounded by the watermark, so it runs forever). */
+  def dedupedStream(events: DataFrame, idCols: Seq[String]): DataFrame =
+    events
+      .withWatermark("ts", "1 day")
+      .dropDuplicatesWithinWatermark(idCols :+ "ts")
+
   final case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)
   final case class SessionSummary(user_id: Long, n_events: Long, total_value: Double)
 

@@ -61,6 +61,25 @@ class EventStreamsSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming dedup drops repeats within the watermark horizon") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, java.sql.Timestamp)]
+    val q = EventStreams.dedupedStream(mem.toDF().toDF("event_id", "ts"), Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      val t = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+      mem.addData((1L, t), (1L, t), (2L, t)) // duplicate id 1 in-batch
+      q.processAllAvailable()
+      mem.addData((1L, t), (3L, t))          // duplicate id 1 across batches
+      q.processAllAvailable()
+      val ids = s.sql("SELECT event_id FROM dedup_stream").collect().map(_.getLong(0)).sorted
+      assert(ids === Array(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("streaming jump detection matches batch jumpsOnly across micro-batches") {
     val s = spark
     import s.implicits._
