@@ -260,6 +260,40 @@ object WindowQueries {
            |FROM pts ORDER BY o_custkey, when_ms, seq, plat, plon""".stripMargin
       }),
 
+    // ---- ranking family: rank / dense_rank / ntile (beyond-reference
+    // window completeness; the reference only needed lag/lead) ----
+    QueryDef("wf1_ranking",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("o_custkey")).orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        orders(s, d)
+          .select(col("o_custkey"), col("o_orderkey"),
+            rank().over(w).as("rnk"),
+            dense_rank().over(w).as("drnk"),
+            ntile(4).over(w).as("quartile"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |       rank() OVER w AS rnk,
+             |       dense_rank() OVER w AS drnk,
+             |       ntile(4) OVER w AS quartile
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+             |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    // ---- exact interpolated percentiles per group ----
+    QueryDef("wf2_percentiles",
+      (s, d) => orders(s, d)
+        .groupBy(col("o_orderstatus").as("company"))
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(o_totalprice, 0.95)"), 4).as("p95"))
+        .orderBy("company"),
+      Some("""SELECT o_orderstatus AS company,
+             |       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+             |       round(quantile_cont(o_totalprice, 0.95), 4) AS p95
+             |FROM orders GROUP BY o_orderstatus ORDER BY company""".stripMargin)),
+
     // ---- W6 full: parabolic altitude + deterministic jitter (rows-only:
     // xxhash64 jitter is not expressible in the oracle) ----
     QueryDef("w6_paths_full",

@@ -33,6 +33,21 @@ class ScaleSpec extends SparkSpecBase {
     assert(salted === plain)
   }
 
+  test("partition-pruned scan reads only the filtered partition directory") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    Seq(("F", 1), ("O", 2), ("P", 3), ("F", 4)).toDF("status", "v")
+      .write.partitionBy("status").mode("overwrite").parquet(s"$dir/t")
+    val q = s.read.parquet(s"$dir/t").filter(col("status") === "F")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("status"),
+      s"expected partition filter in plan:\n$plan")
+    assert(q.count() === 2L)
+    // files actually touched: only the status=F directory
+    val touched = q.select(input_file_name()).distinct().collect().map(_.getString(0))
+    assert(touched.forall(_.contains("status=F")), touched.mkString(", "))
+  }
+
   test("co-bucketed tables join without an Exchange") {
     val s = spark; import s.implicits._
     val wh = java.nio.file.Files.createTempDirectory("graft-wh").toString
