@@ -324,6 +324,26 @@ object RelationalQueries {
              |GROUP BY ROLLUP (l_returnflag, l_linestatus)
              |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)),
 
+    // ---- cube: all grouping-set combinations in one pass ----
+    QueryDef("so5_cube",
+      (s, d) => t(s, d, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority")),
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS cnt FROM orders
+             |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+             |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)),
+
+    // ---- approximate distinct-count sketch (HLL; rows-only — sketch
+    // implementations differ by engine; 5% accuracy asserted in ScaleSpec) ----
+    QueryDef("so6_approx_distinct",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+             countDistinct(col("l_partkey")).as("exact_parts"))
+        .orderBy("l_returnflag"),
+      None),
+
     // ---- S2: incremental anti-join load (GetWeta.py:253-337) ----
     QueryDef("s2_incremental_load",
       (s, d) => {

@@ -33,6 +33,18 @@ class ScaleSpec extends SparkSpecBase {
     assert(salted === plain)
   }
 
+  test("approx_count_distinct sketch stays within 5% of exact") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val rows = li.groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("a"),
+           countDistinct(col("l_partkey")).as("e"))
+      .collect()
+    rows.foreach { r =>
+      val (a, e) = (r.getLong(1).toDouble, r.getLong(2).toDouble)
+      assert(math.abs(a - e) / e < 0.05, s"${r.getString(0)}: approx $a vs exact $e")
+    }
+  }
+
   test("partition-pruned scan reads only the filtered partition directory") {
     val s = spark; import s.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
