@@ -26,9 +26,13 @@ object Sources {
     * expected kind. Fails fast at read time, like the reference. */
   def mapFile(spark: SparkSession, path: String, expectedMaptype: String): DataFrame = {
     val df = spark.read.option("multiLine", "true").json(path)
-    val bad = df.filter(col("maptype") =!= expectedMaptype).limit(1).count()
-    require(bad == 0 && df.columns.contains("maptype"),
-      s"map file $path is not of maptype=$expectedMaptype")
+    // column presence FIRST (a file without the field must hit the require,
+    // not an AnalysisException), and a null-safe comparison so a NULL
+    // maptype row is rejected too.
+    require(df.columns.contains("maptype"),
+      s"map file $path has no maptype field (expected maptype=$expectedMaptype)")
+    val bad = df.filter(!(col("maptype") <=> lit(expectedMaptype))).limit(1).count()
+    require(bad == 0, s"map file $path is not of maptype=$expectedMaptype")
     df
   }
 

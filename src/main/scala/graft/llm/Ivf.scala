@@ -29,8 +29,13 @@ object Ivf {
     val model = new KMeans().setK(nLists).setSeed(seed)
       .setFeaturesCol("__v").setPredictionCol("cell")
       .fit(withVec)
+    // co-locate cells at full cluster width: repartition(col) alone caps
+    // populated partitions at nLists; passing numPartitions keeps every
+    // core busy at large nLists. The assigned table is an INDEX — built
+    // once, probed many times — so persist it.
     val assigned = model.transform(withVec).drop("__v")
-      .repartition(col("cell")) // co-locate cells: probe joins shuffle nothing big
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism, col("cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }
     Index(centroids, assigned)
   }

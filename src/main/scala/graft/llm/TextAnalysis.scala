@@ -31,7 +31,10 @@ object TextAnalysis {
         lit(lang).as("lang"))
     }: _*)
     val best = array_max(scored)
-    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("unknown"))
+    // a tie at the max score is genuinely ambiguous evidence → unknown
+    val nAtMax = size(filter(scored, s => s.getField("score") === best.getField("score")))
+    when(best.getField("score") > 0 && nAtMax === 1, best.getField("lang"))
+      .otherwise(lit("unknown"))
   }
 
   /** Whitespace-delimited token count without materializing the array:

@@ -35,9 +35,12 @@ object AsOf {
         struct(col(time).as("r_" + time) +: rightCols.map(c => col(c).as("r_" + c)): _*)
           .as("__rpay"))
 
-    // right rows sort BEFORE left rows at equal time → ties match
+    // right rows sort BEFORE left rows at equal time → ties match; among
+    // duplicate right (key, time) rows the payload struct is the final
+    // tiebreak, so the carried match is deterministic run-to-run (the
+    // field-wise-largest right payload wins).
     val w = Window.partitionBy(col(key))
-      .orderBy(col("__t").asc, col("__side").desc)
+      .orderBy(col("__t").asc, col("__side").desc, col("__rpay").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lTagged.unionByName(rTagged, allowMissingColumns = true)
       .withColumn("__match", last(col("__rpay"), ignoreNulls = true).over(w))

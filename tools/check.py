@@ -40,7 +40,14 @@ def canon(rows):
     for row in rows:
         out.append(tuple(
             round(v, 9) if isinstance(v, float) else v for v in row))
-    return sorted(out, key=lambda r: tuple(str(x) for x in r))
+    # sort by non-float columns first (floats only as coarsely-rounded
+    # tiebreaks): low-order float digits differing across engines must not
+    # reorder the two sides differently and zip mismatched rows.
+    def key(r):
+        nonf = tuple(str(x) for x in r if not isinstance(x, float))
+        coarse = tuple(f"{x:.4f}" for x in r if isinstance(x, float))
+        return (nonf, coarse)
+    return sorted(out, key=key)
 
 ok = fail = 0
 for name in sorted(oracle) if not ONLY else ONLY:
