@@ -18,7 +18,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.all.map { q =>
+    // optional args = query-name filter for targeted local measurement
+    val selected =
+      if (args.isEmpty) SparkEntry.all
+      else SparkEntry.all.filter(q => args.contains(q.name))
+    val results = selected.map { q =>
       val t0 = System.nanoTime()
       val ok =
         try { q.fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -28,9 +32,10 @@ object Bench {
         }
       (q.name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    // a crashed query must not look like a fast success: its elapsed time is
-    // negated in the per-query map and its name listed under "failed".
-    val qs = results.map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) v else -v) }
+    // a crashed query must not look like a fast success: its name is listed
+    // under "failed"; per-query values stay raw positive durations so
+    // consumers summing or ranking the map never see magic values.
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")

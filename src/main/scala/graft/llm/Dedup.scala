@@ -88,11 +88,22 @@ object Dedup {
     * estimator) and only pairs whose estimate clears `threshold - margin`
     * pay the exact shingle intersect/union. Shingle arrays (hundreds of
     * strings each) therefore only join for plausible pairs; the signature
-    * join moves `numHashes` longs per doc. */
+    * join moves `numHashes` longs per doc.
+    *
+    * `estMargin < 0` (the default) sizes the margin from the estimator's
+    * own standard deviation, 1.5·sqrt(t(1−t)/numHashes) — ~0.13 at t=0.5
+    * with 32 hashes. A pair whose TRUE Jaccard sits exactly at the
+    * threshold is missed with P≈7% (Φ(−1.5)); anything meaningfully above
+    * passes essentially always, while candidates far below the threshold
+    * (the bulk, on a shared-vocabulary corpus) never reach the expensive
+    * array join. A fixed wider margin trades verify cost for the tail. */
   def minhashDedup(df: DataFrame, id: String, text: String,
                    k: Int = 5, bands: Int = 8, rows: Int = 4,
-                   threshold: Double = 0.8, estMargin: Double = 0.2): DataFrame = {
+                   threshold: Double = 0.8, estMargin: Double = -1): DataFrame = {
     val numHashes = bands * rows
+    val margin =
+      if (estMargin >= 0) estMargin
+      else 1.5 * math.sqrt(threshold * (1 - threshold) / numHashes)
     val sig = signatures(df, id, text, k, numHashes) // checkpointed: reused 4x below
     val cands = minhashCandidatesFromSig(sig, bands, rows)
     val estimated = cands
@@ -101,7 +112,7 @@ object Dedup {
       .withColumn("est",
         aggregate(zip_with(col("sig1"), col("sig2"), (a, b) => when(a === b, 1).otherwise(0)),
           lit(0), (acc, v) => acc + v).cast("double") / numHashes)
-      .filter(col("est") >= threshold - estMargin)
+      .filter(col("est") >= threshold - margin)
       .select("id1", "id2")
     // exact verify over HASHED shingles: long-array intersect/union is
     // several times cheaper than string sets, and exact up to negligible

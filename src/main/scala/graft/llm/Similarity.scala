@@ -127,25 +127,88 @@ object Similarity {
     cands.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Picks (nPlanes, nTables) for `cosineNearDupPairs` so candidate volume
+    * stays LINEAR in corpus size and recall at the threshold angle hits a
+    * target:
+    *  - nPlanes = ceil(log2(n / targetBucketSize)): bucket count grows with
+    *    the corpus so expected bucket occupancy stays constant — Σ bucket²
+    *    per table ≈ n·targetBucketSize instead of n²/2^b at a fixed b;
+    *  - nTables from the sign-LSH S-curve: per-plane collision probability
+    *    at cosine s is p = 1 − acos(s)/π, a table collides with p^nPlanes,
+    *    and OR-across-tables recall is 1−(1−p^b)^T, solved for T at the
+    *    recall target and capped (wide angles — low thresholds — are a poor
+    *    fit for sign-LSH and would otherwise demand hundreds of tables;
+    *    past the cap, recall degrades gracefully rather than cost exploding).
+    */
+  private[llm] def nearDupParams(n: Long, threshold: Double,
+                                 targetBucketSize: Int, recallTarget: Double,
+                                 maxTables: Int): (Int, Int) = {
+    val b = math.max(4, math.ceil(
+      math.log(math.max(n.toDouble / targetBucketSize, 2.0)) / math.log(2.0)).toInt)
+    val p = 1.0 - math.acos(math.max(-1.0, math.min(1.0, threshold))) / math.Pi
+    val pTable = math.pow(p, b.toDouble)
+    val t =
+      if (pTable >= 1.0 - 1e-12) 1
+      else math.ceil(math.log(1.0 - recallTarget) / math.log(1.0 - pTable)).toInt
+    (b, math.max(1, math.min(maxTables, t)))
+  }
+
   /** Embedding-cosine near-duplicate pairs via shared LSH buckets — the
     * embedding analog of Dedup.minhashCandidates; no all-pairs join.
     * Multi-table OR-construction: a pair is a candidate if it collides in
     * ANY of `nTables` independent sign-LSH tables; exact cosine then
-    * filters. Recall at angle θ is 1-(1-(1-θ/π)^nPlanes)^nTables. */
+    * filters. Recall at cosine s is 1-(1-(1-acos(s)/π)^nPlanes)^nTables.
+    *
+    * Pass nPlanes/nTables = 0 (the default) to size both from the corpus:
+    * bucket count grows with n (constant expected bucket size → linear
+    * candidate volume) and table count comes from the threshold's S-curve
+    * (see `nearDupParams`). The corpus count is one cheap aggregate, paid
+    * once at index-build time.
+    *
+    * Scale shape: the bucket table carries only (doc, tbl, bucket) — the
+    * vectors are NOT duplicated nTables× through the explode/shuffle — and
+    * the exact cosine is paid once per DISTINCT candidate pair, after the
+    * bucket-join dedup. All nTables·nPlanes hyperplane dot products come
+    * from ONE flat literal plane matrix via transform/aggregate lambdas, so
+    * the codegen'd expression tree stays small at any table count. */
   def cosineNearDupPairs(corpus: DataFrame, id: String, vec: String,
-                         threshold: Double, nPlanes: Int = 6, nTables: Int = 8,
-                         dim: Int = 64, seed: Long = 42L): DataFrame = {
-    val bucketed = corpus.select(col(id).as("doc"), col(vec).as("v"),
-      explode(array((0 until nTables).map(t =>
-        struct(lit(t).as("tbl"),
-          signature(col(vec), nPlanes, dim, seed + 7919L * t).as("bucket"))): _*)).as("tb"))
-      .select(col("doc"), col("v"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
-    val a = bucketed.as("a"); val b = bucketed.as("b")
-    a.join(b, col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
-              col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("id1"), col("b.doc").as("id2"),
-              cosine(col("a.v"), col("b.v")).as("sim"))
-      .dropDuplicates("id1", "id2")
+                         threshold: Double, nPlanes: Int = 0, nTables: Int = 0,
+                         dim: Int = 64, seed: Long = 42L,
+                         targetBucketSize: Int = 8, recallTarget: Double = 0.9,
+                         maxTables: Int = 16): DataFrame = {
+    val (b, t) =
+      if (nPlanes > 0 && nTables > 0) (nPlanes, nTables)
+      else {
+        val auto = nearDupParams(corpus.count(), threshold,
+          targetBucketSize, recallTarget, maxTables)
+        (if (nPlanes > 0) nPlanes else auto._1, if (nTables > 0) nTables else auto._2)
+      }
+    val ps = planes(t * b, dim, seed)
+    val planesLit = array(ps.map(p => array(p.map(lit): _*)): _*)
+    // per row: all t·b plane dots at once, then per-table sign bits folded
+    // into a bucket id — three small lambdas, independent of t and b.
+    val sigs = corpus
+      .withColumn("__dots", transform(planesLit, p => dotProduct(col(vec), p)))
+      .select(col(id).as("doc"), posexplode(
+        transform(sequence(lit(0), lit(t - 1)), tb =>
+          aggregate(slice(col("__dots"), tb * b + 1, lit(b)), lit(0L),
+            (acc, d) => acc * 2 + when(d >= 0, 1L).otherwise(0L)))))
+      .select(col("doc"), col("pos").as("tbl"), col("col").as("bucket"))
+    val a = sigs.as("a"); val bb = sigs.as("b")
+    val pairs = a.join(bb,
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+        col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("id1"), col("b.doc").as("id2"))
+      .distinct()
+    // norms once per doc (not per pair): the pair verify then pays a single
+    // dot product instead of three.
+    val vecs = corpus.select(col(id).as("doc"), col(vec).as("v"),
+      sqrt(dotProduct(col(vec), col(vec))).as("nrm"))
+    pairs
+      .join(vecs.select(col("doc").as("id1"), col("v").as("v1"), col("nrm").as("n1")), "id1")
+      .join(vecs.select(col("doc").as("id2"), col("v").as("v2"), col("nrm").as("n2")), "id2")
+      .select(col("id1"), col("id2"),
+        (dotProduct(col("v1"), col("v2")) / (col("n1") * col("n2"))).as("sim"))
       .filter(col("sim") >= threshold)
   }
 }

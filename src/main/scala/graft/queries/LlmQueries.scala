@@ -210,11 +210,12 @@ object LlmQueries {
 
     // ---- similarity: embedding cosine near-dup pairs (rows-only).
     // Threshold 0.4: this corpus's max pairwise cosine is ~0.51, so higher
-    // thresholds are vacuously empty; 6 planes keeps bucket recall usable
-    // at that (wide) angle. ----
+    // thresholds are vacuously empty. Planes/tables are auto-sized from the
+    // corpus count + threshold S-curve (constant expected bucket size →
+    // linear candidate volume at any corpus scale). ----
     QueryDef("sim4_cosine_neardup",
       (s, d) => Similarity.cosineNearDupPairs(t(s, d, "embeddings"), "vec_id", "embedding",
-          threshold = 0.4, nPlanes = 6)
+          threshold = 0.4)
         .withColumn("sim", round(col("sim"), 4))
         .orderBy("id1", "id2"),
       None),

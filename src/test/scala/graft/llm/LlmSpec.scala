@@ -88,6 +88,42 @@ class LlmSpec extends SparkSpecBase {
     assert((0L until 5L).forall(i => approx.contains((i, i))))
   }
 
+  test("near-dup params: buckets grow with n, tables grow as threshold widens") {
+    // constant expected bucket size → nPlanes tracks log2(n)
+    val (b1, _) = Similarity.nearDupParams(1000L, 0.9, 8, 0.9, 16)
+    val (b2, _) = Similarity.nearDupParams(1000000L, 0.9, 8, 0.9, 16)
+    assert(b2 - b1 === 10, s"1000x corpus must add log2(1000)≈10 planes ($b1 -> $b2)")
+    // tighter angle (higher threshold) needs fewer OR-tables at equal recall
+    val (_, tTight) = Similarity.nearDupParams(10000L, 0.95, 8, 0.9, 64)
+    val (_, tWide) = Similarity.nearDupParams(10000L, 0.5, 8, 0.9, 64)
+    assert(tTight < tWide, s"tables at 0.95 ($tTight) must be < at 0.5 ($tWide)")
+    // wide angles hit the cap instead of exploding
+    val (_, tCap) = Similarity.nearDupParams(10000L, 0.3, 8, 0.9, 16)
+    assert(tCap === 16)
+  }
+
+  test("cosine near-dup pairs: planted high-cosine pairs found, auto-sized") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(7)
+    def unit(v: Array[Double]) = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val base = Array.fill(40)(unit(Array.fill(16)(rnd.nextGaussian())))
+    // docs 100+i are tiny perturbations of docs i < 3 → cosine ≈ 0.999
+    val rows = base.zipWithIndex.map { case (v, i) => (i.toLong, v) } ++
+      (0 until 3).map { i =>
+        (100L + i, unit(base(i).map(_ + 0.01 * rnd.nextGaussian())))
+      }
+    val emb = rows.toSeq.toDF("vec_id", "embedding")
+    val pairs = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
+        threshold = 0.95, dim = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((0 until 3).forall(i => pairs.contains((i.toLong, 100L + i))),
+      s"planted pairs missing from $pairs")
+    // random unit vectors in 16-d essentially never reach cosine 0.95
+    assert(pairs.size === 3, s"unexpected extra pairs: $pairs")
+  }
+
   test("IVF ANN: self always found; recall vs exact is usable at nProbes/nLists") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = emb.filter(col("vec_id") < 5).select(col("vec_id").as("qid"), col("embedding").as("qvec"))
