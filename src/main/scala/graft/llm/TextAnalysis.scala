@@ -133,13 +133,40 @@ object TextAnalysis {
   /** Token-budget packing: assign docs (in a deterministic order) to
     * consecutive context-window buckets of `budget` tokens via a running
     * token count — `pack_id = floor((cumsum - tokens) / budget)`.
-    * The running sum is a window over the global order; at scale, pack
-    * within partition-disjoint corpora shards instead of one global order. */
-  def packByTokenBudget(df: DataFrame, id: String, text: String, budget: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col(id))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    df.withColumn("n_tokens", tokenEstimate(col(text)))
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+    *
+    * Two-level execution so the global running sum never funnels through a
+    * single task: rows are sharded by order-preserving ranges of the
+    * (numeric) id domain, each shard computes its local running sum in
+    * parallel, and shard offsets come from a prefix sum over the nShards
+    * per-shard totals (a window over ≤ nShards rows — trivial). The result
+    * is bit-identical to a global-order cumsum because the shard key is
+    * monotone in the id. The id-domain bounds are one cheap aggregate,
+    * broadcast back — no driver collect. */
+  def packByTokenBudget(df: DataFrame, id: String, text: String, budget: Int,
+                        nShards: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.withColumn("n_tokens", tokenEstimate(col(text)))
+    val bounds = toks.agg(
+      min(col(id).cast("double")).as("__lo"), max(col(id).cast("double")).as("__hi"))
+    val sharded = toks.crossJoin(broadcast(bounds))
+      .withColumn("__shard", coalesce(
+        when(col("__hi") > col("__lo"),
+          least(lit(nShards - 1),
+            floor((col(id).cast("double") - col("__lo")) * nShards /
+                  (col("__hi") - col("__lo") + 1)))),
+        lit(0)).cast("int"))
+    val wLocal = Window.partitionBy(col("__shard")).orderBy(col(id))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val local = sharded
+      .withColumn("__local_cum", sum(col("n_tokens")).over(wLocal))
+    val wShard = Window.orderBy(col("__shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy(col("__shard"))
+      .agg(max(col("__local_cum")).as("__shard_total"))
+      .withColumn("__offset", coalesce(sum(col("__shard_total")).over(wShard), lit(0L)))
+      .select(col("__shard"), col("__offset"))
+    local.join(broadcast(offsets), "__shard")
+      .withColumn("cum_tokens", col("__local_cum") + col("__offset"))
       .withColumn("pack_id", ((col("cum_tokens") - col("n_tokens")) / budget).cast("long"))
       .select(col(id), col("n_tokens"), col("cum_tokens"), col("pack_id"))
   }
