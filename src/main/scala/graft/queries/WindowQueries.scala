@@ -294,6 +294,22 @@ object WindowQueries {
              |       round(quantile_cont(o_totalprice, 0.95), 4) AS p95
              |FROM orders GROUP BY o_orderstatus ORDER BY company""".stripMargin)),
 
+    // ---- wf2b: the 100 TB percentile path. Exact `percentile` buffers
+    // every value per group (a 3-group corpus funnels the whole column into
+    // 3 aggregation buffers); approx_percentile keeps a bounded GK sketch
+    // per partition and merges sketches — O(accuracy) state regardless of
+    // group size, at ≤ n/accuracy rank error. Rows-only: Spark's GK and
+    // DuckDB's t-digest disagree in the last digits by design; the rank
+    // error bound vs the exact percentile is asserted in WindowSpec. ----
+    QueryDef("wf2b_percentiles_sketch",
+      (s, d) => orders(s, d)
+        .groupBy(col("o_orderstatus").as("company"))
+        .agg(
+          expr("approx_percentile(o_totalprice, 0.5, 10000)").as("p50"),
+          expr("approx_percentile(o_totalprice, 0.95, 10000)").as("p95"))
+        .orderBy("company"),
+      None),
+
     // ---- W6 full: parabolic altitude + deterministic jitter (rows-only:
     // xxhash64 jitter is not expressible in the oracle) ----
     QueryDef("w6_paths_full",

@@ -46,12 +46,18 @@ def canon(rows):
     def key(r):
         nonf = tuple(str(x) for x in r if not isinstance(x, float))
         coarse = tuple(f"{x:.4f}" for x in r if isinstance(x, float))
-        return (nonf, coarse)
+        # full-precision floats as the FINAL tiebreak: rows that tie on the
+        # coarse key but differ beyond 1e-4 must still sort identically on
+        # both sides, or the zip compares mismatched rows.
+        fine = tuple(x for x in r if isinstance(x, float))
+        return (nonf, coarse, fine)
     return sorted(out, key=key)
 
 ok = fail = 0
 for name in sorted(oracle) if not ONLY else ONLY:
     sql = oracle.get(name)
+    if sql is None:  # explicitly-named rows-only query: reported below
+        continue
     res_dir = f"{OUT}/{name}"
     if not glob.glob(f"{res_dir}/*.parquet"):
         print(f"FAIL {name}: no spark output"); fail += 1; continue
