@@ -78,7 +78,17 @@ object Jumps {
     * output = rels[0], then for each later rel (dummy_i, rel_i).
     */
   def withDummies(df: DataFrame, k: Keys, timeMs: String,
-                  lat: String, lon: String): DataFrame = {
+                  lat: String, lon: String): DataFrame =
+    withDummies(df, k, timeMs, lat, lon, Nil, Nil).drop("seq")
+
+  /** Payload-carrying form of W4: `carry` columns are copied onto both the
+    * real and the dummy record (the dummy echoes the PREVIOUS rel's payload,
+    * exactly dwwApi.js:283-291); `realOnly` columns are nulled on dummies
+    * (the reference's dummy rels have no `location` key). `seq` is the
+    * serving interleave position (real_i at 2i, its dummy at 2i+1) — the
+    * exact array order of the reference's materialized jumps documents. */
+  def withDummies(df: DataFrame, k: Keys, timeMs: String, lat: String, lon: String,
+                  carry: Seq[String], realOnly: Seq[String]): DataFrame = {
     val win = w(k)
     // window expressions must be materialized BEFORE the generator — Spark
     // rejects window functions inside explode().
@@ -86,17 +96,26 @@ object Jumps {
       .withColumn("__next_t", lead(col(timeMs), 1).over(win))
       .withColumn("__next_lat", lead(col(lat), 1).over(win))
       .withColumn("__next_lon", lead(col(lon), 1).over(win))
+      .withColumn("__rn", row_number().over(win))
     val trip = Scalars.tripLengthDays(
       Scalars.haversineKm(col(lat), col(lon), col("__next_lat"), col("__next_lon")))
     val departMs = col("__next_t") - Scalars.daysToMs(trip)
 
-    val real = struct(col(k.company).as("company"), col(timeMs).as("time_ms"), lit(false).as("dummy"))
-    val dummyRec = struct(col(k.company).as("company"), departMs.as("time_ms"), lit(true).as("dummy"))
+    def rec(time: Column, dummy: Boolean, seq: Column, isReal: Boolean) =
+      struct((Seq(seq.cast("long").as("seq"), col(k.company).as("company"),
+                  time.as("time_ms"), lit(dummy).as("dummy")) ++
+        carry.map(c => col(c).as(c)) ++
+        realOnly.map(c =>
+          (if (isReal) col(c) else lit(null).cast(df.schema(c).dataType)).as(c))): _*)
+    val real = rec(col(timeMs), dummy = false, col("__rn") * 2 - 2, isReal = true)
+    val dummyRec = rec(departMs, dummy = true, col("__rn") * 2 - 1, isReal = false)
 
     enriched
       .withColumn("rec", explode(
         when(col("__next_t").isNotNull, array(real, dummyRec)).otherwise(array(real))))
-      .select(col(k.person), col("rec.company"), col("rec.time_ms"), col("rec.dummy"))
+      .select(col(k.person) +:
+        (Seq("seq", "company", "time_ms", "dummy") ++ carry ++ realOnly)
+          .map(c => col(s"rec.$c")): _*)
   }
 
   /** W3 — per-person document assembly (dwwApi.js:80-142): rows folded into
