@@ -44,6 +44,42 @@ object DwwPipeline {
     Jumps.withDummies(rels, K, "movieReleaseYear", "lat", "lon")
   }
 
+  /** The unfiltered jumps documents (dwwApi.js:109-138 + FormatRels):
+    * per person `{id, name, rels:[...]}` with dummy in-transit rels
+    * interleaved in serving order. Rel fields mirror the reference's
+    * materialized jumps payloads (region ≙ the company's city, location ≙
+    * its packed coordinates; dummies carry the previous rel's payload and
+    * no location — the exact shape golden-tested against jumps_(2).json). */
+  def jumpsDocs(credits: DataFrame): DataFrame = {
+    val rels = jumpRels(credits)
+      .withColumn("lat", Scalars.parseGeo(col("geoLoc")).getField("lat"))
+      .withColumn("lon", Scalars.parseGeo(col("geoLoc")).getField("lon"))
+    Jumps.withDummies(rels, K, "movieReleaseYear", "lat", "lon",
+        carry = Seq("personName", "movieId", "trueRole", "location"),
+        realOnly = Seq("geoLoc"))
+      .groupBy(col("personId").as("id"), col("personName").as("name"))
+      .agg(sort_array(collect_list(struct(
+        col("seq"),
+        col("movieId").as("imdbMovieId"),
+        col("trueRole").as("personMappedRole"),
+        col("time_ms").as("movieReleaseYear"),
+        col("dummy"),
+        col("company").as("matchedCompanyName"),
+        col("location").as("region"),
+        col("geoLoc").as("location")))).as("rels"))
+  }
+
+  /** The full unfiltered serving envelope (dwwApi.js:218-223): jumps docs
+    * plus the company-location echo and the geo dims. */
+  def jumpsEnvelope(credits: DataFrame, regions: DataFrame,
+                    globalRegions: DataFrame): DataFrame = {
+    val served = servingCredits(credits)
+    Envelope.unfiltered(
+      jumpsDocs(credits),
+      served.select(col("matchedCompanyName").as("company"), col("geoLoc")),
+      regions, globalRegions)
+  }
+
   /** dir=in/out filtered jumps (dwwApi.js:256-280); key is one of
     * matchedCompanyName | location | region (GetRelKeyFromFilter). */
   def directionalJumps(credits: DataFrame, key: String, target: String, dir: String): DataFrame =

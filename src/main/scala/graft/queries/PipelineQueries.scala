@@ -71,6 +71,23 @@ object PipelineQueries {
         .orderBy("personId", "time_ms", "dummy", "company"),
       None),
 
+    // ---- the serving JSON envelope (dwwApi.js:218-223): one document
+    // wrapping the jumps docs with the company-location echo and geo dims.
+    // Rows-only (single nested document); the roundtrip + inner-doc
+    // equality is asserted in IoSpec. ----
+    QueryDef("e2e_jumps_envelope",
+      (s, d) => {
+        import s.implicits._
+        val (_, _, lo, re) = dims(s)
+        val regions = lo.join(re, "location")
+          .select(col("location"), col("geoLoc"), col("globalRegion"))
+        val globalRegions = Seq(
+          ("oceania", "-25.0,140.0"), ("europe", "50.0,9.0"),
+          ("americas", "39.8,-98.5")).toDF("region", "coords")
+        DwwPipeline.jumpsEnvelope(credits(s, d), regions, globalRegions)
+      },
+      None),
+
     QueryDef("e2e_jumps_grouped_csv",
       (s, d) => DwwPipeline.jumpsCsv(credits(s, d), "matchedCompanyName", "studio f", "in")
         .orderBy("person", "date", "company"),

@@ -92,4 +92,47 @@ class IoSpec extends SparkSpecBase {
     val flat = Sources.flatten(nested, Seq("id", "payload._1", "payload._2"))
     assert(flat.columns.toSeq === Seq("id", "payload__1", "payload__2"))
   }
+
+  test("S7: serving envelope wraps docs with dim echo and roundtrips through JSON") {
+    val s = spark; import s.implicits._
+    import graft.analytics.Envelope
+    val docs = Seq(
+      ("p1", "Alice", Seq(("m1", false, "Weta Digital"), ("m1", true, "Weta Digital"),
+                          ("m2", false, "Framestore"))),
+      ("p2", "Bob", Seq(("m3", false, "Framestore")))
+    ).toDF("id", "name", "rels")
+    val companyLoc = Seq(("Weta Digital", "-41.3,174.8"), ("Framestore", "51.5,-0.1"),
+      ("Weta Digital", "-41.3,174.8")).toDF("company", "geoLoc")
+    val regions = Seq(("wellington", "-41.3,174.8", "oceania"),
+      ("london", "51.5,-0.1", "europe")).toDF("location", "geoLoc", "globalRegion")
+    val globalRegions = Seq(("oceania", "-25.0,140.0"), ("europe", "50.0,9.0"))
+      .toDF("region", "coords")
+
+    val env = Envelope.unfiltered(docs, companyLoc, regions, globalRegions)
+    assert(env.count() === 1)
+    val row = env.head
+    assert(row.getAs[Seq[_]]("jumps").size === 2)
+    assert(row.getAs[Map[String, String]]("locations") ===
+      Map("Weta Digital" -> "-41.3,174.8", "Framestore" -> "51.5,-0.1"))
+    assert(row.getAs[Map[String, _]]("regions").keySet === Set("wellington", "london"))
+    assert(row.getAs[Map[String, String]]("globalRegions")("europe") === "50.0,9.0")
+
+    // roundtrip: the envelope written as one JSON document reads back with
+    // identical inner docs (S7 sink + S12 source)
+    val dir = tmpDir() + "/envelope"
+    Sinks.writeJson(env, dir)
+    val back = spark.read.schema(env.schema).json(dir)
+    assert(back.count() === 1)
+    val inner = back.select(explode(col("jumps")).as("p")).select("p.id", "p.name", "p.rels")
+    val orig = docs.select("id", "name", "rels")
+    assert(inner.exceptAll(orig).count() === 0 && orig.exceptAll(inner).count() === 0)
+
+    // keyed directional envelope shape (dwwApi.js:176-189)
+    val grouped = Seq(("Weta Digital", Seq(("Alice", 1L)), 1L), ("Framestore", Seq(("Bob", 2L)), 1L))
+      .toDF("company", "people", "total")
+    val keyed = Envelope.directionalKeyed(grouped, "company", "in")
+    val krow = keyed.head
+    assert(krow.getString(0) === "in")
+    assert(krow.getAs[Map[String, _]]("jumps").keySet === Set("Weta Digital", "Framestore"))
+  }
 }
