@@ -66,10 +66,16 @@ object PipelineQueries {
              |       strftime(o_orderdate, '%Y-%m-%d') AS releaseStr
              |FROM orders ORDER BY personId, movieId""".stripMargin)),
 
+    // Oracle: a STATIC FIXTURE from an independent Python re-implementation
+    // of the reference's jumps pipeline (tools/make_fixtures.py — dedup,
+    // dummy synthesis, locUtils trip math), sliced per-SF by order count.
     QueryDef("e2e_jumps_endpoint",
       (s, d) => DwwPipeline.jumpsWithDummies(credits(s, d))
         .orderBy("personId", "time_ms", "dummy", "company"),
-      None),
+      Some("""SELECT personId, company, time_ms, dummy
+             |FROM read_parquet('/root/repo/fixtures/e2e_jumps_endpoint.parquet')
+             |WHERE sf_key = (SELECT count(*) FROM orders)
+             |ORDER BY personId, time_ms, dummy, company""".stripMargin)),
 
     // ---- the serving JSON envelope (dwwApi.js:218-223): one document
     // wrapping the jumps docs with the company-location echo and geo dims.
@@ -91,7 +97,10 @@ object PipelineQueries {
     QueryDef("e2e_jumps_grouped_csv",
       (s, d) => DwwPipeline.jumpsCsv(credits(s, d), "matchedCompanyName", "studio f", "in")
         .orderBy("person", "date", "company"),
-      None),
+      Some("""SELECT person, role, date, company, location, region
+             |FROM read_parquet('/root/repo/fixtures/e2e_jumps_grouped_csv.parquet')
+             |WHERE sf_key = (SELECT count(*) FROM orders)
+             |ORDER BY person, date, company""".stripMargin)),
 
     // ---- F3 batch repair (FixUnpaddedDates, GetWeta.py:675-704): dates
     // deliberately re-rendered unpadded, then repaired; the oracle is the

@@ -1,0 +1,148 @@
+#!/usr/bin/env python3
+"""Static-fixture oracle generator (dev tool only — NOT part of the library).
+
+Pre-computes ground-truth outputs for the queries whose semantics DuckDB
+cannot express, using INDEPENDENT implementations:
+
+- f4_fuzz_ratio: Python's own difflib (the reference's vendored-fuzzywuzzy
+  algorithm, GetWeta.py:236-237) over part.(p_name, p_type);
+- e2e_jumps_endpoint / e2e_jumps_grouped_csv: a direct Python
+  re-implementation of the reference's jumps serving pipeline
+  (dwwApi.js:100-138, 244-315 + locUtils.js trip math) over the dressed
+  credits of PipelineQueries (mapping confirmed hash-green by
+  e2e_normalize's oracle).
+
+Each fixture carries every SF's rows tagged with `sf_key` = the row count
+of the driving table at that SF, so one static oracle SQL selects the
+right slice at check time: WHERE sf_key = (SELECT count(*) FROM part).
+
+Usage: python3 tools/make_fixtures.py   (writes /root/repo/fixtures/*.parquet)
+"""
+import difflib, math, os
+from datetime import datetime, timezone
+
+import duckdb
+
+SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+OUT = "/root/repo/fixtures"
+os.makedirs(OUT, exist_ok=True)
+con = duckdb.connect()
+
+
+def fuzz_ratio(a, b):
+    """fuzzywuzzy ratio: int(round(100 * 2M/T)) with Python-2 half-up
+    rounding (the reference is Python 2; GetWeta.py:236-237)."""
+    a = a or ""
+    b = b or ""
+    t = len(a) + len(b)
+    if t == 0:
+        return 100
+    m = sum(bl.size for bl in difflib.SequenceMatcher(None, a, b).get_matching_blocks())
+    return int(math.floor(100.0 * 2.0 * m / t + 0.5))
+
+
+# --- geo + trip math (locUtils.js:1-35), shared by the e2e fixtures ---
+def dist_km(lat1, lon1, lat2, lon2):
+    r = 6371
+    dlat = math.radians(lat2 - lat1)
+    dlon = math.radians(lon2 - lon1)
+    x = (math.sin(dlat / 2) ** 2 +
+         math.cos(math.radians(lat1)) * math.cos(math.radians(lat2)) * math.sin(dlon / 2) ** 2)
+    return r * 2 * math.atan2(math.sqrt(x), math.sqrt(1 - x))
+
+
+def trip_days(g1, g2):
+    return max(math.floor(dist_km(g1[0], g1[1], g2[0], g2[1]) / 100), 1)
+
+
+# the dressed-credit dims of PipelineQueries.dims (oracle-confirmed by
+# e2e_normalize: status O/F/P -> Studio O/F/P, wellington/london/LA)
+COMPANY = {"O": "Studio O", "F": "Studio F", "P": "Studio P"}
+GEO = {"O": (-41.3, 174.8), "F": (51.5, -0.1), "P": (34.0, -118.2)}
+LOC = {"O": "wellington", "F": "london", "P": "los angeles"}
+REGION = {"O": "oceania", "F": "europe", "P": "americas"}
+
+
+def epoch_ms(d):
+    return int(datetime(d.year, d.month, d.day, tzinfo=timezone.utc).timestamp() * 1000)
+
+
+def jumps_pipeline(sf):
+    """Per person: order by (releaseStr, movieId-string), consecutive-company
+    dedup, dummy in-transit records between jumps."""
+    rows = con.execute(f"""
+        SELECT o.o_custkey::VARCHAR, o.o_orderkey::VARCHAR, o.o_orderdate,
+               o.o_orderstatus, c.c_name
+        FROM '{sf}/orders.parquet' o JOIN '{sf}/customer.parquet' c
+          ON o.o_custkey = c.c_custkey""").fetchall()
+    people = {}
+    for pid, mid, dt, status, name in rows:
+        st = status if status in COMPANY else "P"
+        people.setdefault(pid, []).append(
+            (str(dt.date() if hasattr(dt, "date") else dt), mid, st, name))
+    out = {}
+    for pid, rels in people.items():
+        rels.sort(key=lambda r: (r[0], r[1]))
+        kept = []
+        for r in rels:
+            if not kept or COMPANY[r[2]] != COMPANY[kept[-1][2]]:
+                kept.append(r)
+        out[pid] = kept
+    return out
+
+
+def make_f4():
+    recs = []
+    for sf in SFS:
+        n = con.execute(f"SELECT count(*) FROM '{sf}/part.parquet'").fetchone()[0]
+        for pk, name, typ in con.execute(
+                f"SELECT p_partkey, p_name, p_type FROM '{sf}/part.parquet'").fetchall():
+            recs.append((n, pk, fuzz_ratio(name, typ)))
+    con.execute("CREATE OR REPLACE TABLE f4(sf_key BIGINT, p_partkey BIGINT, ratio INT)")
+    con.executemany("INSERT INTO f4 VALUES (?, ?, ?)", recs)
+    con.execute(f"COPY f4 TO '{OUT}/f4_fuzz_ratio.parquet' (FORMAT PARQUET)")
+    print("f4 rows:", len(recs))
+
+
+def make_e2e_endpoint():
+    recs = []
+    for sf in SFS:
+        n = con.execute(f"SELECT count(*) FROM '{sf}/orders.parquet'").fetchone()[0]
+        for pid, kept in jumps_pipeline(sf).items():
+            times = [epoch_ms(datetime.strptime(r[0], "%Y-%m-%d")) for r in kept]
+            for i, r in enumerate(kept):
+                recs.append((n, pid, COMPANY[r[2]], times[i], False))
+                if i + 1 < len(kept):
+                    t = times[i + 1] - trip_days(GEO[r[2]], GEO[kept[i + 1][2]]) * 86400000
+                    recs.append((n, pid, COMPANY[r[2]], t, True))
+    con.execute("""CREATE OR REPLACE TABLE e2e_ep(
+        sf_key BIGINT, personId VARCHAR, company VARCHAR, time_ms BIGINT, dummy BOOLEAN)""")
+    con.executemany("INSERT INTO e2e_ep VALUES (?, ?, ?, ?, ?)", recs)
+    con.execute(f"COPY e2e_ep TO '{OUT}/e2e_jumps_endpoint.parquet' (FORMAT PARQUET)")
+    print("e2e endpoint rows:", len(recs))
+
+
+def make_e2e_grouped_csv():
+    # dir=in, target 'studio f': rows whose NEXT company is Studio F
+    recs = []
+    for sf in SFS:
+        n = con.execute(f"SELECT count(*) FROM '{sf}/orders.parquet'").fetchone()[0]
+        for pid, kept in jumps_pipeline(sf).items():
+            times = [epoch_ms(datetime.strptime(r[0], "%Y-%m-%d")) for r in kept]
+            for i in range(len(kept) - 1):
+                if COMPANY[kept[i + 1][2]].lower() == "studio f":
+                    st = kept[i][2]
+                    recs.append((n, kept[i][3], "Artist", times[i], COMPANY[st],
+                                 LOC[st], REGION[st]))
+    con.execute("""CREATE OR REPLACE TABLE e2e_csv(
+        sf_key BIGINT, person VARCHAR, role VARCHAR, date BIGINT,
+        company VARCHAR, location VARCHAR, region VARCHAR)""")
+    con.executemany("INSERT INTO e2e_csv VALUES (?, ?, ?, ?, ?, ?, ?)", recs)
+    con.execute(f"COPY e2e_csv TO '{OUT}/e2e_jumps_grouped_csv.parquet' (FORMAT PARQUET)")
+    print("e2e grouped csv rows:", len(recs))
+
+
+if __name__ == "__main__":
+    make_f4()
+    make_e2e_endpoint()
+    make_e2e_grouped_csv()
