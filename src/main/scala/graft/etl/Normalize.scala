@@ -80,4 +80,14 @@ object Normalize {
       .drop("__loc")
       .withColumn("releaseDate", to_date(col("releaseStr")))
   }
+
+  /** The 100 TB deployment path: materialize normalized credits bucketed
+    * (and sorted) by the person key. Every downstream per-person stage —
+    * jump windows, dummy synthesis, doc assembly, density — then reads
+    * co-partitioned data and plans with ZERO Exchange on personId
+    * (asserted in ScaleSpec); the one big shuffle happens once, at write
+    * time, instead of once per serving query. */
+  def writeCreditsBucketed(credits: DataFrame, table: String, numBuckets: Int): Unit =
+    graft.io.Sinks.writeBucketed(credits, table, Seq("personId"), numBuckets,
+      Seq("personId", "releaseStr", "movieId"))
 }

@@ -1,16 +1,44 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Plan audit over the whole registry: executes each query at the given
   * scale factor (so AQE finalizes) and reports the shapes that decide
   * whether a plan survives a 100x scale-up — exchange count, join
   * strategies, whole-stage-codegen spans, scan pushdown. With `--md` it
-  * emits the PLANS.md artifact.
+  * emits the PLANS.md artifact. ScaleSpec compares `shape` of headline
+  * queries against a committed snapshot to catch plan regressions.
   *
   * Run: runMain graft.tools.PlanAudit [sfDir] [--md]
   */
 object PlanAudit {
+
+  /** The scale-deciding shape of a finalized physical plan. WSCG span count
+    * is reported but not part of the regression snapshot (it shifts with
+    * codegen details across Spark patch versions; the join/shuffle shape is
+    * what decides scale survival). */
+  final case class PlanShape(exchanges: Int, bhj: Int, smj: Int, bnlj: Int,
+                             wscg: Int, pushdown: Boolean) {
+    def snapshot: String = s"$exchanges/$bhj/$smj/$bnlj/${if (pushdown) "p" else "-"}"
+  }
+
+  /** Executes the frame (finalizing AQE) and parses the final plan. */
+  def shape(df: DataFrame): PlanShape = {
+    df.collect() // finalize adaptive plan (dev/audit path, not the engine)
+    // AQE's toString prints Current + Initial plans; audit the final one
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val lines = plan.linesIterator.toSeq
+    def count(p: String) = lines.count(_.contains(p))
+    PlanShape(
+      exchanges = count("Exchange") - count("BroadcastExchange"),
+      bhj = count("BroadcastHashJoin"),
+      smj = count("SortMergeJoin"),
+      bnlj = count("BroadcastNestedLoopJoin"),
+      wscg = lines.count(_.matches(""".*\*\(\d+\).*""")),
+      pushdown = lines.exists(l =>
+        l.contains("PushedFilters: [") && !l.contains("PushedFilters: []")))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.filterNot(_.startsWith("--")).headOption.getOrElse("/root/testdata/sf0.001")
     val md = args.contains("--md")
@@ -31,22 +59,13 @@ object PlanAudit {
     }
     for (q <- graft.SparkEntry.all) {
       try {
-        val df = q.fn(spark, sfDir)
-        df.collect() // finalize adaptive plan
-        // AQE's toString prints Current + Initial plans; audit the final one
-        val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
-        val lines = plan.linesIterator.toSeq
-        def count(p: String) = lines.count(_.contains(p))
-        val wscg = lines.count(_.matches(""".*\*\(\d+\).*"""))
-        val shuffles = count("Exchange") - count("BroadcastExchange")
-        val pushed = lines.exists(l => l.contains("PushedFilters: [") && !l.contains("PushedFilters: []"))
+        val s = shape(q.fn(spark, sfDir))
         if (md)
-          println(s"| ${q.name} | $shuffles | ${count("BroadcastHashJoin")} | " +
-            s"${count("SortMergeJoin")} | ${count("BroadcastNestedLoopJoin")} | " +
-            s"$wscg | ${if (pushed) "yes" else "-"} |")
+          println(s"| ${q.name} | ${s.exchanges} | ${s.bhj} | ${s.smj} | ${s.bnlj} | " +
+            s"${s.wscg} | ${if (s.pushdown) "yes" else "-"} |")
         else
-          println(f"${q.name}%-28s shuffles=$shuffles bhj=${count("BroadcastHashJoin")} " +
-            f"smj=${count("SortMergeJoin")} wscg=$wscg pushdown=$pushed")
+          println(f"${q.name}%-28s shuffles=${s.exchanges} bhj=${s.bhj} " +
+            f"smj=${s.smj} wscg=${s.wscg} pushdown=${s.pushdown}")
       } catch {
         case e: Throwable => println(s"| ${q.name} | audit failed: ${e.getMessage.take(60)} |")
       }

@@ -60,6 +60,71 @@ class ScaleSpec extends SparkSpecBase {
     assert(touched.forall(_.contains("status=F")), touched.mkString(", "))
   }
 
+  test("bucketed credits run the whole jumps pipeline with zero Exchange on person") {
+    val s = spark; import s.implicits._
+    import graft.analytics.Jumps
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val credits = (1 to 50).flatMap { p =>
+        (1 to 6).map(i => (s"p$p", f"2000-0${i % 9 + 1}%s-01", s"m$p-$i",
+          if (i % 2 == 0) "Studio A" else "Studio B", 10.0 + p, 20.0 + i))
+      }.toDF("personId", "releaseStr", "movieId", "company", "lat", "lon")
+      graft.etl.Normalize.writeCreditsBucketed(
+        credits.withColumn("time_ms", unix_millis(to_timestamp(col("releaseStr")))),
+        "graft_bucketed_credits", 8)
+
+      val k = Jumps.Keys("personId", Seq("releaseStr", "movieId"), "company")
+      val t = s.table("graft_bucketed_credits")
+      // the full per-person chain: dedup -> dummy synthesis -> doc assembly
+      val docs = Jumps.assembleDocs(
+        Jumps.withDummies(Jumps.jumpsOnly(t, k), k, "time_ms", "lat", "lon")
+          .withColumn("personName", col("personId")),
+        "personId", "personName",
+        Seq(col("company"), col("time_ms"), col("dummy")))
+      docs.collect() // finalize AQE
+      val plan = docs.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+      assert(!plan.contains("Exchange"),
+        s"bucketed jumps e2e must not shuffle on person:\n$plan")
+      assert(docs.count() === 50L)
+    } finally {
+      s.sql("DROP TABLE IF EXISTS graft_bucketed_credits")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", 10L * 1024 * 1024)
+    }
+  }
+
+  test("headline plan shapes match the committed snapshot (regression gate)") {
+    import graft.tools.PlanAudit
+    // exchanges/BHJ/SMJ/BNLJ/pushdown at sf0.001 under the spec session
+    // (local[4], shuffle=4). Regenerate deliberately with
+    // tools/PlanAudit.shape if a plan change is intended — a drift here is
+    // a scale regression until proven otherwise (new shuffle, lost
+    // broadcast, lost pushdown).
+    val snapshot = Map(
+      "p2_mapped_geocoded" -> "1/0/0/0/p",
+      "j1_company_dim_join" -> "2/2/0/0/p",
+      "j3_snowflake_join" -> "1/2/0/0/p",
+      "a1_search_frequency" -> "2/0/0/0/-",
+      "a6_blacklist_tally" -> "2/0/0/1/p",
+      "w1_jump_segments" -> "2/0/0/0/-",
+      "w4_dummy_synthesis" -> "2/0/0/0/-",
+      "dd1_exact_dedup" -> "2/0/0/0/-",
+      "dd3_minhash_neardup" -> "2/5/0/0/p",
+      "sim4_cosine_neardup" -> "2/3/0/0/p",
+      "cur3_token_packing" -> "5/1/0/1/-",
+      "ao1_asof_join" -> "2/0/0/0/p",
+      "rj1_range_join" -> "1/1/0/0/p",
+      "e2e_jumps_endpoint" -> "3/5/0/0/p")
+    val drift = graft.SparkEntry.all
+      .filter(q => snapshot.contains(q.name))
+      .flatMap { q =>
+        val live = PlanAudit.shape(q.fn(spark, "/root/testdata/sf0.001")).snapshot
+        if (live == snapshot(q.name)) None
+        else Some(s"${q.name}: expected ${snapshot(q.name)}, got $live")
+      }
+    assert(drift.isEmpty, s"plan drift:\n${drift.mkString("\n")}")
+    assert(snapshot.size === 14)
+  }
+
   test("co-bucketed tables join without an Exchange") {
     val s = spark; import s.implicits._
     val wh = java.nio.file.Files.createTempDirectory("graft-wh").toString
