@@ -20,7 +20,12 @@ import org.apache.spark.sql.functions._
   */
 object Ivf {
 
-  final case class Index(centroids: Array[(Int, Array[Double])], assigned: DataFrame)
+  final case class Index(centroids: Array[(Int, Array[Double])], assigned: DataFrame) {
+    /** Frees the cached cell assignments. Call when done probing — repeated
+      * build() calls in one session (bench loops, parameter sweeps) would
+      * otherwise accumulate cached partitions until storage eviction. */
+    def release(): Unit = { assigned.unpersist(); () }
+  }
 
   /** Train the quantizer and assign every vector to its cell. */
   def build(corpus: DataFrame, id: String, vec: String,

@@ -20,7 +20,13 @@ object AsOf {
 
   /** Inner semantics: left rows with no prior right row are dropped
     * (matching SQL ASOF JOIN); right.time == left.time is a valid match.
-    * Output: key, time, leftCols, r_<time>, r_<rightCols>. */
+    * Output: key, time, leftCols, r_<time>, r_<rightCols>.
+    *
+    * Requirement: every `rightCols` column must be an ORDERABLE type (no
+    * maps) — the right payload struct is the deterministic tiebreak among
+    * duplicate (key, time) right rows, so it participates in the window
+    * sort and unorderable payloads fail analysis. Project a map column to
+    * orderable fields (or `to_json` it) before joining. */
   def joinBackward(left: DataFrame, right: DataFrame, key: String, time: String,
                    leftCols: Seq[String], rightCols: Seq[String]): DataFrame = {
     val rpaySchema = StructType(right

@@ -136,6 +136,7 @@ class LlmSpec extends SparkSpecBase {
     assert((0L until 5L).forall(i => approx.contains((i, i))), "query must find itself")
     val recall = (exact intersect approx).size.toDouble / exact.size
     assert(recall >= 0.4, s"IVF recall $recall too low")
+    idx.release() // frees the cached cell assignments
   }
 
   test("language ID scores stopword evidence and falls back to unknown") {
