@@ -147,16 +147,27 @@ object Dedup {
     summed.select(col(id), fp.as("simhash"))
   }
 
-  /** Portable MinHash signature columns (m0..m{n-1}): min over shingles of
-    * an md5-derived 60-bit hash salted per seed — bit-exact across engines,
-    * so the signature algebra itself is oracle-checkable (the fast path
-    * stays on the native MinHashSignature expression). */
+  /** k-universal coefficient pairs for the portable MinHash family, shared
+    * verbatim by the Spark and DuckDB sides. Domain is 28 bits (7 hex
+    * digits of md5) so a*h + b stays far below 2^63 in both engines. */
+  private[llm] val portableP = 268435399L // largest prime < 2^28
+  private[llm] def portableCoef(i: Int): (Long, Long) =
+    ((2L * i + 3) * 12582917L % portableP, (i + 1) * 15485863L % portableP)
+
+  /** Portable MinHash signature columns (m0..m{n-1}): ONE md5-derived
+    * 28-bit base hash per shingle, then per-seed k-universal transforms
+    * min((a_i·h + b_i) mod p) — bit-exact across engines (the SQL twin is
+    * `minhashPortableOracleSql`), so the signature algebra itself is
+    * oracle-checkable, at one md5 per shingle instead of numHashes. The
+    * fast path stays on the native xxhash64 MinHashSignature expression;
+    * the narrower 28-bit domain only matters to these proof queries. */
   def minhashPortable(df: DataFrame, id: String, text: String,
                       k: Int = 5, numHashes: Int = 8): DataFrame = {
     val sh = df.select(col(id), explode(shingles(col(text), k)).as("s"))
+      .withColumn("h", conv(substring(md5(col("s")), 1, 7), 16, 10).cast("long"))
     val mins = (0 until numHashes).map { seed =>
-      min(conv(substring(md5(concat(lit(seed.toString), lit(":"), col("s"))), 1, 15), 16, 10)
-        .cast("long")).as(s"m$seed")
+      val (a, b) = portableCoef(seed)
+      min((col("h") * a + b) % portableP).as(s"m$seed")
     }
     sh.groupBy(col(id)).agg(mins.head, mins.tail: _*)
   }
@@ -165,11 +176,13 @@ object Dedup {
   def minhashPortableOracleSql(table: String, id: String, text: String,
                                k: Int = 5, numHashes: Int = 8): String = {
     val mins = (0 until numHashes).map { seed =>
-      s"min(('0x' || substr(md5('$seed' || ':' || s), 1, 15))::BIGINT) AS m$seed"
+      val (a, b) = portableCoef(seed)
+      s"min((h * $a + $b) % $portableP) AS m$seed"
     }.mkString(",\n         ")
     s"""WITH base AS (SELECT $id, lower($text) AS t FROM $table),
        |sh AS (
-       |  SELECT $id, substr(t, i, $k) AS s
+       |  SELECT $id,
+       |         ('0x' || substr(md5(substr(t, i, $k)), 1, 7))::BIGINT AS h
        |  FROM (SELECT $id, t,
        |          unnest(generate_series(1, greatest(length(t) - ${k - 1}, 1)))::INT AS i
        |        FROM base)),
