@@ -362,6 +362,39 @@ object LlmQueries {
         .orderBy("day", "event_type"),
       Some("""SELECT date_trunc('day', ts)::TIMESTAMP AS day, event_type,
              |       count(*) AS cnt, round(sum(value), 2) AS sum_value
-             |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin))
+             |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin)),
+
+    // ---- sliding windows (2d size / 1d slide): every event lands in two
+    // overlapping windows; the oracle replays the window assignment with a
+    // 0/1-day shift fan-out ----
+    QueryDef("st2_sliding_counts",
+      (s, d) => EventStreams.slidingCounts(Tables.events(s, d))
+        .orderBy("w_start", "event_type"),
+      Some("""SELECT date_trunc('day', ts)::TIMESTAMP - o * INTERVAL 1 DAY AS w_start,
+             |       event_type, count(*) AS cnt
+             |FROM events CROSS JOIN (SELECT unnest([0, 1]) AS o)
+             |GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin)),
+
+    // ---- session windows (6h gap): per-user activity bursts; the oracle
+    // is the classic gaps-and-islands rewrite ----
+    QueryDef("st3_session_windows",
+      (s, d) => EventStreams.sessionCounts(Tables.events(s, d))
+        .orderBy("user_id", "session_start"),
+      Some("""WITH flagged AS (
+             |  SELECT user_id, ts, value,
+             |         CASE WHEN lag(ts) OVER w IS NULL
+             |                OR ts - lag(ts) OVER w > INTERVAL 6 HOUR
+             |              THEN 1 ELSE 0 END AS new_s
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+             |sess AS (
+             |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             |                             ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM flagged)
+             |SELECT user_id, min(ts)::TIMESTAMP AS session_start,
+             |       (max(ts) + INTERVAL 6 HOUR)::TIMESTAMP AS session_end,
+             |       count(*) AS cnt, round(sum(value), 2) AS sum_value
+             |FROM sess GROUP BY user_id, sid
+             |ORDER BY user_id, session_start""".stripMargin))
   )
 }

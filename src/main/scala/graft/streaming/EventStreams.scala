@@ -38,6 +38,28 @@ object EventStreams {
       .select(col("w.start").as("day"), col("event_type"), col("cnt"))
   }
 
+  /** Sliding-window counts (size/slide): each event contributes to
+    * size/slide overlapping windows. Same code batch or streaming; in
+    * streaming, pair with a watermark ≥ size so state stays bounded. */
+  def slidingCounts(events: DataFrame, size: String = "2 days",
+                    slide: String = "1 day"): DataFrame =
+    events
+      .groupBy(window(col("ts"), size, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("cnt"))
+
+  /** Session windows: per-user activity bursts separated by ≥ `gap` of
+    * silence (session_window — start = first event, end = last event +
+    * gap). The streaming face of the reference's "present until next
+    * credit" occupancy semantics (densityCalc.js:45-58); batch and
+    * streaming share this code, state is evicted by watermark+gap. */
+  def sessionCounts(events: DataFrame, gap: String = "6 hours"): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("cnt"), col("sum_value"))
+
   /** Streaming exact dedup: drop repeated event ids within the watermark
     * horizon — the streaming face of the batch exact-dedup operator (state
     * is bounded by the watermark, so it runs forever). */

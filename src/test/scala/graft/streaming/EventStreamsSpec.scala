@@ -61,6 +61,47 @@ class EventStreamsSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming sliding + session windows equal their batch results") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val rows = Seq(
+      // u1: one burst (3 events within 6h), silence, second burst
+      (1L, "2024-01-01 08:00:00", "click", 1.0),
+      (1L, "2024-01-01 10:30:00", "view", 2.0),
+      (1L, "2024-01-01 13:00:00", "click", 3.0),
+      (1L, "2024-01-02 09:00:00", "click", 4.0),
+      // u2: single event
+      (2L, "2024-01-01 23:30:00", "view", 5.0)
+    ).map { case (u, t, e, v) => (u, java.sql.Timestamp.valueOf(t), e, v) }
+    val batchDf = rows.toDF("user_id", "ts", "event_type", "value")
+
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+    val input = mem.toDF().toDF("user_id", "ts", "event_type", "value")
+    val q1 = EventStreams.slidingCounts(input)
+      .writeStream.format("memory").queryName("slide_test")
+      .outputMode(OutputMode.Complete()).start()
+    val q2 = EventStreams.sessionCounts(input)
+      .writeStream.format("memory").queryName("session_test")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      mem.addData(rows: _*)
+      q1.processAllAvailable(); q2.processAllAvailable()
+      val slideStream = s.sql("SELECT * FROM slide_test")
+      val slideBatch = EventStreams.slidingCounts(batchDf)
+      assert(slideStream.except(slideBatch).count() === 0)
+      assert(slideBatch.except(slideStream).count() === 0)
+      val sessStream = s.sql("SELECT * FROM session_test")
+      val sessBatch = EventStreams.sessionCounts(batchDf)
+      assert(sessStream.except(sessBatch).count() === 0)
+      assert(sessBatch.except(sessStream).count() === 0)
+      // session semantics: u1 bursts merge within the 6h gap, split across it
+      val u1 = sessBatch.filter(col("user_id") === 1).orderBy("session_start")
+        .collect().map(r => (r.getLong(3), r.getDouble(4)))
+      assert(u1 === Array((3L, 6.0), (1L, 4.0)))
+    } finally { q1.stop(); q2.stop() }
+  }
+
   test("streaming dedup drops repeats within the watermark horizon") {
     val s = spark
     import s.implicits._
