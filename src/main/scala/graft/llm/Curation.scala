@@ -18,7 +18,12 @@ object Curation {
       shingleK: Int = 5)
 
   /** Stage 1+2: score, language-gate, exact-dedup (first doc per normalized
-    * fingerprint wins). Adds lang_pred / quality_score / fp columns. */
+    * fingerprint wins). Adds lang_pred / quality_score / fp columns.
+    *
+    * The gated scan is locally checkpointed: the regex-heavy scoring runs
+    * ONCE, not once per downstream consumer (the exact-dedup semi-join
+    * reads it twice and the near-dup stage three more times — uncached,
+    * the whole gate chain re-executes five times across the DAG). */
   def exactCurated(docs: DataFrame, id: String, text: String, cfg: Config): DataFrame = {
     val scored = TextAnalysis.qualityFeatures(docs, text)
       .withColumn("lang_pred", TextAnalysis.langId(col(text)))
@@ -26,6 +31,7 @@ object Curation {
     val gated = scored
       .filter(col("quality_score") >= cfg.minQuality)
       .filter(col("lang_pred").isin(cfg.keepLangs: _*))
+      .localCheckpoint()
     val keep = gated.groupBy(col("fp")).agg(min(col(id)).as(id))
     gated.join(keep, Seq("fp", id), "left_semi")
   }

@@ -181,6 +181,37 @@ object LlmQueries {
       },
       None),
 
+    // ---- similarity: exact top-k, oracle-green form — ranking on the
+    // 4dp-ROUNDED similarity with id tiebreak, so rank order is robust to
+    // sub-1e-7 float accumulation differences between engines (sim2 ranks
+    // on the raw float and stays rows-only for exactly that reason) ----
+    QueryDef("sim2b_topk_rounded",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val q = emb.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val topk = udaf(new graft.llm.TopKAgg(10))
+        emb.crossJoin(broadcast(q))
+          .select(col("qid").as("query_id"), col("vec_id").cast("long").as("id"),
+            round(Similarity.cosine(col("embedding"), col("qvec")), 4).as("sim"))
+          .groupBy("query_id")
+          .agg(topk(col("sim"), col("id")).as("tk"))
+          .select(col("query_id"), posexplode(col("tk")))
+          .select(col("query_id"), col("col.id").as("id"), col("col.sim").as("sim"),
+            (col("pos") + 1).cast("int").as("rank"))
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH scored AS (
+             |  SELECT q.vec_id AS query_id, e.vec_id AS id,
+             |         round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) AS sim
+             |  FROM embeddings e
+             |  CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 3) q),
+             |ranked AS (
+             |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, id) AS rank
+             |  FROM scored)
+             |SELECT query_id, id, sim, rank::INT AS rank FROM ranked
+             |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
+
     // ---- similarity: LSH-bucketed ANN (rows-only; recall vs exact in LlmSpec) ----
     QueryDef("sim3_lsh_ann",
       (s, d) => {
