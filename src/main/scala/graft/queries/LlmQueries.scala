@@ -101,13 +101,36 @@ object LlmQueries {
              |       ELSE 'unknown' END AS lang_pred
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
-    // ---- language ID: stopword-scored argmax (rows-only; asserted vs the
-    // labeled lang column in LlmSpec) ----
+    // ---- language ID: stopword-scored argmax. Oracle generated from the
+    // SAME stopword table (distinct-intersection counts, argmax with
+    // tie-or-zero → unknown — DuckDB list_intersect dedups exactly like
+    // Spark array_intersect) ----
     QueryDef("ts1b_lang_scored",
       (s, d) => t(s, d, "documents")
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
         .orderBy("doc_id"),
-      None),
+      Some {
+        val langs = TextAnalysis.stopwords.toSeq.sortBy(_._1)
+        val scoreCols = langs.map { case (l, ws) =>
+          s"len(list_intersect(tk, [${ws.map(w => s"'$w'").mkString(", ")}])) AS s_$l"
+        }.mkString(",\n  ")
+        val names = langs.map { case (l, _) => s"s_$l" }
+        val pick = langs.map { case (l, _) => s"WHEN s_$l = b THEN '$l'" }.mkString(" ")
+        s"""WITH toks AS (
+           |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS tk FROM documents),
+           |sc AS (SELECT doc_id,
+           |  $scoreCols
+           |  FROM toks),
+           |best AS (
+           |  SELECT doc_id, ${names.mkString(", ")},
+           |         greatest(${names.mkString(", ")}) AS b
+           |  FROM sc)
+           |SELECT doc_id,
+           |  CASE WHEN b > 0 AND (${names.map(n => s"($n = b)::INT").mkString(" + ")}) = 1
+           |       THEN CASE $pick END
+           |       ELSE 'unknown' END AS lang_pred
+           |FROM best ORDER BY doc_id""".stripMargin
+      }),
 
     // ---- quality scoring features ----
     QueryDef("ts2_quality_score",
