@@ -25,8 +25,14 @@ object Paths {
   final case class Keys(person: String, order: Seq[String], company: String,
                         lat: String, lon: String, timeMs: String)
 
+  /** `portableJitter` swaps the xxhash64 path id for an md5-derived 60-bit
+    * value computable bit-for-bit by any engine — the whole expansion
+    * (parabola, wraparound, time interpolation AND jitter) then
+    * hash-matches a SQL oracle (w6b). The default stays on xxhash64 (one
+    * hash, no string building) for the fast path. */
   def expand(df: DataFrame, k: Keys, maxCount: Int = 50,
-             rise: Double = 1.0, verticalOffset: Double = 0.0): DataFrame = {
+             rise: Double = 1.0, verticalOffset: Double = 0.0,
+             portableJitter: Boolean = false): DataFrame = {
     val w = Window.partitionBy(col(k.person)).orderBy(k.order.map(col): _*)
     val paired = df
       .withColumn("to_company", lead(col(k.company), 1).over(w))
@@ -36,7 +42,12 @@ object Paths {
       .filter(col("to_company").isNotNull && col("to_company") =!= col(k.company))
 
     // Deterministic stand-in for Math.random()*50+50 (pathCreator.js:115).
-    val pathId = xxhash64(col(k.person), col(k.company), col("to_company"), col(k.timeMs))
+    val pathId =
+      if (portableJitter)
+        conv(substring(md5(concat_ws("|", col(k.person), col(k.company),
+          col("to_company"), col(k.timeMs))), 1, 15), 16, 10).cast("long")
+      else
+        xxhash64(col(k.person), col(k.company), col("to_company"), col(k.timeMs))
     val height = pmod(pathId, lit(5000L)).cast("double") / 100.0 + 50.0
 
     val diflat = col("to_lat") - col(k.lat)

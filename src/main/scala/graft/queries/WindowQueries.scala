@@ -311,7 +311,8 @@ object WindowQueries {
       None),
 
     // ---- W6 full: parabolic altitude + deterministic jitter (rows-only:
-    // xxhash64 jitter is not expressible in the oracle) ----
+    // xxhash64 jitter is not expressible in the oracle; the md5-jitter
+    // twin w6b below proves the identical algebra hash-green) ----
     QueryDef("w6_paths_full",
       (s, d) => {
         val base = orders(s, d)
@@ -322,6 +323,49 @@ object WindowQueries {
           "lat", "lon", "time_ms")
         Paths.expand(base, K2).orderBy("person_id", "path_id", "seq")
       },
-      None)
+      None),
+
+    // ---- W6 full, portable-jitter twin: the ENTIRE path expansion —
+    // parabola, anti-meridian wraparound, time interpolation and the
+    // [50,100) height jitter — hash-matched against DuckDB ----
+    QueryDef("w6b_paths_portable",
+      (s, d) => {
+        val base = orders(s, d)
+          .withColumn("time_ms", unix_millis(col("o_orderdate").cast("timestamp")))
+          .withColumn("lat", ((col("o_custkey") % 120) - 60).cast("double"))
+          .withColumn("lon", (((col("o_custkey") * 13) % 360) - 180).cast("double"))
+        val K2 = Paths.Keys("o_custkey", Seq("o_orderdate", "o_orderkey"), "o_orderstatus",
+          "lat", "lon", "time_ms")
+        Paths.expand(base, K2, portableJitter = true)
+          .orderBy("person_id", "path_id", "seq")
+      },
+      Some {
+        val lonD = QueryDef.lonDiffSql("lon0", "lon1")
+        s"""WITH base AS (
+           |  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+           |         epoch_ms(o_orderdate) AS tms,
+           |         ((o_custkey % 120) - 60)::DOUBLE AS lat0,
+           |         (((o_custkey * 13) % 360) - 180)::DOUBLE AS lon0
+           |  FROM orders),
+           |led AS (
+           |  SELECT *, lead(o_orderstatus) OVER w AS to_company,
+           |         lead(lat0) OVER w AS lat1, lead(lon0) OVER w AS lon1,
+           |         lead(tms) OVER w AS tms1
+           |  FROM base
+           |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+           |paths AS (
+           |  SELECT *, ('0x' || substr(md5(o_custkey || '|' || o_orderstatus || '|' ||
+           |                                to_company || '|' || tms), 1, 15))::BIGINT AS path_id
+           |  FROM led WHERE to_company IS NOT NULL AND to_company <> o_orderstatus),
+           |pts AS (SELECT *, unnest(generate_series(0, 50)) AS seq FROM paths)
+           |SELECT o_custkey AS person_id, path_id, o_orderstatus AS from_company,
+           |       to_company, seq::INT AS seq,
+           |       lat0 + (lat1 - lat0) * seq / 50 AS lat,
+           |       lon0 + ($lonD) * seq / 50 AS lon,
+           |       (-pow((seq - 25.0) * 1.0, 2) + pow(25.0, 2)) *
+           |         ((path_id % 5000) / 100.0 + 50.0) AS alt,
+           |       tms + floor(((tms1 - tms) * seq) / 50.0)::BIGINT AS when_ms
+           |FROM pts ORDER BY person_id, path_id, seq""".stripMargin
+      })
   )
 }
