@@ -284,13 +284,16 @@ object Dedup {
   }
 
   /** Word n-gram Jaccard similarity for a candidate pair set. Grams are
-    * hashed to longs before the set ops (exact up to 64-bit collisions). */
+    * hashed to longs before the set ops (exact up to 64-bit collisions);
+    * `hashGrams = false` keeps raw string grams — slower set ops, but the
+    * Jaccard is then bit-exact reproducible by any engine (dd5b). */
   def ngramJaccard(df: DataFrame, id: String, text: String, n: Int,
-                   pairs: DataFrame): DataFrame = {
+                   pairs: DataFrame, hashGrams: Boolean = true): DataFrame = {
     val toks = split(lower(col(text)), "\\s+")
+    val gram = (i: Column) => concat_ws(" ", slice(toks, i, lit(n)))
     val grams = array_distinct(transform(
       sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
-      i => xxhash64(concat_ws(" ", slice(toks, i, lit(n))))))
+      i => if (hashGrams) xxhash64(gram(i)) else gram(i)))
     val g = df.select(col(id), grams.as("g"))
     pairs
       .join(g.select(col(id).as("id1"), col("g").as("g1")), "id1")

@@ -82,6 +82,35 @@ object LlmQueries {
       },
       None),
 
+    // ---- portable n-gram Jaccard: portable candidate pairs + raw string
+    // grams, so the verify stage's set algebra is itself hash-checked
+    // (dd5 keeps xxhash64 grams as the fast path) ----
+    QueryDef("dd5b_ngram_jaccard_portable",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val pairs = Dedup.minhashCandidatesPortable(docs, "doc_id", "text")
+        Dedup.ngramJaccard(docs, "doc_id", "text", 3, pairs, hashGrams = false)
+          .withColumn("jaccard", round(col("jaccard"), 4))
+          .orderBy("id1", "id2")
+      },
+      Some {
+        val cands = Dedup.minhashCandidatesPortableOracleSql("documents", "doc_id", "text")
+        s"""WITH cands AS ($cands),
+           |grams AS (
+           |  SELECT doc_id,
+           |         list_distinct([array_to_string(tk[i:i+2], ' ')
+           |                        FOR i IN generate_series(1, greatest(len(tk) - 2, 1))]) AS g
+           |  FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS tk
+           |        FROM documents))
+           |SELECT c.id1, c.id2,
+           |       round(len(list_intersect(a.g, b.g)) /
+           |             len(list_distinct(list_concat(a.g, b.g))), 4) AS jaccard
+           |FROM cands c
+           |JOIN grams a ON a.doc_id = c.id1
+           |JOIN grams b ON b.doc_id = c.id2
+           |ORDER BY id1, id2""".stripMargin
+      }),
+
     // ---- language ID: simple deterministic heuristic (oracle-checked);
     // the stopword-scored variant is ts1b below ----
     QueryDef("ts1_lang_id",
