@@ -84,24 +84,28 @@ object LlmQueries {
 
     // ---- portable n-gram Jaccard: portable candidate pairs + raw string
     // grams, so the verify stage's set algebra is itself hash-checked
-    // (dd5 keeps xxhash64 grams as the fast path) ----
+    // (dd5 keeps xxhash64 grams as the fast path). PROOF query: runs on a
+    // deterministic 1-in-5 corpus slice — string-set ops over the full
+    // candidate volume would dominate the bench while proving nothing
+    // extra (dd3c already proves full-corpus pairing). ----
     QueryDef("dd5b_ngram_jaccard_portable",
       (s, d) => {
-        val docs = t(s, d, "documents")
+        val docs = t(s, d, "documents").filter(col("doc_id") % 5 === 0)
         val pairs = Dedup.minhashCandidatesPortable(docs, "doc_id", "text")
         Dedup.ngramJaccard(docs, "doc_id", "text", 3, pairs, hashGrams = false)
           .withColumn("jaccard", round(col("jaccard"), 4))
           .orderBy("id1", "id2")
       },
       Some {
-        val cands = Dedup.minhashCandidatesPortableOracleSql("documents", "doc_id", "text")
-        s"""WITH cands AS ($cands),
+        val cands = Dedup.minhashCandidatesPortableOracleSql("docs5", "doc_id", "text")
+        s"""WITH docs5 AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+           |cands AS ($cands),
            |grams AS (
            |  SELECT doc_id,
            |         list_distinct([array_to_string(tk[i:i+2], ' ')
            |                        FOR i IN generate_series(1, greatest(len(tk) - 2, 1))]) AS g
            |  FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS tk
-           |        FROM documents))
+           |        FROM docs5))
            |SELECT c.id1, c.id2,
            |       round(len(list_intersect(a.g, b.g)) /
            |             len(list_distinct(list_concat(a.g, b.g))), 4) AS jaccard
