@@ -37,6 +37,37 @@ object MinHashKernel {
     }
     new GenericArrayData(mins)
   }
+
+  /** Fused byte-shingle MinHash: slides a k-byte window directly over the
+    * text's backing bytes — no substring allocation, no intermediate
+    * shingle array, no dedup (min is duplicate-insensitive). Each window
+    * pays ONE xxhash64 of its bytes; the other numHashes-1 family members
+    * are cheap long-mixes of that base hash. Shingles are BYTE windows
+    * (identical to character windows for ASCII text; a deliberate,
+    * documented difference for multi-byte codepoints). Texts shorter than
+    * k yield their single short window, like substr(1, k). */
+  def signatureOfText(text: UTF8String, k: Int, numHashes: Int): ArrayData = {
+    val mins = new Array[Long](numHashes)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val n = text.numBytes()
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    val windows = if (n <= k) 1 else n - k + 1
+    var i = 0
+    while (i < windows) {
+      val len = math.min(k, n - i)
+      val h0 = XXH64.hashUnsafeBytes(base, off + i, len, 42L)
+      if (h0 < mins(0)) mins(0) = h0
+      var h = 1
+      while (h < numHashes) {
+        val v = XXH64.hashLong(h0, 42L + 7919L * h)
+        if (v < mins(h)) mins(h) = v
+        h += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
 }
 
 /** Native Catalyst expression for the MinHash signature (SURVEY §2.10 /
@@ -71,6 +102,41 @@ case class MinHashSignature(child: Expression, numHashes: Int)
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
     copy(child = newChild)
+}
+
+/** Fused text→signature form: byte-shingling and hashing in one kernel
+  * call over the raw text (see MinHashKernel.signatureOfText). Input:
+  * string. Output: array<long> of numHashes minima. */
+case class MinHashText(child: Expression, k: Int, numHashes: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"minhash_text expects string, got $other")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashKernel.signatureOfText(input.asInstanceOf[UTF8String], k, numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinHashKernel.signatureOfText($c, $k, $numHashes)")
+
+  override def prettyName: String = "minhash_text"
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashText =
+    copy(child = newChild)
+}
+
+object MinHashText {
+  /** Column-API wrapper. */
+  def apply(text: Column, k: Int, numHashes: Int): Column =
+    ColumnBridge.column(MinHashText(ColumnBridge.expression(text), k, numHashes))
 }
 
 object MinHashSignature {

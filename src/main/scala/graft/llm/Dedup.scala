@@ -56,15 +56,15 @@ object Dedup {
                         k: Int = 5, bands: Int = 8, rows: Int = 4): DataFrame =
     minhashCandidatesFromSig(signatures(df, id, text, k, bands * rows), bands, rows)
 
-  /** Signature table (doc, sig): shingles materialized ONCE per row —
-    * inlining the shingle expression into each per-seed transform
-    * re-evaluates the substring array numHashes times (measured 30x
-    * slowdown) — and the result locally checkpointed, because both sides
+  /** Signature table (doc, sig), locally checkpointed because both sides
     * of the candidate self-join and the verify joins reuse it (6 scans of
-    * the corpus otherwise). */
+    * the corpus otherwise). Uses the FUSED byte-shingle kernel
+    * (MinHashText): one pass over the text bytes, one hash per window plus
+    * cheap per-seed long-mixes — no substring allocation, no intermediate
+    * shingle array, no dedup (min is duplicate-insensitive). */
   def signatures(df: DataFrame, id: String, text: String, k: Int, numHashes: Int): DataFrame =
-    df.select(col(id).as("doc"), shingles(col(text), k).as("__sh"))
-      .select(col("doc"), minhashSignature(col("__sh"), numHashes).as("sig"))
+    df.select(col(id).as("doc"),
+        graft.functions.MinHashText(lower(col(text)), k, numHashes).as("sig"))
       .localCheckpoint()
 
   def minhashCandidatesFromSig(sig: DataFrame, bands: Int, rows: Int): DataFrame = {
