@@ -38,6 +38,32 @@ object MinHashKernel {
     new GenericArrayData(mins)
   }
 
+  /** Distinct hashed byte-shingles: the verify-side twin of
+    * signatureOfText. Produces exactly the values of
+    * `array_distinct(transform(shingles(text, k), s => xxhash64(s)))`
+    * for ASCII text (xxhash64's default seed 42), with no substring or
+    * array allocation: hash each window in place, sort, dedup. */
+  def shingleHashes(text: UTF8String, k: Int): ArrayData = {
+    val n = text.numBytes()
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    val windows = if (n <= k) 1 else n - k + 1
+    val arr = new Array[Long](windows)
+    var i = 0
+    while (i < windows) {
+      arr(i) = XXH64.hashUnsafeBytes(base, off + i, math.min(k, n - i), 42L)
+      i += 1
+    }
+    java.util.Arrays.sort(arr)
+    var w = 0
+    i = 0
+    while (i < windows) {
+      if (i == 0 || arr(i) != arr(i - 1)) { arr(w) = arr(i); w += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(arr, w))
+  }
+
   /** Fused byte-shingle MinHash: slides a k-byte window directly over the
     * text's backing bytes — no substring allocation, no intermediate
     * shingle array, no dedup (min is duplicate-insensitive). Each window
@@ -137,6 +163,39 @@ object MinHashText {
   /** Column-API wrapper. */
   def apply(text: Column, k: Int, numHashes: Int): Column =
     ColumnBridge.column(MinHashText(ColumnBridge.expression(text), k, numHashes))
+}
+
+/** Distinct hashed byte-shingle set of a text (see
+  * MinHashKernel.shingleHashes). Input: string. Output: array<long>. */
+case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"shingle_hashes expects string, got $other")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashKernel.shingleHashes(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinHashKernel.shingleHashes($c, $k)")
+
+  override def prettyName: String = "shingle_hashes"
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+object ShingleHashes {
+  /** Column-API wrapper. */
+  def apply(text: Column, k: Int): Column =
+    ColumnBridge.column(ShingleHashes(ColumnBridge.expression(text), k))
 }
 
 object MinHashSignature {

@@ -116,9 +116,10 @@ object Dedup {
       .select("id1", "id2")
     // exact verify over HASHED shingles: long-array intersect/union is
     // several times cheaper than string sets, and exact up to negligible
-    // 64-bit collisions.
+    // 64-bit collisions. The fused ShingleHashes kernel produces the
+    // distinct hash set in one pass over the text bytes.
     val sh = df.select(col(id),
-      array_distinct(transform(shingles(col(text), k), s => xxhash64(s))).as("sh"))
+      graft.functions.ShingleHashes(lower(col(text)), k).as("sh"))
     estimated
       .join(sh.select(col(id).as("id1"), col("sh").as("sh1")), "id1")
       .join(sh.select(col(id).as("id2"), col("sh").as("sh2")), "id2")
