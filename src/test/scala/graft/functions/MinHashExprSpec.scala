@@ -1,0 +1,57 @@
+package graft.functions
+
+import graft.SparkSpecBase
+import graft.llm.Dedup
+import org.apache.spark.sql.functions._
+
+/** Pins the fused native kernels to the Column compositions they replace:
+  * same values, no allocation-heavy intermediate arrays. */
+class MinHashExprSpec extends SparkSpecBase {
+
+  private lazy val docs = {
+    val s = spark; import s.implicits._
+    Seq(
+      (1L, "The quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"), // case-dup of 1
+      (3L, "ab"),                                          // shorter than k
+      (4L, ""),                                            // empty
+      (5L, "aaaaaaaaaa")                                   // one distinct shingle
+    ).toDF("id", "text")
+  }
+
+  test("ShingleHashes equals the array_distinct(transform(xxhash64)) composition") {
+    val k = 5
+    val fused = docs.select(col("id"),
+      array_sort(ShingleHashes(lower(col("text")), k)).as("sh"))
+    val composed = docs.select(col("id"),
+      array_sort(array_distinct(transform(
+        Dedup.shingles(col("text"), k), s => xxhash64(s)))).as("sh"))
+    val f = fused.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val c = composed.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(f === c)
+    assert(f(5L).size === 1, "repeated shingles dedup to one hash")
+    assert(f(3L).size === 1, "short text yields its single window")
+  }
+
+  test("MinHashText signature: dedup-insensitive, case-normalized, stable") {
+    val sig = docs.select(col("id"), MinHashText(lower(col("text")), 5, 16).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sig.values.forall(_.size === 16))
+    assert(sig(1L) === sig(2L), "lowercased dup must share the signature")
+    assert(sig(1L) !== sig(3L))
+    // estimated Jaccard of identical docs is 1.0 by construction
+    assert(sig(1L).zip(sig(2L)).count { case (a, b) => a == b } === 16)
+  }
+
+  test("MinHashText agrees with the array-input MinHashSignature family head") {
+    // the h=0 member of both families is plain xxhash64(shingle, seed 42)
+    // minima, so the fused text form must match the array form there
+    val viaArray = docs.select(col("id"),
+      element_at(MinHashSignature(Dedup.shingles(col("text"), 5), 16), 1).as("m0"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaText = docs.select(col("id"),
+      element_at(MinHashText(lower(col("text")), 5, 16), 1).as("m0"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaArray === viaText)
+  }
+}
