@@ -199,7 +199,9 @@ object Dedup {
     * Same join-only shape as minhashCandidates, but every value is
     * md5-derived so the pairing logic itself is oracle-checkable. */
   def minhashCandidatesPortable(df: DataFrame, id: String, text: String, k: Int = 5): DataFrame = {
-    val sig = minhashPortable(df, id, text, k, numHashes = 8)
+    // checkpointed: the four band self-joins otherwise re-run the md5
+    // signature build eight times (once per join side)
+    val sig = minhashPortable(df, id, text, k, numHashes = 8).localCheckpoint()
     val bands = Seq(Seq("m0", "m1"), Seq("m2", "m3"), Seq("m4", "m5"), Seq("m6", "m7"))
     bands.map { cols =>
       val a = sig.as("a"); val b = sig.as("b")

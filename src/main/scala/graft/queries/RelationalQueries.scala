@@ -334,6 +334,23 @@ object RelationalQueries {
              |GROUP BY CUBE (o_orderstatus, o_orderpriority)
              |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)),
 
+    // ---- pivot: long → wide on a bounded key set (the density cube's
+    // presentation shape). Explicit pivot values keep the plan one pass
+    // (no distinct-scan to discover columns); oracle via conditional
+    // aggregation ----
+    QueryDef("so7_pivot",
+      (s, d) => t(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+             |       sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT AS "F",
+             |       sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)::BIGINT AS "O",
+             |       sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)::BIGINT AS "P"
+             |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
     // ---- approximate distinct-count sketch (HLL; rows-only — sketch
     // implementations differ by engine; 5% accuracy asserted in ScaleSpec) ----
     QueryDef("so6_approx_distinct",
