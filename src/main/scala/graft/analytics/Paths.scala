@@ -32,7 +32,8 @@ object Paths {
     * hash, no string building) for the fast path. */
   def expand(df: DataFrame, k: Keys, maxCount: Int = 50,
              rise: Double = 1.0, verticalOffset: Double = 0.0,
-             portableJitter: Boolean = false): DataFrame = {
+             portableJitter: Boolean = false,
+             carry: Seq[String] = Nil): DataFrame = {
     val w = Window.partitionBy(col(k.person)).orderBy(k.order.map(col): _*)
     val paired = df
       .withColumn("to_company", lead(col(k.company), 1).over(w))
@@ -63,10 +64,20 @@ object Paths {
         (-pow(countShift * rise, 2) + pow(lit(maxCount / 2.0 * rise), 2)) * height + verticalOffset
       })
       .withColumn("when_ms", Scalars.interpMillis(col(k.timeMs), col("to_time_ms"), col("seq"), maxCount))
-      .select(col(k.person).as("person_id"), col("path_id"),
-              col(k.company).as("from_company"), col("to_company"),
-              col("seq"), col("lat"), col("lon"), col("alt"), col("when_ms"))
+      .select(col(k.person).as("person_id") +: col("path_id") +:
+              col(k.company).as("from_company") +: col("to_company") +:
+              col("seq") +: col("lat") +: col("lon") +: col("alt") +:
+              col("when_ms") +: carry.map(col): _*)
   }
+
+  /** Role → path-id index (pathCreator.js:38-48): the visualizer's
+    * per-role path selector, `{role → [path ids]}`. `expanded` must carry
+    * the from-rel's role column (pass it via `expand(..., carry = ...)`). */
+  def roleIndex(expanded: DataFrame, role: String): DataFrame =
+    expanded.select(col(role), col("path_id")).distinct()
+      .groupBy(col(role))
+      .agg(sort_array(collect_set(col("path_id"))).as("path_ids"),
+           countDistinct(col("path_id")).as("n_paths"))
 
   /** KML gx:Track rendering (sink-side; pathCreator.js:108-131). One
     * Placemark per path, points concatenated in seq order. */

@@ -366,6 +366,39 @@ object WindowQueries {
            |         ((path_id % 5000) / 100.0 + 50.0) AS alt,
            |       tms + floor(((tms1 - tms) * seq) / 50.0)::BIGINT AS when_ms
            |FROM pts ORDER BY person_id, path_id, seq""".stripMargin
-      })
+      }),
+
+    // ---- W6 role index: {role → [path ids]} (pathCreator.js:38-48), the
+    // visualizer's per-role path selector — oracle-green via the portable
+    // jitter path ids ----
+    QueryDef("w6c_role_index",
+      (s, d) => {
+        val base = orders(s, d)
+          .withColumn("time_ms", unix_millis(col("o_orderdate").cast("timestamp")))
+          .withColumn("lat", ((col("o_custkey") % 120) - 60).cast("double"))
+          .withColumn("lon", (((col("o_custkey") * 13) % 360) - 180).cast("double"))
+        val K2 = Paths.Keys("o_custkey", Seq("o_orderdate", "o_orderkey"), "o_orderstatus",
+          "lat", "lon", "time_ms")
+        Paths.roleIndex(
+          Paths.expand(base, K2, portableJitter = true, carry = Seq("o_orderpriority")),
+          "o_orderpriority")
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH base AS (
+             |  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey, o_orderpriority,
+             |         epoch_ms(o_orderdate) AS tms
+             |  FROM orders),
+             |led AS (
+             |  SELECT *, lead(o_orderstatus) OVER w AS to_company
+             |  FROM base
+             |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+             |paths AS (
+             |  SELECT DISTINCT o_orderpriority,
+             |         ('0x' || substr(md5(o_custkey || '|' || o_orderstatus || '|' ||
+             |                             to_company || '|' || tms), 1, 15))::BIGINT AS path_id
+             |  FROM led WHERE to_company IS NOT NULL AND to_company <> o_orderstatus)
+             |SELECT o_orderpriority, list(path_id ORDER BY path_id) AS path_ids,
+             |       count(*) AS n_paths
+             |FROM paths GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
   )
 }

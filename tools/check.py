@@ -35,11 +35,22 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
 
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
 
+def canon_val(v):
+    """Normalize a cell: round floats, turn array-likes (numpy arrays from
+    list columns) and dicts (struct columns) into plain nested tuples so
+    row comparison and sorting stay well-defined."""
+    if isinstance(v, float):
+        return round(v, 9)
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return tuple(canon_val(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, canon_val(x)) for k, x in v.items()))
+    return v
+
 def canon(rows):
     out = []
     for row in rows:
-        out.append(tuple(
-            round(v, 9) if isinstance(v, float) else v for v in row))
+        out.append(tuple(canon_val(v) for v in row))
     # sort by non-float columns first (floats only as coarsely-rounded
     # tiebreaks): low-order float digits differing across engines must not
     # reorder the two sides differently and zip mismatched rows.
