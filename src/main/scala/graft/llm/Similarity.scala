@@ -93,6 +93,26 @@ object Similarity {
     }.reduce(_.bitwiseOR(_))
   }
 
+  /** Array of nTables sign-LSH bucket ids for `vec`, as ONE expression.
+    * All nTables·nPlanes hyperplane dots come from one flat literal plane
+    * matrix, LET-BOUND via a single-element transform so they evaluate
+    * exactly once per row — a temp column is not enough, CollapseProject
+    * would inline the dots into the per-table fold and re-evaluate all of
+    * them per table (measured 10x regression). The per-table fold is
+    * three small lambdas, so codegen stays constant-size at any table
+    * count. Bit layout: plane j of a table sits at bit (nPlanes-1-j). */
+  private def tableBuckets(vec: Column, nTables: Int, nPlanes: Int, dim: Int,
+                           seed: Long): Column = {
+    val ps = planes(nTables * nPlanes, dim, seed)
+    val planesLit = array(ps.map(p => array(p.map(lit): _*)): _*)
+    val dots = transform(planesLit, p => dotProduct(vec, p))
+    element_at(
+      transform(array(dots), ds =>
+        transform(sequence(lit(0), lit(nTables - 1)), t =>
+          aggregate(slice(ds, t * nPlanes + 1, lit(nPlanes)), lit(0L),
+            (acc, d) => acc * 2 + when(d >= 0, 1L).otherwise(0L)))), 1)
+  }
+
   /** Bucketed ANN with OR-amplification: `nTables` independent sign-LSH
     * tables (AND within a table's `nPlanes` bits, OR across tables), plus
     * 1-bit-flip multi-probe per table; candidates are reranked exactly.
@@ -106,18 +126,25 @@ object Similarity {
               queries: DataFrame, qid: String, qvec: String,
               k: Int, nPlanes: Int = 8, nTables: Int = 6, dim: Int = 64,
               seed: Long = 42L): DataFrame = {
-    def sig(c: Column, table: Int) = signature(c, nPlanes, dim, seed + 7919L * table)
-    val bucketed = corpus.select(col(id), col(vec),
-      explode(array((0 until nTables).map(t =>
-        struct(lit(t).as("tbl"), sig(col(vec), t).as("bucket"))): _*)).as("tb"))
-      .select(col(id), col(vec), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
-    // per table: own bucket + every 1-bit flip (multi-probe)
+    val bucketed = corpus
+      .select(col(id), col(vec),
+        posexplode(tableBuckets(col(vec), nTables, nPlanes, dim, seed)))
+      .select(col(id), col(vec), col("pos").as("tbl"), col("col").as("bucket"))
+    // per table: own bucket + every 1-bit flip (multi-probe); the flips
+    // derive from the FOLDED bucket values via a let-bound transform —
+    // nothing is re-hashed per probe
+    val flipBit = array((0 until nPlanes).map(p => lit(1L << (nPlanes - 1 - p))): _*)
+    val probeStructs = transform(array(tableBuckets(col(qvec), nTables, nPlanes, dim, seed)),
+      tb => flatten(transform(sequence(lit(0), lit(nTables - 1)), t => {
+        val base = element_at(tb, t + 1)
+        concat(
+          array(struct(t.as("tbl"), base.as("bucket"))),
+          transform(sequence(lit(0), lit(nPlanes - 1)), p =>
+            struct(t.as("tbl"),
+              base.bitwiseXOR(element_at(flipBit, p + 1)).as("bucket"))))
+      })))
     val probes = queries.select(col(qid), col(qvec),
-      explode(array((for (t <- 0 until nTables; p <- -1 until nPlanes) yield {
-        val base = sig(col(qvec), t)
-        val b = if (p < 0) base else base.bitwiseXOR(shiftleft(lit(1L), p))
-        struct(lit(t).as("tbl"), b.as("bucket"))
-      }): _*)).as("tb"))
+        explode(element_at(probeStructs, 1)).as("tb"))
       .select(col(qid), col(qvec), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
     val cands = bucketed.join(broadcast(probes), Seq("tbl", "bucket"))
       .select(col(qid).as("query_id"), col(id).as("id"),
@@ -183,16 +210,10 @@ object Similarity {
           targetBucketSize, recallTarget, maxTables)
         (if (nPlanes > 0) nPlanes else auto._1, if (nTables > 0) nTables else auto._2)
       }
-    val ps = planes(t * b, dim, seed)
-    val planesLit = array(ps.map(p => array(p.map(lit): _*)): _*)
     // per row: all t·b plane dots at once, then per-table sign bits folded
     // into a bucket id — three small lambdas, independent of t and b.
     val sigs = corpus
-      .withColumn("__dots", transform(planesLit, p => dotProduct(col(vec), p)))
-      .select(col(id).as("doc"), posexplode(
-        transform(sequence(lit(0), lit(t - 1)), tb =>
-          aggregate(slice(col("__dots"), tb * b + 1, lit(b)), lit(0L),
-            (acc, d) => acc * 2 + when(d >= 0, 1L).otherwise(0L)))))
+      .select(col(id).as("doc"), posexplode(tableBuckets(col(vec), t, b, dim, seed)))
       .select(col("doc"), col("pos").as("tbl"), col("col").as("bucket"))
     val a = sigs.as("a"); val bb = sigs.as("b")
     val pairs = a.join(bb,
