@@ -86,6 +86,47 @@ class GoldenSpec extends SparkSpecBase {
     assert(golden.exceptAll(rebuilt).count() === 0L, "golden rels not rebuilt")
   }
 
+  test("golden: envelope company-locations echo equals the reference's locations map") {
+    // the golden file's own `locations` key IS the companyLocations echo
+    // the serving envelope carries (dwwApi.js:122, 219-221)
+    val s = spark; import s.implicits._
+    val companyLoc = goldenRels.filter(!col("dummy"))
+      .select(col("matchedCompanyName").as("company"), col("location").as("geoLoc"))
+    // the geo dims are not under test here — placeholders keep the shape
+    val regions = Seq(("x", "0,0", "n/a")).toDF("location", "geoLoc", "globalRegion")
+    val globalRegions = Seq(("n/a", "0,0")).toDF("region", "coords")
+    val docs = goldenRels.groupBy(col("id"), col("name"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("matchedCompanyName")))).as("rels"))
+    val env = Envelope.unfiltered(docs, companyLoc, regions, globalRegions).head
+    val ourLocations = env.getAs[Map[String, String]]("locations")
+
+    // ground truth straight from the golden file's locations object
+    import scala.jdk.CollectionConverters._
+    val txt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(goldenPath)), java.nio.charset.StandardCharsets.UTF_8)
+    val start = txt.indexOf("\"locations\"")
+    val obj = txt.substring(txt.indexOf('{', start), {
+      var depth = 0; var i = txt.indexOf('{', start); var end = -1
+      while (end < 0) {
+        txt.charAt(i) match {
+          case '{' => depth += 1
+          case '}' => depth -= 1; if (depth == 0) end = i
+          case _ =>
+        }
+        i += 1
+      }
+      end + 1
+    })
+    val golden = obj.drop(1).dropRight(1).split(",(?=\\s*\")").map { kv =>
+      val Array(k, v) = kv.split(":", 2)
+      k.trim.stripPrefix("\"").stripSuffix("\"") ->
+        v.trim.stripPrefix("\"").stripSuffix("\"")
+    }.toMap
+    assert(golden.size === 34)
+    assert(ourLocations === golden,
+      "envelope locations echo must equal the reference's materialized map")
+  }
+
   test("golden: real rels are already consecutive-company deduped (W2 idempotence)") {
     val reals = goldenRels.filter(!col("dummy"))
     val k = Jumps.Keys("id", Seq("pos"), "matchedCompanyName")

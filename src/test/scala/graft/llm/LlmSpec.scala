@@ -213,6 +213,17 @@ class LlmSpec extends SparkSpecBase {
     assert(packed === Array((1L, 3, 0L), (2L, 2, 0L), (3L, 1, 1L), (4L, 4, 1L)))
   }
 
+  test("token packing is bit-identical across shard counts (two-level = global)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def run(shards: Int) =
+      TextAnalysis.packByTokenBudget(docs, "doc_id", "text", budget = 256, nShards = shards)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val one = run(1) // degenerate = the plain global cumsum
+    assert(run(7) === one, "7 shards must match the global order")
+    assert(run(32) === one, "32 shards must match the global order")
+  }
+
   test("curation pipeline: quality gate, lang gate, exact then near dedup") {
     val s = spark; import s.implicits._
     val base = "the quick brown fox jumps over the lazy dog and then it sleeps in the sun"
