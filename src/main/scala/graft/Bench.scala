@@ -1,13 +1,36 @@
 package graft
 
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every registered query on SPARK_GRAFT_SF_DIR and
   * prints one JSON line. Results are fully materialized through a noop sink
   * (not count()) so scans/projections can't be short-circuited by parquet
   * metadata — the number measures the real plan.
+  *
+  * The printed line carries only the HEADLINE query subset: the harness that
+  * consumes stdout keeps a bounded tail, and a per-query map over the full
+  * 110-query registry does not fit in it. The complete map is written to
+  * bench_full.json next to the build instead.
   */
 object Bench {
+
+  /** One representative per operator family plus every historically hot
+    * query; kept stable across rounds so numbers are comparable. */
+  private val headline: Seq[String] = Seq(
+    "e2e_normalize", "e2e_jumps_endpoint", "e2e_jumps_grouped_csv",
+    "dd1_exact_dedup", "dd3_minhash_neardup", "dd4_simhash_neardup",
+    "dd5_ngram_jaccard", "sim1_cosine_scores", "sim3_lsh_ann",
+    "sim4_cosine_neardup", "sim5_ivf_ann", "cur1_curation",
+    "cur3_token_packing", "ts1_lang_id", "ts2_quality_score",
+    "w1_jump_segments", "w4_dummy_synthesis", "w6_paths_full",
+    "w6c_role_index", "wf1_ranking", "wf2_percentiles",
+    "a7_merge_totals", "a8_density_build", "j8_dedup_probe",
+    "p1_quality_filter", "o1_global_sort", "ao1_asof_join",
+    "rj1_range_join", "st3_session_windows", "mm2_frame_sample")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -35,12 +58,21 @@ object Bench {
     // a crashed query must not look like a fast success: its name is listed
     // under "failed"; per-query values stay raw positive durations so
     // consumers summing or ranking the map never see magic values.
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def fmt(v: Double): String = f"$v%.3f"
+    def toJson(rs: Seq[(String, Double, Boolean)]): String =
+      rs.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val full =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":${toJson(results)},"failed":$failed,"sf":"$sfDir"}"""
+    Files.write(Paths.get("bench_full.json"),
+      (full + "\n").getBytes(StandardCharsets.UTF_8))
+    // compact line: headline subset only, so it survives the tail capture
+    val head = results.filter { case (k, _, _) =>
+      headline.contains(k) || args.nonEmpty }
     spark.stop()
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":${toJson(head)},"failed":$failed,"sf":"$sfDir"}""")
   }
 }

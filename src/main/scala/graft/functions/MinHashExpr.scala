@@ -38,6 +38,31 @@ object MinHashKernel {
     new GenericArrayData(mins)
   }
 
+  /** MinHash signature over PRE-HASHED shingles, using the SAME per-seed
+    * long-mix family as signatureOfText (h0 = xxhash64(shingle, 42);
+    * seed h>0 = xxhash64_long(h0, 42 + 7919h)). With h0 produced by the
+    * `xxhash64` builtin over character shingles, this yields signatures
+    * bit-identical to the fused byte path on ASCII text while shingling
+    * by true characters — the non-ASCII-correct variant. */
+  def signatureOfHashes(arr: ArrayData, numHashes: Int): ArrayData = {
+    val mins = new Array[Long](numHashes)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val h0 = arr.getLong(i)
+      if (h0 < mins(0)) mins(0) = h0
+      var h = 1
+      while (h < numHashes) {
+        val v = XXH64.hashLong(h0, 42L + 7919L * h)
+        if (v < mins(h)) mins(h) = v
+        h += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
   /** Distinct hashed byte-shingles: the verify-side twin of
     * signatureOfText. Produces exactly the values of
     * `array_distinct(transform(shingles(text, k), s => xxhash64(s)))`
@@ -128,6 +153,40 @@ case class MinHashSignature(child: Expression, numHashes: Int)
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
     copy(child = newChild)
+}
+
+/** MinHash signature over pre-hashed shingles (array<long> → array<long>),
+  * same seed family as MinHashText (see MinHashKernel.signatureOfHashes). */
+case class MinHashFromHashes(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"minhash_from_hashes expects array<bigint>, got $other")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashKernel.signatureOfHashes(input.asInstanceOf[ArrayData], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinHashKernel.signatureOfHashes($c, $numHashes)")
+
+  override def prettyName: String = "minhash_from_hashes"
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashFromHashes =
+    copy(child = newChild)
+}
+
+object MinHashFromHashes {
+  /** Column-API wrapper. */
+  def apply(hashes: Column, numHashes: Int): Column =
+    ColumnBridge.column(MinHashFromHashes(ColumnBridge.expression(hashes), numHashes))
 }
 
 /** Fused text→signature form: byte-shingling and hashing in one kernel

@@ -53,19 +53,33 @@ object Dedup {
     * candidate pair (id1 < id2, distinct). Only (bucket, id) tuples are
     * shuffled — never document text. */
   def minhashCandidates(df: DataFrame, id: String, text: String,
-                        k: Int = 5, bands: Int = 8, rows: Int = 4): DataFrame =
-    minhashCandidatesFromSig(signatures(df, id, text, k, bands * rows), bands, rows)
+                        k: Int = 5, bands: Int = 8, rows: Int = 4,
+                        charShingles: Boolean = false): DataFrame =
+    minhashCandidatesFromSig(
+      signatures(df, id, text, k, bands * rows, charShingles), bands, rows)
 
   /** Signature table (doc, sig), locally checkpointed because both sides
     * of the candidate self-join and the verify joins reuse it (6 scans of
-    * the corpus otherwise). Uses the FUSED byte-shingle kernel
-    * (MinHashText): one pass over the text bytes, one hash per window plus
-    * cheap per-seed long-mixes — no substring allocation, no intermediate
-    * shingle array, no dedup (min is duplicate-insensitive). */
-  def signatures(df: DataFrame, id: String, text: String, k: Int, numHashes: Int): DataFrame =
-    df.select(col(id).as("doc"),
-        graft.functions.MinHashText(lower(col(text)), k, numHashes).as("sig"))
-      .localCheckpoint()
+    * the corpus otherwise).
+    *
+    * The default (fast) path is the FUSED kernel (MinHashText): one pass
+    * over the text BYTES, one hash per k-byte window plus cheap per-seed
+    * long-mixes — no substring allocation, no intermediate shingle array,
+    * no dedup (min is duplicate-insensitive). CAVEAT: windows are k BYTES,
+    * not k characters. Identical for ASCII; for multi-byte text a k=5
+    * window covers ~2 CJK characters, which shifts near-dup decisions on
+    * non-ASCII corpora. Pass `charShingles = true` to shingle over true
+    * CHARACTERS via the Column composition (xxhash64 over
+    * [[shingles]]) — same signature algebra, ~2-5x slower. */
+  def signatures(df: DataFrame, id: String, text: String, k: Int, numHashes: Int,
+                 charShingles: Boolean = false): DataFrame = {
+    val sig =
+      if (charShingles)
+        graft.functions.MinHashFromHashes(
+          transform(shingles(col(text), k), s => xxhash64(s)), numHashes)
+      else graft.functions.MinHashText(lower(col(text)), k, numHashes)
+    df.select(col(id).as("doc"), sig.as("sig")).localCheckpoint()
+  }
 
   def minhashCandidatesFromSig(sig: DataFrame, bands: Int, rows: Int): DataFrame = {
     val banded = sig.select(col("doc"),
@@ -96,15 +110,26 @@ object Dedup {
     * threshold is missed with P≈7% (Φ(−1.5)); anything meaningfully above
     * passes essentially always, while candidates far below the threshold
     * (the bulk, on a shared-vocabulary corpus) never reach the expensive
-    * array join. A fixed wider margin trades verify cost for the tail. */
+    * array join. A fixed wider margin trades verify cost for the tail.
+    *
+    * NOTE (since the fused kernels): both signatures and the exact verify
+    * shingle over k BYTES by default — identical to character shingles for
+    * ASCII, different for multi-byte text (see [[signatures]]). Set
+    * `charShingles = true` for character-exact semantics on non-ASCII
+    * corpora. NOTE (estMargin): the default changed from a fixed 0.2 to
+    * the ~1.5-sigma adaptive margin below; default-arg callers get a
+    * slightly tighter candidate set (threshold-grazing pairs missed ~7%
+    * of the time instead of ~never) in exchange for a much cheaper exact
+    * verify. Pass estMargin = 0.2 to restore the old recall posture. */
   def minhashDedup(df: DataFrame, id: String, text: String,
                    k: Int = 5, bands: Int = 8, rows: Int = 4,
-                   threshold: Double = 0.8, estMargin: Double = -1): DataFrame = {
+                   threshold: Double = 0.8, estMargin: Double = -1,
+                   charShingles: Boolean = false): DataFrame = {
     val numHashes = bands * rows
     val margin =
       if (estMargin >= 0) estMargin
       else 1.5 * math.sqrt(threshold * (1 - threshold) / numHashes)
-    val sig = signatures(df, id, text, k, numHashes) // checkpointed: reused 4x below
+    val sig = signatures(df, id, text, k, numHashes, charShingles) // checkpointed: reused 4x below
     val cands = minhashCandidatesFromSig(sig, bands, rows)
     val estimated = cands
       .join(sig.select(col("doc").as("id1"), col("sig").as("sig1")), "id1")
@@ -119,7 +144,8 @@ object Dedup {
     // 64-bit collisions. The fused ShingleHashes kernel produces the
     // distinct hash set in one pass over the text bytes.
     val sh = df.select(col(id),
-      graft.functions.ShingleHashes(lower(col(text)), k).as("sh"))
+      (if (charShingles) transform(shingles(col(text), k), s => xxhash64(s))
+       else graft.functions.ShingleHashes(lower(col(text)), k): Column).as("sh"))
     estimated
       .join(sh.select(col(id).as("id1"), col("sh").as("sh1")), "id1")
       .join(sh.select(col(id).as("id2"), col("sh").as("sh2")), "id2")

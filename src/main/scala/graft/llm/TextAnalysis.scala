@@ -141,20 +141,32 @@ object TextAnalysis {
     * per-shard totals (a window over ≤ nShards rows — trivial). The result
     * is bit-identical to a global-order cumsum because the shard key is
     * monotone in the id. The id-domain bounds are one cheap aggregate,
-    * broadcast back — no driver collect. */
+    * broadcast back — no driver collect.
+    *
+    * Monotonicity of the range-shard key holds only for NUMERIC ids: a
+    * string id casts through double ("10" < "9" numerically but not
+    * lexically, and non-numeric strings cast to null), so pack_id would
+    * silently diverge from the documented global cumsum. Non-numeric ids
+    * therefore fall back to a single shard — still correct, just serial,
+    * matching the pre-sharding behavior. */
   def packByTokenBudget(df: DataFrame, id: String, text: String, budget: Int,
                         nShards: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val idIsNumeric =
+      df.schema(id).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
+    val nEff = if (idIsNumeric) nShards else 1
     val toks = df.withColumn("n_tokens", tokenEstimate(col(text)))
     val bounds = toks.agg(
       min(col(id).cast("double")).as("__lo"), max(col(id).cast("double")).as("__hi"))
-    val sharded = toks.crossJoin(broadcast(bounds))
-      .withColumn("__shard", coalesce(
-        when(col("__hi") > col("__lo"),
-          least(lit(nShards - 1),
-            floor((col(id).cast("double") - col("__lo")) * nShards /
-                  (col("__hi") - col("__lo") + 1)))),
-        lit(0)).cast("int"))
+    val sharded =
+      if (nEff == 1) toks.withColumn("__shard", lit(0))
+      else toks.crossJoin(broadcast(bounds))
+        .withColumn("__shard", coalesce(
+          when(col("__hi") > col("__lo"),
+            least(lit(nEff - 1),
+              floor((col(id).cast("double") - col("__lo")) * nEff /
+                    (col("__hi") - col("__lo") + 1)))),
+          lit(0)).cast("int"))
     val wLocal = Window.partitionBy(col("__shard")).orderBy(col(id))
       .rowsBetween(Window.unboundedPreceding, 0)
     val local = sharded

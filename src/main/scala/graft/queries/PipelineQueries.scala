@@ -90,7 +90,14 @@ object PipelineQueries {
         val globalRegions = Seq(
           ("oceania", "-25.0,140.0"), ("europe", "50.0,9.0"),
           ("americas", "39.8,-98.5")).toDF("region", "coords")
+        // Serialized to ONE json string column: the envelope is nested
+        // maps/arrays, which the correctness harness's pandas sort/hash
+        // cannot canonicalize. to_json over the deterministic (sort_array'd)
+        // envelope is itself deterministic, so the rows-only record at least
+        // pins a stable payload; structural equality lives in IoSpec.
         DwwPipeline.jumpsEnvelope(credits(s, d), regions, globalRegions)
+          .select(to_json(struct(col("jumps"), col("locations"),
+            col("regions"), col("globalRegions"))).as("envelope_json"))
       },
       None),
 

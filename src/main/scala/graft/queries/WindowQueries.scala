@@ -379,9 +379,15 @@ object WindowQueries {
           .withColumn("lon", (((col("o_custkey") * 13) % 360) - 180).cast("double"))
         val K2 = Paths.Keys("o_custkey", Seq("o_orderdate", "o_orderkey"), "o_orderstatus",
           "lat", "lon", "time_ms")
+        // path_ids is emitted comma-joined rather than as an array: the
+        // correctness harness canonicalizes rows via pandas sort/hash, which
+        // cannot hash list cells. The array form stays on Paths.roleIndex.
         Paths.roleIndex(
           Paths.expand(base, K2, portableJitter = true, carry = Seq("o_orderpriority")),
           "o_orderpriority")
+          .select(col("o_orderpriority"),
+            concat_ws(",", col("path_ids").cast("array<string>")).as("path_ids"),
+            col("n_paths"))
           .orderBy("o_orderpriority")
       },
       Some("""WITH base AS (
@@ -397,7 +403,8 @@ object WindowQueries {
              |         ('0x' || substr(md5(o_custkey || '|' || o_orderstatus || '|' ||
              |                             to_company || '|' || tms), 1, 15))::BIGINT AS path_id
              |  FROM led WHERE to_company IS NOT NULL AND to_company <> o_orderstatus)
-             |SELECT o_orderpriority, list(path_id ORDER BY path_id) AS path_ids,
+             |SELECT o_orderpriority,
+             |       string_agg(path_id, ',' ORDER BY path_id) AS path_ids,
              |       count(*) AS n_paths
              |FROM paths GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
   )

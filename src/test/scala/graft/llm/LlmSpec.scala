@@ -224,6 +224,40 @@ class LlmSpec extends SparkSpecBase {
     assert(run(32) === one, "32 shards must match the global order")
   }
 
+  test("token packing falls back to one shard for non-numeric ids") {
+    val s = spark; import s.implicits._
+    // lexicographic order ("10" < "9") diverges from numeric cast order, so
+    // range-sharding by cast(id as double) would mis-assign; the fallback
+    // must still produce the global-order cumsum over the NATIVE ordering.
+    val df = Seq(("10", "one two three"), ("9", "four five"), ("a", "six"))
+      .toDF("doc_id", "text")
+    val packed = TextAnalysis.packByTokenBudget(df, "doc_id", "text", budget = 4, nShards = 32)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    // order "10" < "9" < "a"; tokens 3,2,1; cum 3,5,6 → packs 0,0,1
+    assert(packed === Array(("10", 3, 3L, 0L), ("9", 2, 5L, 0L), ("a", 1, 6L, 1L)))
+  }
+
+  test("charShingles signatures equal byte signatures on ASCII, diverge on CJK") {
+    val s = spark; import s.implicits._
+    val ascii = Seq((1L, "the quick brown fox jumps"), (2L, "pack my box with five dozen"))
+      .toDF("doc_id", "text")
+    val byteSig = Dedup.signatures(ascii, "doc_id", "text", k = 5, numHashes = 16)
+      .orderBy("doc").collect().map(_.getSeq[Long](1))
+    val charSig = Dedup.signatures(ascii, "doc_id", "text", k = 5, numHashes = 16,
+        charShingles = true)
+      .orderBy("doc").collect().map(_.getSeq[Long](1))
+    assert(byteSig === charSig, "byte windows == char windows for ASCII")
+    val cjk = Seq((1L, "春眠不覚暁処処聞啼鳥夜来風雨声花落知多少"))
+      .toDF("doc_id", "text")
+    val b = Dedup.signatures(cjk, "doc_id", "text", k = 5, numHashes = 16)
+      .collect().head.getSeq[Long](1)
+    val c = Dedup.signatures(cjk, "doc_id", "text", k = 5, numHashes = 16,
+        charShingles = true)
+      .collect().head.getSeq[Long](1)
+    assert(b !== c, "multi-byte text shingles differently by bytes vs chars")
+  }
+
   test("curation pipeline: quality gate, lang gate, exact then near dedup") {
     val s = spark; import s.implicits._
     val base = "the quick brown fox jumps over the lazy dog and then it sleeps in the sun"
