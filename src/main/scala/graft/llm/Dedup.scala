@@ -332,4 +332,96 @@ object Dedup {
         size(array_union(col("g1"), col("g2"))))
       .select("id1", "id2", "jaccard")
   }
+
+  /** Connected components over an undirected edge list, via alternating
+    * large-star / small-star rounds (Kiveris et al., "Connected Components
+    * in MapReduce and Beyond", SoCC'14). Each round is a groupBy-min plus
+    * an equi-join shuffling only (node, node) pairs, and the edge set
+    * converges to stars centered at each component's minimum id in
+    * O(log n) rounds on ANY graph — naive min-label propagation needs
+    * graph-diameter rounds, which a 100 TB chain-shaped near-dup cluster
+    * would actually hit.
+    *
+    * Input: two integral columns (any orientation, dups/self-loops fine).
+    * Output: (id, component) for every node that appears in an edge, with
+    * component = the minimum node id of its component. The driver loop
+    * runs ONE scalar aggregate per round for the convergence check (a
+    * (count, hash-sum) pair — no data is collected), and lineage is
+    * truncated per round so plans stay constant-size. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    val cols = edges.columns
+    require(cols.length == 2, s"edge list must have 2 columns, got ${cols.mkString(",")}")
+    // orient u > v; drop self-loops and duplicates
+    var e = edges.toDF("eu", "ev")
+      .filter(col("eu") =!= col("ev"))
+      .select(greatest(col("eu"), col("ev")).as("u"), least(col("eu"), col("ev")).as("v"))
+      .distinct().localCheckpoint()
+    def signature(df: DataFrame): (Long, Long) = {
+      // hashes folded into a 30-bit domain before the sum so the aggregate
+      // cannot overflow under ANSI semantics (would need ~8.5e9 edges)
+      val r = df.agg(count(lit(1)),
+        coalesce(sum(pmod(xxhash64(col("u"), col("v")), lit(1L << 30))), lit(0L))).first()
+      (r.getLong(0), r.getLong(1))
+    }
+    var sigE = signature(e)
+    var it = 0
+    var converged = sigE._1 == 0L
+    while (!converged && it < maxIter) {
+      // large-star: every neighbor LARGER than u links to min(N(u) ∪ {u})
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u").agg(min(col("v")).as("mv"))
+      val ls = sym.join(mins, "u")
+        .withColumn("m", least(col("u"), col("mv")))
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+      // small-star: on the (u > v)-oriented result, every smaller neighbor
+      // and u itself link to u's minimum neighbor
+      val mins2 = ls.groupBy("u").agg(min(col("v")).as("mv"))
+      val withM = ls.join(mins2, "u")
+      val ss = withM.where(col("v") =!= col("mv"))
+        .select(col("v").as("u"), col("mv").as("v"))
+        .union(mins2.select(col("u"), col("mv").as("v")))
+        .distinct()
+      val next = ss.localCheckpoint()
+      val sigNext = signature(next)
+      converged = sigNext == sigE
+      e = next; sigE = sigNext
+      it += 1
+    }
+    // fixpoint is a star per component: (member → center). Centers appear
+    // only on the v side; label them with themselves.
+    e.select(col("u").as("id"), col("v").as("component"))
+      .union(e.select(col("v").as("id"), col("v").as("component")).distinct())
+      .distinct()
+  }
+
+  /** Label every row of `df` with its near-dup component: edges are the
+    * verified MinHash near-dup pairs (>= threshold), nodes absent from any
+    * pair are singleton components of themselves. */
+  def neardupComponents(df: DataFrame, id: String, text: String,
+                        k: Int = 5, bands: Int = 8, rows: Int = 4,
+                        threshold: Double = 0.8, charShingles: Boolean = false): DataFrame = {
+    val edges = minhashDedup(df, id, text, k, bands, rows, threshold,
+      charShingles = charShingles).select("id1", "id2")
+    labelComponents(df.select(col(id)), id, edges)
+  }
+
+  /** Join node table to connectedComponents output; absent nodes become
+    * singletons labeled with their own id. */
+  def labelComponents(nodes: DataFrame, id: String, edges: DataFrame): DataFrame =
+    nodes.join(
+        connectedComponents(edges).withColumnRenamed("id", id), Seq(id), "left")
+      .select(col(id), coalesce(col("component"), col(id)).as("component"))
+
+  /** One survivor per near-dup CLUSTER (the component minimum) — the row
+    * set a dedup pass actually keeps. Pair-wise dedup under-deletes on
+    * transitive groups (A~B, B~C but A!~C); clustering is the standard
+    * fix. */
+  def neardupSurvivors(df: DataFrame, id: String, text: String,
+                       k: Int = 5, bands: Int = 8, rows: Int = 4,
+                       threshold: Double = 0.8, charShingles: Boolean = false): DataFrame = {
+    val comps = neardupComponents(df, id, text, k, bands, rows, threshold, charShingles)
+    df.join(comps.where(col(id) === col("component")).select(col(id)), Seq(id), "left_semi")
+  }
 }

@@ -115,6 +115,72 @@ object LlmQueries {
            |ORDER BY id1, id2""".stripMargin
       }),
 
+    // ---- near-dup CONNECTED COMPONENTS (large-star/small-star): pairwise
+    // near-dup under-deletes transitive groups (A~B, B~C, A!~C); clusters
+    // are what a dedup pass actually keys on. Edges are the PORTABLE
+    // banded-LSH candidate pairs on the 1-in-5 proof slice, so the whole
+    // clustering is oracle-green against a DuckDB recursive-CTE transitive
+    // closure. The fast path (xxhash64 edges, full corpus) is dd6c. ----
+    QueryDef("dd6_neardup_components",
+      (s, d) => {
+        val docs = t(s, d, "documents").filter(col("doc_id") % 5 === 0)
+        val edges = Dedup.minhashCandidatesPortable(docs, "doc_id", "text")
+        Dedup.labelComponents(docs.select(col("doc_id")), "doc_id", edges)
+          .orderBy("doc_id")
+      },
+      Some {
+        val cands = Dedup.minhashCandidatesPortableOracleSql("docs5", "doc_id", "text")
+        s"""WITH RECURSIVE docs5 AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+           |cands AS ($cands),
+           |sym AS (SELECT id1 AS u, id2 AS v FROM cands
+           |        UNION SELECT id2, id1 FROM cands),
+           |reach AS (
+           |  SELECT u, v FROM sym
+           |  UNION
+           |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u WHERE s.v <> r.u),
+           |comp AS (SELECT u AS doc_id, least(u, min(v)) AS component
+           |         FROM reach GROUP BY u)
+           |SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+           |FROM docs5 d LEFT JOIN comp c USING (doc_id)
+           |ORDER BY doc_id""".stripMargin
+      }),
+
+    // ---- one survivor per near-dup cluster: the component minimum ----
+    QueryDef("dd6b_cluster_survivors",
+      (s, d) => {
+        val docs = t(s, d, "documents").filter(col("doc_id") % 5 === 0)
+        val edges = Dedup.minhashCandidatesPortable(docs, "doc_id", "text")
+        Dedup.labelComponents(docs.select(col("doc_id")), "doc_id", edges)
+          .where(col("doc_id") === col("component"))
+          .select("doc_id")
+          .orderBy("doc_id")
+      },
+      Some {
+        val cands = Dedup.minhashCandidatesPortableOracleSql("docs5", "doc_id", "text")
+        s"""WITH RECURSIVE docs5 AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+           |cands AS ($cands),
+           |sym AS (SELECT id1 AS u, id2 AS v FROM cands
+           |        UNION SELECT id2, id1 FROM cands),
+           |reach AS (
+           |  SELECT u, v FROM sym
+           |  UNION
+           |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u WHERE s.v <> r.u),
+           |comp AS (SELECT u AS doc_id, least(u, min(v)) AS component
+           |         FROM reach GROUP BY u)
+           |SELECT d.doc_id
+           |FROM docs5 d LEFT JOIN comp c USING (doc_id)
+           |WHERE coalesce(c.component, d.doc_id) = d.doc_id
+           |ORDER BY doc_id""".stripMargin
+      }),
+
+    // ---- fast-path clustering: verified xxhash64 near-dup pairs over the
+    // FULL corpus (rows-only like dd3; component algebra proven by dd6) ----
+    QueryDef("dd6c_components_fast",
+      (s, d) => Dedup.neardupComponents(t(s, d, "documents"), "doc_id", "text",
+          k = 5, bands = 8, rows = 4, threshold = 0.5)
+        .orderBy("doc_id"),
+      None),
+
     // ---- language ID: simple deterministic heuristic (oracle-checked);
     // the stopword-scored variant is ts1b below ----
     QueryDef("ts1_lang_id",

@@ -238,6 +238,46 @@ class LlmSpec extends SparkSpecBase {
     assert(packed === Array(("10", 3, 3L, 0L), ("9", 2, 5L, 0L), ("a", 1, 6L, 1L)))
   }
 
+  test("connected components: chain, star, forest, singletons") {
+    val s = spark; import s.implicits._
+    // chain 1-2-3-...-8 (worst case for label propagation: diameter 7)
+    val chain = (1L to 7L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val cc1 = Dedup.connectedComponents(chain).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert((1L to 8L).forall(cc1(_) == 1L), s"chain collapses to min: $cc1")
+    // two components + reversed/duplicated/self-loop edges
+    val messy = Seq((5L, 3L), (3L, 5L), (4L, 4L), (3L, 4L), (10L, 11L), (11L, 10L))
+      .toDF("a", "b")
+    val cc2 = Dedup.connectedComponents(messy).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(cc2 === Map(3L -> 3L, 4L -> 3L, 5L -> 3L, 10L -> 10L, 11L -> 10L))
+    // labelComponents: nodes absent from edges are singletons of themselves
+    val nodes = (1L to 12L).toDF("id")
+    val labeled = Dedup.labelComponents(nodes, "id", messy).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(labeled(4L) == 3L && labeled(11L) == 10L)
+    assert(Seq(1L, 2L, 6L, 7L, 8L, 9L, 12L).forall(i => labeled(i) == i))
+  }
+
+  test("neardup survivors keep one doc per transitive cluster") {
+    val s = spark; import s.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and then it sleeps in the sun"
+    // 0 ~ 1 and 1 ~ 2 by construction; 0 ~ 2 may fall below threshold —
+    // pairwise dedup could keep {0, 2}, clustering must keep exactly {0, 5}
+    val docs = Seq(
+      (0L, base),
+      (1L, base.replace("lazy", "sleepy")),
+      (2L, base.replace("lazy", "sleepy").replace("quick", "rapid")),
+      (5L, "completely different words about ships and harbors at dawn tide"))
+      .toDF("doc_id", "text")
+    val surv = Dedup.neardupSurvivors(docs, "doc_id", "text", threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(surv === Array(0L, 5L))
+    val comps = Dedup.neardupComponents(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(comps(0L) == 0L && comps(1L) == 0L && comps(2L) == 0L && comps(5L) == 5L)
+  }
+
   test("charShingles signatures equal byte signatures on ASCII, diverge on CJK") {
     val s = spark; import s.implicits._
     val ascii = Seq((1L, "the quick brown fox jumps"), (2L, "pack my box with five dozen"))
