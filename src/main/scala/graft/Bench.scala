@@ -41,6 +41,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // one tiny action before timing: session init, parquet footer reader,
+    // and noop-sink classloading otherwise land entirely on the first
+    // query's number (~5s of non-query cost at sf0.1)
+    spark.read.parquet(s"$sfDir/region.parquet")
+      .write.format("noop").mode("overwrite").save()
     // optional args = query-name filter for targeted local measurement
     val selected =
       if (args.isEmpty) SparkEntry.all

@@ -55,6 +55,27 @@ object Sinks {
       .saveAsTable(table)
   }
 
+  /** Training-shard writer: the terminal sink of the curation pipeline.
+    * Packs documents into `budget`-token context shards
+    * (TextAnalysis.packByTokenBudget) and writes one directory per
+    * pack_id (`pack_id=N/`), each shard's docs sorted by id inside a
+    * single file so a training loader streams them in pack order.
+    *
+    * Scale shape: repartition BY the partition column before
+    * partitionBy — without it every task writes every pack directory
+    * (tasks × packs small files, the classic dynamic-partition-write
+    * explosion); with it each pack is one task's single file. maxRecords
+    * guards the degenerate huge-pack case. */
+  def writeTrainingShards(packed: DataFrame, id: String, path: String,
+                          maxRecordsPerFile: Int = 1000000): Unit =
+    packed
+      .repartition(col("pack_id"))
+      .sortWithinPartitions(col("pack_id"), col(id))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("pack_id")
+      .parquet(path)
+
   /** S11 — dim upsert with versioned snapshot (dwwRoutes.js:131-172): the old
     * snapshot is preserved under `backups/<name>_<version>`, then the new
     * table is written. Returns the backup path, like the reference's

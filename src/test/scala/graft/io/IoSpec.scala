@@ -40,6 +40,32 @@ class IoSpec extends SparkSpecBase {
     assert(spark.read.parquet(dir).count() === 2)
   }
 
+  test("training-shard sink: one pack directory per pack_id, one file per pack, pack-order rows") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val packed = graft.llm.TextAnalysis
+      .packByTokenBudget(docs, "doc_id", "text", budget = 4096)
+    val dir = tmpDir() + "/shards"
+    Sinks.writeTrainingShards(packed, "doc_id", dir)
+    val partDirs = Files.list(JPaths.get(dir)).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("pack_id=")).toSeq
+    val nPacks = packed.select("pack_id").distinct().count()
+    assert(partDirs.size.toLong === nPacks, "one directory per pack")
+    // each pack directory holds exactly ONE data file (repartition by
+    // pack_id prevents the tasks×packs small-file explosion)
+    partDirs.foreach { p =>
+      val files = Files.list(JPaths.get(dir, p)).iterator().asScala
+        .filter(_.toString.endsWith(".parquet")).toSeq
+      assert(files.size === 1, s"$p has ${files.size} files")
+    }
+    // roundtrip: same (doc_id → pack_id) assignment
+    val back = spark.read.parquet(dir)
+      .select(col("doc_id"), col("pack_id").cast("long").as("pack_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val want = packed.select("doc_id", "pack_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(back === want)
+  }
+
   test("S11: dim upsert preserves a versioned backup snapshot (dwwRoutes.js:131-172)") {
     val s = spark; import s.implicits._
     val base = tmpDir()
