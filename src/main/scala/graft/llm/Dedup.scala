@@ -177,8 +177,8 @@ object Dedup {
   /** k-universal coefficient pairs for the portable MinHash family, shared
     * verbatim by the Spark and DuckDB sides. Domain is 28 bits (7 hex
     * digits of md5) so a*h + b stays far below 2^63 in both engines. */
-  private[llm] val portableP = 268435399L // largest prime < 2^28
-  private[llm] def portableCoef(i: Int): (Long, Long) =
+  private[graft] val portableP = 268435399L // largest prime < 2^28
+  private[graft] def portableCoef(i: Int): (Long, Long) =
     ((2L * i + 3) * 12582917L % portableP, (i + 1) * 15485863L % portableP)
 
   /** Portable MinHash signature columns (m0..m{n-1}): ONE md5-derived

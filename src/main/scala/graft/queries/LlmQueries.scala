@@ -548,6 +548,22 @@ object LlmQueries {
              |       (max(ts) + INTERVAL 6 HOUR)::TIMESTAMP AS session_end,
              |       count(*) AS cnt, round(sum(value), 2) AS sum_value
              |FROM sess GROUP BY user_id, sid
-             |ORDER BY user_id, session_start""".stripMargin))
+             |ORDER BY user_id, session_start""".stripMargin)),
+
+    // ---- streaming near-dup flagging, batch-equivalent form: (doc,
+    // min earlier doc colliding in any portable-LSH band bucket with
+    // signature-estimate >= 0.5). Stream ≡ batch pinned in
+    // StreamDedupSpec; 1-in-5 proof slice keeps the md5 algebra cheap ----
+    QueryDef("st4_streaming_neardup",
+      (s, d) => graft.streaming.StreamDedup.flaggedBatch(
+          t(s, d, "documents").filter(col("doc_id") % 5 === 0))
+        .orderBy("doc"),
+      Some {
+        val inner = graft.streaming.StreamDedup.flaggedBatchOracleSql(
+          "docs5", "doc_id", "text")
+        s"""WITH docs5 AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+           |q AS ($inner)
+           |SELECT * FROM q ORDER BY doc""".stripMargin
+      })
   )
 }

@@ -1,0 +1,136 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.llm.Dedup
+
+/** Streaming near-duplicate flagging — the LLM-curation analog of
+  * JumpStream: documents arrive as a stream and a doc is flagged the
+  * moment it collides with an ALREADY-SEEN doc in any MinHash LSH band
+  * bucket with a signature-estimate Jaccard above the threshold.
+  *
+  * State layout is the scale-relevant part: state is keyed by
+  * (band, bucket) — NOT by doc — so each state entry holds only the
+  * signatures of one bucket's occupants (constant-ish under the LSH
+  * design: bucket occupancy is what banding bounds). A doc is routed to
+  * its `bands` buckets, each bucket compares it against its local
+  * occupants (estimate over the full signature), and the flag carries the
+  * minimum earlier colliding doc id. No cross-bucket state, no global
+  * structure: the stream shuffles (band, bucket, doc, sig) tuples exactly
+  * like the batch LSH shuffles its candidate table.
+  *
+  * Uses the PORTABLE signature family (one md5-derived 28-bit hash per
+  * shingle + k-universal transforms, Dedup.portableCoef) so the batch
+  * twin `flaggedBatch` is bit-exact oracle-checkable in DuckDB; the
+  * equivalence stream ≡ batch is pinned in StreamDedupSpec. Arrival order
+  * inside a micro-batch is normalized by sorting each bucket's group on
+  * doc id, so feeding micro-batches in id order reproduces the batch
+  * semantics ("earlier" = smaller id) exactly.
+  */
+object StreamDedup {
+
+  final case class BandedDoc(band: Int, k1: Long, k2: Long, doc: Long, sig: Seq[Long])
+  final case class DocSig(doc: Long, sig: Seq[Long])
+  final case class DupFlag(doc: Long, dupOf: Long, band: Int)
+
+  /** Portable MinHash signature as ONE pure Column (array<long> of
+    * numHashes minima) — no aggregation, so it composes with streaming
+    * stateful operators. Same values as Dedup.minhashPortable's m0..m*
+    * columns (min is insensitive to the shingle dedup). */
+  def portableSigArray(text: Column, k: Int = 5, numHashes: Int = 8): Column = {
+    val hs = transform(Dedup.shingles(text, k),
+      s => conv(substring(md5(s), 1, 7), 16, 10).cast("long"))
+    array((0 until numHashes).map { i =>
+      val (a, b) = Dedup.portableCoef(i)
+      array_min(transform(hs, h => (h * a + b) % Dedup.portableP))
+    }: _*)
+  }
+
+  private def estimate(a: Seq[Long], b: Seq[Long]): Double =
+    a.iterator.zip(b.iterator).count { case (x, y) => x == y }.toDouble / a.size
+
+  /** Route each doc to its band buckets: 4 bands of 2 signature
+    * components (the portable banding of Dedup.minhashCandidatesPortable). */
+  private def banded(docs: DataFrame, id: String, text: String, k: Int): DataFrame = {
+    val withSig = docs.select(col(id).cast("long").as("doc"),
+      portableSigArray(col(text), k).as("sig"))
+    withSig.select(col("doc"), col("sig"),
+        explode(array((0 until 4).map { b =>
+          struct(lit(b).as("band"),
+            element_at(col("sig"), 2 * b + 1).as("k1"),
+            element_at(col("sig"), 2 * b + 2).as("k2"))
+        }: _*)).as("bb"))
+      .select(col("bb.band"), col("bb.k1"), col("bb.k2"), col("doc"), col("sig"))
+  }
+
+  /** Streaming flagger: append-mode flatMapGroupsWithState keyed by
+    * (band, bucket). Emits one DupFlag per (bucket, flagged doc) naming
+    * the minimum earlier occupant above the estimate threshold; the
+    * cross-bucket minimum is a downstream distinct/min (done batch-side
+    * or at read time — an append-mode stream cannot re-aggregate). */
+  def flagStream(spark: SparkSession, docs: DataFrame, id: String = "doc_id",
+                 text: String = "text", k: Int = 5,
+                 threshold: Double = 0.5): Dataset[DupFlag] = {
+    import spark.implicits._
+    banded(docs, id, text, k).as[BandedDoc]
+      .groupByKey(d => (d.band, d.k1, d.k2))
+      .flatMapGroupsWithState[List[DocSig], DupFlag](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case ((band, _, _), ds, state: GroupState[List[DocSig]]) =>
+          var seen = state.getOption.getOrElse(Nil)
+          val out = scala.collection.mutable.ArrayBuffer.empty[DupFlag]
+          ds.toSeq.sortBy(_.doc).foreach { d =>
+            val hits = seen.iterator
+              .filter(e => e.doc < d.doc && estimate(e.sig, d.sig) >= threshold)
+              .map(_.doc)
+            if (hits.nonEmpty) out += DupFlag(d.doc, hits.min, band)
+            seen = DocSig(d.doc, d.sig) :: seen
+          }
+          state.update(seen)
+          out.iterator
+      }
+  }
+
+  /** Batch twin: (doc, dup_of) where dup_of is the minimum smaller doc
+    * sharing ANY band bucket with estimate >= threshold — exactly the
+    * distinct-min over flagStream's per-bucket flags, and expressible in
+    * SQL over the portable signature (see `flaggedBatchOracleSql`). */
+  def flaggedBatch(docs: DataFrame, id: String = "doc_id", text: String = "text",
+                   k: Int = 5, threshold: Double = 0.5): DataFrame = {
+    // checkpointed: both sides of the self-join otherwise recompute the
+    // md5-per-shingle signature build
+    val b = banded(docs, id, text, k).localCheckpoint()
+    val a = b.as("a"); val c = b.as("b")
+    a.join(c,
+        col("a.band") === col("b.band") && col("a.k1") === col("b.k1") &&
+        col("a.k2") === col("b.k2") && col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("id1"), col("b.doc").as("id2"),
+        (aggregate(zip_with(col("a.sig"), col("b.sig"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / 8.0).as("est"))
+      .where(col("est") >= threshold)
+      .groupBy(col("id2").as("doc"))
+      .agg(min(col("id1")).as("dup_of"))
+  }
+
+  /** DuckDB SQL computing the identical batch twin. */
+  def flaggedBatchOracleSql(table: String, id: String, text: String,
+                            k: Int = 5, threshold: Double = 0.5): String = {
+    val mins = Dedup.minhashPortableOracleSql(table, id, text, k, 8)
+    val est = (0 until 8).map(i => s"(a.m$i = b.m$i)::INT").mkString(" + ")
+    val bandJoins = Seq(("m0", "m1"), ("m2", "m3"), ("m4", "m5"), ("m6", "m7")).map {
+      case (x, y) =>
+        s"""SELECT a.$id AS id1, b.$id AS id2, ($est) / 8.0 AS est
+           |FROM mins a JOIN mins b
+           |  ON a.$x = b.$x AND a.$y = b.$y AND a.$id < b.$id""".stripMargin
+    }.mkString("\nUNION\n")
+    s"""WITH mins AS ($mins),
+       |cand AS (
+       |$bandJoins)
+       |SELECT id2 AS doc, min(id1) AS dup_of
+       |FROM cand WHERE est >= $threshold
+       |GROUP BY id2 ORDER BY doc""".stripMargin
+  }
+}
