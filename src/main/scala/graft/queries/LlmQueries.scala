@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.Tables
-import graft.llm.{Dedup, Ivf, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Dedup, Ivf, Multimodal, Pq, Similarity, TextAnalysis}
 import graft.streaming.EventStreams
 
 /** Training-data-pipeline operators over documents/embeddings/events:
@@ -361,6 +361,24 @@ object LlmQueries {
       },
       None),
 
+    // ---- similarity: product-quantization ANN (per-subspace k-means
+    // codebooks, ADC scoring over the compact codes table, exact rerank;
+    // rows-only: k-means codebooks are model-dependent; recall vs exact is
+    // asserted in LlmSpec) ----
+    QueryDef("sim6_pq_ann",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val q = emb.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val idx = Pq.build(emb, "vec_id", "embedding", m = 4, k = 16)
+        val out = Pq.topK(idx, emb, "vec_id", "embedding", q, "qid", "qvec",
+            kTop = 10, rerank = 50)
+          .withColumn("sim", round(col("sim"), 4))
+          .orderBy("query_id", "rank")
+        out
+      },
+      None),
+
     // ---- similarity: embedding cosine near-dup pairs (rows-only).
     // Threshold 0.4: this corpus's max pairwise cosine is ~0.51, so higher
     // thresholds are vacuously empty. Planes/tables are auto-sized from the
@@ -554,6 +572,20 @@ object LlmQueries {
     // min earlier doc colliding in any portable-LSH band bucket with
     // signature-estimate >= 0.5). Stream ≡ batch pinned in
     // StreamDedupSpec; 1-in-5 proof slice keeps the md5 algebra cheap ----
+    // ---- stream-static dim enrichment, batch-equivalent form: events
+    // broadcast-joined to the customer dim (stream≡batch in
+    // EventStreamsSpec — the static side is re-planned per micro-batch) ----
+    QueryDef("st5_stream_enrich",
+      (s, d) => EventStreams.enriched(
+          Tables.events(s, d).select("event_id", "ts", "user_id", "event_type", "value"),
+          Tables.table(s, d, "customer"), "user_id", "c_custkey",
+          Seq("c_name", "c_mktsegment"))
+        .select("event_id", "user_id", "event_type", "c_name", "c_mktsegment")
+        .orderBy("event_id"),
+      Some("""SELECT event_id, user_id, event_type, c_name, c_mktsegment
+             |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+             |ORDER BY event_id""".stripMargin)),
+
     QueryDef("st4_streaming_neardup",
       (s, d) => graft.streaming.StreamDedup.flaggedBatch(
           t(s, d, "documents").filter(col("doc_id") % 5 === 0))

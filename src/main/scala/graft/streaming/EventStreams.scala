@@ -68,6 +68,18 @@ object EventStreams {
       .withWatermark("ts", "1 day")
       .dropDuplicatesWithinWatermark(idCols :+ "ts")
 
+  /** Stream-static dimension enrichment: the fact stream broadcast-joined
+    * to a (small) dim table — the streaming face of the J-family dim
+    * joins. Structured Streaming re-plans the static side per micro-batch,
+    * so dim refreshes land without restarting the query; the broadcast
+    * keeps the stream side shuffle-free (stateless, append-safe). Works
+    * identically on a batch frame (the registry twin st5). */
+  def enriched(events: DataFrame, dim: DataFrame, eventKey: String,
+               dimKey: String, payload: Seq[String]): DataFrame = {
+    val d = dim.select((dimKey +: payload).map(col): _*)
+    events.join(broadcast(d), events(eventKey) === d(dimKey), "left").drop(d(dimKey))
+  }
+
   final case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)
   final case class SessionSummary(user_id: Long, n_events: Long, total_value: Double)
 

@@ -139,6 +139,26 @@ class LlmSpec extends SparkSpecBase {
     idx.release() // frees the cached cell assignments
   }
 
+  test("PQ ANN: ADC shortlist + exact rerank recovers most exact neighbors; self found") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 5).select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val k = 5
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, "qid", "qvec", k)
+      .select("query_id", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val idx = Pq.build(emb, "vec_id", "embedding", m = 4, k = 16)
+    val approx = Pq.topK(idx, emb, "vec_id", "embedding", q, "qid", "qvec",
+        kTop = k, rerank = 50)
+      .select("query_id", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((0L until 5L).forall(i => approx.contains((i, i))), "query must find itself")
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"PQ recall $recall too low")
+    // compression actually happened: m small ints per doc, codes in [0, k)
+    val codeStats = idx.codes.select(explode(col("codes")).as("c"))
+      .agg(min("c"), max("c")).head
+    assert(codeStats.getInt(0) >= 0 && codeStats.getInt(1) < 16)
+    idx.release()
+  }
+
   test("language ID scores stopword evidence and falls back to unknown") {
     // NOTE: the synthetic documents table uses one shared vocabulary for all
     // lang labels (verified empirically — no token is lang-specific), so

@@ -55,4 +55,27 @@ class StreamDedupSpec extends SparkSpecBase {
       assert(batch.nonEmpty, "corpus should contain near-dups")
     } finally q.stop()
   }
+
+  test("stream-static enrichment matches the batch join across micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val dim = Seq((12L, "alice", "BUILDING"), (13L, "bob", "MACHINERY"))
+      .toDF("c_custkey", "c_name", "c_mktsegment")
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+    val q = EventStreams.enriched(
+        mem.toDF().toDF("event_id", "user_id"), dim, "user_id", "c_custkey",
+        Seq("c_name", "c_mktsegment"))
+      .writeStream.format("memory").queryName("enrich_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, 12L), (2L, 99L)) // 99 has no dim row → left-join null
+      q.processAllAvailable()
+      mem.addData((3L, 13L))
+      q.processAllAvailable()
+      val out = s.sql("SELECT event_id, c_name, c_mktsegment FROM enrich_stream ORDER BY event_id")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      assert(out === Array((1L, "alice", "BUILDING"), (2L, null, null), (3L, "bob", "MACHINERY")))
+    } finally q.stop()
+  }
 }
