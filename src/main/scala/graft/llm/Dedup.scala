@@ -333,6 +333,40 @@ object Dedup {
       .select("id1", "id2", "jaccard")
   }
 
+  /** Test-set DECONTAMINATION: ids of training docs sharing any word
+    * n-gram with a benchmark corpus (the GPT-3/LLaMA-style n-gram overlap
+    * rule — training data containing eval text inflates benchmarks, so
+    * contaminated docs are dropped before training).
+    *
+    * Scale shape: benchmark corpora are SMALL by definition, so the
+    * distinct benchmark gram set broadcasts and the training side is one
+    * scan + explode + broadcast-semi-join — no shuffle of the corpus.
+    * `hashGrams = true` (default) joins on 64-bit gram hashes (8 bytes a
+    * gram through the explode); `false` keeps raw string grams,
+    * reproducible by any engine (the oracle-green registry form). */
+  def contaminatedIds(docs: DataFrame, id: String, text: String,
+                      bench: DataFrame, btext: String,
+                      n: Int = 8, hashGrams: Boolean = true): DataFrame = {
+    def gramsOf(t: Column): Column = {
+      val tk = split(lower(t), "\\s+")
+      val g = (i: Column) => concat_ws(" ", slice(tk, i, lit(n)))
+      array_distinct(transform(
+        sequence(lit(1), greatest(size(tk) - (n - 1), lit(1))),
+        i => if (hashGrams) xxhash64(g(i)) else g(i)))
+    }
+    val dg = docs.select(col(id), explode(gramsOf(col(text))).as("g"))
+    val bg = bench.select(explode(gramsOf(col(btext))).as("g")).distinct()
+    dg.join(broadcast(bg), "g").select(col(id)).distinct()
+  }
+
+  /** Training docs that survive decontamination (anti-join on the
+    * contaminated id set). */
+  def decontaminate(docs: DataFrame, id: String, text: String,
+                    bench: DataFrame, btext: String,
+                    n: Int = 8, hashGrams: Boolean = true): DataFrame =
+    docs.join(contaminatedIds(docs, id, text, bench, btext, n, hashGrams),
+      Seq(id), "left_anti")
+
   /** Connected components over an undirected edge list, via alternating
     * large-star / small-star rounds (Kiveris et al., "Connected Components
     * in MapReduce and Beyond", SoCC'14). Each round is a groupBy-min plus

@@ -77,6 +77,27 @@ object TextAnalysis {
   def fingerprint64(text: Column): Column =
     xxhash64(regexp_replace(lower(text), """\s+""", " "))
 
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1: docs whose
+    * duplicate n-gram fraction is high are boilerplate/spam): fraction of
+    * word n-grams that are repeats of an earlier occurrence, and the
+    * fraction of words covered by the single most frequent word. Pure
+    * column algebra over one token split — no UDF, oracle-reproducible
+    * with DuckDB list comprehensions. */
+  def repetitionFeatures(df: DataFrame, text: String, n: Int = 3): DataFrame = {
+    val toks = split(lower(col(text)), "\\s+")
+    val grams = transform(
+      sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(n))))
+    val topTokCount = array_max(transform(array_distinct(toks),
+      t => size(filter(toks, x => x === t))))
+    df.withColumn("n_grams", size(grams))
+      .withColumn("dup_gram_ratio",
+        round((size(grams) - size(array_distinct(grams))).cast("double") /
+          size(grams), 6))
+      .withColumn("top_word_ratio",
+        round(topTokCount.cast("double") / size(toks), 6))
+  }
+
   /** Fixed-size character chunking with overlap — the pre-tokenization
     * split of a long-document corpus. A generator (sequence + explode):
     * one pass, output rows = ceil(len/stride) per doc, no driver state. */

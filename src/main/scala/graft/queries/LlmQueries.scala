@@ -274,6 +274,56 @@ object LlmQueries {
       Some("""SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ---- Gopher-style repetition signals: duplicate word-3-gram fraction
+    // + top-word coverage (Rae et al. 2021 boilerplate/spam gates) ----
+    QueryDef("ts7_repetition",
+      (s, d) => TextAnalysis.repetitionFeatures(t(s, d, "documents"), "text")
+        .select("doc_id", "n_grams", "dup_gram_ratio", "top_word_ratio")
+        .orderBy("doc_id"),
+      Some("""WITH tk AS (
+             |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents),
+             |g AS (
+             |  SELECT doc_id,
+             |         [array_to_string(t[i:i+2], ' ')
+             |          FOR i IN generate_series(1, greatest(len(t) - 2, 1))] AS grams,
+             |         t
+             |  FROM tk)
+             |SELECT doc_id, len(grams)::INT AS n_grams,
+             |       round((len(grams) - len(list_distinct(grams))) / (len(grams) * 1.0), 6)
+             |         AS dup_gram_ratio,
+             |       round(list_max([len(list_filter(t, x -> x = w)) FOR w IN list_distinct(t)])
+             |             / (len(t) * 1.0), 6) AS top_word_ratio
+             |FROM g ORDER BY doc_id""".stripMargin)),
+
+    // ---- benchmark decontamination: drop training docs sharing any word
+    // 8-gram with the benchmark corpus (GPT-3/LLaMA overlap rule); raw
+    // string grams so the whole operator is oracle-green ----
+    QueryDef("dd7_decontaminate",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Dedup.decontaminate(
+            docs.filter(col("doc_id") % 17 =!= 0),
+            "doc_id", "text",
+            docs.filter(col("doc_id") % 17 === 0), "text",
+            n = 8, hashGrams = false)
+          .select("doc_id")
+          .orderBy("doc_id")
+      },
+      Some("""WITH grams AS (
+             |  SELECT doc_id,
+             |         [array_to_string(t[i:i+7], ' ')
+             |          FOR i IN generate_series(1, greatest(len(t) - 7, 1))] AS g
+             |  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+             |        FROM documents)),
+             |bg AS (SELECT DISTINCT unnest(g) AS gram FROM grams WHERE doc_id % 17 = 0),
+             |dirty AS (
+             |  SELECT DISTINCT d.doc_id
+             |  FROM (SELECT doc_id, unnest(g) AS gram FROM grams WHERE doc_id % 17 <> 0) d
+             |  JOIN bg USING (gram))
+             |SELECT doc_id FROM documents
+             |WHERE doc_id % 17 <> 0 AND doc_id NOT IN (SELECT doc_id FROM dirty)
+             |ORDER BY doc_id""".stripMargin)),
+
     // ---- similarity: cosine scores against a fixed query vector ----
     QueryDef("sim1_cosine_scores",
       (s, d) => {

@@ -258,6 +258,42 @@ class LlmSpec extends SparkSpecBase {
     assert(packed === Array(("10", 3, 3L, 0L), ("9", 2, 5L, 0L), ("a", 1, 6L, 1L)))
   }
 
+  test("repetition features: duplicate grams and top-word coverage") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1L, "spam spam spam spam spam spam"),          // all 3-grams identical
+      (2L, "every word here is fully distinct now"))  // no repeats
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionFeatures(df, "text")
+      .orderBy("doc_id")
+      .select("doc_id", "n_grams", "dup_gram_ratio", "top_word_ratio")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getDouble(3)))
+    // doc 1: 4 grams, 1 distinct → dup ratio 3/4; "spam" covers 6/6 words
+    assert(out(0) === ((1L, 4, 0.75, 1.0)))
+    // doc 2: 5 grams all distinct; every word covers 1/7
+    assert(out(1)._2 === 5 && out(1)._3 === 0.0)
+    assert(math.abs(out(1)._4 - 1.0 / 7) < 1e-6)
+  }
+
+  test("decontamination drops exactly the docs sharing a benchmark n-gram") {
+    val s = spark; import s.implicits._
+    val bench = Seq((100L, "the secret eval question about purple elephants in winter storms"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "training text containing the secret eval question about purple elephants in winter storms verbatim"),
+      (2L, "clean text about gardens and rivers with nothing borrowed at all here"),
+      (3L, "purple elephants appear but the full eight gram window never matches this"))
+      .toDF("doc_id", "text")
+    val surv = Dedup.decontaminate(docs, "doc_id", "text", bench, "text")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(surv === Array(2L, 3L))
+    // hashed and string gram paths agree
+    val survStr = Dedup.decontaminate(docs, "doc_id", "text", bench, "text",
+        hashGrams = false)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(survStr === surv)
+  }
+
   test("connected components: chain, star, forest, singletons") {
     val s = spark; import s.implicits._
     // chain 1-2-3-...-8 (worst case for label propagation: diameter 7)
