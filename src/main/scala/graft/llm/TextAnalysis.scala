@@ -80,16 +80,43 @@ object TextAnalysis {
   /** Gopher-style repetition signals (Rae et al. 2021 §A1.1: docs whose
     * duplicate n-gram fraction is high are boilerplate/spam): fraction of
     * word n-grams that are repeats of an earlier occurrence, and the
-    * fraction of words covered by the single most frequent word. Pure
-    * column algebra over one token split — no UDF, oracle-reproducible
-    * with DuckDB list comprehensions. */
-  def repetitionFeatures(df: DataFrame, text: String, n: Int = 3): DataFrame = {
+    * fraction of words covered by the single most frequent word. Oracle-
+    * reproducible with DuckDB list comprehensions.
+    *
+    * The default path is the fused RepetitionStats kernel (one JVM pass
+    * per doc); `fused = false` keeps the pure Column composition —
+    * higher-order functions evaluate interpreted (CodegenFallback), ~20x
+    * slower, retained as the semantic reference the kernel is spec-pinned
+    * against. */
+  def repetitionFeatures(df: DataFrame, text: String, n: Int = 3,
+                         fused: Boolean = true): DataFrame = {
+    if (fused) {
+      val rs = graft.functions.RepetitionStats(col(text), n)
+      df.withColumn("__rs", rs)
+        .withColumn("n_grams", col("__rs.n_grams"))
+        .withColumn("dup_gram_ratio", round(col("__rs.dup_gram_ratio"), 6))
+        .withColumn("top_word_ratio", round(col("__rs.top_word_ratio"), 6))
+        .drop("__rs")
+    } else composed(df, text, n)
+  }
+
+  private def composed(df: DataFrame, text: String, n: Int): DataFrame = {
     val toks = split(lower(col(text)), "\\s+")
     val grams = transform(
       sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
       i => concat_ws(" ", slice(toks, i, lit(n))))
-    val topTokCount = array_max(transform(array_distinct(toks),
-      t => size(filter(toks, x => x === t))))
+    // top word count = longest equal-run in the sorted token array:
+    // O(len log len) per doc vs the naive distinct x len scan (measured
+    // ~10s over sf0.1 documents; this form is ~1s)
+    val topTokCount = aggregate(
+      array_sort(toks),
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1).otherwise(1)
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
     df.withColumn("n_grams", size(grams))
       .withColumn("dup_gram_ratio",
         round((size(grams) - size(array_distinct(grams))).cast("double") /

@@ -275,6 +275,22 @@ class LlmSpec extends SparkSpecBase {
     assert(math.abs(out(1)._4 - 1.0 / 7) < 1e-6)
   }
 
+  test("fused repetition kernel is bit-equal to the Column composition on real docs") {
+    val s = spark; import s.implicits._
+    // hostile extras: empty, whitespace-edges, single token, all-same
+    val extras = Seq((9001L, ""), (9002L, "  padded  edges  "), (9003L, "one"),
+      (9004L, "x x x x x x x x")).toDF("doc_id", "text")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .unionByName(extras)
+    def run(fused: Boolean) =
+      TextAnalysis.repetitionFeatures(docs, "text", fused = fused)
+        .select("doc_id", "n_grams", "dup_gram_ratio", "top_word_ratio")
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getDouble(3)))
+    assert(run(true) === run(false))
+  }
+
   test("decontamination drops exactly the docs sharing a benchmark n-gram") {
     val s = spark; import s.implicits._
     val bench = Seq((100L, "the secret eval question about purple elephants in winter storms"))
