@@ -113,7 +113,11 @@ class ScaleSpec extends SparkSpecBase {
       "cur3_token_packing" -> "5/1/0/1/-",
       "ao1_asof_join" -> "2/0/0/0/p",
       "rj1_range_join" -> "1/1/0/0/p",
-      "e2e_jumps_endpoint" -> "3/5/0/0/p")
+      "e2e_jumps_endpoint" -> "3/5/0/0/p",
+      "dd6c_components_fast" -> "4/1/0/0/-",
+      "dd7_decontaminate" -> "3/2/0/0/p",
+      "ts7_repetition" -> "1/0/0/0/-",
+      "st4_streaming_neardup" -> "2/1/0/0/-")
     val drift = graft.SparkEntry.all
       .filter(q => snapshot.contains(q.name))
       .flatMap { q =>
@@ -122,7 +126,7 @@ class ScaleSpec extends SparkSpecBase {
         else Some(s"${q.name}: expected ${snapshot(q.name)}, got $live")
       }
     assert(drift.isEmpty, s"plan drift:\n${drift.mkString("\n")}")
-    assert(snapshot.size === 14)
+    assert(snapshot.size === 18)
   }
 
   test("co-bucketed tables join without an Exchange") {
