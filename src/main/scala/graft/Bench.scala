@@ -29,7 +29,9 @@ object Bench {
     "w6c_role_index", "wf1_ranking", "wf2_percentiles",
     "a7_merge_totals", "a8_density_build", "j8_dedup_probe",
     "p1_quality_filter", "o1_global_sort", "ao1_asof_join",
-    "rj1_range_join", "st3_session_windows", "mm2_frame_sample")
+    "rj1_range_join", "st3_session_windows", "mm2_frame_sample",
+    "dd6_neardup_components", "dd7_decontaminate", "ts7_repetition",
+    "sim6_pq_ann", "st4_streaming_neardup", "st5_stream_enrich")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

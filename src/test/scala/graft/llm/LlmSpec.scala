@@ -331,6 +331,33 @@ class LlmSpec extends SparkSpecBase {
     assert(Seq(1L, 2L, 6L, 7L, 8L, 9L, 12L).forall(i => labeled(i) == i))
   }
 
+  test("connected components match union-find on randomized graphs") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(42)
+    // driver-side union-find as the independent reference
+    def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // path-compress to the minimum root
+      (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+    }
+    for (trial <- 1 to 8) {
+      val n = 5 + rnd.nextInt(36)
+      val m = rnd.nextInt(2 * n)
+      val edges = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val expected = unionFind(n, edges)
+      val nodes = (0L until n.toLong).toDF("id")
+      val got = Dedup.labelComponents(nodes,
+          "id", edges.toDF("id1", "id2")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got === expected, s"trial $trial: n=$n edges=$edges")
+    }
+  }
+
   test("neardup survivors keep one doc per transitive cluster") {
     val s = spark; import s.implicits._
     val base = "the quick brown fox jumps over the lazy dog and then it sleeps in the sun"
