@@ -30,10 +30,14 @@ object Paths {
     * (parabola, wraparound, time interpolation AND jitter) then
     * hash-matches a SQL oracle (w6b). The default stays on xxhash64 (one
     * hash, no string building) for the fast path. */
-  def expand(df: DataFrame, k: Keys, maxCount: Int = 50,
-             rise: Double = 1.0, verticalOffset: Double = 0.0,
-             portableJitter: Boolean = false,
-             carry: Seq[String] = Nil): DataFrame = {
+  /** Pair detection + deterministic path ids — the pre-expansion stage
+    * (pathCreator.js:101-113): lead() over the person window, keep only
+    * consecutive rels at different studios, stamp each survivor with its
+    * path id. Shared by `expand` and by index builders (roleIndex) that
+    * need path identities but not the 51-point tracks — indexing from here
+    * instead of the expanded frame shuffles 51x less data. */
+  def pairs(df: DataFrame, k: Keys,
+            portableJitter: Boolean = false): DataFrame = {
     val w = Window.partitionBy(col(k.person)).orderBy(k.order.map(col): _*)
     val paired = df
       .withColumn("to_company", lead(col(k.company), 1).over(w))
@@ -49,13 +53,20 @@ object Paths {
           col("to_company"), col(k.timeMs))), 1, 15), 16, 10).cast("long")
       else
         xxhash64(col(k.person), col(k.company), col("to_company"), col(k.timeMs))
-    val height = pmod(pathId, lit(5000L)).cast("double") / 100.0 + 50.0
+    paired.withColumn("path_id", pathId)
+  }
+
+  def expand(df: DataFrame, k: Keys, maxCount: Int = 50,
+             rise: Double = 1.0, verticalOffset: Double = 0.0,
+             portableJitter: Boolean = false,
+             carry: Seq[String] = Nil): DataFrame = {
+    val paired = pairs(df, k, portableJitter)
+    val height = pmod(col("path_id"), lit(5000L)).cast("double") / 100.0 + 50.0
 
     val diflat = col("to_lat") - col(k.lat)
     val diflon = Scalars.lonDiff(col(k.lon), col("to_lon"))
 
     paired
-      .withColumn("path_id", pathId)
       .withColumn("seq", explode(sequence(lit(0), lit(maxCount))))
       .withColumn("lat", col(k.lat) + diflat * col("seq") / maxCount)
       .withColumn("lon", col(k.lon) + diflon * col("seq") / maxCount)
@@ -71,10 +82,12 @@ object Paths {
   }
 
   /** Role → path-id index (pathCreator.js:38-48): the visualizer's
-    * per-role path selector, `{role → [path ids]}`. `expanded` must carry
-    * the from-rel's role column (pass it via `expand(..., carry = ...)`). */
-  def roleIndex(expanded: DataFrame, role: String): DataFrame =
-    expanded.select(col(role), col("path_id")).distinct()
+    * per-role path selector, `{role → [path ids]}`. Any frame carrying the
+    * from-rel's role column plus `path_id` works; feed it `pairs(...)` (one
+    * row per path) rather than `expand(...)` (51 rows per path) — the index
+    * never needs the track points. */
+  def roleIndex(paths: DataFrame, role: String): DataFrame =
+    paths.select(col(role), col("path_id")).distinct()
       .groupBy(col(role))
       .agg(sort_array(collect_set(col("path_id"))).as("path_ids"),
            countDistinct(col("path_id")).as("n_paths"))

@@ -219,13 +219,25 @@ object TextAnalysis {
       .rowsBetween(Window.unboundedPreceding, 0)
     val local = sharded
       .withColumn("__local_cum", sum(col("n_tokens")).over(wLocal))
-    val wShard = Window.orderBy(col("__shard"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = local.groupBy(col("__shard"))
+    // Shard offsets: fold the ≤ nShards (shard, total) pairs — aggregated
+    // into ONE broadcast row — summing totals of strictly-earlier shards.
+    // Equivalent to a prefix-sum window over the totals, but with no
+    // partition-less WindowExec stage (single-partition window; Spark logs a
+    // degradation warning on every run) and no self-join that would plan the
+    // running-sum subtree twice. nShards is bounded (default 32, ~10^3 at
+    // cluster scale), so the array row is trivially broadcastable.
+    // Totals branch hangs off `local` (max of the running sum ≡ shard sum)
+    // rather than re-aggregating `sharded`: both branches then sit above the
+    // same shard exchange, which ReuseExchange dedupes — one scan + one
+    // shuffle write, instead of a second full pass over the text column.
+    val totals = local.groupBy(col("__shard"))
       .agg(max(col("__local_cum")).as("__shard_total"))
-      .withColumn("__offset", coalesce(sum(col("__shard_total")).over(wShard), lit(0L)))
-      .select(col("__shard"), col("__offset"))
-    local.join(broadcast(offsets), "__shard")
+      .agg(collect_list(struct(col("__shard"), col("__shard_total"))).as("__totals"))
+    local.crossJoin(broadcast(totals))
+      .withColumn("__offset",
+        aggregate(
+          filter(col("__totals"), t => t("__shard") < col("__shard")),
+          lit(0L), (acc, t) => acc + t("__shard_total")))
       .withColumn("cum_tokens", col("__local_cum") + col("__offset"))
       .withColumn("pack_id", ((col("cum_tokens") - col("n_tokens")) / budget).cast("long"))
       .select(col(id), col("n_tokens"), col("cum_tokens"), col("pack_id"))

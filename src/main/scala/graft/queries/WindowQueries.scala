@@ -383,7 +383,7 @@ object WindowQueries {
         // correctness harness canonicalizes rows via pandas sort/hash, which
         // cannot hash list cells. The array form stays on Paths.roleIndex.
         Paths.roleIndex(
-          Paths.expand(base, K2, portableJitter = true, carry = Seq("o_orderpriority")),
+          Paths.pairs(base, K2, portableJitter = true),
           "o_orderpriority")
           .select(col("o_orderpriority"),
             concat_ws(",", col("path_ids").cast("array<string>")).as("path_ids"),

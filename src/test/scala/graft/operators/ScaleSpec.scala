@@ -110,7 +110,9 @@ class ScaleSpec extends SparkSpecBase {
       "dd1_exact_dedup" -> "2/0/0/0/-",
       "dd3_minhash_neardup" -> "2/5/0/0/p",
       "sim4_cosine_neardup" -> "2/3/0/0/p",
-      "cur3_token_packing" -> "5/1/0/1/-",
+      // two BNLJs = the 1-row id-domain-bounds and shard-totals broadcasts
+      // (deliberate: no partition-less window, no second scan of the text)
+      "cur3_token_packing" -> "5/0/0/2/-",
       "ao1_asof_join" -> "2/0/0/0/p",
       "rj1_range_join" -> "1/1/0/0/p",
       "e2e_jumps_endpoint" -> "3/5/0/0/p",
