@@ -125,6 +125,30 @@ object TextAnalysis {
         round(topTokCount.cast("double") / size(toks), 6))
   }
 
+  /** Per-group document cap (domain capping): keep at most `k` docs per
+    * group, chosen by a deterministic content-addressed priority (md5 of
+    * the id, ties broken by the id) — a uniform-but-reproducible sample,
+    * identical on any engine.
+    *
+    * Exact two-level top-k so one hot group can't serialize: rows are
+    * salted into `nSalts` sub-groups, each keeps its local top-k (bounded
+    * window sort over group×salt partitions), and the exact cap runs over
+    * the ≤ nSalts·k survivors per group. Global top-k is a subset of the
+    * union of per-salt top-k, so the result equals the single-window form
+    * while the second window's partitions are bounded regardless of group
+    * skew. */
+  def capPerGroup(df: DataFrame, group: String, id: String, k: Int,
+                  nSalts: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val prio = md5(col(id).cast("string"))
+    val w1 = Window.partitionBy(col(group), pmod(xxhash64(col(id)), lit(nSalts)))
+      .orderBy(prio, col(id))
+    val w2 = Window.partitionBy(col(group)).orderBy(prio, col(id))
+    df.withColumn("__rn1", row_number().over(w1)).filter(col("__rn1") <= k)
+      .withColumn("cap_rank", row_number().over(w2)).filter(col("cap_rank") <= k)
+      .drop("__rn1")
+  }
+
   /** Fixed-size character chunking with overlap — the pre-tokenization
     * split of a long-document corpus. A generator (sequence + explode):
     * one pass, output rows = ceil(len/stride) per doc, no driver state. */
@@ -166,6 +190,25 @@ object TextAnalysis {
       when(col(source) === src, w).otherwise(acc)
     }
     df.filter(frac < rate)
+  }
+
+  /** Stratified train/val/test assignment: the md5 fraction of the doc id
+    * (uniform per stratum because the hash ignores the stratum) is cut at
+    * the cumulative fraction boundaries, so every stratum splits ~valFrac/
+    * ~testFrac regardless of stratum size. Deterministic and engine-
+    * portable: membership is a pure function of the id, so the split
+    * survives reshuffles, re-ingests, and incremental appends — a doc can
+    * never migrate between train and test across pipeline runs. */
+  def stratifiedSplit(df: DataFrame, id: String,
+                      valFrac: Double, testFrac: Double): DataFrame = {
+    require(valFrac >= 0 && testFrac >= 0 && valFrac + testFrac < 1,
+      "val/test fractions must be non-negative and sum below 1")
+    val frac = conv(substring(md5(col(id).cast("string")), 1, 8), 16, 10)
+      .cast("double") / 4294967296.0
+    df.withColumn("split",
+      when(frac < testFrac, "test")
+        .when(frac < testFrac + valFrac, "val")
+        .otherwise("train"))
   }
 
   /** Corpus statistics per group: docs, token totals, char totals, mean

@@ -522,6 +522,37 @@ object LlmQueries {
              |       round(avg(length(text)), 4) AS mean_chars
              |FROM documents GROUP BY source, lang ORDER BY source, lang""".stripMargin)),
 
+    // ---- per-source document cap (domain capping): at most k survivors
+    // per source by deterministic md5 priority; skew-safe salted top-k ----
+    QueryDef("cur6_source_cap",
+      (s, d) => TextAnalysis.capPerGroup(t(s, d, "documents"), "source", "doc_id", k = 10)
+        .select("doc_id", "source", "cap_rank").orderBy("doc_id"),
+      Some("""SELECT doc_id, source, cap_rank FROM (
+             |  SELECT doc_id, source,
+             |         row_number() OVER (PARTITION BY source
+             |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS cap_rank
+             |  FROM documents)
+             |WHERE cap_rank <= 10 ORDER BY doc_id""".stripMargin)),
+
+    // ---- stratified train/val/test split: hash-cut md5 fraction, stable
+    // under reshuffles and appends; per-source counts prove stratification ----
+    QueryDef("cur7_split",
+      (s, d) => TextAnalysis.stratifiedSplit(t(s, d, "documents"), "doc_id",
+          valFrac = 0.1, testFrac = 0.1)
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+        .orderBy("source", "split"),
+      Some("""SELECT source, split, count(*) AS n_docs, min(doc_id) AS first_doc
+             |FROM (SELECT source, doc_id,
+             |        CASE WHEN f < 0.1 THEN 'test'
+             |             WHEN f < 0.2 THEN 'val'
+             |             ELSE 'train' END AS split
+             |      FROM (SELECT source, doc_id,
+             |              ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+             |                / 4294967296.0 AS f
+             |            FROM documents))
+             |GROUP BY source, split ORDER BY source, split""".stripMargin)),
+
     // ---- token-budget packing via running sum ----
     QueryDef("cur3_token_packing",
       (s, d) => TextAnalysis.packByTokenBudget(t(s, d, "documents"), "doc_id", "text", budget = 256)

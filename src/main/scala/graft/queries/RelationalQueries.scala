@@ -373,6 +373,26 @@ object RelationalQueries {
              |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderkey % 10 = 0)
              |ORDER BY o_orderkey""".stripMargin)),
 
+    // ---- S13: ORC sink/source roundtrip — the columnar-format breadth of
+    // the staging tier (S3/S11 cover parquet, S5/S8 CSV, S7/S9 JSON; ORC
+    // ships in Spark and needs no extra dependency). The aggregate runs on
+    // the read-back copy, so a value or type lost in the ORC writer/reader
+    // pair would break the hash against the parquet-side oracle. ----
+    QueryDef("s13_orc_roundtrip",
+      (s, d) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-orc").toString
+        t(s, d, "documents").write.mode("overwrite").orc(tmp)
+        s.read.orc(tmp)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+               sum(col("n_chars")).as("total_chars"),
+               min(col("doc_id")).as("first_doc"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars,
+             |       min(doc_id) AS first_doc
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
     // ---- S5: CSV sink projection with comma strip (dwwApi.js:33-35) ----
     QueryDef("s5_csv_projection",
       (s, d) => t(s, d, "part")

@@ -258,6 +258,21 @@ class LlmSpec extends SparkSpecBase {
     assert(packed === Array(("10", 3, 3L, 0L), ("9", 2, 5L, 0L), ("a", 1, 6L, 1L)))
   }
 
+  test("per-group cap: salted two-level top-k equals the single-window form") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def run(salts: Int) =
+      TextAnalysis.capPerGroup(docs, "source", "doc_id", k = 10, nSalts = salts)
+        .select("doc_id", "source", "cap_rank").orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    val single = run(1) // degenerate = one plain window per group
+    assert(run(4) === single, "4 salts must match the single-window cap")
+    assert(run(16) === single, "16 salts must match the single-window cap")
+    // the cap bites: 20 sources x 25 docs -> exactly 10 survivors each
+    assert(single.length === 200)
+    assert(single.groupBy(_._2).forall(_._2.map(_._3).sorted.toSeq == (1 to 10)))
+  }
+
   test("repetition features: duplicate grams and top-word coverage") {
     val s = spark; import s.implicits._
     val df = Seq(
