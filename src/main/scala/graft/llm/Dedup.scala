@@ -458,4 +458,62 @@ object Dedup {
     val comps = neardupComponents(df, id, text, k, bands, rows, threshold, charShingles)
     df.join(comps.where(col(id) === col("component")).select(col(id)), Seq(id), "left_semi")
   }
+
+  /** Span-level duplicate coverage — the exact-substring signal of Lee et
+    * al. 2022 ("Deduplicating Training Data Makes Language Models Better":
+    * flag text sharing a long verbatim token span with another document),
+    * re-shaped for Spark. A suffix array is a single-machine structure;
+    * the distributed equivalent is the inverted index of L-token rolling
+    * grams: a position whose gram also occurs in >= minDf distinct docs is
+    * "shared", and a run of R consecutive shared positions witnesses a
+    * verbatim span of R + L - 1 tokens common with some other doc.
+    *
+    * Per doc: total gram positions, shared positions, their ratio, and the
+    * longest shared span. No pair join anywhere — cost is linear in the
+    * corpus token count (one explode, one gram-frequency aggregate, one
+    * semi-join back, a per-doc window over shared positions only).
+    *
+    * `hashGrams = true` shuffles 8-byte xxhash64 gram keys instead of the
+    * L-token strings (the production path; identical up to 64-bit
+    * collisions). `false` keeps raw strings so any engine reproduces the
+    * output bit-for-bit (dd8's DuckDB oracle). */
+  def spanCoverage(df: DataFrame, id: String, text: String, l: Int = 8,
+                   minDf: Int = 2, hashGrams: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = split(lower(col(text)), "\\s+")
+    val nGrams = greatest(size(toks) - (l - 1), lit(1))
+    val gramArr = transform(sequence(lit(1), nGrams), i => {
+      val g = concat_ws(" ", slice(toks, i, lit(l)))
+      if (hashGrams) xxhash64(g).cast("string") else g
+    })
+    val positions = df.select(col(id), posexplode(gramArr).as(Seq("pos", "gram")))
+    // inverted index in ONE shuffle: group every (doc, pos) occurrence
+    // under its gram, keep grams seen in >= minDf distinct docs, re-emit
+    // their occurrences. (The groupBy-df-then-semi-join form shuffles the
+    // full position table twice; carrying the occurrence list through the
+    // single aggregate halves the shuffled volume.) A gram repeated only
+    // inside one doc is not shared.
+    val marked = positions.groupBy(col("gram"))
+      .agg(collect_list(struct(col(id), col("pos"))).as("occs"))
+      .filter(size(array_distinct(transform(col("occs"), o => o(id)))) >= minDf)
+      .select(explode(col("occs")).as("occ"))
+      .select(col(s"occ.$id").as(id), col("occ.pos").as("pos"))
+    // gaps-and-islands: pos - row_number is constant within a consecutive
+    // run of shared positions
+    val w = Window.partitionBy(col(id)).orderBy(col("pos"))
+    val perDoc = marked
+      .withColumn("__grp", col("pos") - row_number().over(w))
+      .groupBy(col(id), col("__grp")).agg(count(lit(1)).as("run"))
+      .groupBy(col(id))
+      .agg(sum(col("run")).as("n_shared"), max(col("run")).as("max_run"))
+    df.select(col(id), nGrams.cast("long").as("n_grams"))
+      .join(perDoc, Seq(id), "left")
+      .select(col(id), col("n_grams"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        round(coalesce(col("n_shared"), lit(0L)).cast("double") / col("n_grams"), 6)
+          .as("dup_span_ratio"),
+        when(coalesce(col("max_run"), lit(0L)) > 0,
+          coalesce(col("max_run"), lit(0L)) + (l - 1)).otherwise(0L)
+          .as("longest_span_tokens"))
+  }
 }

@@ -324,6 +324,46 @@ object LlmQueries {
              |WHERE doc_id % 17 <> 0 AND doc_id NOT IN (SELECT doc_id FROM dirty)
              |ORDER BY doc_id""".stripMargin)),
 
+    // ---- span-level duplicate coverage (ExactSubstr signal, Lee et al.
+    // 2022): per doc, positions whose 8-token gram recurs in other docs +
+    // the longest verbatim shared span; inverted gram index, no pair join.
+    // Raw string grams so the whole signal is oracle-green. ----
+    QueryDef("dd8_span_coverage",
+      (s, d) => Dedup.spanCoverage(t(s, d, "documents"), "doc_id", "text",
+          l = 8, hashGrams = false)
+        .orderBy("doc_id"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+             |  FROM documents),
+             |pos0 AS (
+             |  SELECT doc_id, t,
+             |         unnest(generate_series(1, greatest(len(t) - 7, 1))) AS pos
+             |  FROM toks),
+             |positions AS (
+             |  SELECT doc_id, pos, array_to_string(t[pos:pos+7], ' ') AS gram
+             |  FROM pos0),
+             |shared AS (
+             |  SELECT gram FROM positions
+             |  GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+             |marked AS (
+             |  SELECT doc_id, pos FROM positions JOIN shared USING (gram)),
+             |runs AS (
+             |  SELECT doc_id,
+             |         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+             |  FROM marked),
+             |run_lens AS (
+             |  SELECT doc_id, grp, count(*) AS run FROM runs GROUP BY doc_id, grp),
+             |per_doc AS (
+             |  SELECT doc_id, sum(run) AS n_shared, max(run) AS max_run
+             |  FROM run_lens GROUP BY doc_id)
+             |SELECT d.doc_id, greatest(len(t) - 7, 1)::BIGINT AS n_grams,
+             |       coalesce(p.n_shared, 0)::BIGINT AS n_shared,
+             |       round(coalesce(p.n_shared, 0) / greatest(len(t) - 7, 1), 6) AS dup_span_ratio,
+             |       (CASE WHEN coalesce(p.max_run, 0) > 0
+             |             THEN p.max_run + 7 ELSE 0 END)::BIGINT AS longest_span_tokens
+             |FROM toks d LEFT JOIN per_doc p USING (doc_id)
+             |ORDER BY d.doc_id""".stripMargin)),
+
     // ---- similarity: cosine scores against a fixed query vector ----
     QueryDef("sim1_cosine_scores",
       (s, d) => {

@@ -258,6 +258,27 @@ class LlmSpec extends SparkSpecBase {
     assert(packed === Array(("10", 3, 3L, 0L), ("9", 2, 5L, 0L), ("a", 1, 6L, 1L)))
   }
 
+  test("span coverage: shared verbatim spans are found and measured") {
+    val s = spark; import s.implicits._
+    // a 10-token block shared verbatim between docs 1 and 2
+    val common = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val df = Seq(
+      (1L, s"one two three $common x1 y1 z1"),
+      (2L, s"$common p2 q2 r2 s2 t2"),
+      (3L, "totally unrelated words only here nothing shared at all today")
+    ).toDF("doc_id", "text")
+    def run(hashed: Boolean) =
+      Dedup.spanCoverage(df, "doc_id", "text", l = 8, hashGrams = hashed)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+    val byString = run(false)
+    // doc 1: 16 tokens -> 9 gram positions; the 8-grams lying fully inside
+    // the common block start at positions 4..6 -> run of 3 -> span 3+7=10
+    // tokens (exactly the planted block). doc 3: nothing shared.
+    assert(byString === Array((1L, 9L, 3L, 10L), (2L, 8L, 3L, 10L), (3L, 3L, 0L, 0L)))
+    assert(run(true) === byString, "hashed grams must reproduce the string-gram signal")
+  }
+
   test("per-group cap: salted two-level top-k equals the single-window form") {
     import org.apache.spark.sql.expressions.Window
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
