@@ -119,7 +119,9 @@ class ScaleSpec extends SparkSpecBase {
       "dd6c_components_fast" -> "4/1/0/0/-",
       "dd7_decontaminate" -> "3/2/0/0/p",
       "ts7_repetition" -> "1/0/0/0/-",
-      "st4_streaming_neardup" -> "2/1/0/0/-")
+      "st4_streaming_neardup" -> "2/1/0/0/-",
+      "dd8_span_coverage" -> "3/1/0/0/-",
+      "cur6_source_cap" -> "3/0/0/0/-")
     val drift = graft.SparkEntry.all
       .filter(q => snapshot.contains(q.name))
       .flatMap { q =>
@@ -128,7 +130,7 @@ class ScaleSpec extends SparkSpecBase {
         else Some(s"${q.name}: expected ${snapshot(q.name)}, got $live")
       }
     assert(drift.isEmpty, s"plan drift:\n${drift.mkString("\n")}")
-    assert(snapshot.size === 18)
+    assert(snapshot.size === 20)
   }
 
   test("co-bucketed tables join without an Exchange") {
