@@ -459,6 +459,27 @@ object Dedup {
     df.join(comps.where(col(id) === col("component")).select(col(id)), Seq(id), "left_semi")
   }
 
+  /** Incremental exact dedup: the steady-state shape of a production
+    * pipeline — a NEW batch arrives and must be deduped against the
+    * already-ingested corpus without rescanning it. Drops new docs whose
+    * content hash already exists in the corpus (anti-join against the
+    * corpus's distinct hash set — at scale that set is the pipeline's
+    * persisted dedup index, not a rescan), then first-wins within the
+    * batch itself.
+    *
+    * Scale shape: only (hash, id) pairs move; the corpus side reduces to
+    * distinct hashes (partial-agg before the shuffle), the batch side is
+    * one hash anti-join + one first-wins aggregate. */
+  def incrementalExact(batch: DataFrame, corpus: DataFrame,
+                       id: String, text: String): DataFrame = {
+    val h = md5(col(text))
+    val seen = corpus.select(h.as("__h")).distinct()
+    val fresh = batch.withColumn("__h", h)
+      .join(seen, Seq("__h"), "left_anti")
+    val firstWins = fresh.groupBy(col("__h")).agg(min(col(id)).as(id))
+    fresh.join(firstWins, Seq("__h", id), "left_semi").drop("__h")
+  }
+
   /** Span-level duplicate coverage — the exact-substring signal of Lee et
     * al. 2022 ("Deduplicating Training Data Makes Language Models Better":
     * flag text sharing a long verbatim token span with another document),

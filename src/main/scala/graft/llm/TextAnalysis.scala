@@ -192,6 +192,40 @@ object TextAnalysis {
     df.filter(frac < rate)
   }
 
+  /** Deterministic corpus shuffle: assign every doc a global shuffle
+    * position = its exact rank under the md5 priority of the id (ties by
+    * id). Training-data loaders read the corpus in shuffle_pos order, so
+    * this is the "shuffle the dataset" step — reproducible across runs
+    * and engines because the permutation is a pure function of the ids.
+    *
+    * Exact global rank without a global sort funnel: the md5 hex prefix
+    * is range-sharded (the shard key is a prefix of the sort key, so it's
+    * monotone in the priority), each shard ranks locally in parallel, and
+    * shard offsets come from folding the per-shard counts aggregated into
+    * one broadcast row — the same two-level shape as packByTokenBudget. */
+  def corpusShuffle(df: DataFrame, id: String, nShards: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nShards >= 1 && nShards <= 256, "nShards must be in [1, 256]")
+    val prio = md5(col(id).cast("string"))
+    val sharded = df
+      .withColumn("__prio", prio)
+      .withColumn("__shard",
+        (conv(substring(col("__prio"), 1, 2), 16, 10).cast("int") * nShards / 256)
+          .cast("int"))
+    val wLocal = Window.partitionBy(col("__shard")).orderBy(col("__prio"), col(id))
+    val local = sharded.withColumn("__local_rank", row_number().over(wLocal))
+    val counts = local.groupBy(col("__shard"))
+      .agg(max(col("__local_rank")).as("__n"))
+      .agg(collect_list(struct(col("__shard"), col("__n"))).as("__counts"))
+    local.crossJoin(broadcast(counts))
+      .withColumn("__offset",
+        aggregate(
+          filter(col("__counts"), c => c("__shard") < col("__shard")),
+          lit(0L), (acc, c) => acc + c("__n")))
+      .withColumn("shuffle_pos", col("__offset") + col("__local_rank"))
+      .drop("__prio", "__shard", "__local_rank", "__counts", "__offset")
+  }
+
   /** Stratified train/val/test assignment: the md5 fraction of the doc id
     * (uniform per stratum because the hash ignores the stratum) is cut at
     * the cumulative fraction boundaries, so every stratum splits ~valFrac/

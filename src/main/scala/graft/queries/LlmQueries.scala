@@ -364,6 +364,32 @@ object LlmQueries {
              |FROM toks d LEFT JOIN per_doc p USING (doc_id)
              |ORDER BY d.doc_id""".stripMargin)),
 
+    // ---- incremental exact dedup: a new batch anti-joined against the
+    // already-ingested corpus's hash set, then first-wins in-batch ----
+    QueryDef("dd9_incremental_dedup",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Dedup.incrementalExact(
+            docs.filter(col("doc_id") % 7 === 0),
+            docs.filter(col("doc_id") % 7 =!= 0), "doc_id", "text")
+          .select("doc_id").orderBy("doc_id")
+      },
+      Some("""WITH fresh AS (
+             |  SELECT doc_id, md5(text) AS h FROM documents
+             |  WHERE doc_id % 7 = 0
+             |    AND md5(text) NOT IN (SELECT md5(text) FROM documents WHERE doc_id % 7 <> 0))
+             |SELECT min(doc_id) AS doc_id FROM fresh GROUP BY h
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---- deterministic corpus shuffle: exact global rank under the md5
+    // priority, two-level (range-sharded) so no global sort funnel ----
+    QueryDef("cur8_corpus_shuffle",
+      (s, d) => TextAnalysis.corpusShuffle(t(s, d, "documents"), "doc_id")
+        .select("doc_id", "shuffle_pos").orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |       row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS shuffle_pos
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // ---- similarity: cosine scores against a fixed query vector ----
     QueryDef("sim1_cosine_scores",
       (s, d) => {

@@ -258,6 +258,32 @@ class LlmSpec extends SparkSpecBase {
     assert(packed === Array(("10", 3, 3L, 0L), ("9", 2, 5L, 0L), ("a", 1, 6L, 1L)))
   }
 
+  test("incremental dedup: corpus hits and in-batch dups both drop") {
+    val s = spark; import s.implicits._
+    val corpus = Seq((1L, "already ingested text"), (2L, "other old text")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "already ingested text"),  // dup of corpus doc 1 -> dropped
+      (11L, "brand new text"),         // survives
+      (12L, "brand new text"),         // in-batch dup of 11 -> dropped
+      (13L, "another new one")         // survives
+    ).toDF("doc_id", "text")
+    val kept = Dedup.incrementalExact(batch, corpus, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept === Array(11L, 13L))
+  }
+
+  test("corpus shuffle: two-level rank equals the global permutation") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def run(shards: Int) =
+      TextAnalysis.corpusShuffle(docs, "doc_id", nShards = shards)
+        .select("doc_id", "shuffle_pos").orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+    val single = run(1) // degenerate = one global sort
+    assert(run(32) === single, "32 shards must reproduce the global rank")
+    // a permutation: every position 1..n exactly once
+    assert(single.map(_._2).sorted === (1L to single.length).toArray)
+  }
+
   test("span coverage: shared verbatim spans are found and measured") {
     val s = spark; import s.implicits._
     // a 10-token block shared verbatim between docs 1 and 2
