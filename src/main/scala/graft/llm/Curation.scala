@@ -45,6 +45,29 @@ object Curation {
     Seq((16, 2), (8, 4), (4, 8), (2, 16))
       .minBy { case (b, r) => math.abs(math.pow(1.0 / b, 1.0 / r) - threshold) }
 
+  /** Fully deterministic curation pass: the end-to-end corpus build with
+    * every stage a pure md5-derived function of (id, text) — unlike
+    * `curated` (whose LSH tail is xxhash64-keyed), the whole pipeline is
+    * reproducible bit-for-bit by any engine, so the COMPOSITION itself is
+    * oracle-checkable (cur9), not just its stages.
+    *
+    * Stages, each shrinking what the next touches: quality + language
+    * gates and first-wins exact dedup (`exactCurated`, one gated scan) →
+    * benchmark decontamination (gram set broadcast) → per-source cap
+    * (salted exact top-k) → stratified split (hash-cut) → deterministic
+    * corpus shuffle (two-level exact rank). */
+  def deterministicPass(docs: DataFrame, id: String, text: String,
+                        source: String, benchmark: DataFrame,
+                        cfg: Config = Config(), capK: Int = 15,
+                        valFrac: Double = 0.1, testFrac: Double = 0.1): DataFrame = {
+    val exact = exactCurated(docs, id, text, cfg)
+    val clean = Dedup.decontaminate(exact, id, text, benchmark, text,
+      n = 8, hashGrams = false)
+    val capped = TextAnalysis.capPerGroup(clean, source, id, capK)
+    TextAnalysis.corpusShuffle(
+      TextAnalysis.stratifiedSplit(capped, id, valFrac, testFrac), id)
+  }
+
   /** Stage 3: drop the higher-id member of every verified near-dup pair. */
   def curated(docs: DataFrame, id: String, text: String,
               cfg: Config = Config()): DataFrame = {

@@ -147,6 +147,70 @@ object PipelineQueries {
             nearDupThreshold = 0.85))
         .select("doc_id", "lang_pred", "quality_score")
         .orderBy("doc_id"),
-      None)
+      None),
+
+    // ---- cur9: the fully deterministic curation pass — gates → exact
+    // dedup → decontamination → per-source cap → split → shuffle, every
+    // stage md5-derived, so the COMPOSITION itself is hash-checked against
+    // one DuckDB query (cur1's LSH tail keeps it rows-only; this is the
+    // engine-portable twin of the whole pipeline) ----
+    QueryDef("cur9_curation_deterministic",
+      (s, d) => {
+        val docs = Tables.table(s, d, "documents")
+        graft.llm.Curation.deterministicPass(
+            docs.filter(col("doc_id") % 17 =!= 0), "doc_id", "text", "source",
+            docs.filter(col("doc_id") % 17 === 0))
+          .select("doc_id", "source", "cap_rank", "split", "shuffle_pos")
+          .orderBy("doc_id")
+      },
+      Some {
+        val langs = graft.llm.TextAnalysis.stopwords.toSeq.sortBy(_._1)
+        val scoreCols = langs.map { case (l, ws) =>
+          s"len(list_intersect(tk, [${ws.map(w => s"'$w'").mkString(", ")}])) AS s_$l"
+        }.mkString(",\n  ")
+        val names = langs.map { case (l, _) => s"s_$l" }
+        val pick = langs.map { case (l, _) => s"WHEN s_$l = b THEN '$l'" }.mkString(" ")
+        s"""WITH train AS (
+           |  SELECT doc_id, source, text FROM documents WHERE doc_id % 17 <> 0),
+           |toks AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS tk FROM train),
+           |sc AS (SELECT doc_id, $scoreCols FROM toks),
+           |best AS (SELECT doc_id, ${names.mkString(", ")},
+           |                greatest(${names.mkString(", ")}) AS b FROM sc),
+           |lang AS (SELECT doc_id,
+           |  CASE WHEN b > 0 AND (${names.map(n => s"($n = b)::INT").mkString(" + ")}) = 1
+           |       THEN CASE $pick END ELSE 'unknown' END AS lang_pred FROM best),
+           |quality AS (SELECT doc_id, round(greatest(0.0, least(1.0,
+           |    1.0 - abs(((length(text) - (length(text) - length(replace(text, ' ', '')))) /
+           |               (length(text) - length(replace(text, ' ', '')) + 1.0)) - 5.0) / 10.0
+           |        - (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) / (length(text) * 1.0)
+           |        - (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) / (length(text) * 1.0)
+           |  )), 6) AS q FROM train),
+           |gated AS (SELECT t.doc_id, t.source, t.text,
+           |                 md5(regexp_replace(lower(t.text), '\\s+', ' ', 'g')) AS fp
+           |          FROM train t JOIN lang USING (doc_id) JOIN quality USING (doc_id)
+           |          WHERE lang_pred = 'en' AND q >= 0.3),
+           |keep AS (SELECT fp, min(doc_id) AS doc_id FROM gated GROUP BY fp),
+           |exact AS (SELECT g.* FROM gated g JOIN keep k ON g.fp = k.fp AND g.doc_id = k.doc_id),
+           |bg AS (SELECT DISTINCT unnest([array_to_string(t[i:i+7], ' ')
+           |          FOR i IN generate_series(1, greatest(len(t) - 7, 1))]) AS gram
+           |       FROM (SELECT string_split_regex(lower(text), '\\s+') AS t
+           |             FROM documents WHERE doc_id % 17 = 0)),
+           |eg AS (SELECT doc_id, unnest([array_to_string(t[i:i+7], ' ')
+           |          FOR i IN generate_series(1, greatest(len(t) - 7, 1))]) AS gram
+           |       FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM exact)),
+           |dirty AS (SELECT DISTINCT doc_id FROM eg JOIN bg USING (gram)),
+           |clean AS (SELECT * FROM exact WHERE doc_id NOT IN (SELECT doc_id FROM dirty)),
+           |capped AS (SELECT doc_id, source, cap_rank FROM (
+           |    SELECT doc_id, source,
+           |           row_number() OVER (PARTITION BY source
+           |             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS cap_rank
+           |    FROM clean) WHERE cap_rank <= 15)
+           |SELECT doc_id, source, cap_rank::INT AS cap_rank,
+           |       CASE WHEN f < 0.1 THEN 'test' WHEN f < 0.2 THEN 'val' ELSE 'train' END AS split,
+           |       row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS shuffle_pos
+           |FROM (SELECT *, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           |                / 4294967296.0 AS f FROM capped)
+           |ORDER BY doc_id""".stripMargin
+      })
   )
 }
