@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.Tables
 import graft.analytics.Catalog
-import graft.io.Sources
+import graft.io.{Sinks, Sources}
 
 /** SURVEY.md §2.2 filters (P1-P8), §2.3 joins (J1-J9), §2.4 catalog aggs
   * (A1-A7, A10), §2.6 sorts (O1-O4), §2.1 source ops (S2, S5) — each over
@@ -392,6 +392,40 @@ object RelationalQueries {
       Some("""SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars,
              |       min(doc_id) AS first_doc
              |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // ---- S3 roundtrip: partitioned sink → pruned read-back. The filter
+    // hits the partition directory (PartitionFilters, proven in ScaleSpec);
+    // values that crossed the dir-encoding boundary must still hash-match
+    // the parquet-side oracle. ----
+    QueryDef("s3b_partitioned_roundtrip",
+      (s, d) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-part-rt").toString
+        Sinks.writePartitioned(t(s, d, "customer"), tmp, Seq("c_mktsegment"))
+        s.read.parquet(tmp).filter(col("c_mktsegment") === "BUILDING")
+          .groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("n_cust"), round(sum(col("c_acctbal")), 2).as("total_bal"))
+          .orderBy("c_nationkey")
+      },
+      Some("""SELECT c_nationkey, count(*) AS n_cust,
+             |       round(sum(c_acctbal), 2) AS total_bal
+             |FROM customer WHERE c_mktsegment = 'BUILDING'
+             |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)),
+
+    // ---- S8 roundtrip: CSV sink → header/inferSchema source. CSV
+    // stringifies every value, so the aggregate on the read-back copy
+    // catches quoting/typing loss in either direction. ----
+    QueryDef("s8b_csv_roundtrip",
+      (s, d) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-csv-rt").toString
+        Sinks.writeCsv(t(s, d, "nation"), tmp,
+          Seq("n_nationkey", "n_name", "n_regionkey"))
+        Sources.csv(s, tmp)
+          .groupBy(col("n_regionkey").cast("long").as("n_regionkey"))
+          .agg(count(lit(1)).as("n_nations"), min(col("n_name")).as("first_name"))
+          .orderBy("n_regionkey")
+      },
+      Some("""SELECT n_regionkey, count(*) AS n_nations, min(n_name) AS first_name
+             |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)),
 
     // ---- S5: CSV sink projection with comma strip (dwwApi.js:33-35) ----
     QueryDef("s5_csv_projection",
