@@ -529,9 +529,16 @@ object LlmQueries {
     QueryDef("mm3_features",
       (s, d) => Multimodal.extractFeatures(
           Multimodal.asMediaTable(t(s, d, "documents"), "doc_id", "text"), dim = 8)
-        .select(col("media_id"), round(element_at(col("features"), 1), 4).as("f0"))
+        .select(col("media_id"),
+          round(element_at(col("features"), 1).cast("double"), 4).as("f0"))
         .orderBy("media_id"),
-      None),
+      // static-fixture oracle: the stub decode reimplemented independently
+      // in Python (tools/make_fixtures.py make_mm3 — signed-byte fold, LCG,
+      // float32 division), so the whole mapPartitions plumbing hash-checks
+      Some("""SELECT media_id, f0
+             |FROM read_parquet('/root/repo/fixtures/mm3_features.parquet')
+             |WHERE sf_key = (SELECT sum(n_chars) FROM documents)
+             |ORDER BY media_id""".stripMargin)),
 
     // ---- document chunking: fixed windows with overlap ----
     QueryDef("ts5_chunking",

@@ -142,7 +142,39 @@ def make_e2e_grouped_csv():
     print("e2e grouped csv rows:", len(recs))
 
 
+def make_mm3():
+    """mm3_features: independent reimplementation of Multimodal.decodeStub
+    (FNV-ish fold over SIGNED utf-8 bytes, one LCG step, ((h>>>40) % 1000)
+    / 1000.0f in float32), then Spark's HALF_UP round to 4dp on the double
+    promotion. Proves the whole mapPartitions plumbing end-to-end."""
+    import numpy as np
+    mask = (1 << 64) - 1
+    recs = []
+    for sf in SFS:
+        rows = con.execute(
+            f"SELECT doc_id, text FROM '{sf}/documents.parquet' ORDER BY doc_id").fetchall()
+        # documents has the SAME row count at sf0.001 and sf0.01 (different
+        # content), so the slice key is sum(n_chars), not count(*)
+        n = con.execute(
+            f"SELECT sum(n_chars) FROM '{sf}/documents.parquet'").fetchone()[0]
+        for doc_id, text in rows:
+            data = (text or "").encode("utf-8")
+            h = 1125899906842597
+            for b in data:
+                sb = b - 256 if b >= 128 else b
+                h = (31 * h + sb) & mask
+            h = (h * 6364136223846793005 + 1442695040888963407) & mask
+            x = float(np.float32((h >> 40) % 1000) / np.float32(1000.0))
+            recs.append((n, doc_id, math.floor(x * 10000 + 0.5) / 10000.0))
+    con.execute("""CREATE OR REPLACE TABLE mm3(
+        sf_key BIGINT, media_id BIGINT, f0 DOUBLE)""")
+    con.executemany("INSERT INTO mm3 VALUES (?, ?, ?)", recs)
+    con.execute(f"COPY mm3 TO '{OUT}/mm3_features.parquet' (FORMAT PARQUET)")
+    print("mm3 rows:", len(recs))
+
+
 if __name__ == "__main__":
     make_f4()
     make_e2e_endpoint()
     make_e2e_grouped_csv()
+    make_mm3()
