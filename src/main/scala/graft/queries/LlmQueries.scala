@@ -740,6 +740,27 @@ object LlmQueries {
              |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
              |ORDER BY event_id""".stripMargin)),
 
+    // ---- stream-stream interval join (clicks ⋈ same-user views in the
+    // preceding day): both sides buffer watermark-bounded state; the batch
+    // twin runs the identical code path (EventStreamsSpec proves
+    // stream≡batch over memory streams) ----
+    QueryDef("st6_stream_stream_join",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        EventStreams.clickViewJoin(
+            ev.filter(col("event_type") === "click"),
+            ev.filter(col("event_type") === "view"))
+          .select("user_id", "click_ts", "event_id", "value", "view_ts", "view_value")
+          .orderBy("user_id", "click_ts", "event_id", "view_ts")
+      },
+      Some("""SELECT c.user_id, c.ts::TIMESTAMP AS click_ts, c.event_id, c.value,
+             |       v.ts::TIMESTAMP AS view_ts, v.value AS view_value
+             |FROM events c JOIN events v
+             |  ON c.event_type = 'click' AND v.event_type = 'view'
+             | AND c.user_id = v.user_id
+             | AND v.ts BETWEEN c.ts - INTERVAL 1 DAY AND c.ts
+             |ORDER BY c.user_id, click_ts, c.event_id, view_ts""".stripMargin)),
+
     QueryDef("st4_streaming_neardup",
       (s, d) => graft.streaming.StreamDedup.flaggedBatch(
           t(s, d, "documents").filter(col("doc_id") % 5 === 0))

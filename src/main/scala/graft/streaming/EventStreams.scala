@@ -80,6 +80,30 @@ object EventStreams {
     events.join(broadcast(d), events(eventKey) === d(dimKey), "left").drop(d(dimKey))
   }
 
+  /** Stream-stream interval join: each click matched to the same user's
+    * views in the preceding `horizon` — the Structured Streaming join shape
+    * where BOTH sides buffer state. The watermark plus the time-range
+    * predicate bound that state (rows age out once the other side's
+    * watermark passes them), so the join runs forever; out-of-order
+    * arrival is correct up to the watermark delay. `withWatermark` is a
+    * no-op on batch frames, so the identical code path is the registry
+    * twin (st6) and the batch side of the spec's stream≡batch proof. */
+  def clickViewJoin(clicks: DataFrame, views: DataFrame,
+                    horizon: String = "1 day"): DataFrame = {
+    val c = clicks
+      .select(col("user_id"), col("ts").as("click_ts"), col("event_id"), col("value"))
+      .withWatermark("click_ts", "1 day")
+    val v = views
+      .select(col("user_id").as("v_user_id"), col("ts").as("view_ts"),
+        col("value").as("view_value"))
+      .withWatermark("view_ts", "1 day")
+    c.join(v,
+        col("user_id") === col("v_user_id") &&
+        col("view_ts") >= col("click_ts") - expr(s"INTERVAL $horizon") &&
+        col("view_ts") <= col("click_ts"))
+      .drop("v_user_id")
+  }
+
   final case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)
   final case class SessionSummary(user_id: Long, n_events: Long, total_value: Double)
 

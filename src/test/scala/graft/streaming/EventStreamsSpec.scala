@@ -152,6 +152,46 @@ class EventStreamsSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("stream-stream interval join equals the batch twin") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val clicks = Seq(
+      (1L, "2024-01-01 09:00:00", 102L, 1.0),  // matches u1's 08:00 view
+      (1L, "2024-01-02 10:00:00", 103L, 2.0),  // 26h after it -> outside horizon
+      (2L, "2024-01-01 11:00:00", 105L, 3.0)   // u2's view is AFTER the click
+    ).map { case (u, t, id, v) => (u, java.sql.Timestamp.valueOf(t), id, v) }
+    val views = Seq(
+      (1L, "2024-01-01 08:00:00", 10.0),
+      (2L, "2024-01-01 12:00:00", 20.0)
+    ).map { case (u, t, v) => (u, java.sql.Timestamp.valueOf(t), v) }
+    val clicksDf = clicks.toDF("user_id", "ts", "event_id", "value")
+    val viewsDf = views.toDF("user_id", "ts", "value")
+    val batch = EventStreams.clickViewJoin(clicksDf, viewsDf)
+
+    val memC = MemoryStream[(Long, java.sql.Timestamp, Long, Double)]
+    val memV = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val q = EventStreams.clickViewJoin(
+        memC.toDF().toDF("user_id", "ts", "event_id", "value"),
+        memV.toDF().toDF("user_id", "ts", "value"))
+      .writeStream.format("memory").queryName("ssj_test")
+      .outputMode("append").start()
+    try {
+      // views before clicks across separate micro-batches: the join must
+      // buffer the view side until the matching click arrives
+      memV.addData(views: _*)
+      q.processAllAvailable()
+      memC.addData(clicks: _*)
+      q.processAllAvailable()
+      val streamed = s.sql("SELECT * FROM ssj_test")
+      assert(streamed.except(batch).count() === 0)
+      assert(batch.except(streamed).count() === 0)
+      val out = streamed.collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getDouble(5)))
+      assert(out === Array((1L, 102L, 10.0)))
+    } finally q.stop()
+  }
+
   test("per-user session summaries fold counts and totals (mapGroupsWithState)") {
     val s = spark
     import s.implicits._
