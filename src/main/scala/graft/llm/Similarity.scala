@@ -154,6 +154,42 @@ object Similarity {
     cands.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** DuckDB SQL computing cosineNearDupPairs(threshold, nPlanes, nTables)
+    * bit-for-bit, sim rounded 4dp. The SAME plane constants are inlined
+    * into both engines (Double.toString round-trips exactly), a bucket is
+    * an order-free sum of disjoint sign bits, and every dot product folds
+    * left-to-right over doubles in both engines (DuckDB list_dot_product ≡
+    * the zip_with/aggregate chain), so even the float sign decisions and
+    * the threshold filter agree bit-for-bit — the ANN bucketing machinery
+    * itself becomes oracle-checkable (sim4b). */
+  def cosineNearDupPortableOracleSql(table: String, id: String, vec: String,
+                                     threshold: Double, nPlanes: Int,
+                                     nTables: Int, dim: Int,
+                                     seed: Long = 42L): String = {
+    val ps = planes(nTables * nPlanes, dim, seed)
+    def planeLit(p: Array[Double]): String =
+      p.map(java.lang.Double.toString).mkString("[", ", ", "]")
+    val tableSelects = (0 until nTables).map { t =>
+      val bits = (0 until nPlanes).map { j =>
+        val weight = 1L << (nPlanes - 1 - j)
+        s"(CASE WHEN list_dot_product(v, ${planeLit(ps(t * nPlanes + j))}) >= 0 THEN ${weight} ELSE 0 END)"
+      }.mkString("\n       + ")
+      s"SELECT $id, $t AS tbl,\n       $bits AS bucket\n  FROM emb"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH emb AS (SELECT $id, $vec::DOUBLE[] AS v FROM $table),
+       |b AS (
+       |  $tableSelects),
+       |pairs AS (
+       |  SELECT DISTINCT a.$id AS id1, b2.$id AS id2
+       |  FROM b a JOIN b b2
+       |    ON a.tbl = b2.tbl AND a.bucket = b2.bucket AND a.$id < b2.$id),
+       |vecs AS (SELECT $id, v, sqrt(list_dot_product(v, v)) AS nrm FROM emb)
+       |SELECT id1, id2, round(sim, 4) AS sim FROM (
+       |  SELECT id1, id2, list_dot_product(x.v, y.v) / (x.nrm * y.nrm) AS sim
+       |  FROM pairs JOIN vecs x ON x.$id = id1 JOIN vecs y ON y.$id = id2)
+       |WHERE sim >= $threshold ORDER BY id1, id2""".stripMargin
+  }
+
   /** Picks (nPlanes, nTables) for `cosineNearDupPairs` so candidate volume
     * stays LINEAR in corpus size and recall at the threshold angle hits a
     * target:

@@ -507,6 +507,19 @@ object LlmQueries {
         .orderBy("id1", "id2"),
       None),
 
+    // ---- portable embedding near-dup: fixed (6 planes, 4 tables), the
+    // SAME plane doubles inlined into both engines and every dot folding
+    // left-to-right — the sign-LSH bucketing + pairing + cosine verify
+    // hash-check end-to-end (sim4 keeps the auto-sized fast path) ----
+    QueryDef("sim4b_neardup_portable",
+      (s, d) => Similarity.cosineNearDupPairs(t(s, d, "embeddings"), "vec_id", "embedding",
+          threshold = 0.4, nPlanes = 6, nTables = 4, dim = 64)
+        .withColumn("sim", round(col("sim"), 4))
+        .orderBy("id1", "id2"),
+      Some(Similarity.cosineNearDupPortableOracleSql(
+        "embeddings", "vec_id", "embedding",
+        threshold = 0.4, nPlanes = 6, nTables = 4, dim = 64))),
+
     // ---- multimodal: binary payload + metadata plumbing ----
     QueryDef("mm1_media_meta",
       (s, d) => Multimodal.asMediaTable(t(s, d, "documents"), "doc_id", "text")
