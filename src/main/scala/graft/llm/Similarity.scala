@@ -190,6 +190,53 @@ object Similarity {
        |WHERE sim >= $threshold ORDER BY id1, id2""".stripMargin
   }
 
+  /** DuckDB SQL computing lshTopK bit-for-bit for queries that are corpus
+    * members (their buckets then come straight from the corpus bucket
+    * CTE). Same portability contract as cosineNearDupPortableOracleSql:
+    * shared plane literals, order-free sign-bit sums, left-to-right double
+    * folds — bucketing, 1-bit-flip multi-probe, OR-across-tables candidate
+    * union and the exact rerank all agree bit-for-bit, so sim3 itself is
+    * oracle-green. */
+  def lshTopKPortableOracleSql(table: String, id: String, vec: String,
+                               qFilter: String, k: Int,
+                               nPlanes: Int = 8, nTables: Int = 6,
+                               dim: Int = 64, seed: Long = 42L): String = {
+    val ps = planes(nTables * nPlanes, dim, seed)
+    def planeLit(p: Array[Double]): String =
+      p.map(java.lang.Double.toString).mkString("[", ", ", "]")
+    val planeRows = (for (t <- 0 until nTables; j <- 0 until nPlanes)
+      yield s"($t, $j, ${planeLit(ps(t * nPlanes + j))})").mkString(",\n    ")
+    val topBit = 1L << (nPlanes - 1)
+    val flips = (0 until nPlanes).map(f => s"($f)").mkString(", ")
+    s"""WITH emb AS (SELECT $id, $vec::DOUBLE[] AS v FROM $table),
+       |pl(tbl, j, p) AS (VALUES
+       |    $planeRows),
+       |cb AS (
+       |  SELECT e.$id, pl.tbl,
+       |         sum(CASE WHEN list_dot_product(e.v, pl.p) >= 0
+       |                  THEN $topBit >> pl.j ELSE 0 END)::BIGINT AS bucket
+       |  FROM emb e CROSS JOIN pl GROUP BY e.$id, pl.tbl),
+       |qb AS (SELECT $id AS qid, tbl, bucket FROM cb WHERE $qFilter),
+       |probes AS (
+       |  SELECT qid, tbl, bucket FROM qb
+       |  UNION ALL
+       |  SELECT qid, tbl, xor(bucket, $topBit >> f) FROM qb
+       |  CROSS JOIN (VALUES $flips) ff(f)),
+       |cands AS (
+       |  SELECT DISTINCT p.qid, c.$id AS cid
+       |  FROM probes p JOIN cb c ON p.tbl = c.tbl AND p.bucket = c.bucket),
+       |scored AS (
+       |  SELECT c.qid AS query_id, c.cid AS id,
+       |         list_dot_product(vi.v, vq.v) / (sqrt(list_dot_product(vi.v, vi.v)) *
+       |                                         sqrt(list_dot_product(vq.v, vq.v))) AS sim
+       |  FROM cands c JOIN emb vq ON vq.$id = c.qid JOIN emb vi ON vi.$id = c.cid)
+       |SELECT query_id, id, round(sim, 4) AS sim, rank FROM (
+       |  SELECT query_id, id, sim,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, id) AS rank
+       |  FROM scored)
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Picks (nPlanes, nTables) for `cosineNearDupPairs` so candidate volume
     * stays LINEAR in corpus size and recall at the threshold angle hits a
     * target:

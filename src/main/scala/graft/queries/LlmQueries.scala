@@ -460,7 +460,11 @@ object LlmQueries {
           .withColumn("sim", round(col("sim"), 4))
           .orderBy("query_id", "rank")
       },
-      None),
+      // queries are corpus members, so the whole ANN path — bucketing,
+      // multi-probe, OR-tables, exact rerank — replays bit-for-bit in
+      // DuckDB (shared plane literals, left-to-right double folds)
+      Some(Similarity.lshTopKPortableOracleSql(
+        "embeddings", "vec_id", "embedding", "vec_id < 3", k = 10))),
 
     // ---- similarity: IVF ANN (k-means coarse quantizer + cell probing;
     // rows-only: k-means assignment is model-dependent; recall vs exact is
