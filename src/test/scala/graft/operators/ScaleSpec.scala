@@ -121,7 +121,12 @@ class ScaleSpec extends SparkSpecBase {
       "ts7_repetition" -> "1/0/0/0/-",
       "st4_streaming_neardup" -> "2/1/0/0/-",
       "dd8_span_coverage" -> "3/1/0/0/-",
-      "cur6_source_cap" -> "3/0/0/0/-")
+      "cur6_source_cap" -> "3/0/0/0/-",
+      "dd9_incremental_dedup" -> "3/3/0/0/p",
+      "cur8_corpus_shuffle" -> "4/0/0/1/-",
+      "cur9_curation_deterministic" -> "10/4/0/1/p",
+      "sim4b_neardup_portable" -> "2/3/0/0/p",
+      "st6_stream_stream_join" -> "1/1/0/0/p")
     val drift = graft.SparkEntry.all
       .filter(q => snapshot.contains(q.name))
       .flatMap { q =>
@@ -130,7 +135,7 @@ class ScaleSpec extends SparkSpecBase {
         else Some(s"${q.name}: expected ${snapshot(q.name)}, got $live")
       }
     assert(drift.isEmpty, s"plan drift:\n${drift.mkString("\n")}")
-    assert(snapshot.size === 20)
+    assert(snapshot.size === 25)
   }
 
   test("co-bucketed tables join without an Exchange") {
