@@ -272,6 +272,49 @@ class LlmSpec extends SparkSpecBase {
     assert(kept === Array(11L, 13L))
   }
 
+  test("stratified split: pure function of the id, sane per-stratum fractions") {
+    val docsDf = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val split = TextAnalysis.stratifiedSplit(docsDf, "doc_id", valFrac = 0.1, testFrac = 0.1)
+    val byDoc = split.select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // stability: membership survives any reshuffle/filter of the input
+    val again = TextAnalysis.stratifiedSplit(
+        docsDf.filter(col("doc_id") % 2 === 0).repartition(7), "doc_id", 0.1, 0.1)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(again.forall { case (id, sp) => byDoc(id) == sp })
+    // each stratum splits roughly 80/10/10 (hash-uniform; wide tolerance)
+    val perSource = split.groupBy("source", "split").count().collect()
+      .groupBy(_.getString(0))
+    perSource.values.foreach { rows =>
+      val m = rows.map(r => r.getString(1) -> r.getLong(2)).toMap
+      val total = m.values.sum.toDouble
+      assert(m.getOrElse("train", 0L) / total > 0.6, s"train share off: $m")
+    }
+  }
+
+  test("span coverage: minDf raises the sharing bar") {
+    val s = spark; import s.implicits._
+    val common = "alpha bravo charlie delta echo foxtrot golf hotel"
+    val df = Seq((1L, common), (2L, common), (3L, common)).toDF("doc_id", "text")
+    def shared(minDf: Int) =
+      Dedup.spanCoverage(df, "doc_id", "text", l = 8, minDf = minDf)
+        .agg(sum("n_shared")).collect()(0).getLong(0)
+    assert(shared(2) === 3L)   // gram in all 3 docs counts everywhere
+    assert(shared(3) === 3L)   // still >= 3 docs
+    assert(shared(4) === 0L)   // bar above corpus-wide frequency
+  }
+
+  test("incremental dedup is idempotent against the grown corpus") {
+    val s = spark; import s.implicits._
+    val corpus = Seq((1L, "old text a"), (2L, "old text b")).toDF("doc_id", "text")
+    val batch = Seq((10L, "fresh one"), (11L, "fresh two")).toDF("doc_id", "text")
+    val first = Dedup.incrementalExact(batch, corpus, "doc_id", "text")
+    // replaying the same batch against corpus ∪ survivors keeps nothing
+    val replay = Dedup.incrementalExact(batch, corpus.union(first), "doc_id", "text")
+    assert(first.count() === 2L)
+    assert(replay.count() === 0L)
+  }
+
   test("corpus shuffle: two-level rank equals the global permutation") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     def run(shards: Int) =
