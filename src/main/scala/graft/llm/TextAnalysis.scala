@@ -125,6 +125,27 @@ object TextAnalysis {
         round(topTokCount.cast("double") / size(toks), 6))
   }
 
+  /** Lexical-diversity signals: type-token ratio and unigram entropy —
+    * the declarative cousins of perplexity filtering (low-entropy or
+    * low-TTR text is boilerplate/keyword-stuffing; CCNet/Gopher gate on
+    * LM perplexity, whose cheap first-order proxy is the doc's own token
+    * distribution). One explode + two hash aggregations; entropy folds as
+    * ln(n) − Σ c·ln(c) / n so only per-(doc, token) counts shuffle. */
+  def lexicalDiversity(df: DataFrame, id: String, text: String): DataFrame = {
+    val counts = df
+      .select(col(id), explode(split(lower(col(text)), "\\s+")).as("tok"))
+      .groupBy(col(id), col("tok")).agg(count(lit(1)).as("c"))
+    counts.groupBy(col(id))
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(col("c").cast("double") * log(col("c").cast("double"))).as("__clnc"))
+      .select(col(id), col("n_tokens"), col("n_types"),
+        round(col("n_types").cast("double") / col("n_tokens"), 6).as("ttr"),
+        round(log(col("n_tokens").cast("double")) - col("__clnc") / col("n_tokens"), 4)
+          .as("entropy"))
+  }
+
   /** Per-group document cap (domain capping): keep at most `k` docs per
     * group, chosen by a deterministic content-addressed priority (md5 of
     * the id, ties broken by the id) — a uniform-but-reproducible sample,

@@ -582,6 +582,22 @@ object LlmQueries {
              |    '\d{7,}', '<NUM>', 'g') AS clean
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ---- lexical diversity: type-token ratio + unigram entropy (the
+    // declarative proxy for perplexity gating) ----
+    QueryDef("ts8_lexical_diversity",
+      (s, d) => TextAnalysis.lexicalDiversity(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""WITH counts AS (
+             |  SELECT doc_id, tok, count(*) AS c
+             |  FROM (SELECT doc_id,
+             |          unnest(string_split_regex(lower(text), '\s+')) AS tok
+             |        FROM documents)
+             |  GROUP BY doc_id, tok)
+             |SELECT doc_id, sum(c)::BIGINT AS n_tokens, count(*) AS n_types,
+             |       round(count(*) / (sum(c) * 1.0), 6) AS ttr,
+             |       round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 4) AS entropy
+             |FROM counts GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // ---- deterministic content-addressed sampling ----
     QueryDef("cur2_deterministic_sample",
       (s, d) => TextAnalysis.deterministicSample(t(s, d, "documents"), "doc_id",

@@ -272,6 +272,20 @@ class LlmSpec extends SparkSpecBase {
     assert(kept === Array(11L, 13L))
   }
 
+  test("lexical diversity: degenerate repetition vs fully distinct text") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1L, "spam spam spam spam"),            // one type -> entropy 0, ttr 1/4
+      (2L, "four fully distinct words here")  // uniform -> entropy ln(5), ttr 1
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.lexicalDiversity(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(out(0) === ((1L, 4L, 1L, 0.25, 0.0)))
+    assert(out(1)._4 === 1.0)
+    assert(math.abs(out(1)._5 - math.log(5.0)) < 1e-4)
+  }
+
   test("stratified split: pure function of the id, sane per-stratum fractions") {
     val docsDf = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val split = TextAnalysis.stratifiedSplit(docsDf, "doc_id", valFrac = 0.1, testFrac = 0.1)
