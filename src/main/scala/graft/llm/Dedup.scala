@@ -459,6 +459,31 @@ object Dedup {
     df.join(comps.where(col(id) === col("component")).select(col(id)), Seq(id), "left_semi")
   }
 
+  /** SemDeDup (Abbas et al. 2023): semantic deduplication over an
+    * EMBEDDING column — k-means cells bound the candidate space, exact
+    * cosine verifies within a cell, and the larger id of every verified
+    * pair is dropped. Where MinHash/SimHash catch lexical near-dups,
+    * this catches paraphrases and re-renderings that share no n-grams.
+    *
+    * Scale shape: candidate volume is Σ cell² — the deployment knob is
+    * nCells, grown with the corpus so the expected cell size stays
+    * constant (nCells ≈ N / targetCellSize); the within-cell self-join is
+    * an equi-join on the cell id, partitioned at full cluster width by
+    * Ivf.build. Model-dependent output (k-means), so registry entries are
+    * rows-only; LlmSpec pins precision (every dropped doc has a genuine
+    * ≥ threshold neighbor) and recall vs the exact pair set. */
+  def semanticDedup(emb: DataFrame, id: String, vec: String, threshold: Double,
+                    nCells: Int = 16, seed: Long = 42L): DataFrame = {
+    val idx = Ivf.build(emb, id, vec, nCells, seed)
+    val a = idx.assigned.select(col("cell"), col(id).as("__id1"), col(vec).as("__v1"))
+    val b = idx.assigned.select(col("cell"), col(id).as("__id2"), col(vec).as("__v2"))
+    val dropped = a.join(b, "cell")
+      .filter(col("__id1") < col("__id2"))
+      .filter(Similarity.cosine(col("__v1"), col("__v2")) >= threshold)
+      .select(col("__id2").as(id)).distinct()
+    emb.join(dropped, Seq(id), "left_anti")
+  }
+
   /** Incremental exact dedup: the steady-state shape of a production
     * pipeline — a NEW batch arrives and must be deduped against the
     * already-ingested corpus without rescanning it. Drops new docs whose

@@ -1,0 +1,183 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus relevance / statistical-LM operators for a training-data
+  * pipeline: vocabulary building, BM25 keyword relevance, and an n-gram
+  * language-model quality score (the declarative form of CCNet-style
+  * perplexity filtering — Wenzek et al. 2020 gate web text on the
+  * perplexity of a KenLM n-gram model; here the model is a bigram table
+  * with additive smoothing, trained and applied as two Spark jobs).
+  *
+  * Everything is hash-aggregation + equi-join shaped: at 100 TB the only
+  * shuffles are (a) token/gram count aggregations with map-side partial
+  * combine and (b) the doc-gram ⋈ model equi-join, which broadcasts when
+  * the model is small and hash-partitions on the gram otherwise. No
+  * all-pairs stage, no global sort, no driver-side state.
+  */
+object Relevance {
+
+  private def toks(text: Column): Column = split(lower(text), "\\s+")
+
+  /** Vocabulary build: per-term corpus frequency + document frequency.
+    * One explode, one hash aggregation (map-side combine keeps the shuffle
+    * at distinct-term granularity, not token granularity). `minDf` prunes
+    * the hapax tail — at web scale the term table is dominated by typos
+    * and noise that no downstream consumer wants. */
+  def vocabulary(df: DataFrame, id: String, text: String, minDf: Int = 1): DataFrame =
+    df.select(col(id).as("__id"), explode(toks(col(text))).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("tf"), countDistinct(col("__id")).as("df"))
+      .filter(col("df") >= minDf)
+
+  /** BM25 relevance of every document against a bag of query terms
+    * (Robertson/Okapi): idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+    * idf(t) = ln(1 + (N−df+0.5)/(df+0.5)), summed over terms in a fixed
+    * order. Per-term tf comes from counting the token array in place (no
+    * explode — the query bag is tiny), and the corpus stats (N, avgdl,
+    * per-term df) are ONE aggregate row broadcast back, so the whole
+    * scorer is a single scan at any corpus size.
+    *
+    * Output floats are rounded to 4dp; every sub-expression is written so
+    * an independent engine evaluating the same tree (see `bm25OracleSql`)
+    * reproduces the doubles bit-for-bit up to libm ulps, which the
+    * rounding absorbs. */
+  def bm25(df: DataFrame, id: String, text: String, terms: Seq[String],
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val tk = toks(col(text))
+    val withTf = terms.zipWithIndex.foldLeft(
+      df.withColumn("dl", size(tk))) { case (acc, (t, i)) =>
+      acc.withColumn(s"__tf_$i", size(filter(tk, x => x === lit(t))))
+    }
+    val dfCols = avg(col("dl")).as("__avgdl") +: terms.indices.map(i =>
+      sum(when(col(s"__tf_$i") > 0, 1).otherwise(0)).cast("double").as(s"__df_$i"))
+    val stats = withTf.agg(count(lit(1)).cast("double").as("__n"), dfCols: _*)
+    val scored = withTf.crossJoin(broadcast(stats))
+    val contribs: Seq[Column] = terms.indices.map { i =>
+      val tf = col(s"__tf_$i").cast("double")
+      val idf = log(lit(1.0) + (col("__n") - col(s"__df_$i") + 0.5) / (col(s"__df_$i") + 0.5))
+      idf * (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0) - b + lit(b) * col("dl").cast("double") / col("__avgdl")))
+    }
+    // fixed left-to-right fold so the float sum order is deterministic
+    val score = contribs.reduceLeft(_ + _)
+    scored.select(col(id), col("dl"), round(score, 4).as("bm25"))
+  }
+
+  /** DuckDB twin of `bm25` — the same expression tree over the same
+    * doubles (k1/b/k1+1 injected via Double.toString, which round-trips). */
+  def bm25OracleSql(table: String, id: String, text: String, terms: Seq[String],
+                    k1: Double = 1.2, b: Double = 0.75): String = {
+    val tfs = terms.zipWithIndex.map { case (t, i) =>
+      s"len(list_filter(tk, x -> x = '$t')) AS tf_$i"
+    }.mkString(",\n         ")
+    val dfs = terms.indices.map(i =>
+      s"sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END)::DOUBLE AS df_$i").mkString(", ")
+    val k1p1 = (k1 + 1.0).toString
+    val contribs = terms.indices.map { i =>
+      s"""ln(1.0 + (s.n - s.df_$i + 0.5) / (s.df_$i + 0.5))
+         | * (d.tf_$i::DOUBLE * $k1p1)
+         | / (d.tf_$i::DOUBLE + $k1 * (1.0 - $b + $b * d.dl::DOUBLE / s.avgdl))"""
+        .stripMargin.replace("\n", "")
+    }
+    val score = contribs.reduceLeft((a, c) => s"($a) + ($c)")
+    s"""WITH tok AS (
+       |  SELECT $id, string_split_regex(lower($text), '\\s+') AS tk FROM $table),
+       |d AS (
+       |  SELECT $id, len(tk)::INT AS dl,
+       |         $tfs
+       |  FROM tok),
+       |s AS (
+       |  SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl, $dfs FROM d)
+       |SELECT d.$id, d.dl, round($score, 4) AS bm25
+       |FROM d CROSS JOIN s
+       |ORDER BY d.$id""".stripMargin
+  }
+
+  /** Bigram LM counts from a training slice: c(w1,w2), c(w1), and the
+    * vocabulary size V — the model a perplexity gate scores against. */
+  def bigramModel(train: DataFrame, text: String): (DataFrame, DataFrame) = {
+    val pairs = bigrams(train, text)
+    val big = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val uni = train.select(explode(toks(col(text))).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    (big, uni)
+  }
+
+  /** (docRow, w1, w2) pairs — empty for docs under two tokens (guarded:
+    * Spark's sequence(1, 0) would count DOWN, not produce empty). */
+  private def bigrams(df: DataFrame, text: String): DataFrame = {
+    val tk = toks(col(text))
+    df.withColumn("__tk", tk)
+      .withColumn("__i",
+        explode(when(size(col("__tk")) >= 2,
+          sequence(lit(1), size(col("__tk")) - 1)).otherwise(array())))
+      .withColumn("w1", element_at(col("__tk"), col("__i")))
+      .withColumn("w2", element_at(col("__tk"), col("__i") + 1))
+      .drop("__tk", "__i")
+  }
+
+  /** Per-document negative mean log-likelihood (nats/bigram) under an
+    * additively-smoothed bigram LM trained on `train` — low = fluent
+    * in-domain text, high = noise; the CCNet gate keeps the low tail.
+    *
+    * logp(w1,w2) = ln((c(w1,w2)+α) / (c(w1)+α·V)). Per-(doc, bigram)
+    * counts aggregate FIRST (integers), then the float fold is
+    * Σ c·logp / Σ c — the ts8 shape whose 4dp rounding absorbs summation
+    * ulps. The model join is an equi-join on (w1, w2) with the unigram
+    * side on w1; both broadcast when the model fits, shuffle-join
+    * otherwise — never a cross product. Docs with no bigram are dropped
+    * (no evidence to score). */
+  def bigramNll(score: DataFrame, train: DataFrame, id: String, text: String,
+                alpha: Double = 0.5): DataFrame = {
+    val (big, uni) = bigramModel(train, text)
+    val v = uni.agg(count(lit(1)).cast("double").as("__v"))
+    val docGrams = bigrams(score, text)
+      .groupBy(col(id), col("w1"), col("w2")).agg(count(lit(1)).as("ci"))
+    val logp = docGrams
+      .join(big, Seq("w1", "w2"), "left")
+      .join(uni, Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .withColumn("__logp",
+        log((coalesce(col("c2"), lit(0L)).cast("double") + alpha) /
+            (coalesce(col("c1"), lit(0L)).cast("double") + lit(alpha) * col("__v"))))
+    logp.groupBy(col(id))
+      .agg(sum(col("ci")).as("n_bigrams"),
+        round(-sum(col("ci").cast("double") * col("__logp")) / sum(col("ci")), 4)
+          .as("nll"))
+  }
+
+  /** DuckDB twin of `bigramNll` with the train/score split expressed as a
+    * predicate on the id column. */
+  def bigramNllOracleSql(table: String, id: String, text: String,
+                         trainPred: String, alpha: Double = 0.5): String =
+    s"""WITH tok AS (
+       |  SELECT $id, string_split_regex(lower($text), '\\s+') AS tk FROM $table),
+       |pairs AS (
+       |  SELECT $id, tk[pos] AS w1, tk[pos + 1] AS w2
+       |  FROM (SELECT $id, tk,
+       |          unnest(generate_series(1, len(tk) - 1)) AS pos
+       |        FROM tok WHERE len(tk) >= 2)),
+       |big AS (
+       |  SELECT w1, w2, count(*) AS c2 FROM pairs WHERE $trainPred GROUP BY w1, w2),
+       |uni AS (
+       |  SELECT w1, count(*) AS c1
+       |  FROM (SELECT $id, unnest(tk) AS w1 FROM tok) u WHERE $trainPred GROUP BY w1),
+       |v AS (SELECT count(*)::DOUBLE AS v FROM uni),
+       |dg AS (
+       |  SELECT $id, w1, w2, count(*) AS ci FROM pairs
+       |  WHERE NOT ($trainPred) GROUP BY $id, w1, w2),
+       |lp AS (
+       |  SELECT dg.$id, dg.ci,
+       |         ln((coalesce(big.c2, 0)::DOUBLE + $alpha) /
+       |            (coalesce(uni.c1, 0)::DOUBLE + $alpha * v.v)) AS logp
+       |  FROM dg
+       |  LEFT JOIN big ON dg.w1 = big.w1 AND dg.w2 = big.w2
+       |  LEFT JOIN uni ON dg.w1 = uni.w1
+       |  CROSS JOIN v)
+       |SELECT $id, sum(ci)::BIGINT AS n_bigrams,
+       |       round(-sum(ci::DOUBLE * logp) / sum(ci), 4) AS nll
+       |FROM lp GROUP BY $id ORDER BY $id""".stripMargin
+}

@@ -213,6 +213,34 @@ object TextAnalysis {
     df.filter(frac < rate)
   }
 
+  /** Temperature-scaled source mixing (the multilingual/multi-source
+    * α-sampling of XLM-R, Conneau et al. 2020): with source shares
+    * p_i = n_i/N, sampling ∝ p_i^α flattens the mix toward uniform as
+    * α → 0. Realized as per-source acceptance rates normalized so the
+    * SMALLEST source keeps everything (upsampling is a loader concern,
+    * not a filter's): rate_i = (n_min / n_i)^(1−α).
+    *
+    * Rates derive from one tiny count aggregate broadcast back; acceptance
+    * is the md5 fraction of the doc id (deterministic, engine-portable) —
+    * so the entire mix decision is a pure function of (id, source counts)
+    * and replays identically anywhere. One scan + one broadcast join at
+    * any corpus size. */
+  def temperatureMixture(df: DataFrame, id: String, source: String,
+                         alpha: Double = 0.3): DataFrame = {
+    require(alpha >= 0 && alpha <= 1, "alpha must be in [0, 1]")
+    val counts = df.groupBy(col(source)).agg(count(lit(1)).as("__n"))
+    val rates = counts
+      .crossJoin(broadcast(counts.agg(min(col("__n")).as("__nmin"))))
+      .withColumn("accept_rate",
+        pow(col("__nmin").cast("double") / col("__n"), 1.0 - alpha))
+      .select(col(source), col("accept_rate"))
+    val frac = conv(substring(md5(col(id).cast("string")), 1, 8), 16, 10)
+      .cast("double") / 4294967296.0
+    df.join(broadcast(rates), source)
+      .filter(frac < col("accept_rate"))
+      .withColumn("accept_rate", round(col("accept_rate"), 6))
+  }
+
   /** Deterministic corpus shuffle: assign every doc a global shuffle
     * position = its exact rank under the md5 priority of the id (ties by
     * id). Training-data loaders read the corpus in shuffle_pos order, so

@@ -598,6 +598,68 @@ object LlmQueries {
              |       round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 4) AS entropy
              |FROM counts GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // ---- vocabulary build: per-term corpus tf + doc frequency ----
+    QueryDef("ts9_vocab",
+      (s, d) => graft.llm.Relevance.vocabulary(t(s, d, "documents"), "doc_id", "text",
+          minDf = 2)
+        .orderBy("term"),
+      Some("""SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
+             |FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+             |      FROM documents)
+             |GROUP BY term HAVING count(DISTINCT doc_id) >= 2
+             |ORDER BY term""".stripMargin)),
+
+    // ---- BM25 keyword relevance: one scan + one broadcast stats row;
+    // identical expression tree on both engines, 4dp rounding ----
+    QueryDef("ts10_bm25",
+      (s, d) => graft.llm.Relevance.bm25(t(s, d, "documents"), "doc_id", "text",
+          terms = Seq("spark", "window", "hash"))
+        .orderBy("doc_id"),
+      Some(graft.llm.Relevance.bm25OracleSql("documents", "doc_id", "text",
+        terms = Seq("spark", "window", "hash")))),
+
+    // ---- bigram-LM quality score (CCNet-style perplexity gate): model
+    // trained on the doc_id%10=0 slice, the rest scored by negative mean
+    // log-likelihood; per-(doc,gram) counts aggregate before the float
+    // fold, so the oracle hash-matches at 4dp ----
+    QueryDef("ts11_bigram_lm",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        graft.llm.Relevance.bigramNll(
+            docs.filter(col("doc_id") % 10 =!= 0),
+            docs.filter(col("doc_id") % 10 === 0), "doc_id", "text")
+          .orderBy("doc_id")
+      },
+      Some(graft.llm.Relevance.bigramNllOracleSql(
+        "documents", "doc_id", "text", trainPred = "doc_id % 10 = 0"))),
+
+    // ---- temperature-scaled source mixing (XLM-R α-sampling): rates from
+    // one count aggregate, acceptance by md5 fraction — deterministic ----
+    QueryDef("cur10_temperature_mix",
+      (s, d) => TextAnalysis.temperatureMixture(t(s, d, "documents"), "doc_id", "source",
+          alpha = 0.3)
+        .select("doc_id", "source", "accept_rate").orderBy("doc_id"),
+      Some("""WITH counts AS (
+             |  SELECT source, count(*) AS n FROM documents GROUP BY source),
+             |rates AS (
+             |  SELECT source,
+             |         pow((SELECT min(n) FROM counts)::DOUBLE / n, 1.0 - 0.3) AS accept_rate
+             |  FROM counts)
+             |SELECT doc_id, d.source, round(r.accept_rate, 6) AS accept_rate
+             |FROM documents d JOIN rates r ON d.source = r.source
+             |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0
+             |      < r.accept_rate
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---- SemDeDup: semantic (embedding-space) dedup via k-means cells +
+    // exact cosine verify (rows-only: k-means model state; precision and
+    // recall vs the exact pair set pinned in LlmSpec) ----
+    QueryDef("dd10_semantic_dedup",
+      (s, d) => Dedup.semanticDedup(t(s, d, "embeddings"), "vec_id", "embedding",
+          threshold = 0.4, nCells = 16)
+        .select("vec_id").orderBy("vec_id"),
+      None),
+
     // ---- deterministic content-addressed sampling ----
     QueryDef("cur2_deterministic_sample",
       (s, d) => TextAnalysis.deterministicSample(t(s, d, "documents"), "doc_id",

@@ -334,6 +334,28 @@ object RelationalQueries {
              |GROUP BY CUBE (o_orderstatus, o_orderpriority)
              |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)),
 
+    // ---- explicit grouping sets: the general form rollup/cube specialize;
+    // one pass, Expand + single hash aggregate (no N-scan union) ----
+    QueryDef("so8_grouping_sets",
+      (s, d) => {
+        t(s, d, "orders").createOrReplaceTempView("orders_gs")
+        // sum in exact decimal: a double fold over 10^5-row groups carries
+        // order-dependent ulps past 2dp rounding; decimal is associative
+        s.sql("""SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+                |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+                |FROM orders_gs
+                |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                |                        (o_orderstatus, o_orderpriority))
+                |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"""
+          .stripMargin)
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+             |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM orders
+             |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+             |                        (o_orderstatus, o_orderpriority))
+             |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)),
+
     // ---- pivot: long → wide on a bounded key set (the density cube's
     // presentation shape). Explicit pivot values keep the plan one pass
     // (no distinct-scan to discover columns); oracle via conditional

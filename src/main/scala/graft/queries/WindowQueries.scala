@@ -294,6 +294,32 @@ object WindowQueries {
              |       round(quantile_cont(o_totalprice, 0.95), 4) AS p95
              |FROM orders GROUP BY o_orderstatus ORDER BY company""".stripMargin)),
 
+    // ---- distribution + frame window functions: percent_rank/cume_dist
+    // and a bounded rows-frame moving aggregate (the remaining analytic
+    // surface beyond wf1's ranking family). Frame sums evaluate
+    // sequentially within the frame, so the float fold is deterministic. ----
+    QueryDef("wf3_frames",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("o_custkey")).orderBy(asc("o_orderdate"), asc("o_orderkey"))
+        val wf = w.rowsBetween(-2, 0)
+        orders(s, d)
+          .select(col("o_custkey"), col("o_orderkey"),
+            round(percent_rank().over(w), 6).as("prnk"),
+            round(cume_dist().over(w), 6).as("cdist"),
+            round(avg(col("o_totalprice")).over(wf), 4).as("ma3"),
+            round(max(col("o_totalprice")).over(wf), 2).as("mx3"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |       round(percent_rank() OVER w, 6) AS prnk,
+             |       round(cume_dist() OVER w, 6) AS cdist,
+             |       round(avg(o_totalprice) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS ma3,
+             |       round(max(o_totalprice) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS mx3
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
     // ---- wf2b: the 100 TB percentile path. Exact `percentile` buffers
     // every value per group (a 3-group corpus funnels the whole column into
     // 3 aggregation buffers); approx_percentile keeps a bounded GK sketch
