@@ -126,7 +126,16 @@ class ScaleSpec extends SparkSpecBase {
       "cur8_corpus_shuffle" -> "4/0/0/1/-",
       "cur9_curation_deterministic" -> "10/4/0/1/p",
       "sim4b_neardup_portable" -> "2/3/0/0/p",
-      "st6_stream_stream_join" -> "1/1/0/0/p")
+      "st6_stream_stream_join" -> "1/1/0/0/p",
+      // ts10/cur10/ts11 BNLJs are 1-row stat broadcasts (corpus stats, n_min,
+      // vocab size V) — the same deliberate shape as cur3's
+      "ts9_vocab" -> "3/0/0/0/-",
+      "ts10_bm25" -> "2/0/0/1/-",
+      "ts11_bigram_lm" -> "7/2/0/1/p",
+      "cur10_temperature_mix" -> "4/1/0/1/p",
+      "dd10_semantic_dedup" -> "4/2/0/0/-",
+      "wf3_frames" -> "2/0/0/0/-",
+      "so8_grouping_sets" -> "2/0/0/0/-")
     val drift = graft.SparkEntry.all
       .filter(q => snapshot.contains(q.name))
       .flatMap { q =>
@@ -135,7 +144,7 @@ class ScaleSpec extends SparkSpecBase {
         else Some(s"${q.name}: expected ${snapshot(q.name)}, got $live")
       }
     assert(drift.isEmpty, s"plan drift:\n${drift.mkString("\n")}")
-    assert(snapshot.size === 25)
+    assert(snapshot.size === 32)
   }
 
   test("co-bucketed tables join without an Exchange") {
