@@ -76,6 +76,14 @@ object Sinks {
       .partitionBy("pack_id")
       .parquet(path)
 
+  /** JSONL corpus sink: one JSON object per line, gzip-compressed — the
+    * interchange format training corpora actually ship in. Spark's json
+    * writer/reader IS line-delimited JSON, so the roundtrip needs no
+    * custom code; gzip trades split-ability for size, which is the right
+    * trade for write-once shard files consumed whole by a loader. */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("compression", "gzip").json(path)
+
   /** S11 — dim upsert with versioned snapshot (dwwRoutes.js:131-172): the old
     * snapshot is preserved under `backups/<name>_<version>`, then the new
     * table is written. Returns the backup path, like the reference's

@@ -459,6 +459,49 @@ object Dedup {
     df.join(comps.where(col(id) === col("component")).select(col(id)), Seq(id), "left_semi")
   }
 
+  /** Incremental NEAR-dup: flag docs of a new batch that near-duplicate
+    * the already-ingested corpus — dd9's steady-state shape lifted from
+    * exact hashes to MinHash-LSH. A batch doc is flagged when any of the
+    * four portable signature bands collides with a corpus doc; the flag
+    * carries the smallest colliding corpus id for lineage.
+    *
+    * Scale shape: in production the corpus side is the PERSISTED signature
+    * index (recomputed here from text for self-containment); only
+    * (band-values, id) tuples join, candidates bounded per bucket, and the
+    * batch side is typically 10^-3 of the corpus, so every band join
+    * broadcasts the batch. Portable md5 algebra end-to-end → the whole
+    * cross-table pairing is oracle-checkable. */
+  def incrementalNeardup(batch: DataFrame, corpus: DataFrame,
+                         id: String, text: String, k: Int = 5): DataFrame = {
+    val sigB = minhashPortable(batch, id, text, k, numHashes = 8).localCheckpoint()
+    val sigC = minhashPortable(corpus, id, text, k, numHashes = 8).localCheckpoint()
+    val bands = Seq(Seq("m0", "m1"), Seq("m2", "m3"), Seq("m4", "m5"), Seq("m6", "m7"))
+    bands.map { cols =>
+      val b = sigB.as("b"); val c = sigC.as("c")
+      val cond = cols.map(cn => col(s"b.$cn") === col(s"c.$cn")).reduce(_ && _)
+      b.join(c, cond).select(col(s"b.$id").as("doc"), col(s"c.$id").as("dup_of"))
+    }.reduce(_ union _)
+      .groupBy(col("doc")).agg(min(col("dup_of")).as("dup_of"))
+  }
+
+  /** DuckDB twin of `incrementalNeardup` with the batch/corpus split
+    * expressed as a predicate over the id column. */
+  def incrementalNeardupOracleSql(table: String, id: String, text: String,
+                                  batchPred: String, k: Int = 5): String = {
+    val mins = minhashPortableOracleSql(table, id, text, k, 8)
+    val bandJoins = Seq(("m0", "m1"), ("m2", "m3"), ("m4", "m5"), ("m6", "m7")).map {
+      case (x, y) =>
+        s"""SELECT b.$id AS doc, c.$id AS dup_of FROM b JOIN c
+           |  ON b.$x = c.$x AND b.$y = c.$y""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH sig AS ($mins),
+       |b AS (SELECT * FROM sig WHERE $batchPred),
+       |c AS (SELECT * FROM sig WHERE NOT ($batchPred)),
+       |cand AS (
+       |$bandJoins)
+       |SELECT doc, min(dup_of) AS dup_of FROM cand GROUP BY doc ORDER BY doc""".stripMargin
+  }
+
   /** SemDeDup (Abbas et al. 2023): semantic deduplication over an
     * EMBEDDING column — k-means cells bound the candidate space, exact
     * cosine verifies within a cell, and the larger id of every verified

@@ -96,6 +96,95 @@ object Relevance {
        |ORDER BY d.$id""".stripMargin
   }
 
+  /** TF-IDF keyword extraction: the top-k terms per document by
+    * tf·ln(N/df). Term counts and doc frequencies are two hash
+    * aggregations off one explode; N is a single broadcast row; ranking is
+    * a per-doc window (documents are small, so the partitions are bounded
+    * by doc length — no skew path needed). Scores are ROUNDED to 6dp
+    * BEFORE ranking: tf/df are integers so both engines compute identical
+    * doubles up to libm ulps, and ranking on the rounded value with a term
+    * tiebreak keeps the order engine-independent. */
+  def tfidfKeywords(df: DataFrame, id: String, text: String, topK: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = df.select(col(id), explode(toks(col(text))).as("term"))
+      .groupBy(col(id), col("term")).agg(count(lit(1)).as("tf"))
+    val dfs = terms.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = df.agg(count(lit(1)).cast("double").as("__n"))
+    val scored = terms.join(dfs, "term").crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf").cast("double") * log(col("__n") / col("df")), 6))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(id)).orderBy(desc("tfidf"), asc("term"))))
+      .filter(col("rank") <= topK)
+      .select(col(id), col("rank"), col("term"), col("tfidf"))
+  }
+
+  /** Co-occurrence PMI (the word2vec/GloVe statistic): for token pairs
+    * within a forward window of `maxDist`, ln(p(a,b) / (p(a)·p(b))) with
+    * p from corpus counts. Pairs come from offset generators (tok[i],
+    * tok[i+d]) — LINEAR in tokens × maxDist, never a positions self-join
+    * (which is quadratic per doc). Three hash aggregations + one equi-join
+    * of pair counts to the broadcast unigram table; `minCount` bounds the
+    * output to statistically meaningful pairs. PMI is a log of exact
+    * integer ratios → identical doubles on any engine at 6dp. */
+  def cooccurrencePmi(df: DataFrame, text: String,
+                      maxDist: Int = 2, minCount: Int = 5): DataFrame = {
+    val tk = toks(col(text))
+    val pairs = (1 to maxDist).map { d =>
+      df.withColumn("__tk", tk)
+        .withColumn("__i",
+          explode(when(size(col("__tk")) > d,
+            sequence(lit(1), size(col("__tk")) - d)).otherwise(array())))
+        .select(element_at(col("__tk"), col("__i")).as("w1"),
+          element_at(col("__tk"), col("__i") + d).as("w2"))
+    }.reduce(_ union _)
+    val pc = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minCount)
+    val uni = df.select(explode(tk).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+    val totals = pairs.agg(count(lit(1)).cast("double").as("__t"))
+      .crossJoin(uni.agg(sum(col("cw")).cast("double").as("__u")))
+    pc.join(uni.select(col("w").as("w1"), col("cw").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("cw").as("c2")), "w2")
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("c12"),
+        round(log((col("c12").cast("double") / col("__t")) /
+          ((col("c1").cast("double") / col("__u")) *
+           (col("c2").cast("double") / col("__u")))), 6).as("pmi"))
+  }
+
+  /** DuckDB twin of `cooccurrencePmi`. */
+  def cooccurrencePmiOracleSql(table: String, text: String,
+                               maxDist: Int = 2, minCount: Int = 5): String = {
+    val offsets = (1 to maxDist).map { d =>
+      s"""SELECT tk[pos] AS w1, tk[pos + $d] AS w2
+         |  FROM (SELECT tk, unnest(generate_series(1, len(tk) - $d)) AS pos
+         |        FROM tok WHERE len(tk) > $d)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH tok AS (
+       |  SELECT string_split_regex(lower($text), '\\s+') AS tk FROM $table),
+       |pairs AS (
+       |$offsets),
+       |pc AS (
+       |  SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY w1, w2
+       |  HAVING count(*) >= $minCount),
+       |uni AS (
+       |  SELECT w, count(*) AS cw
+       |  FROM (SELECT unnest(tk) AS w FROM tok) u GROUP BY w),
+       |tot AS (
+       |  SELECT (SELECT count(*)::DOUBLE FROM pairs) AS t,
+       |         (SELECT sum(cw)::DOUBLE FROM uni) AS u)
+       |SELECT pc.w1, pc.w2, pc.c12,
+       |       round(ln((pc.c12::DOUBLE / tot.t) /
+       |                ((a.cw::DOUBLE / tot.u) * (b.cw::DOUBLE / tot.u))), 6) AS pmi
+       |FROM pc
+       |JOIN uni a ON pc.w1 = a.w
+       |JOIN uni b ON pc.w2 = b.w
+       |CROSS JOIN tot
+       |ORDER BY w1, w2""".stripMargin
+  }
+
   /** Bigram LM counts from a training slice: c(w1,w2), c(w1), and the
     * vocabulary size V — the model a perplexity gate scores against. */
   def bigramModel(train: DataFrame, text: String): (DataFrame, DataFrame) = {

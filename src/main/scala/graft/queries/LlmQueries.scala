@@ -381,6 +381,52 @@ object LlmQueries {
              |SELECT min(doc_id) AS doc_id FROM fresh GROUP BY h
              |ORDER BY doc_id""".stripMargin)),
 
+    // ---- incremental NEAR-dup: new batch LSH-flagged against the corpus
+    // (dd9's steady-state shape lifted to MinHash; portable md5 algebra so
+    // the cross-table pairing is oracle-green) ----
+    QueryDef("dd11_incremental_neardup",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Dedup.incrementalNeardup(
+            docs.filter(col("doc_id") % 7 === 0),
+            docs.filter(col("doc_id") % 7 =!= 0), "doc_id", "text")
+          .orderBy("doc")
+      },
+      Some(Dedup.incrementalNeardupOracleSql(
+        "documents", "doc_id", "text", batchPred = "doc_id % 7 = 0"))),
+
+    // ---- TF-IDF keyword extraction: top-3 terms per doc, ranked on the
+    // 6dp-rounded score with term tiebreak (engine-independent order) ----
+    QueryDef("ts12_tfidf_keywords",
+      (s, d) => graft.llm.Relevance.tfidfKeywords(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id", "rank"),
+      Some("""WITH terms AS (
+             |  SELECT doc_id, term, count(*) AS tf
+             |  FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+             |        FROM documents)
+             |  GROUP BY doc_id, term),
+             |dfs AS (SELECT term, count(*) AS df FROM terms GROUP BY term),
+             |n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+             |scored AS (
+             |  SELECT doc_id, term,
+             |         round(tf::DOUBLE * ln(n.n / df), 6) AS tfidf
+             |  FROM terms JOIN dfs USING (term) CROSS JOIN n),
+             |ranked AS (
+             |  SELECT *, row_number() OVER (PARTITION BY doc_id
+             |            ORDER BY tfidf DESC, term) AS rank
+             |  FROM scored)
+             |SELECT doc_id, rank::INT AS rank, term, tfidf FROM ranked
+             |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin)),
+
+    // ---- co-occurrence PMI (word-embedding statistics): forward window
+    // pairs from offset generators (linear, no positions self-join) ----
+    QueryDef("ts13_cooccurrence",
+      (s, d) => graft.llm.Relevance.cooccurrencePmi(t(s, d, "documents"), "text",
+          maxDist = 2, minCount = 5)
+        .orderBy("w1", "w2"),
+      Some(graft.llm.Relevance.cooccurrencePmiOracleSql("documents", "text",
+        maxDist = 2, minCount = 5))),
+
     // ---- deterministic corpus shuffle: exact global rank under the md5
     // priority, two-level (range-sharded) so no global sort funnel ----
     QueryDef("cur8_corpus_shuffle",

@@ -415,6 +415,25 @@ object RelationalQueries {
              |       min(doc_id) AS first_doc
              |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // ---- S14: JSONL sink/source roundtrip — the gzip line-JSON corpus
+    // interchange format. The aggregate runs on the read-back copy, so a
+    // value lost or re-typed across the writer/reader pair breaks the
+    // hash against the parquet-side oracle. ----
+    QueryDef("s14_jsonl_roundtrip",
+      (s, d) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+        Sinks.writeJsonl(t(s, d, "documents"), tmp)
+        s.read.json(tmp)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+               sum(col("n_chars")).as("total_chars"),
+               min(col("doc_id")).as("first_doc"))
+          .orderBy("source")
+      },
+      Some("""SELECT source, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars,
+             |       min(doc_id) AS first_doc
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
     // ---- S3 roundtrip: partitioned sink → pruned read-back. The filter
     // hits the partition directory (PartitionFilters, proven in ScaleSpec);
     // values that crossed the dir-encoding boundary must still hash-match

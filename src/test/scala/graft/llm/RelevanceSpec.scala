@@ -91,6 +91,58 @@ class RelevanceSpec extends SparkSpecBase {
     assert(ids1 === ids2)
   }
 
+  test("tfidf keywords: corpus-wide terms score zero, doc-specific terms rank first") {
+    val s = spark; import s.implicits._
+    val corpus = Seq(
+      (0L, "common common alpha beta"),
+      (1L, "common gamma gamma gamma"),
+      (2L, "common delta epsilon zeta")
+    ).toDF("doc_id", "text")
+    val rows = Relevance.tfidfKeywords(corpus, "doc_id", "text", topK = 2).collect()
+    val kw = rows.map(r => (r.getLong(0), r.getInt(1)) -> r.getString(2)).toMap
+    val score = rows.map(r => r.getString(2) -> r.getDouble(3)).toMap
+    // 'common' appears in every doc → idf = ln(1) = 0: it can only fill a
+    // rank when the doc has fewer positive-score terms than topK
+    assert(score("common") === 0.0)
+    assert(kw((1L, 1)) === "gamma")              // tf 3 × idf ln(3)
+    assert(kw((1L, 2)) === "common")             // only 2 distinct terms in doc 1
+    assert(kw((0L, 1)) === "alpha")              // tie tf=1: term asc breaks
+    assert(kw((0L, 2)) === "beta")
+  }
+
+  test("cooccurrence PMI: planted always-adjacent pair scores high and positive") {
+    val s = spark; import s.implicits._
+    val corpus = (0L until 20L).map { i =>
+      (i, s"left right filler$i noise${i % 3} left right")
+    }.toDF("doc_id", "text")
+    val pmi = Relevance.cooccurrencePmi(corpus, "text", maxDist = 2, minCount = 5)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    // "left right" co-occurs every time both appear → strongly positive
+    assert(pmi(("left", "right")) > 0.0)
+    // "right left" (distance 2 wrap through filler) occurs too but less often
+    pmi.get(("right", "left")).foreach(v => assert(v < pmi(("left", "right"))))
+  }
+
+  test("incremental near-dup: planted batch dup flagged with its corpus twin, " +
+       "fresh content unflagged") {
+    val s = spark; import s.implicits._
+    val base = "the quick brown fox jumps over the lazy dog while the cat watches"
+    val corpus = Seq(
+      (10L, base),
+      (11L, "totally different corpus content about distributed query engines")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, base),                                                  // exact dup of 10
+      (2L, base.replace("lazy", "sleepy")),                        // near dup of 10
+      (3L, "fresh unseen material mentioning volcanoes and jazz music only")
+    ).toDF("doc_id", "text")
+    val flagged = Dedup.incrementalNeardup(batch, corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flagged(1L) === 10L)
+    assert(flagged.get(2L).forall(_ === 10L)) // near dup may or may not band-collide
+    assert(!flagged.contains(3L))
+  }
+
   test("semantic dedup: dropped docs have a genuine >=threshold lower-id neighbor; " +
        "recall vs exact pairs") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

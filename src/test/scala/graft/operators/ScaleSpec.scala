@@ -135,7 +135,10 @@ class ScaleSpec extends SparkSpecBase {
       "cur10_temperature_mix" -> "4/1/0/1/p",
       "dd10_semantic_dedup" -> "4/2/0/0/-",
       "wf3_frames" -> "2/0/0/0/-",
-      "so8_grouping_sets" -> "2/0/0/0/-")
+      "so8_grouping_sets" -> "2/0/0/0/-",
+      "dd11_incremental_neardup" -> "2/4/0/0/-",
+      "ts12_tfidf_keywords" -> "6/1/0/1/-",
+      "ts13_cooccurrence" -> "6/2/0/2/-")
     val drift = graft.SparkEntry.all
       .filter(q => snapshot.contains(q.name))
       .flatMap { q =>
@@ -144,7 +147,7 @@ class ScaleSpec extends SparkSpecBase {
         else Some(s"${q.name}: expected ${snapshot(q.name)}, got $live")
       }
     assert(drift.isEmpty, s"plan drift:\n${drift.mkString("\n")}")
-    assert(snapshot.size === 32)
+    assert(snapshot.size === 35)
   }
 
   test("co-bucketed tables join without an Exchange") {
