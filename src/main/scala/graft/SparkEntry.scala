@@ -16,7 +16,8 @@ object SparkEntry {
 
   val all: Seq[QueryDef] =
     RelationalQueries.defs ++ WindowQueries.defs ++ ScalarQueries.defs ++
-      LlmQueries.defs ++ PipelineQueries.defs
+      LlmQueries.defs ++ PipelineQueries.defs ++ GraphQueries.defs ++
+      AnalyticsQueries.defs
 
   /** Flagship: the §3.2 jumps acceptance slice — quality filter → person
     * window dedup → grouped jump totals with a broadcast region echo. */

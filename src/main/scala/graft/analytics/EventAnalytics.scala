@@ -1,0 +1,98 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product-analytics operators over the event stream: semi-structured
+  * extraction, funnel conversion, cohort retention, and EWMA smoothing.
+  *
+  * The reference's time-slider analytics (SURVEY §2.9 — timeControl.js
+  * day-grain filters, densityCalc.js occupancy series) are point/range
+  * queries over event time; these are the standard next analytics a team
+  * asks of the same event data. All four are single-scan, declarative,
+  * and partition by user/type — the only shuffles are the per-user hash
+  * partition (funnel, retention) and the small per-type daily rollup
+  * (EWMA), so each would run unchanged at 100 TB.
+  */
+object EventAnalytics {
+
+  /** Semi-structured extraction: the `props` column carries JSON (like the
+    * reference's ad-hoc JSON properties on Neo4j nodes, SURVEY §1.2);
+    * `get_json_object` evaluates inside codegen — no UDF, and the parse
+    * happens once per row in the same stage as the aggregate. */
+  def propsStats(events: DataFrame): DataFrame =
+    events
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum("k").as("sum_k"),
+        min("k").as("min_k"),
+        max("k").as("max_k"),
+        round(avg("k"), 4).as("avg_k"),
+        countDistinct(col("k")).as("distinct_k"))
+
+  /** Ordered funnel conversion (view → click → purchase): a user counts
+    * for a stage only if the stage event happens strictly AFTER the
+    * previous stage's first event. Three stacked window-min passes over
+    * the SAME user partition — Catalyst plans one Exchange and reuses the
+    * sort, so the whole funnel is a single shuffle at any scale. */
+  def funnel(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    val staged = events
+      .withColumn("tv", min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("tc", min(when(col("event_type") === "click" && col("ts") > col("tv"),
+        col("ts"))).over(w))
+      .withColumn("tp", min(when(col("event_type") === "purchase" && col("ts") > col("tc"),
+        col("ts"))).over(w))
+    staged.groupBy("user_id")
+      .agg(max("tv").as("tv"), max("tc").as("tc"), max("tp").as("tp"))
+      .agg(
+        count(lit(1)).as("users"),
+        count(col("tv")).as("users_view"),
+        count(col("tc")).as("users_click"),
+        count(col("tp")).as("users_purchase"))
+  }
+
+  /** Cohort retention: users grouped by their first-activity day, counted
+    * per day-offset. The cohort day comes from a window min over the same
+    * user partition the distinct-count aggregate needs — one shuffle, no
+    * self-join. */
+  def retention(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    events
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .withColumn("cohort", min("d").over(w))
+      .groupBy(col("cohort"), datediff(col("d"), col("cohort")).as("offset_days"))
+      .agg(countDistinct(col("user_id")).as("users"))
+  }
+
+  /** Exponentially-weighted moving average of daily event counts per type
+    * (s_t = α·x_t + (1−α)·s_{t−1}, s_0 = x_0), computed declaratively via
+    * the scaled-cumsum closed form:
+    *   s_t = (1−α)^t · (α·(C_t − u_0) + u_0),  C_t = Σ_{i≤t} x_i·(1−α)^{−i}
+    * — one cumulative window per type, no recursion and no driver loop.
+    * The (1−α)^{−i} factor grows exponentially in the day index, which is
+    * fine for bounded horizons (10^Θ(days)·ulp ≪ the 4dp round below for
+    * the ~150-day testdata); an unbounded-horizon deployment would reset
+    * the index per calendar block and carry the block boundary value, the
+    * same two-level trick as cur3's token packing. */
+  def dailyEwma(events: DataFrame, alpha: Double = 0.2): DataFrame = {
+    val decay = 1 - alpha
+    val inv = 1 / decay
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).cast("double").as("x"))
+    val wOrd = Window.partitionBy("event_type").orderBy("day")
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("t", row_number().over(wOrd) - 1)
+      .withColumn("u", col("x") * pow(lit(inv), col("t")))
+      .withColumn("cu", sum("u").over(wCum))
+      .withColumn("u0", first("u").over(wCum))
+      .select(col("event_type"), col("day"), col("x").cast("long").as("cnt"),
+        round(pow(lit(decay), col("t")) *
+          (lit(alpha) * (col("cu") - col("u0")) + col("u0")), 4).as("ewma"))
+  }
+}

@@ -1,0 +1,162 @@
+package graft.graph
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Workforce-movement graph analytics.
+  *
+  * The reference is literally a property graph of people moving between
+  * companies (SURVEY §1.1: person/company nodes, WORKED_FOR/JUMP edges,
+  * GetWeta.py:646-657 builds person→jump→company paths). Its serving layer
+  * only ever asks 1-hop questions, but the natural next analytic over the
+  * same data is the *company transition graph*: nodes = companies, edge
+  * (a→b) weighted by how many career moves went a→b. This module derives
+  * that graph with the same window machinery as the jump engine
+  * (analytics/Jumps.scala) and adds the classic graph measures — degree
+  * centrality, weighted PageRank, connected components (shared with
+  * llm/Dedup's large-star/small-star implementation).
+  *
+  * Scale design:
+  *   - Edge derivation is the W1/W2 jump pattern: one hash partition by
+  *     person + local sort, then lag(); only (person, company) pairs
+  *     shuffle. No self-joins.
+  *   - PageRank is the standard Pregel-style iterate: per iteration ONE
+  *     equi-join ranks⋈edges + one hash aggregate on dst, plus a scalar
+  *     aggregate for the dangling mass (broadcast back as a 1-row literal
+  *     — never collected to a driver loop over nodes). Lineage is
+  *     truncated every iteration (localCheckpoint — on a real cluster this
+  *     is the periodic-checkpoint pattern GraphX uses); out-shares are
+  *     computed once and persisted, so each iteration shuffles only the
+  *     (node, rank) table.
+  *   - Node/edge tables stay distributed throughout: nothing here assumes
+  *     the graph fits on the driver.
+  */
+object Graph {
+
+  /** Consecutive-supplier transitions per customer: the company-transition
+    * edge list. Mirrors Jumps.jumpsOnly's lag-per-person shape
+    * (dwwApi.js:100-107) with customers ≙ people and suppliers ≙ studios;
+    * the total order inside a customer is (order date, order key, line
+    * number, supplier) — the testdata carries duplicate (order key, line
+    * number) rows, so the supplier tiebreak is what makes the lag
+    * deterministic across engines. */
+  def supplierTransitions(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    val seq = lineitem.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"),
+        col("o_orderdate"), col("l_orderkey"), col("l_linenumber"))
+    val w = Window.partitionBy("cust")
+      .orderBy("o_orderdate", "l_orderkey", "l_linenumber", "supp")
+    seq.withColumn("prev", lag(col("supp"), 1).over(w))
+      .filter(col("prev").isNotNull && col("prev") =!= col("supp"))
+      .groupBy(col("prev").as("src"), col("supp").as("dst"))
+      .agg(count(lit(1)).cast("double").as("w"))
+  }
+
+  /** Transition probabilities: P(dst | src) = w / Σ_dst w. The per-src
+    * normalizer is a reused aggregate joined back (src cardinality =
+    * company count, so the join side is dim-sized and broadcastable). */
+  def transitionMatrix(edges: DataFrame): DataFrame = {
+    val wout = edges.groupBy("src").agg(sum("w").as("wout"))
+    edges.join(broadcast(wout), "src")
+      .select(col("src"), col("dst"), col("w"), (col("w") / col("wout")).as("p"))
+  }
+
+  /** In/out degree + strength per node (full outer across directions so
+    * pure sources/sinks keep a row). */
+  def degrees(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val out = edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("out_deg"), sum("w").as("out_w"))
+    val in = edges.groupBy(col("dst").as("node"))
+      .agg(count(lit(1)).as("in_deg"), sum("w").as("in_w"))
+    nodes.join(broadcast(out), Seq("node"), "left")
+      .join(broadcast(in), Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"),
+        coalesce(col("out_w"), lit(0.0)).as("out_w"),
+        coalesce(col("in_w"), lit(0.0)).as("in_w"))
+  }
+
+  /** Weighted PageRank with dangling-mass redistribution, fixed iteration
+    * count (deterministic — no convergence-dependent early exit, so the
+    * result is a pure function of the graph and both engines can replay
+    * it). r(v) ← (1−d)/N + d·(Σ_{u→v} r(u)·w(u,v)/wout(u) + dangling/N).
+    *
+    * Per iteration: one shuffle (the contrib aggregate on dst); the
+    * dangling mass is a scalar aggregate crossJoined back as a broadcast
+    * 1-row relation. `localCheckpoint` truncates lineage each round —
+    * without it the rank plan doubles per iteration (ranks feeds both the
+    * contrib join and the dangling aggregate) and analysis cost grows
+    * 2^iters. */
+  def pagerank(nodes: DataFrame, edges: DataFrame,
+               iters: Int = 15, damping: Double = 0.85): DataFrame = {
+    val nd = nodes.select(col("node"))
+    val n = nd.count().toDouble // model parameter, like IVF's k — one scalar action
+    val wout = edges.groupBy("src").agg(sum("w").as("wout"))
+    val share = edges.join(wout, "src")
+      .select(col("src"), col("dst"), (col("w") / col("wout")).as("share"))
+      .persist()
+    val outSrc = wout.select(col("src").as("node"))
+    var ranks = nd.withColumn("r", lit(1.0 / n)).localCheckpoint()
+    for (_ <- 1 to iters) {
+      val dangling = ranks.join(outSrc, Seq("node"), "left_anti")
+        .agg(coalesce(sum("r"), lit(0.0)).as("dm"))
+      val contrib = share.join(ranks, share("src") === ranks("node"))
+        .groupBy(col("dst")).agg(sum(col("share") * col("r")).as("contrib"))
+      val next = nd
+        .join(contrib, nd("node") === contrib("dst"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(nd("node"),
+          (lit((1 - damping) / n) +
+            lit(damping) * (coalesce(col("contrib"), lit(0.0)) + col("dm") / n)).as("r"))
+        .localCheckpoint()
+      ranks.unpersist()
+      ranks = next
+    }
+    share.unpersist()
+    ranks
+  }
+
+  /** Unrolled DuckDB oracle for [[pagerank]] over the supplier transition
+    * graph. Fixed iterations unroll into chained CTEs; MATERIALIZED is
+    * load-bearing — each prK is referenced three times by prK+1, so
+    * without it DuckDB inlines the chain exponentially. Arithmetic
+    * mirrors the Spark side exactly; the trailing round(6) absorbs
+    * summation-order ulps (the iteration is a 0.85-contraction, so float
+    * noise stays bounded). */
+  def pagerankOracleSql(iters: Int = 15, damping: Double = 0.85): String = {
+    val base = s"""
+      |WITH seq AS MATERIALIZED (
+      |  SELECT o.o_custkey AS cust, l.l_suppkey AS supp,
+      |         lag(l.l_suppkey) OVER (PARTITION BY o.o_custkey
+      |           ORDER BY o.o_orderdate, l.l_orderkey, l.l_linenumber,
+      |                    l.l_suppkey) AS prev
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      |edges AS MATERIALIZED (
+      |  SELECT prev AS src, supp AS dst, count(*)::DOUBLE AS w
+      |  FROM seq WHERE prev IS NOT NULL AND prev <> supp GROUP BY 1, 2),
+      |nodes AS MATERIALIZED (SELECT s_suppkey AS node FROM supplier),
+      |nn AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM nodes),
+      |wout AS MATERIALIZED (SELECT src, sum(w) AS wout FROM edges GROUP BY 1),
+      |pr0 AS MATERIALIZED (SELECT node, 1.0/(SELECT n FROM nn) AS r FROM nodes)""".stripMargin
+    val steps = (1 to iters).map { k =>
+      s""",
+         |pr$k AS MATERIALIZED (
+         |  SELECT nd.node,
+         |    (1 - $damping)/(SELECT n FROM nn)
+         |    + $damping * (COALESCE(c.contrib, 0)
+         |        + (SELECT COALESCE(sum(p.r), 0) FROM pr${k - 1} p
+         |           LEFT JOIN wout w ON p.node = w.src WHERE w.src IS NULL)
+         |          / (SELECT n FROM nn)) AS r
+         |  FROM nodes nd
+         |  LEFT JOIN (
+         |    SELECT e.dst AS node, sum(p.r * e.w / w.wout) AS contrib
+         |    FROM edges e JOIN pr${k - 1} p ON e.src = p.node
+         |    JOIN wout w ON e.src = w.src
+         |    GROUP BY e.dst) c ON nd.node = c.node)""".stripMargin
+    }.mkString
+    base + steps +
+      s"\nSELECT node, round(r, 6) AS pagerank FROM pr$iters ORDER BY node"
+  }
+}

@@ -1,0 +1,190 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed second-moment statistics + PCA for embedding columns.
+  *
+  * Covariance is the workhorse statistic behind embedding whitening, OPQ
+  * rotation for product quantization (llm/Pq.scala), and drift monitoring.
+  * The d×d matrix is tiny (a MODEL, like IVF's centroids); the data pass
+  * is the expensive part and must stay distributed:
+  *
+  *   - [[covariance]] emits all d² second moments from ONE scan: each row
+  *     expands its outer product as a flat d²-array (pure column algebra,
+  *     inside codegen), then a partial+final hash aggregate sums per
+  *     (i, j). Only d² running sums cross the wire per partition — at
+  *     1000 executors and d=64 that is a 4096-double tree-aggregate, the
+  *     same shape regardless of corpus size.
+  *   - [[fit]] collects the d×d matrix (model fit, not data movement) and
+  *     eigendecomposes it on the driver with cyclic Jacobi — O(d³) on a
+  *     64×64 symmetric matrix is microseconds; no cluster framework needed.
+  *   - [[project]] broadcasts the k eigenvectors as literal arrays and
+  *     projects with zip_with/aggregate folds — one scan, no shuffle, the
+  *     same plan shape as Similarity's dot products.
+  */
+object Pca {
+
+  /** Mean per dimension: (i, mean). One explode + hash agg (d keys). */
+  def dimMeans(emb: DataFrame, vec: String): DataFrame = {
+    val n = emb.agg(count(lit(1)).cast("double").as("n"))
+    emb.select(posexplode(transform(col(vec), _.cast("double"))).as(Seq("i", "x")))
+      .groupBy("i").agg(sum("x").as("s"))
+      .crossJoin(broadcast(n))
+      .select(col("i"), (col("s") / col("n")).as("mean"))
+  }
+
+  /** Covariance entries (i, j, cov) for all d² pairs, cov = E[xy] − E[x]E[y].
+    * The outer product rides a flattened nested transform so the whole
+    * row-side expansion is codegen'd column algebra; the (i, j) index is
+    * recovered from the flat position via the broadcast dimension. */
+  def covariance(emb: DataFrame, vec: String): DataFrame = {
+    val v = transform(col(vec), _.cast("double"))
+    val dims = emb.agg(count(lit(1)).cast("double").as("n"),
+      max(size(col(vec))).as("d"))
+    val sums = emb
+      .select(posexplode(flatten(transform(v, x => transform(v, y => x * y))))
+        .as(Seq("idx", "p")))
+      .groupBy("idx").agg(sum("p").as("sp"))
+    val means = dimMeans(emb, vec)
+    sums.crossJoin(broadcast(dims))
+      .select((col("idx") / col("d")).cast("int").as("i"),
+        (col("idx") % col("d")).cast("int").as("j"),
+        col("sp"), col("n"))
+      .join(broadcast(means).withColumnRenamed("i", "mi").withColumnRenamed("mean", "mean_i"),
+        col("i") === col("mi"))
+      .join(broadcast(means).withColumnRenamed("i", "mj").withColumnRenamed("mean", "mean_j"),
+        col("j") === col("mj"))
+      .select(col("i"), col("j"),
+        (col("sp") / col("n") - col("mean_i") * col("mean_j")).as("cov"))
+  }
+
+  /** DuckDB twin of [[covariance]] (+7dp rounding on both sides): the
+    * positions table replaces posexplode, double widening before the
+    * multiply matches Spark's cast, and only summation order differs —
+    * absorbed by the round. */
+  def covarianceOracleSql(table: String, vec: String, digits: Int = 7): String =
+    s"""WITH e AS MATERIALIZED (SELECT $vec AS v FROM $table),
+       |nn AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM e),
+       |pos AS MATERIALIZED (
+       |  SELECT unnest(range(0, (SELECT max(len(v)) FROM e))) AS p),
+       |sums AS MATERIALIZED (
+       |  SELECT pi.p AS i, sum(e.v[pi.p + 1]::DOUBLE) AS s
+       |  FROM e CROSS JOIN pos pi GROUP BY 1),
+       |prods AS (
+       |  SELECT pi.p AS i, pj.p AS j,
+       |         sum(e.v[pi.p + 1]::DOUBLE * e.v[pj.p + 1]::DOUBLE) AS sp
+       |  FROM e CROSS JOIN pos pi CROSS JOIN pos pj GROUP BY 1, 2)
+       |SELECT pr.i, pr.j,
+       |       round(pr.sp/(SELECT n FROM nn)
+       |             - (si.s/(SELECT n FROM nn))*(sj.s/(SELECT n FROM nn)),
+       |             $digits) AS cov
+       |FROM prods pr JOIN sums si ON pr.i = si.i JOIN sums sj ON pr.j = sj.i
+       |ORDER BY pr.i, pr.j""".stripMargin
+
+  /** A fitted PCA model: per-dimension means, eigenvalues (descending) and
+    * the matching eigenvectors (rows of `components`). */
+  final case class Model(means: Array[Double], eigenvalues: Array[Double],
+                         components: Array[Array[Double]])
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix. Rotations
+    * zero each off-diagonal pair until convergence; deterministic sweep
+    * order → deterministic result. Driver-side by design: the input is
+    * the d×d model matrix, never data-sized. */
+  private[graft] def jacobiEigen(a0: Array[Array[Double]],
+                                 maxSweeps: Int = 50): (Array[Double], Array[Array[Double]]) = {
+    val d = a0.length
+    val a = Array.tabulate(d, d)((i, j) => a0(i)(j))
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < maxSweeps && off > 1e-12) {
+      off = 0.0
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          val apq = a(p)(q)
+          if (math.abs(apq) > 1e-15) {
+            val theta = (a(q)(q) - a(p)(p)) / (2 * apq)
+            // sign(0) must be +1: equal diagonal entries take a 45° rotation
+            val t = (if (theta >= 0) 1.0 else -1.0) /
+              (math.abs(theta) + math.sqrt(theta * theta + 1))
+            val c = 1 / math.sqrt(t * t + 1)
+            val s = t * c
+            var k = 0
+            while (k < d) {
+              val akp = a(k)(p); val akq = a(k)(q)
+              a(k)(p) = c * akp - s * akq
+              a(k)(q) = s * akp + c * akq
+              k += 1
+            }
+            k = 0
+            while (k < d) {
+              val apk = a(p)(k); val aqk = a(q)(k)
+              a(p)(k) = c * apk - s * aqk
+              a(q)(k) = s * apk + c * aqk
+              val vkp = v(k)(p); val vkq = v(k)(q)
+              v(k)(p) = c * vkp - s * vkq
+              v(k)(q) = s * vkp + c * vkq
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      var i = 0
+      while (i < d) {
+        var j = i + 1
+        while (j < d) { off += a(i)(j) * a(i)(j); j += 1 }
+        i += 1
+      }
+      sweep += 1
+    }
+    val order = (0 until d).sortBy(i => -a(i)(i))
+    val values = order.map(i => a(i)(i)).toArray
+    // sign convention: largest-|coordinate| entry positive → deterministic
+    val vectors = order.map { i =>
+      val col = Array.tabulate(d)(k => v(k)(i))
+      val lead = col.maxBy(math.abs)
+      if (lead < 0) col.map(-_) else col
+    }.toArray
+    (values, vectors)
+  }
+
+  /** Fit PCA on an embedding column. The covariance entries are collected
+    * ROUNDED (7dp — far above cross-run summation noise), so the fitted
+    * model is a deterministic function of the data across runs and
+    * partitionings. */
+  def fit(emb: DataFrame, vec: String): Model = {
+    val means = dimMeans(emb, vec).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).sortBy(_._1).map(_._2)
+    val d = means.length
+    val cov = Array.ofDim[Double](d, d)
+    covariance(emb, vec).collect().foreach { r =>
+      cov(r.getInt(0))(r.getInt(1)) =
+        BigDecimal(r.getDouble(2)).setScale(7, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    // enforce exact symmetry before Jacobi (rounding can differ on (i,j)/(j,i))
+    for (i <- 0 until d; j <- i + 1 until d) {
+      val m = (cov(i)(j) + cov(j)(i)) / 2
+      cov(i)(j) = m; cov(j)(i) = m
+    }
+    val (values, vectors) = jacobiEigen(cov)
+    Model(means, values, vectors)
+  }
+
+  /** Project onto the top-k components: one scan, eigenvectors broadcast
+    * as literals, centered dot products as left-to-right aggregate folds
+    * (the Similarity.dot shape). Output (id, pc array). */
+  def project(emb: DataFrame, id: String, vec: String, model: Model, k: Int): DataFrame = {
+    val meanLit = array(model.means.map(lit): _*)
+    val centered = zip_with(transform(col(vec), _.cast("double")), meanLit, (x, m) => x - m)
+    val pcs = (0 until k).map { c =>
+      val comp = array(model.components(c).map(lit): _*)
+      aggregate(zip_with(centered, comp, (x, w) => x * w), lit(0.0), (acc, t) => acc + t)
+    }
+    emb.select(col(id), array(pcs: _*).as("pc"))
+  }
+}

@@ -1,0 +1,129 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+import graft.analytics.EventAnalytics
+import graft.llm.Pca
+
+/** Product-analytics operators over the event stream (funnel, retention,
+  * EWMA, semi-structured extraction), corpus heavy hitters, and embedding
+  * second-moment statistics + PCA. All single-scan / single-shuffle
+  * designs — see the scaladoc on analytics/EventAnalytics.scala and
+  * llm/Pca.scala.
+  */
+object AnalyticsQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- ev1: JSON property extraction (get_json_object inside codegen,
+    // parse + aggregate in one stage) ----
+    QueryDef("ev1_json_props",
+      (s, d) => EventAnalytics.propsStats(Tables.events(s, d))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, count(*) AS n,
+             |       sum(json_extract(props, '$.k')::INT)::BIGINT AS sum_k,
+             |       min(json_extract(props, '$.k')::INT) AS min_k,
+             |       max(json_extract(props, '$.k')::INT) AS max_k,
+             |       round(avg(json_extract(props, '$.k')::INT), 4) AS avg_k,
+             |       count(DISTINCT json_extract(props, '$.k')::INT) AS distinct_k
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ---- ev2: ordered funnel (view → click-after-view →
+    // purchase-after-click); three stacked window mins over ONE user
+    // partition = one shuffle ----
+    QueryDef("ev2_funnel",
+      (s, d) => EventAnalytics.funnel(Tables.events(s, d)),
+      Some("""WITH s1 AS (
+             |  SELECT user_id, ts, event_type,
+             |         min(CASE WHEN event_type = 'view' THEN ts END)
+             |           OVER (PARTITION BY user_id) AS tv
+             |  FROM events),
+             |s2 AS (
+             |  SELECT *, min(CASE WHEN event_type = 'click' AND ts > tv THEN ts END)
+             |              OVER (PARTITION BY user_id) AS tc
+             |  FROM s1),
+             |s3 AS (
+             |  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > tc THEN ts END)
+             |              OVER (PARTITION BY user_id) AS tp
+             |  FROM s2),
+             |u AS (SELECT user_id, max(tv) AS tv, max(tc) AS tc, max(tp) AS tp
+             |      FROM s3 GROUP BY 1)
+             |SELECT count(*) AS users, count(tv) AS users_view,
+             |       count(tc) AS users_click, count(tp) AS users_purchase
+             |FROM u""".stripMargin)),
+
+    // ---- ev3: cohort retention (first-activity day → day-offset distinct
+    // users); cohort via window min, no self-join ----
+    QueryDef("ev3_retention",
+      (s, d) => EventAnalytics.retention(Tables.events(s, d))
+        .orderBy("cohort", "offset_days"),
+      Some("""WITH e AS (
+             |  SELECT user_id, ts::DATE AS d,
+             |         min(ts::DATE) OVER (PARTITION BY user_id) AS cohort
+             |  FROM events)
+             |SELECT cohort, datediff('day', cohort, d) AS offset_days,
+             |       count(DISTINCT user_id) AS users
+             |FROM e GROUP BY 1, 2 ORDER BY cohort, offset_days""".stripMargin)),
+
+    // ---- ev4: EWMA-smoothed daily counts per type (α = 0.2) via the
+    // scaled-cumsum closed form — one cumulative window, no recursion ----
+    QueryDef("ev4_ewma",
+      (s, d) => EventAnalytics.dailyEwma(Tables.events(s, d), alpha = 0.2)
+        .orderBy("event_type", "day"),
+      Some("""WITH daily AS (
+             |  SELECT event_type, ts::DATE AS day, count(*)::DOUBLE AS x
+             |  FROM events GROUP BY 1, 2),
+             |idx AS (
+             |  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY day) - 1 AS t
+             |  FROM daily),
+             |scaled AS (
+             |  SELECT *, x * pow(1.25, t) AS u FROM idx),
+             |cums AS (
+             |  SELECT *, sum(u) OVER w AS cu, first_value(u) OVER w AS u0
+             |  FROM scaled
+             |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+             |               ROWS UNBOUNDED PRECEDING))
+             |SELECT event_type, day, x::BIGINT AS cnt,
+             |       round(pow(0.8, t) * (0.2 * (cu - u0) + u0), 4) AS ewma
+             |FROM cums ORDER BY event_type, day""".stripMargin)),
+
+    // ---- ts14: corpus heavy hitters — global top-25 tokens. Spark plans
+    // TakeOrderedAndProject: per-partition partial top-k after the
+    // map-side-combined count, only k rows per partition reach the driver
+    // merge — the right heavy-hitter plan at any corpus size ----
+    QueryDef("ts14_heavy_hitters",
+      (s, d) => Tables.documents(s, d)
+        .select(explode(split(lower(col("text")), "\\s+")).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), asc("term"))
+        .limit(25),
+      Some("""SELECT term, count(*) AS cnt
+             |FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS term
+             |      FROM documents)
+             |GROUP BY term ORDER BY cnt DESC, term LIMIT 25""".stripMargin)),
+
+    // ---- emb1: embedding covariance — all d² second moments in one scan
+    // (flattened outer product + partial/final hash agg; only d² sums per
+    // partition cross the wire) ----
+    QueryDef("emb1_covariance",
+      (s, d) => Pca.covariance(Tables.embeddings(s, d), "embedding")
+        .select(col("i"), col("j"), round(col("cov"), 7).as("cov"))
+        .orderBy("i", "j"),
+      Some(Pca.covarianceOracleSql("embeddings", "embedding", digits = 7))),
+
+    // ---- emb2: PCA projection onto the top-8 components. The model fit
+    // (collect d×d rounded covariance → driver Jacobi) is deterministic;
+    // eigendecomposition is not SQL-expressible → rows-only, with
+    // orthonormality / explained-variance / reconstruction-error pinned in
+    // PcaSpec ----
+    QueryDef("emb2_pca_project",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val model = Pca.fit(emb, "embedding")
+        Pca.project(emb, "vec_id", "embedding", model, k = 8)
+          .select(col("vec_id"), transform(col("pc"), x => round(x, 5)).as("pc"))
+          .orderBy("vec_id")
+      },
+      None)
+  )
+}

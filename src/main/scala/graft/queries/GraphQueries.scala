@@ -1,0 +1,118 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+import graft.graph.Graph
+import graft.llm.Dedup
+
+/** Company-transition graph analytics (graph/Graph.scala): the reference's
+  * property graph (SURVEY §1.1) asked only 1-hop questions; these are the
+  * whole-graph measures over the same movement data. Suppliers ≙ studios,
+  * customers ≙ people; edges = consecutive-supplier career moves derived
+  * with the jump engine's window pattern.
+  *
+  * All four are oracle-checked: the transition window, degree/strength
+  * sums, and the strong-ties component closure replay exactly in DuckDB;
+  * PageRank unrolls its fixed iterations into chained MATERIALIZED CTEs
+  * (float 6dp-rounded — the damped iteration is a contraction, so
+  * summation-order noise cannot amplify).
+  */
+object GraphQueries {
+
+  private val transitionsSql =
+    """SELECT o.o_custkey AS cust, l.l_suppkey AS supp,
+      |       lag(l.l_suppkey) OVER (PARTITION BY o.o_custkey
+      |         ORDER BY o.o_orderdate, l.l_orderkey, l.l_linenumber,
+      |                  l.l_suppkey) AS prev
+      |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey""".stripMargin
+
+  private val edgesSql =
+    s"""SELECT prev AS src, supp AS dst, count(*)::DOUBLE AS w
+       |FROM ($transitionsSql) WHERE prev IS NOT NULL AND prev <> supp
+       |GROUP BY 1, 2""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- g1: the transition matrix (edge weights + P(dst|src)) ----
+    QueryDef("g1_transition_matrix",
+      (s, d) => {
+        val edges = Graph.supplierTransitions(
+          Tables.lineitem(s, d), Tables.orders(s, d))
+        Graph.transitionMatrix(edges)
+          .select(col("src"), col("dst"), col("w").cast("long").as("w"),
+            round(col("p"), 6).as("p"))
+          .orderBy("src", "dst")
+      },
+      Some(s"""WITH edges AS MATERIALIZED ($edgesSql),
+              |wout AS (SELECT src, sum(w) AS wout FROM edges GROUP BY 1)
+              |SELECT e.src, e.dst, e.w::BIGINT AS w, round(e.w / o.wout, 6) AS p
+              |FROM edges e JOIN wout o ON e.src = o.src
+              |ORDER BY e.src, e.dst""".stripMargin)),
+
+    // ---- g2: weighted PageRank with dangling redistribution, 15 fixed
+    // iterations (Pregel-style join+agg per round, lineage truncated) ----
+    QueryDef("g2_pagerank",
+      (s, d) => {
+        val edges = Graph.supplierTransitions(
+          Tables.lineitem(s, d), Tables.orders(s, d))
+        val nodes = Tables.supplier(s, d).select(col("s_suppkey").as("node"))
+        Graph.pagerank(nodes, edges, iters = 15, damping = 0.85)
+          .select(col("node"), round(col("r"), 6).as("pagerank"))
+          .orderBy("node")
+      },
+      Some(Graph.pagerankOracleSql(iters = 15, damping = 0.85))),
+
+    // ---- g3: strong-ties components — threshold the transition
+    // probability, then large-star/small-star connected components
+    // (llm/Dedup.connectedComponents, O(log n) rounds); oracle = the
+    // dd6-style recursive-CTE transitive closure over the same edges ----
+    QueryDef("g3_strong_components",
+      (s, d) => {
+        val edges = Graph.transitionMatrix(Graph.supplierTransitions(
+            Tables.lineitem(s, d), Tables.orders(s, d)))
+          .filter(col("p") >= 0.05)
+          .select("src", "dst")
+        val nodes = Tables.supplier(s, d).select(col("s_suppkey").as("node"))
+        Dedup.labelComponents(nodes, "node", edges)
+          .orderBy("node")
+      },
+      Some(s"""WITH RECURSIVE edges0 AS ($edgesSql),
+              |wout AS (SELECT src, sum(w) AS wout FROM edges0 GROUP BY 1),
+              |strong AS (SELECT e.src, e.dst FROM edges0 e
+              |           JOIN wout o ON e.src = o.src WHERE e.w / o.wout >= 0.05),
+              |sym AS (SELECT src AS u, dst AS v FROM strong WHERE src <> dst
+              |        UNION SELECT dst, src FROM strong WHERE src <> dst),
+              |reach AS (
+              |  SELECT u, v FROM sym
+              |  UNION
+              |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u WHERE s.v <> r.u),
+              |comp AS (SELECT u AS node, least(u, min(v)) AS component
+              |         FROM reach GROUP BY u)
+              |SELECT n.s_suppkey AS node, coalesce(c.component, n.s_suppkey) AS component
+              |FROM supplier n LEFT JOIN comp c ON n.s_suppkey = c.node
+              |ORDER BY node""".stripMargin)),
+
+    // ---- g4: degree centrality (in/out degree + strength) ----
+    QueryDef("g4_degree_centrality",
+      (s, d) => {
+        val edges = Graph.supplierTransitions(
+          Tables.lineitem(s, d), Tables.orders(s, d))
+        val nodes = Tables.supplier(s, d).select(col("s_suppkey").as("node"))
+        Graph.degrees(nodes, edges)
+          .select(col("node"), col("out_deg"), col("in_deg"),
+            col("out_w").cast("long").as("out_w"), col("in_w").cast("long").as("in_w"))
+          .orderBy("node")
+      },
+      Some(s"""WITH edges AS MATERIALIZED ($edgesSql),
+              |o AS (SELECT src AS node, count(*) AS out_deg, sum(w)::BIGINT AS out_w
+              |      FROM edges GROUP BY 1),
+              |i AS (SELECT dst AS node, count(*) AS in_deg, sum(w)::BIGINT AS in_w
+              |      FROM edges GROUP BY 1)
+              |SELECT n.s_suppkey AS node,
+              |       coalesce(o.out_deg, 0) AS out_deg, coalesce(i.in_deg, 0) AS in_deg,
+              |       coalesce(o.out_w, 0) AS out_w, coalesce(i.in_w, 0) AS in_w
+              |FROM supplier n LEFT JOIN o ON n.s_suppkey = o.node
+              |                LEFT JOIN i ON n.s_suppkey = i.node
+              |ORDER BY node""".stripMargin))
+  )
+}

@@ -1,0 +1,74 @@
+package graft.analytics
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class EventAnalyticsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("funnel: stage events must come strictly after the previous stage") {
+    // u1: full ordered funnel; u2: click BEFORE its view (stalls at view);
+    // u3: view only; u4: purchase with no view at all (counts for nothing)
+    val events = Seq(
+      (1L, ts("2020-01-01 10:00:00"), "view"),
+      (1L, ts("2020-01-01 11:00:00"), "click"),
+      (1L, ts("2020-01-01 12:00:00"), "purchase"),
+      (2L, ts("2020-01-01 09:00:00"), "click"),
+      (2L, ts("2020-01-01 10:00:00"), "view"),
+      (3L, ts("2020-01-01 10:00:00"), "view"),
+      (4L, ts("2020-01-01 10:00:00"), "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val r = EventAnalytics.funnel(events).as[(Long, Long, Long, Long)].head()
+    assert(r == ((4L, 3L, 1L, 1L))) // users, view, click-after-view, purchase-after-click
+  }
+
+  test("funnel: same-timestamp stage event does NOT count (strict after)") {
+    val events = Seq(
+      (1L, ts("2020-01-01 10:00:00"), "view"),
+      (1L, ts("2020-01-01 10:00:00"), "click")
+    ).toDF("user_id", "ts", "event_type")
+    val r = EventAnalytics.funnel(events).as[(Long, Long, Long, Long)].head()
+    assert(r == ((1L, 1L, 0L, 0L)))
+  }
+
+  test("retention: offsets are against the user's first-activity day") {
+    val events = Seq(
+      (1L, ts("2020-01-01 10:00:00")), (1L, ts("2020-01-03 10:00:00")),
+      (2L, ts("2020-01-01 23:00:00")), (2L, ts("2020-01-03 01:00:00")),
+      (3L, ts("2020-01-02 10:00:00"))
+    ).toDF("user_id", "ts")
+    val r = EventAnalytics.retention(events)
+      .orderBy("cohort", "offset_days")
+      .as[(java.sql.Date, Int, Long)].collect()
+      .map { case (c, o, u) => (c.toString, o, u) }
+    assert(r.toSeq == Seq(
+      ("2020-01-01", 0, 2L), ("2020-01-01", 2, 2L), ("2020-01-02", 0, 1L)))
+  }
+
+  test("dailyEwma matches the recursive definition") {
+    val events = (0 until 10).flatMap { day =>
+      val n = 1 + (day * 7) % 5 // varying daily counts
+      (0 until n).map(i => (day.toLong * 100 + i, ts(f"2020-01-${day + 1}%02d 12:00:00"), "click"))
+    }.toDF("event_id", "ts", "event_type").drop("event_id")
+    val got = EventAnalytics.dailyEwma(events, alpha = 0.2)
+      .orderBy("day").select("cnt", "ewma").as[(Long, Double)].collect()
+    // independent recursive replay: s_0 = x_0; s_t = 0.2 x_t + 0.8 s_{t-1}
+    var s = got.head._1.toDouble
+    got.zipWithIndex.foreach { case ((x, e), i) =>
+      if (i > 0) s = 0.2 * x + 0.8 * s
+      assert(math.abs(e - s) < 5e-4, s"day $i: $e vs $s")
+    }
+  }
+
+  test("propsStats: malformed JSON yields null k and drops from min/max/avg") {
+    val events = Seq(
+      ("click", """{"k": 10}"""), ("click", """{"k": 20}"""), ("click", "not-json")
+    ).toDF("event_type", "props")
+    val r = EventAnalytics.propsStats(events)
+      .select("n", "sum_k", "min_k", "max_k", "avg_k", "distinct_k")
+      .as[(Long, Long, Int, Int, Double, Long)].head()
+    assert(r == ((3L, 30L, 10, 20, 15.0, 2L)))
+  }
+}

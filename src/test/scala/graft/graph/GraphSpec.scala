@@ -1,0 +1,102 @@
+package graft.graph
+
+import graft.SparkSpecBase
+import graft.llm.Dedup
+import org.apache.spark.sql.functions._
+
+class GraphSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+
+  // customer 1: s1 → s1 → s2 → s1 (collapse the repeat, two transitions)
+  // customer 2: s2 → s3            (one transition)
+  // customer 3: s1 only            (no transition)
+  private lazy val lineitem = Seq(
+    (101L, 1, 1L), (101L, 2, 1L), (102L, 1, 2L), (103L, 1, 1L),
+    (201L, 1, 2L), (202L, 1, 3L),
+    (301L, 1, 1L)
+  ).toDF("l_orderkey", "l_linenumber", "l_suppkey")
+
+  private lazy val orders = Seq(
+    (101L, 1L, ts("2020-01-01")), (102L, 1L, ts("2020-02-01")), (103L, 1L, ts("2020-03-01")),
+    (201L, 2L, ts("2020-01-05")), (202L, 2L, ts("2020-01-06")),
+    (301L, 3L, ts("2020-01-01"))
+  ).toDF("o_orderkey", "o_custkey", "o_orderdate")
+
+  test("supplierTransitions: consecutive pairs per customer, same-supplier runs collapse") {
+    val edges = Graph.supplierTransitions(lineitem, orders)
+      .orderBy("src", "dst").as[(Long, Long, Double)].collect()
+    assert(edges.toSeq == Seq((1L, 2L, 1.0), (2L, 1L, 1.0), (2L, 3L, 1.0)))
+  }
+
+  test("supplierTransitions: duplicate (orderkey, linenumber) rows order by supplier") {
+    // two identical sort keys with suppliers 5 and 4 → the 4 comes first
+    val li = Seq((1L, 1, 5L), (1L, 1, 4L)).toDF("l_orderkey", "l_linenumber", "l_suppkey")
+    val od = Seq((1L, 9L, ts("2020-01-01"))).toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val edges = Graph.supplierTransitions(li, od).as[(Long, Long, Double)].collect()
+    assert(edges.toSeq == Seq((4L, 5L, 1.0)))
+  }
+
+  test("transitionMatrix: P(dst|src) normalizes per src") {
+    val edges = Seq((1L, 2L, 3.0), (1L, 3L, 1.0), (2L, 1L, 2.0)).toDF("src", "dst", "w")
+    val m = Graph.transitionMatrix(edges).orderBy("src", "dst")
+      .select("src", "dst", "p").as[(Long, Long, Double)].collect()
+    assert(m.toSeq == Seq((1L, 2L, 0.75), (1L, 3L, 0.25), (2L, 1L, 1.0)))
+  }
+
+  test("degrees: in/out degree and strength, sources/sinks keep rows") {
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("node")
+    val edges = Seq((1L, 2L, 2.0), (1L, 3L, 1.0), (2L, 3L, 4.0)).toDF("src", "dst", "w")
+    val d = Graph.degrees(nodes, edges).orderBy("node")
+      .as[(Long, Long, Long, Double, Double)].collect()
+    assert(d.toSeq == Seq(
+      (1L, 2L, 0L, 3.0, 0.0), (2L, 1L, 1L, 4.0, 2.0),
+      (3L, 0L, 2L, 0.0, 5.0), (4L, 0L, 0L, 0.0, 0.0)))
+  }
+
+  /** Independent driver-side power iteration with the same semantics. */
+  private def pagerankLocal(nodes: Seq[Long], edges: Seq[(Long, Long, Double)],
+                            iters: Int, d: Double): Map[Long, Double] = {
+    val n = nodes.size.toDouble
+    val wout = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    var r = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to iters) {
+      val dangling = nodes.filterNot(wout.contains).map(r).sum
+      val contrib = edges.groupBy(_._2).view.mapValues(
+        _.map { case (s, _, w) => r(s) * w / wout(s) }.sum).toMap
+      r = nodes.map(v =>
+        v -> ((1 - d) / n + d * (contrib.getOrElse(v, 0.0) + dangling / n))).toMap
+    }
+    r
+  }
+
+  test("pagerank matches an independent local power iteration (incl. dangling)") {
+    // 4 nodes; node 4 is dangling (no out-edges); weighted edges
+    val nodesSeq = Seq(1L, 2L, 3L, 4L)
+    val edgesSeq = Seq((1L, 2L, 2.0), (1L, 3L, 1.0), (2L, 3L, 1.0), (3L, 4L, 5.0))
+    val expected = pagerankLocal(nodesSeq, edgesSeq, iters = 15, d = 0.85)
+    val got = Graph.pagerank(nodesSeq.toDF("node"), edgesSeq.toDF("src", "dst", "w"))
+      .as[(Long, Double)].collect().toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (k, v) => assert(math.abs(v - expected(k)) < 1e-12, s"node $k") }
+    assert(math.abs(got.values.sum - 1.0) < 1e-9, "ranks sum to 1")
+  }
+
+  test("pagerank: symmetric cycle is uniform") {
+    val nodes = Seq(1L, 2L, 3L).toDF("node")
+    val edges = Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (3L, 1L, 1.0)).toDF("src", "dst", "w")
+    val r = Graph.pagerank(nodes, edges).as[(Long, Double)].collect()
+    r.foreach { case (_, v) => assert(math.abs(v - 1.0 / 3) < 1e-12) }
+  }
+
+  test("strong-ties components fragment when weak edges are cut") {
+    // two clusters {1,2} and {3,4} linked by a weak edge 2→3
+    val edges = Seq((1L, 2L, 9.0), (2L, 1L, 9.0), (3L, 4L, 9.0), (4L, 3L, 9.0),
+      (2L, 3L, 1.0)).toDF("src", "dst", "w")
+    val strong = Graph.transitionMatrix(edges).filter(col("p") >= 0.5).select("src", "dst")
+    val comps = Dedup.labelComponents(Seq(1L, 2L, 3L, 4L).toDF("node"), "node", strong)
+      .as[(Long, Long)].collect().toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
+  }
+}
