@@ -32,7 +32,8 @@ object Bench {
     "rj1_range_join", "st3_session_windows", "mm2_frame_sample",
     "dd6_neardup_components", "dd7_decontaminate", "ts7_repetition",
     "sim6_pq_ann", "st4_streaming_neardup", "st5_stream_enrich",
-    "dd8_span_coverage", "cur6_source_cap", "cur9_curation_deterministic")
+    "dd8_span_coverage", "cur6_source_cap", "cur9_curation_deterministic",
+    "g2_pagerank", "emb1_covariance", "ev2_funnel", "ts14_heavy_hitters")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

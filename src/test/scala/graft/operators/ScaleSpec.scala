@@ -138,7 +138,19 @@ class ScaleSpec extends SparkSpecBase {
       "so8_grouping_sets" -> "2/0/0/0/-",
       "dd11_incremental_neardup" -> "2/4/0/0/-",
       "ts12_tfidf_keywords" -> "6/1/0/1/-",
-      "ts13_cooccurrence" -> "6/2/0/2/-")
+      "ts13_cooccurrence" -> "6/2/0/2/-",
+      // g2's plan is the checkpoint-truncated final round (localCheckpoint
+      // per iteration is the point); emb1's two BNLJs are 1-row broadcasts
+      // (n/d stats + the 64-row means dim), ts14 is TakeOrderedAndProject
+      "g1_transition_matrix" -> "5/2/0/0/p",
+      "g2_pagerank" -> "1/0/0/0/-",
+      "g4_degree_centrality" -> "6/3/0/0/p",
+      "ev1_json_props" -> "3/0/0/0/-",
+      "ev2_funnel" -> "2/0/0/0/-",
+      "ev3_retention" -> "3/0/0/0/-",
+      "ev4_ewma" -> "3/0/0/0/-",
+      "ts14_heavy_hitters" -> "1/0/0/0/-",
+      "emb1_covariance" -> "5/2/0/2/-")
     val drift = graft.SparkEntry.all
       .filter(q => snapshot.contains(q.name))
       .flatMap { q =>
@@ -147,7 +159,7 @@ class ScaleSpec extends SparkSpecBase {
         else Some(s"${q.name}: expected ${snapshot(q.name)}, got $live")
       }
     assert(drift.isEmpty, s"plan drift:\n${drift.mkString("\n")}")
-    assert(snapshot.size === 35)
+    assert(snapshot.size === 44)
   }
 
   test("co-bucketed tables join without an Exchange") {
