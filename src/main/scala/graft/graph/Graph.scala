@@ -118,6 +118,57 @@ object Graph {
     ranks
   }
 
+  /** Single-source BFS hop distances (frontier expansion): per round ONE
+    * equi-join frontier⋈edges + an anti-join against the settled set —
+    * the first discovery of a node is its shortest hop count, so no
+    * min-reduction is needed. Rounds are bounded by the graph diameter
+    * (and `maxIter` as a safety stop); lineage is truncated per round.
+    * Unreached nodes keep a NULL distance. */
+  def bfsHops(nodes: DataFrame, edges: DataFrame, seed: Long,
+              maxIter: Int = 20): DataFrame = {
+    var dist = nodes.filter(col("node") === seed)
+      .select(col("node"), lit(0).as("hops")).localCheckpoint()
+    var frontier = dist
+    var k = 0
+    var done = frontier.isEmpty
+    while (k < maxIter && !done) {
+      k += 1
+      val next = frontier.join(edges, frontier("node") === edges("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(dist, Seq("node"), "left_anti")
+        .select(col("node"), lit(k).as("hops"))
+        .localCheckpoint()
+      if (next.isEmpty) done = true
+      else {
+        dist = dist.union(next).localCheckpoint()
+        frontier = next
+      }
+    }
+    nodes.join(dist, Seq("node"), "left").select(nodes("node"), col("hops"))
+  }
+
+  /** DuckDB oracle for [[bfsHops]]: a recursive CTE over (node, hops)
+    * states — UNION dedupes states so the recursion terminates, the hops
+    * bound mirrors maxIter, and min(hops) per node is the BFS distance. */
+  def bfsOracleSql(seed: Long, maxIter: Int = 20): String =
+    s"""WITH RECURSIVE seq AS (
+       |  SELECT o.o_custkey AS cust, l.l_suppkey AS supp,
+       |         lag(l.l_suppkey) OVER (PARTITION BY o.o_custkey
+       |           ORDER BY o.o_orderdate, l.l_orderkey, l.l_linenumber,
+       |                    l.l_suppkey) AS prev
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+       |edges AS (
+       |  SELECT prev AS src, supp AS dst FROM seq
+       |  WHERE prev IS NOT NULL AND prev <> supp GROUP BY 1, 2),
+       |walk AS (
+       |  SELECT $seed::BIGINT AS node, 0 AS hops
+       |  UNION
+       |  SELECT e.dst, w.hops + 1 FROM walk w JOIN edges e ON w.node = e.src
+       |  WHERE w.hops < $maxIter)
+       |SELECT n.s_suppkey AS node, min(w.hops)::INT AS hops
+       |FROM supplier n LEFT JOIN walk w ON n.s_suppkey = w.node
+       |GROUP BY 1 ORDER BY node""".stripMargin
+
   /** Unrolled DuckDB oracle for [[pagerank]] over the supplier transition
     * graph. Fixed iterations unroll into chained CTEs; MATERIALIZED is
     * load-bearing — each prK is referenced three times by prK+1, so

@@ -43,6 +43,54 @@ object Relevance {
     * an independent engine evaluating the same tree (see `bm25OracleSql`)
     * reproduces the doubles bit-for-bit up to libm ulps, which the
     * rounding absorbs. */
+  /** Zipf power-law fit over the token frequency distribution: OLS slope
+    * of ln(freq) ~ ln(rank) for the top-N terms. Natural corpora sit near
+    * slope −1; a corpus that drifts far off is boilerplate-heavy (too
+    * flat) or template-dominated (too steep) — a one-row corpus-health
+    * gauge next to cur5's stats.
+    *
+    * Scale shape: the count aggregate map-side combines; the top-N cutoff
+    * is TakeOrderedAndProject (k rows per partition to the merge), and the
+    * rank window runs over N ≤ a few hundred rows AFTER the cutoff — the
+    * partition-less window is bounded by the constant N, never by corpus
+    * size. The regression itself is one aggregate row. */
+  def zipfFit(df: DataFrame, text: String, topN: Int = 200): DataFrame = {
+    val ranked = df.select(explode(toks(col(text))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("term")).limit(topN)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(desc("cnt"), asc("term"))))
+      .select(log(col("rank").cast("double")).as("x"),
+        log(col("cnt").cast("double")).as("y"))
+    ranked.agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(col("n").as("n_terms"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")), 4).as("slope"),
+        round((col("sy") - ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx"))) * col("sx")) / col("n"), 4)
+          .as("intercept"))
+  }
+
+  /** DuckDB twin of [[zipfFit]] — identical rank tiebreak, ln() folds, and
+    * OLS algebra; 4dp rounding absorbs summation order. */
+  def zipfOracleSql(table: String, text: String, topN: Int = 200): String =
+    s"""WITH counts AS (
+       |  SELECT term, count(*) AS cnt
+       |  FROM (SELECT unnest(string_split_regex(lower($text), '\\s+')) AS term
+       |        FROM $table)
+       |  GROUP BY term ORDER BY cnt DESC, term LIMIT $topN),
+       |ranked AS (
+       |  SELECT ln((row_number() OVER (ORDER BY cnt DESC, term))::DOUBLE) AS x,
+       |         ln(cnt::DOUBLE) AS y
+       |  FROM counts),
+       |s AS (SELECT count(*)::BIGINT AS n, sum(x) AS sx, sum(y) AS sy,
+       |             sum(x*y) AS sxy, sum(x*x) AS sxx FROM ranked)
+       |SELECT n AS n_terms,
+       |       round((n*sxy - sx*sy) / (n*sxx - sx*sx), 4) AS slope,
+       |       round((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n, 4) AS intercept
+       |FROM s""".stripMargin
+
   def bm25(df: DataFrame, id: String, text: String, terms: Seq[String],
            k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "bm25 needs at least one query term")

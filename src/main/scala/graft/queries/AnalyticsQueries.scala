@@ -102,6 +102,74 @@ object AnalyticsQueries {
              |      FROM documents)
              |GROUP BY term ORDER BY cnt DESC, term LIMIT 25""".stripMargin)),
 
+    // ---- ts15: Zipf power-law fit (OLS slope of ln freq ~ ln rank over
+    // the top-N terms) — a one-row corpus-health gauge ----
+    QueryDef("ts15_zipf",
+      (s, d) => graft.llm.Relevance.zipfFit(Tables.documents(s, d), "text", topN = 200),
+      Some(graft.llm.Relevance.zipfOracleSql("documents", "text", topN = 200))),
+
+    // ---- ts14b: heavy hitters via the DataSketches frequent-items
+    // aggregate (approx_top_k). Capacity (64) ≥ corpus vocabulary (31
+    // distinct tokens), and the sketch is EXACT whenever its map never
+    // evicts — so the oracle is the plain exact count. The small-capacity
+    // error-bound behavior is pinned in AnalyticsSpec ----
+    QueryDef("ts14b_topk_sketch",
+      (s, d) => {
+        val sketched = Tables.documents(s, d)
+          .select(explode(split(lower(col("text")), "\\s+")).as("term"))
+          .agg(expr("approx_top_k(term, 40, 64)").as("tk"))
+          .select(explode(col("tk")).as("s"))
+        val fields = sketched.select(col("s.*")).columns
+        sketched.select(col(s"s.${fields(0)}").as("term"),
+            col(s"s.${fields(1)}").cast("long").as("cnt"))
+          .orderBy(desc("cnt"), asc("term"))
+      },
+      Some("""SELECT term, count(*) AS cnt
+             |FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS term
+             |      FROM documents)
+             |GROUP BY term ORDER BY cnt DESC, term""".stripMargin)),
+
+    // ---- st7: funnel tracking in its streaming form — the registry runs
+    // the batch twin (FunnelStream.stagesBatch); FunnelStreamSpec proves
+    // the mapGroupsWithState fold emits identical stages across in-order
+    // micro-batches ----
+    QueryDef("st7_streaming_funnel",
+      (s, d) => graft.streaming.FunnelStream.stagesBatch(Tables.events(s, d))
+        .orderBy("user_id"),
+      Some("""WITH s1 AS (
+             |  SELECT user_id, ts, event_type,
+             |         min(CASE WHEN event_type = 'view' THEN ts END)
+             |           OVER (PARTITION BY user_id) AS tv
+             |  FROM events),
+             |s2 AS (
+             |  SELECT *, min(CASE WHEN event_type = 'click' AND ts > tv THEN ts END)
+             |              OVER (PARTITION BY user_id) AS tc
+             |  FROM s1),
+             |s3 AS (
+             |  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > tc THEN ts END)
+             |              OVER (PARTITION BY user_id) AS tp
+             |  FROM s2)
+             |SELECT user_id,
+             |       CASE WHEN max(tp) IS NOT NULL THEN 3
+             |            WHEN max(tc) IS NOT NULL THEN 2
+             |            WHEN max(tv) IS NOT NULL THEN 1 ELSE 0 END AS stage
+             |FROM s3 GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // ---- emb3: SemDeDup in PCA space — dimension-reduce (16 of 64 dims)
+    // before the k-means cells + within-cell cosine verify, the standard
+    // cost cut for semantic dedup at scale. Model-dependent (k-means +
+    // eigenvectors) → rows-only; PcaSpec pins agreement with full-space
+    // SemDeDup on planted duplicates ----
+    QueryDef("emb3_pca_semdedup",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val model = Pca.fit(emb, "embedding")
+        val proj = Pca.project(emb, "vec_id", "embedding", model, k = 16)
+        graft.llm.Dedup.semanticDedup(proj, "vec_id", "pc", threshold = 0.9, nCells = 16)
+          .select(col("vec_id")).orderBy("vec_id")
+      },
+      None),
+
     // ---- emb1: embedding covariance — all d² second moments in one scan
     // (flattened outer product + partial/final hash agg; only d² sums per
     // partition cross the wire) ----

@@ -92,6 +92,17 @@ object GraphQueries {
               |FROM supplier n LEFT JOIN comp c ON n.s_suppkey = c.node
               |ORDER BY node""".stripMargin)),
 
+    // ---- g5: single-source BFS hop distances (frontier expansion, one
+    // equi-join + anti-join per round, diameter-bounded) ----
+    QueryDef("g5_bfs_hops",
+      (s, d) => {
+        val edges = Graph.supplierTransitions(
+          Tables.lineitem(s, d), Tables.orders(s, d)).select("src", "dst")
+        val nodes = Tables.supplier(s, d).select(col("s_suppkey").as("node"))
+        Graph.bfsHops(nodes, edges, seed = 0L).orderBy("node")
+      },
+      Some(Graph.bfsOracleSql(seed = 0L))),
+
     // ---- g4: degree centrality (in/out degree + strength) ----
     QueryDef("g4_degree_centrality",
       (s, d) => {

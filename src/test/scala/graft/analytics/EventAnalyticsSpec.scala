@@ -62,6 +62,41 @@ class EventAnalyticsSpec extends SparkSpecBase {
     }
   }
 
+  test("zipfFit matches an independent OLS replay") {
+    val doc = (Seq.fill(8)("a") ++ Seq.fill(4)("b") ++ Seq.fill(2)("c") ++ Seq("d"))
+      .mkString(" ")
+    val df = Seq(doc).toDF("text")
+    val (n, slope, intercept) = graft.llm.Relevance.zipfFit(df, "text")
+      .as[(Long, Double, Double)].head()
+    assert(n == 4)
+    // independent OLS on (ln rank, ln cnt)
+    val pts = Seq((1.0, 8.0), (2.0, 4.0), (3.0, 2.0), (4.0, 1.0))
+      .map { case (r, c) => (math.log(r), math.log(c)) }
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val m = (4 * sxy - sx * sy) / (4 * sxx - sx * sx)
+    val b = (sy - m * sx) / 4
+    assert(math.abs(slope - m) < 1e-3 && math.abs(intercept - b) < 1e-3)
+    assert(slope < 0) // frequencies decay with rank
+  }
+
+  test("approx_top_k under eviction pressure still finds the dominant term") {
+    // capacity 4 tracks far fewer than the 21 distinct terms; the sketch
+    // must still surface the overwhelming heavy hitter with a bounded
+    // estimate (frequent-items guarantee: est >= true - n/maxMapSize)
+    val text = (Seq.fill(500)("hot") ++ (1 to 20).flatMap(i => Seq(s"t$i")))
+      .mkString(" ")
+    val r = Seq(text).toDF("text")
+      .select(explode(split(col("text"), " ")).as("term"))
+      .agg(expr("approx_top_k(term, 1, 4)").as("tk"))
+      .select(explode(col("tk")).as("s")).select("s.*")
+      .collect()(0)
+    assert(r.getString(0) == "hot")
+    val est = r.getLong(1)
+    assert(est >= 500 - 520 / 4 && est <= 520, s"estimate $est")
+  }
+
   test("propsStats: malformed JSON yields null k and drops from min/max/avg") {
     val events = Seq(
       ("click", """{"k": 10}"""), ("click", """{"k": 20}"""), ("click", "not-json")

@@ -90,6 +90,23 @@ class GraphSpec extends SparkSpecBase {
     r.foreach { case (_, v) => assert(math.abs(v - 1.0 / 3) < 1e-12) }
   }
 
+  test("bfsHops: shortest hop counts, unreachable stays null") {
+    // 1 → 2 → 3 → 4 and a shortcut 1 → 3; node 5 unreachable; 4 → 1 cycle
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("node")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L), (4L, 1L)).toDF("src", "dst")
+    val d = Graph.bfsHops(nodes, edges, seed = 1L).orderBy("node")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1 else r.getInt(1)))
+    assert(d.toSeq == Seq(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 2, 5L -> -1))
+  }
+
+  test("bfsHops: empty seed (seed not in nodes) leaves everything null") {
+    val nodes = Seq(1L, 2L).toDF("node")
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val d = Graph.bfsHops(nodes, edges, seed = 9L)
+      .collect().map(r => r.isNullAt(1))
+    assert(d.forall(identity))
+  }
+
   test("strong-ties components fragment when weak edges are cut") {
     // two clusters {1,2} and {3,4} linked by a weak edge 2→3
     val edges = Seq((1L, 2L, 9.0), (2L, 1L, 9.0), (3L, 4L, 9.0), (4L, 3L, 9.0),

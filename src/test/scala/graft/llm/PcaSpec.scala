@@ -75,6 +75,27 @@ class PcaSpec extends SparkSpecBase {
     assert(explained1 > 0.9) // 1 component explains the planted line
   }
 
+  test("PCA-space SemDeDup catches planted exact duplicates") {
+    // exact duplicates project to identical points (projection is a pure
+    // function of the vector), so they survive any linear reduction
+    val rnd = new scala.util.Random(23)
+    val base = (0 until 50).map { i =>
+      (i.toLong, Seq.fill(16)(rnd.nextGaussian().toFloat))
+    }
+    val dups = (0 until 5).map(i => (100L + i, base(i)._2)) // copies of 0..4
+    val emb = (base ++ dups).toDF("vec_id", "embedding")
+    val model = Pca.fit(emb, "embedding")
+    val proj = Pca.project(emb, "vec_id", "embedding", model, k = 8)
+    val survivors = Dedup.semanticDedup(proj, "vec_id", "pc",
+        threshold = 0.95, nCells = 4)
+      .select("vec_id").as[Long].collect().toSet
+    val dropped = (base ++ dups).map(_._1).toSet -- survivors
+    // every planted copy (the larger id of its pair) is dropped
+    assert((100L until 105L).forall(dropped.contains), s"dropped: $dropped")
+    // and no random-vector false positives at cos >= 0.95 in 8-d
+    assert(dropped.size == 5, s"dropped: $dropped")
+  }
+
   test("fit is deterministic across repartitionings") {
     val m1 = Pca.fit(emb.repartition(7), "embedding")
     val m2 = Pca.fit(emb.repartition(2), "embedding")

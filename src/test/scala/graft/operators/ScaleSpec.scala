@@ -150,7 +150,13 @@ class ScaleSpec extends SparkSpecBase {
       "ev3_retention" -> "3/0/0/0/-",
       "ev4_ewma" -> "3/0/0/0/-",
       "ts14_heavy_hitters" -> "1/0/0/0/-",
-      "emb1_covariance" -> "5/2/0/2/-")
+      "emb1_covariance" -> "5/2/0/2/-",
+      // g5's audited plan is the settled-set join after the checkpointed
+      // frontier rounds; ts15's window runs AFTER the top-N cutoff
+      "g5_bfs_hops" -> "3/1/0/0/-",
+      "ts15_zipf" -> "1/0/0/0/-",
+      "ts14b_topk_sketch" -> "1/0/0/0/-",
+      "st7_streaming_funnel" -> "2/0/0/0/-")
     val drift = graft.SparkEntry.all
       .filter(q => snapshot.contains(q.name))
       .flatMap { q =>
@@ -159,7 +165,7 @@ class ScaleSpec extends SparkSpecBase {
         else Some(s"${q.name}: expected ${snapshot(q.name)}, got $live")
       }
     assert(drift.isEmpty, s"plan drift:\n${drift.mkString("\n")}")
-    assert(snapshot.size === 44)
+    assert(snapshot.size === 48)
   }
 
   test("co-bucketed tables join without an Exchange") {
