@@ -68,6 +68,29 @@ object EventAnalytics {
       .agg(countDistinct(col("user_id")).as("users"))
   }
 
+  /** Daily-volume anomaly detection: each (type, day) count is z-scored
+    * against the trailing `lookback`-day window (mean / sample stddev of
+    * the PRECEDING days only — the current day never contaminates its own
+    * baseline). One frame-bounded window per type — the monitoring pass a
+    * pipeline runs over its own ingest counters. Days with fewer than two
+    * preceding observations (or zero variance) yield a NULL z-score. */
+  def dailyAnomalies(events: DataFrame, lookback: Int = 7,
+                     zThreshold: Double = 2.0): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).cast("double").as("x"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(-lookback, -1)
+    daily
+      .withColumn("mu", avg("x").over(w))
+      .withColumn("sd", stddev_samp(col("x")).over(w))
+      .select(col("event_type"), col("day"), col("x").cast("long").as("cnt"),
+        round(col("mu"), 4).as("mu"),
+        when(col("sd") > 0, round((col("x") - col("mu")) / col("sd"), 4)).as("z"),
+        when(col("sd") > 0 && abs((col("x") - col("mu")) / col("sd")) > zThreshold, true)
+          .otherwise(false).as("anomaly"))
+  }
+
   /** Exponentially-weighted moving average of daily event counts per type
     * (s_t = α·x_t + (1−α)·s_{t−1}, s_0 = x_0), computed declaratively via
     * the scaled-cumsum closed form:

@@ -97,22 +97,38 @@ object Graph {
     val share = edges.join(wout, "src")
       .select(col("src"), col("dst"), (col("w") / col("wout")).as("share"))
       .persist()
-    val outSrc = wout.select(col("src").as("node"))
+    // the dangling-node set is STATIC — materialize it once, or every
+    // iteration's mass aggregate re-derives the whole edge pipeline
+    val danglingNodes = nd
+      .join(share.select(col("src").as("node")).distinct(), Seq("node"), "left_anti")
+      .localCheckpoint()
     var ranks = nd.withColumn("r", lit(1.0 / n)).localCheckpoint()
-    for (_ <- 1 to iters) {
-      val dangling = ranks.join(outSrc, Seq("node"), "left_anti")
+    // The rank vector is node-count sized (dimension-scale for this tier's
+    // company graphs) and checkpoint-backed, so the optimizer sees no
+    // stats: broadcast it EXPLICITLY or every iteration shuffle-joins the
+    // full share table. A billion-node deployment would instead
+    // co-partition share and ranks by src once and reuse that exchange.
+    // Checkpoint every round: chaining multiple un-checkpointed rounds
+    // into one plan measured SLOWER (AQE re-plans the deeper tree and the
+    // intermediate aggregates recompute inside both rank references), so
+    // one eager checkpoint per round is the sweet spot.
+    val checkpointEvery = 1
+    for (step <- 1 to iters) {
+      val dangling = broadcast(ranks).join(danglingNodes, Seq("node"), "left_semi")
         .agg(coalesce(sum("r"), lit(0.0)).as("dm"))
-      val contrib = share.join(ranks, share("src") === ranks("node"))
+      val contrib = share.join(broadcast(ranks), share("src") === ranks("node"))
         .groupBy(col("dst")).agg(sum(col("share") * col("r")).as("contrib"))
       val next = nd
-        .join(contrib, nd("node") === contrib("dst"), "left")
+        .join(broadcast(contrib), nd("node") === contrib("dst"), "left")
         .crossJoin(broadcast(dangling))
         .select(nd("node"),
           (lit((1 - damping) / n) +
             lit(damping) * (coalesce(col("contrib"), lit(0.0)) + col("dm") / n)).as("r"))
-        .localCheckpoint()
-      ranks.unpersist()
-      ranks = next
+      ranks = if (step % checkpointEvery == 0 || step == iters) {
+        val cp = next.localCheckpoint()
+        ranks.unpersist()
+        cp
+      } else next
     }
     share.unpersist()
     ranks
@@ -126,16 +142,21 @@ object Graph {
     * Unreached nodes keep a NULL distance. */
   def bfsHops(nodes: DataFrame, edges: DataFrame, seed: Long,
               maxIter: Int = 20): DataFrame = {
+    // materialize the edge list once — every round joins it, and an
+    // unpersisted edge derivation would re-run upstream per round
+    val e = edges.select(col("src"), col("dst")).persist()
     var dist = nodes.filter(col("node") === seed)
       .select(col("node"), lit(0).as("hops")).localCheckpoint()
     var frontier = dist
     var k = 0
     var done = frontier.isEmpty
+    // frontier/settled sets are checkpoint-backed (no optimizer stats) and
+    // node-bounded — broadcast them explicitly, as in pagerank
     while (k < maxIter && !done) {
       k += 1
-      val next = frontier.join(edges, frontier("node") === edges("src"))
+      val next = e.join(broadcast(frontier), frontier("node") === e("src"))
         .select(col("dst").as("node")).distinct()
-        .join(dist, Seq("node"), "left_anti")
+        .join(broadcast(dist), Seq("node"), "left_anti")
         .select(col("node"), lit(k).as("hops"))
         .localCheckpoint()
       if (next.isEmpty) done = true
@@ -144,7 +165,10 @@ object Graph {
         frontier = next
       }
     }
-    nodes.join(dist, Seq("node"), "left").select(nodes("node"), col("hops"))
+    val out = nodes.join(broadcast(dist), Seq("node"), "left")
+      .select(nodes("node"), col("hops")).localCheckpoint()
+    e.unpersist()
+    out
   }
 
   /** DuckDB oracle for [[bfsHops]]: a recursive CTE over (node, hops)

@@ -102,6 +102,54 @@ object AnalyticsQueries {
              |      FROM documents)
              |GROUP BY term ORDER BY cnt DESC, term LIMIT 25""".stripMargin)),
 
+    // ---- ev5: daily-volume anomaly detection (z-score vs the trailing
+    // 7-day baseline, current day excluded from its own baseline) ----
+    QueryDef("ev5_anomaly",
+      (s, d) => EventAnalytics.dailyAnomalies(Tables.events(s, d))
+        .orderBy("event_type", "day"),
+      Some("""WITH daily AS (
+             |  SELECT event_type, ts::DATE AS day, count(*)::DOUBLE AS x
+             |  FROM events GROUP BY 1, 2),
+             |stats AS (
+             |  SELECT *, avg(x) OVER w AS mu, stddev_samp(x) OVER w AS sd
+             |  FROM daily
+             |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+             |               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+             |SELECT event_type, day, x::BIGINT AS cnt, round(mu, 4) AS mu,
+             |       CASE WHEN sd > 0 THEN round((x - mu) / sd, 4) END AS z,
+             |       COALESCE(sd > 0 AND abs((x - mu) / sd) > 2.0, false) AS anomaly
+             |FROM stats ORDER BY event_type, day""".stripMargin)),
+
+    // ---- scd2: dimension change history as validity intervals — the
+    // warehouse form of the reference's timestamped map_backups
+    // (dwwRoutes.js:131-172). W2 consecutive-dedup + lead(), ONE shuffle ----
+    QueryDef("scd2_dim_history",
+      (s, d) => graft.etl.Scd.scd2(
+          Tables.orders(s, d).select(
+            col("o_custkey"), col("o_orderstatus"),
+            col("o_orderdate"), col("o_orderkey")),
+          key = "o_custkey", value = "o_orderstatus",
+          orderCols = Seq("o_orderdate", "o_orderkey"))
+        .select(col("o_custkey"), col("o_orderstatus"),
+          col("valid_from").cast("date").as("valid_from"),
+          col("valid_to").cast("date").as("valid_to"), col("is_current"))
+        .orderBy("o_custkey", "valid_from", "o_orderstatus"),
+      Some("""WITH changes AS (
+             |  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+             |         lag(o_orderstatus) OVER w AS prev
+             |  FROM orders
+             |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+             |episodes AS (
+             |  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey
+             |  FROM changes WHERE prev IS NULL OR prev <> o_orderstatus)
+             |SELECT o_custkey, o_orderstatus,
+             |       o_orderdate::DATE AS valid_from,
+             |       (lead(o_orderdate) OVER w2)::DATE AS valid_to,
+             |       lead(o_orderdate) OVER w2 IS NULL AS is_current
+             |FROM episodes
+             |WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             |ORDER BY o_custkey, valid_from, o_orderstatus""".stripMargin)),
+
     // ---- ts15: Zipf power-law fit (OLS slope of ln freq ~ ln rank over
     // the top-N terms) — a one-row corpus-health gauge ----
     QueryDef("ts15_zipf",

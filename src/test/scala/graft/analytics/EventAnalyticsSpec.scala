@@ -62,6 +62,52 @@ class EventAnalyticsSpec extends SparkSpecBase {
     }
   }
 
+  test("dailyAnomalies: baseline excludes the current day, flags the spike") {
+    // 8 quiet days (10 events) then a 30-event spike
+    val events = (0 until 9).flatMap { day =>
+      val n = if (day == 8) 30 else 10
+      (0 until n).map(i => (ts(f"2020-01-${day + 1}%02d 12:00:00"), "click"))
+    }.toDF("ts", "event_type")
+    val rows = EventAnalytics.dailyAnomalies(events)
+      .orderBy("day").select("cnt", "mu", "z", "anomaly")
+      .collect()
+    // day 0: no preceding days -> null baseline, not anomalous
+    assert(rows(0).isNullAt(1) && rows(0).isNullAt(2) && !rows(0).getBoolean(3))
+    // days 1..7: flat history -> sd = 0 -> z null, not anomalous
+    assert(!rows(5).getBoolean(3) && rows(5).isNullAt(2) && rows(5).getDouble(1) == 10.0)
+    // day 8: spike over a flat baseline still has sd = 0 (all preceding
+    // equal) -> z null; so instead make day 7 slightly off to give variance
+    val events2 = events.toDF("ts", "event_type").union(
+      Seq((ts("2020-01-08 13:00:00"), "click")).toDF("ts", "event_type"))
+    val r2 = EventAnalytics.dailyAnomalies(events2)
+      .orderBy("day").collect().last
+    assert(r2.getLong(2) == 30 && !r2.isNullAt(4) && r2.getBoolean(5),
+      s"spike day: $r2")
+  }
+
+  test("scd2 collapses runs into validity intervals") {
+    val events = Seq(
+      // key 1: A A B A  -> episodes A[d1,d3) B[d3,d4) A[d4,null)
+      (1L, "A", ts("2020-01-01 00:00:00"), 1L), (1L, "A", ts("2020-01-02 00:00:00"), 2L),
+      (1L, "B", ts("2020-01-03 00:00:00"), 3L), (1L, "A", ts("2020-01-04 00:00:00"), 4L),
+      // key 2: single value -> one current episode
+      (2L, "X", ts("2020-01-05 00:00:00"), 5L)
+    ).toDF("k", "v", "t", "seq")
+    val r = graft.etl.Scd.scd2(events, "k", "v", Seq("t", "seq"))
+      .select("k", "v", "valid_from", "valid_to", "is_current")
+      .orderBy("k", "valid_from")
+      .collect()
+      .map(x => (x.getLong(0), x.getString(1),
+        x.getTimestamp(2).toString.take(10),
+        if (x.isNullAt(3)) "-" else x.getTimestamp(3).toString.take(10),
+        x.getBoolean(4)))
+    assert(r.toSeq == Seq(
+      (1L, "A", "2020-01-01", "2020-01-03", false),
+      (1L, "B", "2020-01-03", "2020-01-04", false),
+      (1L, "A", "2020-01-04", "-", true),
+      (2L, "X", "2020-01-05", "-", true)))
+  }
+
   test("zipfFit matches an independent OLS replay") {
     val doc = (Seq.fill(8)("a") ++ Seq.fill(4)("b") ++ Seq.fill(2)("c") ++ Seq("d"))
       .mkString(" ")

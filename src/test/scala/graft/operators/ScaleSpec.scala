@@ -151,12 +151,15 @@ class ScaleSpec extends SparkSpecBase {
       "ev4_ewma" -> "3/0/0/0/-",
       "ts14_heavy_hitters" -> "1/0/0/0/-",
       "emb1_covariance" -> "5/2/0/2/-",
-      // g5's audited plan is the settled-set join after the checkpointed
-      // frontier rounds; ts15's window runs AFTER the top-N cutoff
-      "g5_bfs_hops" -> "3/1/0/0/-",
+      // g5's audited plan is the checkpoint-truncated final sort (the
+      // frontier rounds checkpoint like g2's); ts15's window runs AFTER
+      // the top-N cutoff
+      "g5_bfs_hops" -> "1/0/0/0/-",
       "ts15_zipf" -> "1/0/0/0/-",
       "ts14b_topk_sketch" -> "1/0/0/0/-",
-      "st7_streaming_funnel" -> "2/0/0/0/-")
+      "st7_streaming_funnel" -> "2/0/0/0/-",
+      "ev5_anomaly" -> "3/0/0/0/-",
+      "scd2_dim_history" -> "2/0/0/0/-")
     val drift = graft.SparkEntry.all
       .filter(q => snapshot.contains(q.name))
       .flatMap { q =>
@@ -165,7 +168,7 @@ class ScaleSpec extends SparkSpecBase {
         else Some(s"${q.name}: expected ${snapshot(q.name)}, got $live")
       }
     assert(drift.isEmpty, s"plan drift:\n${drift.mkString("\n")}")
-    assert(snapshot.size === 48)
+    assert(snapshot.size === 50)
   }
 
   test("co-bucketed tables join without an Exchange") {
