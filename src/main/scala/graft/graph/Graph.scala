@@ -134,6 +134,35 @@ object Graph {
     ranks
   }
 
+  /** Company similarity by shared workforce: Jaccard overlap of the
+    * people sets of every company pair that shares at least one person.
+    * This is the set-similarity view of the reference's company dedup
+    * problem (two studio spellings that employ the same people are the
+    * same studio) — dd5's n-gram Jaccard lifted from token sets to
+    * entity sets.
+    *
+    * Scale shape: candidate pairs are generated per PERSON (a self-join
+    * of each person's distinct company list — Σ_person k², bounded by
+    * per-person breadth, never companies²); the two degree joins
+    * broadcast the company-size dim. A person with pathological breadth
+    * would be capped or MinHashed first — same knob as dd3. */
+  def coEmploymentSimilarity(membership: DataFrame, person: String, company: String,
+                             minShared: Long = 2): DataFrame = {
+    val m = membership.select(col(person).as("p"), col(company).as("c")).distinct()
+    val sizes = m.groupBy(col("c")).agg(count(lit(1)).as("n"))
+    val shared = m.join(m.withColumnRenamed("c", "c2"), "p")
+      .filter(col("c") < col("c2"))
+      .groupBy(col("c"), col("c2")).agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+    shared
+      .join(broadcast(sizes).withColumnRenamed("c", "sc").withColumnRenamed("n", "n1"),
+        col("c") === col("sc"))
+      .join(broadcast(sizes).withColumnRenamed("c", "sc2").withColumnRenamed("n", "n2"),
+        col("c2") === col("sc2"))
+      .select(col("c"), col("c2"), col("shared"), col("n1"), col("n2"),
+        round(col("shared") / (col("n1") + col("n2") - col("shared")), 6).as("jaccard"))
+  }
+
   /** Single-source BFS hop distances (frontier expansion): per round ONE
     * equi-join frontier⋈edges + an anti-join against the settled set —
     * the first discovery of a node is its shortest hop count, so no

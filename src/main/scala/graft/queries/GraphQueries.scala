@@ -92,6 +92,29 @@ object GraphQueries {
               |FROM supplier n LEFT JOIN comp c ON n.s_suppkey = c.node
               |ORDER BY node""".stripMargin)),
 
+    // ---- g6: company similarity by shared workforce (set-Jaccard over
+    // per-person candidate pairs — never a companies² self-join) ----
+    QueryDef("g6_coemployment_similarity",
+      (s, d) => {
+        val membership = Tables.lineitem(s, d)
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("person"), col("l_suppkey").as("company"))
+        Graph.coEmploymentSimilarity(membership, "person", "company", minShared = 3)
+          .orderBy("c", "c2")
+      },
+      Some("""WITH m AS MATERIALIZED (
+             |  SELECT DISTINCT o.o_custkey AS p, l.l_suppkey AS c
+             |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+             |sizes AS (SELECT c, count(*) AS n FROM m GROUP BY 1),
+             |shared AS (
+             |  SELECT a.c AS c, b.c AS c2, count(*) AS shared
+             |  FROM m a JOIN m b ON a.p = b.p AND a.c < b.c
+             |  GROUP BY 1, 2 HAVING count(*) >= 3)
+             |SELECT s.c, s.c2, s.shared, s1.n AS n1, s2.n AS n2,
+             |       round(s.shared / (s1.n + s2.n - s.shared), 6) AS jaccard
+             |FROM shared s JOIN sizes s1 ON s.c = s1.c JOIN sizes s2 ON s.c2 = s2.c
+             |ORDER BY s.c, s.c2""".stripMargin)),
+
     // ---- g5: single-source BFS hop distances (frontier expansion, one
     // equi-join + anti-join per round, diameter-bounded) ----
     QueryDef("g5_bfs_hops",

@@ -90,6 +90,21 @@ class GraphSpec extends SparkSpecBase {
     r.foreach { case (_, v) => assert(math.abs(v - 1.0 / 3) < 1e-12) }
   }
 
+  test("coEmploymentSimilarity: Jaccard over shared people, minShared prunes") {
+    val m = Seq(
+      (1L, "A"), (1L, "B"), (2L, "A"), (2L, "B"), (3L, "A"), (3L, "C"),
+      (1L, "A") // duplicate membership row must not double-count
+    ).toDF("person", "company")
+    val r = Graph.coEmploymentSimilarity(m, "person", "company", minShared = 2)
+      .as[(String, String, Long, Long, Long, Double)].collect()
+    assert(r.toSeq == Seq(("A", "B", 2L, 3L, 2L, 0.666667)))
+    val all = Graph.coEmploymentSimilarity(m, "person", "company", minShared = 1)
+      .orderBy("c", "c2")
+      .as[(String, String, Long, Long, Long, Double)].collect()
+    assert(all.map(x => (x._1, x._2, x._3)).toSeq ==
+      Seq(("A", "B", 2L), ("A", "C", 1L)))
+  }
+
   test("bfsHops: shortest hop counts, unreachable stays null") {
     // 1 → 2 → 3 → 4 and a shortcut 1 → 3; node 5 unreachable; 4 → 1 cycle
     val nodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("node")

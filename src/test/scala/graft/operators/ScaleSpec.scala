@@ -159,7 +159,8 @@ class ScaleSpec extends SparkSpecBase {
       "ts14b_topk_sketch" -> "1/0/0/0/-",
       "st7_streaming_funnel" -> "2/0/0/0/-",
       "ev5_anomaly" -> "3/0/0/0/-",
-      "scd2_dim_history" -> "2/0/0/0/-")
+      "scd2_dim_history" -> "2/0/0/0/-",
+      "g6_coemployment_similarity" -> "6/5/0/0/p")
     val drift = graft.SparkEntry.all
       .filter(q => snapshot.contains(q.name))
       .flatMap { q =>
@@ -168,7 +169,7 @@ class ScaleSpec extends SparkSpecBase {
         else Some(s"${q.name}: expected ${snapshot(q.name)}, got $live")
       }
     assert(drift.isEmpty, s"plan drift:\n${drift.mkString("\n")}")
-    assert(snapshot.size === 50)
+    assert(snapshot.size === 51)
   }
 
   test("co-bucketed tables join without an Exchange") {
