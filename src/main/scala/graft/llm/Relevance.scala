@@ -91,6 +91,67 @@ object Relevance {
        |       round((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n, 4) AS intercept
        |FROM s""".stripMargin
 
+  /** DSIR-style importance score (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): per-document
+    * log-likelihood ratio between a TARGET distribution (docs matching
+    * `isTarget`) and the RAW corpus distribution, under additively-smoothed
+    * unigram models. Documents scoring > 0 look more like the target than
+    * like the average of the corpus — the standard gate for steering a web
+    * crawl toward a curated domain.
+    *
+    * Scale shape: two vocabulary-sized count aggregates (map-side
+    * combined) build the log-ratio table, which is broadcast; each doc
+    * then needs one (doc, term, count) aggregate and one broadcast join —
+    * counts aggregate BEFORE the float fold (the ts8/ts11 pattern), so
+    * only (doc, term) rows shuffle and 4dp rounding holds cross-engine. */
+  def importanceScore(df: DataFrame, id: String, text: String,
+                      isTarget: Column): DataFrame = {
+    val toksOf = df.select(col(id).as("__id"), isTarget.as("__t"),
+      explode(toks(col(text))).as("term"))
+    val rawCounts = toksOf.groupBy("term").agg(count(lit(1)).as("cr"))
+    val targetCounts = toksOf.filter(col("__t")).groupBy("term")
+      .agg(count(lit(1)).as("ct"))
+    // smoothing constants: V = corpus vocabulary, n = token totals
+    val stats = rawCounts.agg(sum("cr").as("nr"), count(lit(1)).as("v"))
+      .crossJoin(toksOf.filter(col("__t")).agg(count(lit(1)).as("nt")))
+    val ratio = rawCounts
+      .join(targetCounts, Seq("term"), "left")
+      .crossJoin(broadcast(stats))
+      .select(col("term"),
+        (log((coalesce(col("ct"), lit(0L)) + 1).cast("double") / (col("nt") + col("v"))) -
+          log((col("cr") + 1).cast("double") / (col("nr") + col("v")))).as("lr"))
+    toksOf.groupBy(col("__id"), col("term")).agg(count(lit(1)).as("c"))
+      .join(broadcast(ratio), "term")
+      .groupBy(col("__id"))
+      .agg(sum("c").as("n_tokens"), round(sum(col("c") * col("lr")), 4).as("score"))
+      .select(col("__id").as(id), col("n_tokens"), col("score"),
+        (col("score") > 0).as("accept"))
+  }
+
+  /** DuckDB twin of [[importanceScore]] — identical smoothing, ln folds
+    * over pre-aggregated counts, 4dp round. */
+  def importanceOracleSql(table: String, id: String, text: String,
+                          targetPredicate: String): String =
+    s"""WITH tk AS MATERIALIZED (
+       |  SELECT $id AS id, ($targetPredicate) AS t,
+       |         unnest(string_split_regex(lower($text), '\\s+')) AS term
+       |  FROM $table),
+       |raw AS MATERIALIZED (SELECT term, count(*) AS cr FROM tk GROUP BY 1),
+       |tgt AS (SELECT term, count(*) AS ct FROM tk WHERE t GROUP BY 1),
+       |st AS (SELECT (SELECT sum(cr) FROM raw) AS nr, (SELECT count(*) FROM raw) AS v,
+       |              (SELECT count(*) FROM tk WHERE t) AS nt),
+       |ratio AS (
+       |  SELECT r.term,
+       |         ln((COALESCE(g.ct, 0) + 1)::DOUBLE / (st.nt + st.v)) -
+       |         ln((r.cr + 1)::DOUBLE / (st.nr + st.v)) AS lr
+       |  FROM raw r LEFT JOIN tgt g USING (term) CROSS JOIN st),
+       |dc AS (SELECT id, term, count(*) AS c FROM tk GROUP BY 1, 2)
+       |SELECT dc.id AS $id, sum(dc.c)::BIGINT AS n_tokens,
+       |       round(sum(dc.c * ratio.lr), 4) AS score,
+       |       round(sum(dc.c * ratio.lr), 4) > 0 AS accept
+       |FROM dc JOIN ratio USING (term)
+       |GROUP BY dc.id ORDER BY $id""".stripMargin
+
   def bm25(df: DataFrame, id: String, text: String, terms: Seq[String],
            k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "bm25 needs at least one query term")

@@ -203,6 +203,35 @@ object AnalyticsQueries {
              |            WHEN max(tv) IS NOT NULL THEN 1 ELSE 0 END AS stage
              |FROM s3 GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // ---- ds1: DSIR importance resampling score (Xie et al. 2023) —
+    // per-doc log-likelihood ratio of smoothed unigram models, target =
+    // English docs vs the raw corpus; counts aggregate before the float
+    // fold so the 4dp round holds cross-engine ----
+    QueryDef("ds1_importance_score",
+      (s, d) => graft.llm.Relevance.importanceScore(
+          Tables.documents(s, d), "doc_id", "text", col("lang") === "en")
+        .orderBy("doc_id"),
+      Some(graft.llm.Relevance.importanceOracleSql(
+        "documents", "doc_id", "text", "lang = 'en'"))),
+
+    // ---- cls1: classifier DISTILLATION of the quality gate — hashed
+    // bag-of-words + distributed logistic regression trained to imitate
+    // the composed quality heuristic on the doc_id%5=0 slice, applied to
+    // the rest (the DCLM/fastText pattern: replace an expensive gate
+    // chain with one linear scan). Model-dependent floats → rows-only;
+    // ClassifierSpec pins holdout accuracy (~0.86) and the planted
+    // two-vocabulary separation ----
+    QueryDef("cls1_quality_classifier",
+      (s, d) => {
+        val docs = graft.llm.TextAnalysis.qualityFeatures(Tables.documents(s, d), "text")
+        val fitted = graft.llm.Classifier.train(
+          docs.filter(col("doc_id") % 5 === 0), "text", col("quality_score") >= 0.95)
+        graft.llm.Classifier.score(fitted, docs.filter(col("doc_id") % 5 =!= 0), "text")
+          .select(col("doc_id"), round(col("prob"), 3).as("prob"), col("pred"))
+          .orderBy("doc_id")
+      },
+      None),
+
     // ---- emb3: SemDeDup in PCA space — dimension-reduce (16 of 64 dims)
     // before the k-means cells + within-cell cosine verify, the standard
     // cost cut for semantic dedup at scale. Model-dependent (k-means +

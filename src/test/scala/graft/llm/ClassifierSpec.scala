@@ -1,0 +1,65 @@
+package graft.llm
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class ClassifierSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("distilled quality gate generalizes to held-out docs") {
+    // the registry query's shape: train to imitate the quality heuristic
+    // on 1/5 of the corpus, verify on the rest. The label is learnable by
+    // construction (it derives from the text), so holdout accuracy well
+    // above the 50% balanced baseline proves the train/apply machinery.
+    val docs = graft.llm.TextAnalysis.qualityFeatures(
+      graft.model.Tables.documents(spark, "/root/testdata/sf0.001"), "text")
+    val fitted = Classifier.train(
+      docs.filter(col("doc_id") % 5 === 0), "text", col("quality_score") >= 0.95)
+    val scored = Classifier.score(fitted, docs.filter(col("doc_id") % 5 =!= 0), "text")
+      .select(col("pred"), (col("quality_score") >= 0.95).as("truth"))
+      .as[(Boolean, Boolean)].collect()
+    val acc = scored.count(p => p._1 == p._2).toDouble / scored.length
+    assert(acc > 0.7, s"holdout accuracy $acc over ${scored.length} docs")
+  }
+
+  test("classifier separates a planted two-vocabulary corpus") {
+    val rnd = new scala.util.Random(5)
+    val good = Seq("alpha", "beta", "gamma", "delta")
+    val bad = Seq("zip", "zap", "zork", "quux")
+    val docs = (0 until 200).map { i =>
+      val vocab = if (i % 2 == 0) good else bad
+      (i.toLong, Seq.fill(12)(vocab(rnd.nextInt(vocab.size))).mkString(" "), i % 2 == 0)
+    }.toDF("id", "text", "label")
+    val fitted = Classifier.train(docs.filter($"id" < 100), "text", col("label"))
+    val scored = Classifier.score(fitted, docs.filter($"id" >= 100), "text")
+      .select(col("pred"), col("label")).as[(Boolean, Boolean)].collect()
+    assert(scored.forall(p => p._1 == p._2), "disjoint vocabularies must separate perfectly")
+  }
+
+  test("importanceScore: target-looking docs score positive, others negative") {
+    val docs = Seq(
+      (1L, "alpha beta alpha gamma", "en"),
+      (2L, "alpha beta beta alpha", "en"),
+      (3L, "zip zap zork zip", "de"),
+      (4L, "zap zork zap zip", "de"),
+      (5L, "alpha beta gamma alpha", "en")
+    ).toDF("doc_id", "text", "lang")
+    val r = Relevance.importanceScore(docs, "doc_id", "text", col("lang") === "en")
+      .orderBy("doc_id")
+      .select("doc_id", "score", "accept").as[(Long, Double, Boolean)].collect()
+    assert(r.filter(_._1 <= 2).forall(_._3), "en docs accepted")
+    assert(r.filter(_._1 >= 3).filter(_._1 <= 4).forall(!_._3), "de docs rejected")
+    // scores are the smoothed unigram LLR — independent replay for doc 3
+    val target = "alpha beta alpha gamma alpha beta beta alpha alpha beta gamma alpha".split(" ")
+    val raw = target ++ "zip zap zork zip zap zork zap zip".split(" ")
+    val v = raw.distinct.length
+    def p(c: Int, n: Int) = (c + 1.0) / (n + v)
+    val doc3 = "zip zap zork zip".split(" ")
+    val expected = doc3.map { w =>
+      math.log(p(target.count(_ == w), target.length)) -
+        math.log(p(raw.count(_ == w), raw.length))
+    }.sum
+    val got = r.find(_._1 == 3L).get._2
+    assert(math.abs(got - expected) < 1e-3, s"$got vs $expected")
+  }
+}

@@ -160,7 +160,9 @@ class ScaleSpec extends SparkSpecBase {
       "st7_streaming_funnel" -> "2/0/0/0/-",
       "ev5_anomaly" -> "3/0/0/0/-",
       "scd2_dim_history" -> "2/0/0/0/-",
-      "g6_coemployment_similarity" -> "6/5/0/0/p")
+      "g6_coemployment_similarity" -> "6/5/0/0/p",
+      // ds1's two BNLJs are the 1-row smoothing-stats broadcasts
+      "ds1_importance_score" -> "8/2/0/2/p")
     val drift = graft.SparkEntry.all
       .filter(q => snapshot.contains(q.name))
       .flatMap { q =>
@@ -169,7 +171,7 @@ class ScaleSpec extends SparkSpecBase {
         else Some(s"${q.name}: expected ${snapshot(q.name)}, got $live")
       }
     assert(drift.isEmpty, s"plan drift:\n${drift.mkString("\n")}")
-    assert(snapshot.size === 51)
+    assert(snapshot.size === 52)
   }
 
   test("co-bucketed tables join without an Exchange") {
