@@ -90,9 +90,15 @@ object Graph {
     * contrib join and the dangling aggregate) and analysis cost grows
     * 2^iters. */
   def pagerank(nodes: DataFrame, edges: DataFrame,
-               iters: Int = 15, damping: Double = 0.85): DataFrame = {
+               iters: Int = 15, damping: Double = 0.85,
+               teleportTo: Option[Long] = None): DataFrame = {
     val nd = nodes.select(col("node"))
     val n = nd.count().toDouble // model parameter, like IVF's k — one scalar action
+    // teleport distribution: uniform (classic) or an indicator at one node
+    // (personalized PageRank — relevance of every node to the seed)
+    def tCol = teleportTo
+      .map(sd => when(col("node") === sd, lit(1.0)).otherwise(lit(0.0)))
+      .getOrElse(lit(1.0 / n))
     val wout = edges.groupBy("src").agg(sum("w").as("wout"))
     val share = edges.join(wout, "src")
       .select(col("src"), col("dst"), (col("w") / col("wout")).as("share"))
@@ -102,7 +108,7 @@ object Graph {
     val danglingNodes = nd
       .join(share.select(col("src").as("node")).distinct(), Seq("node"), "left_anti")
       .localCheckpoint()
-    var ranks = nd.withColumn("r", lit(1.0 / n)).localCheckpoint()
+    var ranks = nd.withColumn("r", tCol).localCheckpoint()
     // The rank vector is node-count sized (dimension-scale for this tier's
     // company graphs) and checkpoint-backed, so the optimizer sees no
     // stats: broadcast it EXPLICITLY or every iteration shuffle-joins the
@@ -122,8 +128,8 @@ object Graph {
         .join(broadcast(contrib), nd("node") === contrib("dst"), "left")
         .crossJoin(broadcast(dangling))
         .select(nd("node"),
-          (lit((1 - damping) / n) +
-            lit(damping) * (coalesce(col("contrib"), lit(0.0)) + col("dm") / n)).as("r"))
+          (lit(1 - damping) * tCol +
+            lit(damping) * (coalesce(col("contrib"), lit(0.0)) + col("dm") * tCol)).as("r"))
       ranks = if (step % checkpointEvery == 0 || step == iters) {
         val cp = next.localCheckpoint()
         ranks.unpersist()
@@ -229,7 +235,15 @@ object Graph {
     * mirrors the Spark side exactly; the trailing round(6) absorbs
     * summation-order ulps (the iteration is a 0.85-contraction, so float
     * noise stays bounded). */
-  def pagerankOracleSql(iters: Int = 15, damping: Double = 0.85): String = {
+  def pagerankOracleSql(iters: Int = 15, damping: Double = 0.85,
+                        teleportTo: Option[Long] = None): String = {
+    // teleport term: uniform 1/n, or the seed indicator (personalized)
+    val t = teleportTo
+      .map(sd => s"(CASE WHEN nd.node = $sd THEN 1.0 ELSE 0.0 END)")
+      .getOrElse("(1.0/(SELECT n FROM nn))")
+    val t0 = teleportTo
+      .map(sd => s"(CASE WHEN node = $sd THEN 1.0 ELSE 0.0 END)")
+      .getOrElse("(1.0/(SELECT n FROM nn))")
     val base = s"""
       |WITH seq AS MATERIALIZED (
       |  SELECT o.o_custkey AS cust, l.l_suppkey AS supp,
@@ -243,16 +257,16 @@ object Graph {
       |nodes AS MATERIALIZED (SELECT s_suppkey AS node FROM supplier),
       |nn AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM nodes),
       |wout AS MATERIALIZED (SELECT src, sum(w) AS wout FROM edges GROUP BY 1),
-      |pr0 AS MATERIALIZED (SELECT node, 1.0/(SELECT n FROM nn) AS r FROM nodes)""".stripMargin
+      |pr0 AS MATERIALIZED (SELECT node, $t0 AS r FROM nodes)""".stripMargin
     val steps = (1 to iters).map { k =>
       s""",
          |pr$k AS MATERIALIZED (
          |  SELECT nd.node,
-         |    (1 - $damping)/(SELECT n FROM nn)
+         |    (1 - $damping) * $t
          |    + $damping * (COALESCE(c.contrib, 0)
          |        + (SELECT COALESCE(sum(p.r), 0) FROM pr${k - 1} p
          |           LEFT JOIN wout w ON p.node = w.src WHERE w.src IS NULL)
-         |          / (SELECT n FROM nn)) AS r
+         |          * $t) AS r
          |  FROM nodes nd
          |  LEFT JOIN (
          |    SELECT e.dst AS node, sum(p.r * e.w / w.wout) AS contrib

@@ -120,6 +120,28 @@ object AnalyticsQueries {
              |       COALESCE(sd > 0 AND abs((x - mu) / sd) > 2.0, false) AS anomaly
              |FROM stats ORDER BY event_type, day""".stripMargin)),
 
+    // ---- st8: the anomaly flagger in its streaming form — the SAME
+    // stateful fold (flatMapGroupsWithState over a bounded per-type ring)
+    // run on the batch daily counts and oracle-checked against the ev5
+    // window SQL; AnomalySpec proves stream≡batch across micro-batches ----
+    QueryDef("st8_streaming_anomaly",
+      (s, d) => graft.streaming.AnomalyStream.flag(s,
+          graft.streaming.AnomalyStream.dailyCounts(Tables.events(s, d)))
+        .toDF()
+        .orderBy("event_type", "day"),
+      Some("""WITH daily AS (
+             |  SELECT event_type, ts::DATE AS day, count(*)::DOUBLE AS x
+             |  FROM events GROUP BY 1, 2),
+             |stats AS (
+             |  SELECT *, avg(x) OVER w AS mu, stddev_samp(x) OVER w AS sd
+             |  FROM daily
+             |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+             |               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+             |SELECT event_type, day, x::BIGINT AS cnt, round(mu, 4) AS mu,
+             |       CASE WHEN sd > 0 THEN round((x - mu) / sd, 4) END AS z,
+             |       COALESCE(sd > 0 AND abs((x - mu) / sd) > 2.0, false) AS anomaly
+             |FROM stats ORDER BY event_type, day""".stripMargin)),
+
     // ---- scd2: dimension change history as validity intervals — the
     // warehouse form of the reference's timestamped map_backups
     // (dwwRoutes.js:131-172). W2 consecutive-dedup + lead(), ONE shuffle ----

@@ -92,6 +92,21 @@ object GraphQueries {
               |FROM supplier n LEFT JOIN comp c ON n.s_suppkey = c.node
               |ORDER BY node""".stripMargin)),
 
+    // ---- g7: personalized PageRank — teleport to one seed company, so
+    // ranks measure every node's relevance TO that company through the
+    // movement flows (same machinery as g2, indicator teleport) ----
+    QueryDef("g7_personalized_pagerank",
+      (s, d) => {
+        val edges = Graph.supplierTransitions(
+          Tables.lineitem(s, d), Tables.orders(s, d))
+        val nodes = Tables.supplier(s, d).select(col("s_suppkey").as("node"))
+        Graph.pagerank(nodes, edges, iters = 15, damping = 0.85, teleportTo = Some(0L))
+          .select(col("node"), round(col("r"), 6).as("ppr"))
+          .orderBy("node")
+      },
+      Some(Graph.pagerankOracleSql(iters = 15, damping = 0.85, teleportTo = Some(0L))
+        .replace("AS pagerank", "AS ppr"))),
+
     // ---- g6: company similarity by shared workforce (set-Jaccard over
     // per-person candidate pairs — never a companies² self-join) ----
     QueryDef("g6_coemployment_similarity",

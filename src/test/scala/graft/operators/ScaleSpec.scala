@@ -162,7 +162,9 @@ class ScaleSpec extends SparkSpecBase {
       "scd2_dim_history" -> "2/0/0/0/-",
       "g6_coemployment_similarity" -> "6/5/0/0/p",
       // ds1's two BNLJs are the 1-row smoothing-stats broadcasts
-      "ds1_importance_score" -> "8/2/0/2/p")
+      "ds1_importance_score" -> "8/2/0/2/p",
+      "g7_personalized_pagerank" -> "1/0/0/0/-",
+      "st8_streaming_anomaly" -> "3/0/0/0/-")
     val drift = graft.SparkEntry.all
       .filter(q => snapshot.contains(q.name))
       .flatMap { q =>
@@ -171,7 +173,7 @@ class ScaleSpec extends SparkSpecBase {
         else Some(s"${q.name}: expected ${snapshot(q.name)}, got $live")
       }
     assert(drift.isEmpty, s"plan drift:\n${drift.mkString("\n")}")
-    assert(snapshot.size === 52)
+    assert(snapshot.size === 54)
   }
 
   test("co-bucketed tables join without an Exchange") {
