@@ -527,6 +527,26 @@ object Dedup {
     emb.join(dropped, Seq(id), "left_anti")
   }
 
+  /** Semantic decontamination: dd7's benchmark screen lifted from n-gram
+    * overlap to EMBEDDING similarity — flags training docs whose vector
+    * sits within `threshold` cosine of ANY benchmark vector (catches
+    * paraphrased test-set leakage that shares no n-grams). Benchmark sets
+    * are small by definition → broadcast; the corpus side is ONE scan
+    * computing |bench| dot products per row, a map-only stage with no
+    * shuffle beyond the final per-doc max aggregate (and none at all if
+    * the max folds over a broadcast-collected bench array — here the
+    * groupBy keeps it declarative). */
+  def semanticContamination(corpus: DataFrame, id: String, vec: String,
+                            benchmark: DataFrame, bvec: String,
+                            threshold: Double): DataFrame = {
+    val bench = broadcast(benchmark.select(col(bvec).as("__bvec")))
+    corpus.crossJoin(bench)
+      .groupBy(col(id))
+      .agg(max(Similarity.cosine(col(vec), col("__bvec"))).as("__ms"))
+      .select(col(id), round(col("__ms"), 4).as("max_benchmark_sim"),
+        (col("__ms") >= threshold).as("contaminated"))
+  }
+
   /** Incremental exact dedup: the steady-state shape of a production
     * pipeline — a NEW batch arrives and must be deduped against the
     * already-ingested corpus without rescanning it. Drops new docs whose

@@ -142,6 +142,51 @@ object AnalyticsQueries {
              |       COALESCE(sd > 0 AND abs((x - mu) / sd) > 2.0, false) AS anomaly
              |FROM stats ORDER BY event_type, day""".stripMargin)),
 
+    // ---- st9: streaming EWMA — the textbook recursion as one double of
+    // state per type; the batch run of the stateful code path is
+    // oracle-checked against ev4's CLOSED-FORM window SQL, proving
+    // recursion ≡ scaled-cumsum across engines at 4dp ----
+    QueryDef("st9_streaming_ewma",
+      (s, d) => graft.streaming.AnomalyStream.ewma(s,
+          graft.streaming.AnomalyStream.dailyCounts(Tables.events(s, d)), alpha = 0.2)
+        .toDF()
+        .orderBy("event_type", "day"),
+      Some("""WITH daily AS (
+             |  SELECT event_type, ts::DATE AS day, count(*)::DOUBLE AS x
+             |  FROM events GROUP BY 1, 2),
+             |idx AS (
+             |  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY day) - 1 AS t
+             |  FROM daily),
+             |scaled AS (
+             |  SELECT *, x * pow(1.25, t) AS u FROM idx),
+             |cums AS (
+             |  SELECT *, sum(u) OVER w AS cu, first_value(u) OVER w AS u0
+             |  FROM scaled
+             |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+             |               ROWS UNBOUNDED PRECEDING))
+             |SELECT event_type, day, x::BIGINT AS cnt,
+             |       round(pow(0.8, t) * (0.2 * (cu - u0) + u0), 4) AS ewma
+             |FROM cums ORDER BY event_type, day""".stripMargin)),
+
+    // ---- dd12: semantic decontamination — dd7's benchmark screen on
+    // embeddings: cosine vs a broadcast benchmark set, max per doc ----
+    QueryDef("dd12_semantic_decontamination",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        graft.llm.Dedup.semanticContamination(
+            emb.filter(col("vec_id") % 25 =!= 0), "vec_id", "embedding",
+            emb.filter(col("vec_id") % 25 === 0), "embedding", threshold = 0.5)
+          .orderBy("vec_id")
+      },
+      Some("""WITH bench AS (SELECT embedding AS bvec FROM embeddings WHERE vec_id % 25 = 0),
+             |corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 25 <> 0),
+             |m AS (
+             |  SELECT c.vec_id,
+             |         max(list_cosine_similarity(c.embedding::DOUBLE[], b.bvec::DOUBLE[])) AS ms
+             |  FROM corpus c CROSS JOIN bench b GROUP BY 1)
+             |SELECT vec_id, round(ms, 4) AS max_benchmark_sim, ms >= 0.5 AS contaminated
+             |FROM m ORDER BY vec_id""".stripMargin)),
+
     // ---- scd2: dimension change history as validity intervals — the
     // warehouse form of the reference's timestamped map_backups
     // (dwwRoutes.js:131-172). W2 consecutive-dedup + lead(), ONE shuffle ----

@@ -76,4 +76,33 @@ object AnomalyStream {
   def dailyCounts(events: DataFrame): DataFrame =
     events.groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("cnt"))
+
+  final case class Smoothed(event_type: String, day: java.sql.Date, cnt: Long, ewma: Double)
+  final case class EwmaState(s: Double, initialized: Boolean)
+
+  /** Streaming EWMA: the textbook recursion s ← α·x + (1−α)·s as per-type
+    * state (ONE double per type — the minimal streaming-state operator).
+    * Batch-executes identically, and the batch run is oracle-checked
+    * against EventAnalytics.dailyEwma's closed-form WINDOW SQL — proving
+    * recursion ≡ scaled-cumsum closed form across engines (4dp). */
+  def ewma(spark: SparkSession, daily: DataFrame, alpha: Double = 0.2): Dataset[Smoothed] = {
+    import spark.implicits._
+    daily.select(col("event_type"), col("day").cast("date"), col("cnt").cast("long"))
+      .as[DailyCount]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[EwmaState, Smoothed](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        case (etype, rows, state: GroupState[EwmaState]) =>
+          var st = state.getOption.getOrElse(EwmaState(0.0, initialized = false))
+          val out = rows.toSeq.sortBy(_.day.toLocalDate.toEpochDay).map { r =>
+            st =
+              if (!st.initialized) EwmaState(r.cnt.toDouble, initialized = true)
+              else EwmaState(alpha * r.cnt + (1 - alpha) * st.s, initialized = true)
+            Smoothed(etype, r.day, r.cnt, round4(st.s))
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
 }

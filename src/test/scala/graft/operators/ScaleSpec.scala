@@ -164,7 +164,11 @@ class ScaleSpec extends SparkSpecBase {
       // ds1's two BNLJs are the 1-row smoothing-stats broadcasts
       "ds1_importance_score" -> "8/2/0/2/p",
       "g7_personalized_pagerank" -> "1/0/0/0/-",
-      "st8_streaming_anomaly" -> "3/0/0/0/-")
+      "st8_streaming_anomaly" -> "3/0/0/0/-",
+      "st9_streaming_ewma" -> "3/0/0/0/-",
+      // dd12's BNLJ is the broadcast benchmark-vector set (small by
+      // definition — the dd7 pattern on embeddings)
+      "dd12_semantic_decontamination" -> "2/0/0/1/p")
     val drift = graft.SparkEntry.all
       .filter(q => snapshot.contains(q.name))
       .flatMap { q =>
@@ -173,7 +177,7 @@ class ScaleSpec extends SparkSpecBase {
         else Some(s"${q.name}: expected ${snapshot(q.name)}, got $live")
       }
     assert(drift.isEmpty, s"plan drift:\n${drift.mkString("\n")}")
-    assert(snapshot.size === 54)
+    assert(snapshot.size === 56)
   }
 
   test("co-bucketed tables join without an Exchange") {

@@ -36,6 +36,33 @@ class AnomalySpec extends SparkSpecBase {
     stateful.zip(declarative).foreach { case (a, b) => assert(a == b, s"$a vs $b") }
   }
 
+  test("streaming ewma equals batch fold and the closed-form window") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    def d(i: Int) = java.sql.Date.valueOf(f"2020-01-${i + 1}%02d")
+    val rows = (0 until 10).map(i => ("click", d(i), (5 + (i * 7) % 9).toLong))
+    val mem = MemoryStream[(String, java.sql.Date, Long)]
+    val q = AnomalyStream.ewma(s, mem.toDF().toDF("event_type", "day", "cnt"))
+      .writeStream.format("memory").outputMode("append")
+      .queryName("ewma_stream").start()
+    try {
+      rows.grouped(3).foreach { b => mem.addData(b); q.processAllAvailable() }
+      val streamed = s.table("ewma_stream").orderBy("day")
+        .select("ewma").as[Double].collect()
+      val batch = AnomalyStream.ewma(s, rows.toDF("event_type", "day", "cnt"))
+        .toDF().orderBy("day").select("ewma").as[Double].collect()
+      assert(streamed.toSeq == batch.toSeq)
+      // against the declarative closed form (4dp tolerance: float paths differ)
+      val events = rows.flatMap { case (t, day, n) =>
+        (0 until n.toInt).map(_ => (t, java.sql.Timestamp.valueOf(day.toString + " 12:00:00")))
+      }.toDF("event_type", "ts")
+      val closed = graft.analytics.EventAnalytics.dailyEwma(events, alpha = 0.2)
+        .orderBy("day").select("ewma").as[Double].collect()
+      streamed.zip(closed).foreach { case (a, b) => assert(math.abs(a - b) < 5e-4) }
+    } finally q.stop()
+  }
+
   test("stream equals batch across day-ordered micro-batches") {
     val s = spark
     import s.implicits._
