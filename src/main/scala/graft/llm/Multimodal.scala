@@ -72,6 +72,43 @@ object Multimodal {
     out.toDF("media_id", "features")
   }
 
+  /** Perceptual fingerprint (aHash shape): decode to a dim-length feature
+    * vector (≙ the 8×8 grayscale thumbnail when dim = 64), threshold each
+    * cell against the vector mean, pack the bits into one 64-bit
+    * fingerprint. With a REAL decoder, visually-similar images land
+    * within a small Hamming distance; with the deterministic stub the
+    * fingerprint is content-hash-like, so only byte-identical payloads
+    * collide — the packing/grouping machinery is what this exercises.
+    * All post-decode math is declarative (left-to-right aggregate folds),
+    * so the bit decisions replay exactly in the fixture oracle. */
+  def perceptualHash(media: DataFrame, dim: Int = 64): DataFrame = {
+    require(dim <= 64, "fingerprint packs into one long")
+    val f = transform(col("features"), x => x.cast("double"))
+    extractFeatures(media, dim)
+      .withColumn("__f", f)
+      .withColumn("__mean",
+        aggregate(col("__f"), lit(0.0), (a, x) => a + x) / dim)
+      .withColumn("phash", {
+        // MSB-first bit weights as a literal array (shiftleft's bit-count
+        // argument is not a Column in the Scala API)
+        val weights = array((0 until dim).map(i => lit(1L << (dim - 1 - i))): _*)
+        aggregate(
+          zip_with(col("__f"), weights,
+            (x, w) => when(x > col("__mean"), w).otherwise(lit(0L))),
+          lit(0L), (a, b) => a + b)
+      })
+      .select(col("media_id"), col("phash"))
+  }
+
+  /** Fingerprint dedup: exact-collision groups with a min-id survivor —
+    * dd1's shape on the media fingerprint (a real decoder would add a
+    * Hamming-bucket stage like SimHash's pigeonhole bands). */
+  def perceptualDedup(media: DataFrame, dim: Int = 64): DataFrame = {
+    val h = perceptualHash(media, dim)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("phash")
+    h.withColumn("survivor", col("media_id") === min("media_id").over(w))
+  }
+
   /** Resize stage stub: metadata transform only (a real resize rewrites
     * `content`); keeps schema + lineage intact. */
   def resize(media: DataFrame, w: Int, h: Int): DataFrame =

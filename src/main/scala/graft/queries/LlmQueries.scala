@@ -603,6 +603,23 @@ object LlmQueries {
              |WHERE sf_key = (SELECT sum(n_chars) FROM documents)
              |ORDER BY media_id""".stripMargin)),
 
+    // ---- perceptual-hash media dedup: decode → aHash bit packing →
+    // exact-collision groups with min-id survivor. Oracle: the stub
+    // decode + float mean + MSB packing reimplemented independently in
+    // Python (make_fixtures.make_mm4); the survivor logic replays in SQL
+    // over the fixture fingerprints ----
+    QueryDef("mm4_perceptual_dedup",
+      (s, d) => Multimodal.perceptualDedup(
+          Multimodal.asMediaTable(t(s, d, "documents"), "doc_id", "text"), dim = 64)
+        .orderBy("media_id"),
+      Some("""WITH p AS (
+             |  SELECT media_id, phash
+             |  FROM read_parquet('/root/repo/fixtures/mm4_phash.parquet')
+             |  WHERE sf_key = (SELECT sum(n_chars) FROM documents))
+             |SELECT media_id, phash,
+             |       media_id = min(media_id) OVER (PARTITION BY phash) AS survivor
+             |FROM p ORDER BY media_id""".stripMargin)),
+
     // ---- document chunking: fixed windows with overlap ----
     QueryDef("ts5_chunking",
       (s, d) => TextAnalysis.chunk(t(s, d, "documents"), "doc_id", "text", size = 200, overlap = 20)

@@ -168,7 +168,8 @@ class ScaleSpec extends SparkSpecBase {
       "st9_streaming_ewma" -> "3/0/0/0/-",
       // dd12's BNLJ is the broadcast benchmark-vector set (small by
       // definition — the dd7 pattern on embeddings)
-      "dd12_semantic_decontamination" -> "2/0/0/1/p")
+      "dd12_semantic_decontamination" -> "2/0/0/1/p",
+      "mm4_perceptual_dedup" -> "2/0/0/0/-")
     val drift = graft.SparkEntry.all
       .filter(q => snapshot.contains(q.name))
       .flatMap { q =>
@@ -177,7 +178,7 @@ class ScaleSpec extends SparkSpecBase {
         else Some(s"${q.name}: expected ${snapshot(q.name)}, got $live")
       }
     assert(drift.isEmpty, s"plan drift:\n${drift.mkString("\n")}")
-    assert(snapshot.size === 56)
+    assert(snapshot.size === 57)
   }
 
   test("co-bucketed tables join without an Exchange") {

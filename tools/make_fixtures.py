@@ -173,8 +173,52 @@ def make_mm3():
     print("mm3 rows:", len(recs))
 
 
+def make_mm4():
+    """mm4_perceptual_dedup: independent reimplementation of
+    Multimodal.perceptualHash — the decodeStub LCG run for 64 features,
+    float64 mean over the float32 values (left-to-right like Spark's
+    aggregate fold), bit = f > mean, bits packed MSB-first into a signed
+    64-bit fingerprint."""
+    import numpy as np
+    mask = (1 << 64) - 1
+    dim = 64
+    recs = []
+    for sf in SFS:
+        rows = con.execute(
+            f"SELECT doc_id, text FROM '{sf}/documents.parquet' ORDER BY doc_id").fetchall()
+        n = con.execute(
+            f"SELECT sum(n_chars) FROM '{sf}/documents.parquet'").fetchone()[0]
+        for doc_id, text in rows:
+            data = (text or "").encode("utf-8")
+            h = 1125899906842597
+            for b in data:
+                sb = b - 256 if b >= 128 else b
+                h = (31 * h + sb) & mask
+            feats = []
+            for _ in range(dim):
+                h = (h * 6364136223846793005 + 1442695040888963407) & mask
+                feats.append(float(np.float32((h >> 40) % 1000) / np.float32(1000.0)))
+            mean = 0.0
+            for f in feats:
+                mean += f
+            mean /= dim
+            ph = 0
+            for i, f in enumerate(feats):
+                if f > mean:
+                    ph += 1 << (dim - 1 - i)
+            if ph >= 1 << 63:
+                ph -= 1 << 64  # signed BIGINT
+            recs.append((n, doc_id, ph))
+    con.execute("""CREATE OR REPLACE TABLE mm4(
+        sf_key BIGINT, media_id BIGINT, phash BIGINT)""")
+    con.executemany("INSERT INTO mm4 VALUES (?, ?, ?)", recs)
+    con.execute(f"COPY mm4 TO '{OUT}/mm4_phash.parquet' (FORMAT PARQUET)")
+    print("mm4 rows:", len(recs))
+
+
 if __name__ == "__main__":
     make_f4()
     make_e2e_endpoint()
     make_e2e_grouped_csv()
     make_mm3()
+    make_mm4()
