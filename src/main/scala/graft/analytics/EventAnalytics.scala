@@ -91,6 +91,24 @@ object EventAnalytics {
           .otherwise(false).as("anomaly"))
   }
 
+  /** Exact trailing-window distinct users per day (sliding DAU/WAU): each
+    * (user, day) activity row fans out to the `window` days it
+    * contributes to, then one distinct-count per window day — the
+    * standard rewrite that turns "distinct over a sliding window" (not
+    * decomposable as a frame aggregate) into a plain hash aggregate with
+    * a bounded `window`× fan-out. Days past the last activity day are
+    * clipped (they would be partial future windows). */
+  def slidingDistinctUsers(events: DataFrame, window: Int = 7): DataFrame = {
+    val activity = events.select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val maxDay = activity.agg(max("d").as("max_d"))
+    activity
+      .withColumn("day", explode(sequence(col("d"), date_add(col("d"), window - 1))))
+      .crossJoin(broadcast(maxDay))
+      .filter(col("day") <= col("max_d"))
+      .groupBy("day")
+      .agg(countDistinct(col("user_id")).as("users"))
+  }
+
   /** Exponentially-weighted moving average of daily event counts per type
     * (s_t = α·x_t + (1−α)·s_{t−1}, s_0 = x_0), computed declaratively via
     * the scaled-cumsum closed form:

@@ -213,6 +213,25 @@ object TextAnalysis {
     df.filter(frac < rate)
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES,
+    * 2006): each row gets key = −ln(u)/w with u a deterministic md5
+    * uniform, and the k smallest keys are the sample — exactly the
+    * distribution of sequential weighted draws, but embarrassingly
+    * parallel and reproducible (no RNG state; the same rows are chosen on
+    * any cluster). The k-cutoff plans as TakeOrderedAndProject — per
+    * partition a bounded heap, k rows to the merge — so the operator is
+    * one scan at any corpus size (contrast a global sort or a sequential
+    * reservoir). u is offset by half a step to stay strictly inside
+    * (0,1): Spark's log() is null at 0 where DuckDB's ln() is -inf. */
+  def weightedSample(df: DataFrame, id: String, weight: Column, k: Int): DataFrame = {
+    val u = (conv(substring(md5(col(id).cast("string")), 1, 8), 16, 10)
+      .cast("double") + 0.5) / 4294967296.0
+    df.withColumn("__key", -log(u) / weight.cast("double"))
+      .orderBy(col("__key"), col(id))
+      .limit(k)
+      .drop("__key")
+  }
+
   /** Temperature-scaled source mixing (the multilingual/multi-source
     * α-sampling of XLM-R, Conneau et al. 2020): with source shares
     * p_i = n_i/N, sampling ∝ p_i^α flattens the mix toward uniform as

@@ -217,6 +217,33 @@ object AnalyticsQueries {
              |WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
              |ORDER BY o_custkey, valid_from, o_orderstatus""".stripMargin)),
 
+    // ---- cur11: weighted sampling without replacement (Efraimidis–
+    // Spirakis A-ES keys on md5 uniforms — deterministic, parallel,
+    // TakeOrderedAndProject cutoff); longer docs proportionally more
+    // likely, exact without-replacement semantics ----
+    QueryDef("cur11_weighted_sample",
+      (s, d) => graft.llm.TextAnalysis.weightedSample(
+          Tables.documents(s, d), "doc_id", col("n_chars"), k = 100)
+        .select("doc_id", "n_chars").orderBy("doc_id"),
+      Some("""SELECT doc_id, n_chars FROM (
+             |  SELECT doc_id, n_chars,
+             |         -ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 0.5)
+             |             / 4294967296.0) / n_chars::DOUBLE AS k
+             |  FROM documents ORDER BY k, doc_id LIMIT 100)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---- ev6: exact sliding distinct users (trailing-7d DAU) — the
+    // fan-out rewrite that makes sliding DISTINCT a plain hash agg ----
+    QueryDef("ev6_sliding_dau",
+      (s, d) => EventAnalytics.slidingDistinctUsers(Tables.events(s, d), window = 7)
+        .orderBy("day"),
+      Some("""WITH a AS (SELECT DISTINCT user_id, ts::DATE AS d FROM events),
+             |f AS (SELECT user_id, d + o::INTEGER AS day
+             |      FROM a CROSS JOIN (SELECT unnest(range(0, 7)) AS o))
+             |SELECT day, count(DISTINCT user_id) AS users
+             |FROM f WHERE day <= (SELECT max(d) FROM a)
+             |GROUP BY day ORDER BY day""".stripMargin)),
+
     // ---- ts15: Zipf power-law fit (OLS slope of ln freq ~ ln rank over
     // the top-N terms) — a one-row corpus-health gauge ----
     QueryDef("ts15_zipf",

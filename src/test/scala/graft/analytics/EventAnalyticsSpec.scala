@@ -152,4 +152,18 @@ class EventAnalyticsSpec extends SparkSpecBase {
       .as[(Long, Long, Int, Int, Double, Long)].head()
     assert(r == ((3L, 30L, 10, 20, 15.0, 2L)))
   }
+
+  test("slidingDistinctUsers: trailing window, same-day dedup, future clip") {
+    // u1 active d1 and d3 (twice on d3 — counts once); u2 active d1 only.
+    val events = Seq(
+      (1L, ts("2020-01-01 10:00:00")), (1L, ts("2020-01-03 09:00:00")),
+      (1L, ts("2020-01-03 22:00:00")), (2L, ts("2020-01-01 12:00:00"))
+    ).toDF("user_id", "ts")
+    val r = EventAnalytics.slidingDistinctUsers(events, window = 2)
+      .orderBy("day").collect()
+      .map(x => (x.getDate(0).toString, x.getLong(1)))
+    // d1: {u1,u2}; d2 trailing-2 = {d1,d2} activity: {u1,u2}; d3: {u1};
+    // d4 would be a partial future window → clipped at max activity day.
+    assert(r === Array(("2020-01-01", 2L), ("2020-01-02", 2L), ("2020-01-03", 1L)))
+  }
 }

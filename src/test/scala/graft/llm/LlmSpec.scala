@@ -552,4 +552,28 @@ class LlmSpec extends SparkSpecBase {
     assert(frames(1L) === 2L)
     assert(frames(2L) === 1L)
   }
+
+  test("weightedSample: deterministic, exact-k, and weight-biased (A-ES)") {
+    val s = spark; import s.implicits._
+    // ids 1..100 carry weight 1e9, ids 101..200 weight 1: with A-ES keys
+    // -ln(u)/w a light item wins only if its u > 1 - ~1e-9 — never on a
+    // fixed md5 draw — so every selected id must be heavy.
+    val df = (1L to 200L).toDF("doc_id")
+      .withColumn("w", when(col("doc_id") <= 100, 1e9).otherwise(1.0))
+    val a = TextAnalysis.weightedSample(df, "doc_id", col("w"), k = 50)
+      .collect().map(_.getLong(0)).sorted
+    val b = TextAnalysis.weightedSample(df, "doc_id", col("w"), k = 50)
+      .collect().map(_.getLong(0)).sorted
+    assert(a === b)                   // reproducible: no RNG state
+    assert(a.length === 50)           // exactly k, without replacement
+    assert(a.forall(_ <= 100L))       // all from the heavy stratum
+    // equal weights degenerate to rank-by-md5: sample = k largest uniforms
+    val eq = (1L to 200L).toDF("doc_id")
+    val got = TextAnalysis.weightedSample(eq, "doc_id", lit(1.0), k = 20)
+      .collect().map(_.getLong(0)).toSet
+    val expect = eq.withColumn("u",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long"))
+      .orderBy(col("u").desc).limit(20).collect().map(_.getLong(0)).toSet
+    assert(got === expect)
+  }
 }
