@@ -69,6 +69,57 @@ object TextAnalysis {
             - col("digit_ratio"))), 6))
   }
 
+  /** Gopher-style rule-based quality gate (Rae et al. 2021, "Scaling
+    * Language Models", table A1): the standard battery of cheap document
+    * heuristics used before any model-based scoring — word-count bounds,
+    * mean word length in [3,10], symbol-to-word ratio (# / ellipsis),
+    * bullet- and ellipsis-line fractions, fraction of words containing an
+    * alphabetic character, and a minimum stop-word count. Emits each rule
+    * as its own boolean plus the conjunction, so downstream curation can
+    * report per-rule rejection rates (the usual ablation table) instead of
+    * a single opaque pass bit. Pure Column arithmetic over one scan — no
+    * UDF, no array materialization beyond the per-row token split — and
+    * every rule replays exactly in the DuckDB oracle. */
+  def gopherRules(df: DataFrame, text: String,
+                  minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val t = col(text)
+    val words = filter(split(trim(t), """\s+"""), w => length(w) > 0)
+    val nWords = size(words)
+    val meanWl = aggregate(words, lit(0L), (acc, w) => acc + length(w))
+      .cast("double") / nWords
+    val alphaFrac = size(filter(words, w => w.rlike("[A-Za-z]")))
+      .cast("double") / nWords
+    val stopHits = size(filter(words, w =>
+      lower(w).isInCollection(Seq("the", "be", "to", "of", "and", "a", "in", "that"))))
+    val hashes = length(t) - length(regexp_replace(t, "#", ""))
+    val ellipses = (length(t) - length(regexp_replace(t, """\.\.\.""", ""))) / 3
+    val symbolRatio = (hashes + ellipses).cast("double") / nWords
+    val lines = split(t, "\n")
+    val nLines = size(lines)
+    val bulletFrac = size(filter(lines, l => ltrim(l).rlike("^[-*•]")))
+      .cast("double") / nLines
+    val ellLineFrac = size(filter(lines, l => rtrim(l).endsWith("...")))
+      .cast("double") / nLines
+    df.withColumn("n_words", nWords)
+      .withColumn("mean_wl", round(meanWl, 6))
+      .withColumn("alpha_frac", round(alphaFrac, 6))
+      .withColumn("stop_hits", stopHits)
+      .withColumn("symbol_ratio", round(symbolRatio, 6))
+      .withColumn("bullet_frac", round(bulletFrac, 6))
+      .withColumn("r_words", nWords.between(minWords, maxWords))
+      // rules test the rounded columns the operator emits, so an engine
+      // replaying them from the output can never disagree at a boundary
+      .withColumn("r_mean_wl", col("mean_wl").between(3.0, 10.0))
+      .withColumn("r_symbol", symbolRatio <= 0.1)
+      .withColumn("r_bullet", bulletFrac <= 0.9)
+      .withColumn("r_ellipsis", ellLineFrac <= 0.3)
+      .withColumn("r_alpha", col("alpha_frac") >= 0.8)
+      .withColumn("r_stop", stopHits >= 2)
+      .withColumn("gopher_pass",
+        col("r_words") && col("r_mean_wl") && col("r_symbol") && col("r_bullet") &&
+          col("r_ellipsis") && col("r_alpha") && col("r_stop"))
+  }
+
   /** Document fingerprint: md5 of whitespace-normalized lowercase text
     * (exact-dup key), plus a 64-bit content hash for cheap joins. */
   def fingerprint(text: Column): Column =

@@ -162,6 +162,45 @@ object GraphQueries {
               |       coalesce(o.out_w, 0) AS out_w, coalesce(i.in_w, 0) AS in_w
               |FROM supplier n LEFT JOIN o ON n.s_suppkey = o.node
               |                LEFT JOIN i ON n.s_suppkey = i.node
+              |ORDER BY node""".stripMargin)),
+
+    // ---- g8: per-node triangle counts + clustering coefficient via
+    // degree-ordered orientation (each triangle counted once as a wedge
+    // from its lowest-order corner closed by an oriented edge; hub nodes
+    // generate no wedges, so candidate volume stays subquadratic) ----
+    QueryDef("g8_triangles",
+      (s, d) => {
+        val edges = Graph.supplierTransitions(
+          Tables.lineitem(s, d), Tables.orders(s, d))
+        Graph.triangles(edges).orderBy("node")
+      },
+      Some(s"""WITH edges AS MATERIALIZED ($edgesSql),
+              |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+              |        FROM edges WHERE src <> dst),
+              |deg AS (SELECT n, count(*) AS deg FROM (
+              |          SELECT u AS n FROM und UNION ALL SELECT v FROM und)
+              |        GROUP BY 1),
+              |orient AS (
+              |  SELECT CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN e.u ELSE e.v END AS a,
+              |         CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN e.v ELSE e.u END AS b
+              |  FROM und e JOIN deg du ON du.n = e.u JOIN deg dv ON dv.n = e.v),
+              |ob AS MATERIALIZED (
+              |  SELECT o.a, o.b, d.deg AS db FROM orient o JOIN deg d ON d.n = o.b),
+              |tri AS (
+              |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+              |  FROM ob e1 JOIN ob e2 ON e1.a = e2.a
+              |    AND (e1.db, e1.b) < (e2.db, e2.b)
+              |  JOIN ob e3 ON e3.a = e1.b AND e3.b = e2.b),
+              |t AS (SELECT n, count(*) AS triangles FROM (
+              |        SELECT x AS n FROM tri UNION ALL SELECT y FROM tri
+              |        UNION ALL SELECT z FROM tri)
+              |      GROUP BY 1)
+              |SELECT d.n AS node, coalesce(t.triangles, 0)::BIGINT AS triangles,
+              |       d.deg::BIGINT AS degree,
+              |       round(CASE WHEN d.deg > 1
+              |             THEN 2.0 * coalesce(t.triangles, 0) / (d.deg * (d.deg - 1))
+              |             ELSE 0.0 END, 6) AS clustering
+              |FROM deg d LEFT JOIN t ON t.n = d.n
               |ORDER BY node""".stripMargin))
   )
 }

@@ -253,6 +253,51 @@ object LlmQueries {
              |  )), 6) AS quality_score
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ---- ts16: Gopher rule battery (Rae et al. 2021) — per-rule booleans
+    // + the conjunction, one scan, every rule replayed in the oracle ----
+    QueryDef("ts16_gopher_rules",
+      (s, d) => TextAnalysis.gopherRules(t(s, d, "documents"), "text")
+        .select("doc_id", "n_words", "mean_wl", "alpha_frac", "stop_hits",
+          "r_words", "r_mean_wl", "r_symbol", "r_bullet", "r_ellipsis",
+          "r_alpha", "r_stop", "gopher_pass")
+        .orderBy("doc_id"),
+      Some("""WITH w AS (
+             |  SELECT doc_id, text,
+             |         list_filter(regexp_split_to_array(trim(text), '\s+'),
+             |                     x -> length(x) > 0) AS words,
+             |         string_split(text, chr(10)) AS lines
+             |  FROM documents),
+             |f AS (
+             |  SELECT doc_id,
+             |    len(words)::INT AS n_words,
+             |    round(list_sum(list_transform(words, x -> length(x)))::DOUBLE
+             |          / len(words), 6) AS mean_wl,
+             |    round(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+             |          / len(words), 6) AS alpha_frac,
+             |    len(list_filter(words, x -> lower(x) IN
+             |        ('the','be','to','of','and','a','in','that')))::INT AS stop_hits,
+             |    ((length(text) - length(replace(text, '#', '')))
+             |     + (length(text) - length(replace(text, '...', ''))) / 3)
+             |      / len(words) AS symbol_ratio,
+             |    len(list_filter(lines, x -> regexp_matches(ltrim(x), '^[-*•]')))::DOUBLE
+             |      / len(lines) AS bullet_frac,
+             |    len(list_filter(lines, x -> ends_with(rtrim(x), '...')))::DOUBLE
+             |      / len(lines) AS ell_line_frac
+             |  FROM w)
+             |SELECT doc_id, n_words, mean_wl, alpha_frac, stop_hits,
+             |  n_words BETWEEN 50 AND 100000 AS r_words,
+             |  mean_wl BETWEEN 3.0 AND 10.0 AS r_mean_wl,
+             |  symbol_ratio <= 0.1 AS r_symbol,
+             |  bullet_frac <= 0.9 AS r_bullet,
+             |  ell_line_frac <= 0.3 AS r_ellipsis,
+             |  alpha_frac >= 0.8 AS r_alpha,
+             |  stop_hits >= 2 AS r_stop,
+             |  (n_words BETWEEN 50 AND 100000) AND (mean_wl BETWEEN 3.0 AND 10.0)
+             |    AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+             |    AND ell_line_frac <= 0.3 AND alpha_frac >= 0.8
+             |    AND stop_hits >= 2 AS gopher_pass
+             |FROM f ORDER BY doc_id""".stripMargin)),
+
     // ---- token counting: whitespace + BPE-ish regex ----
     QueryDef("ts3_token_count",
       (s, d) => t(s, d, "documents")
@@ -838,6 +883,64 @@ object LlmQueries {
              |      FROM part WHERE p_partkey % 50 = 0) p
              |  ON e.value >= p.lo AND e.value <= p.hi
              |ORDER BY event_id, p_partkey""".stripMargin)),
+
+    // ---- ov1: interval-OVERLAP join (interval×interval, binned to an
+    // equi-join + residual filter — never a nested loop): each order's
+    // fulfillment window [orderdate, orderdate + orderkey%14 days]
+    // against the calendar months it touches ----
+    QueryDef("ov1_overlap_join",
+      (s, d) => {
+        val epoch = to_date(lit("1970-01-01"))
+        val od = to_date(col("o_orderdate"))
+        val left = Tables.table(s, d, "orders").select(
+          col("o_orderkey"),
+          datediff(od, epoch).as("l_lo"),
+          (datediff(od, epoch) + col("o_orderkey") % 14).as("l_hi"))
+        val right = Tables.table(s, d, "orders")
+          .select(trunc(to_date(col("o_orderdate")), "month").as("month")).distinct()
+          .select(col("month"),
+            datediff(col("month"), epoch).as("m_lo"),
+            (datediff(add_months(col("month"), 1), epoch) - 1).as("m_hi"))
+        graft.operators.IntervalJoin.joinOverlap(
+            left, right, "l_lo", "l_hi", "m_lo", "m_hi", binWidth = 16.0)
+          .select("o_orderkey", "month")
+          .orderBy("o_orderkey", "month")
+      },
+      Some("""WITH l AS (SELECT o_orderkey,
+             |    (o_orderdate::DATE - DATE '1970-01-01') AS l_lo,
+             |    (o_orderdate::DATE - DATE '1970-01-01') + o_orderkey % 14 AS l_hi
+             |  FROM orders),
+             |m AS (SELECT DISTINCT date_trunc('month', o_orderdate)::DATE AS month
+             |      FROM orders),
+             |r AS (SELECT month, (month - DATE '1970-01-01') AS m_lo,
+             |        ((month + INTERVAL 1 MONTH)::DATE - DATE '1970-01-01') - 1 AS m_hi
+             |      FROM m)
+             |SELECT l.o_orderkey, r.month
+             |FROM l JOIN r ON l.l_lo <= r.m_hi AND r.m_lo <= l.l_hi
+             |ORDER BY o_orderkey, month""".stripMargin)),
+
+    // ---- ov2: max concurrent intervals per group (sweep line — one
+    // window pass, no pair materialization): peak simultaneous open
+    // order windows per customer ----
+    QueryDef("ov2_interval_concurrency",
+      (s, d) => {
+        val epoch = to_date(lit("1970-01-01"))
+        val lo = datediff(to_date(col("o_orderdate")), epoch)
+        val intervals = Tables.table(s, d, "orders")
+          .select(col("o_custkey"), lo.as("lo"), (lo + 7).as("hi"))
+        graft.operators.IntervalJoin.concurrency(intervals, "o_custkey", "lo", "hi")
+          .orderBy("o_custkey")
+      },
+      Some("""WITH i AS (SELECT o_custkey,
+             |    (o_orderdate::DATE - DATE '1970-01-01') AS lo FROM orders),
+             |e AS (SELECT o_custkey, lo AS pos, 1 AS delta FROM i
+             |      UNION ALL SELECT o_custkey, lo + 7 + 1, -1 FROM i),
+             |c AS (SELECT o_custkey, sum(delta) OVER (
+             |        PARTITION BY o_custkey ORDER BY pos, delta
+             |        ROWS UNBOUNDED PRECEDING) AS open
+             |      FROM e)
+             |SELECT o_custkey, max(open)::INT AS max_concurrent
+             |FROM c GROUP BY 1 ORDER BY o_custkey""".stripMargin)),
 
     // ---- streaming tier, batch-equivalent form: 1-day tumbling windows ----
     QueryDef("st1_daily_counts",

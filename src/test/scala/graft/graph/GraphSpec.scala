@@ -131,4 +131,26 @@ class GraphSpec extends SparkSpecBase {
       .as[(Long, Long)].collect().toMap
     assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
   }
+
+  test("triangles: per-node counts and clustering on K4 minus an edge") {
+    // edges 1-2,1-3,2-3,2-4,3-4 → triangles {1,2,3} and {2,3,4}; fed with
+    // reversed duplicates and a self loop to prove normalization
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 3L), (2L, 2L)).toDF("src", "dst")
+    val r = Graph.triangles(edges).orderBy("node").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getDouble(3)))
+    assert(r === Array(
+      (1L, 1L, 2L, 1.0), (2L, 2L, 3L, 0.666667),
+      (3L, 2L, 3L, 0.666667), (4L, 1L, 2L, 1.0)))
+  }
+
+  test("triangles: triangle-free graph and isolated-pair degrees") {
+    // a path 1-2-3 plus a detached edge 4-5: zero triangles everywhere
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("src", "dst")
+    val r = Graph.triangles(edges).orderBy("node").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getDouble(3)))
+    assert(r === Array(
+      (1L, 0L, 1L, 0.0), (2L, 0L, 2L, 0.0), (3L, 0L, 1L, 0.0),
+      (4L, 0L, 1L, 0.0), (5L, 0L, 1L, 0.0)))
+  }
 }

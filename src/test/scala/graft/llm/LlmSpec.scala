@@ -553,6 +553,27 @@ class LlmSpec extends SparkSpecBase {
     assert(frames(2L) === 1L)
   }
 
+  test("gopherRules: each rule trips on its designed pathology") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on a mat with food and water today"),  // clean
+      (2L, "- one\n- two\n- three"),                           // bullets
+      (3L, "## hash ## heavy ## tags ## here ## now"),         // symbols
+      (4L, "Waiting for more... and more... still the end..."),// ellipsis
+      (5L, "tiny doc here")                                    // too short
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.gopherRules(docs, "text", minWords = 5)
+      .select("doc_id", "r_words", "r_mean_wl", "r_symbol", "r_bullet",
+        "r_ellipsis", "r_alpha", "r_stop", "gopher_pass")
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), (1 to 8).map(x.getBoolean)))
+    assert(r(0) === ((1L, Seq(true, true, true, true, true, true, true, true))))
+    assert(!r(1)._2(3) && !r(1)._2(5) && !r(1)._2.last) // bullets + low alpha
+    assert(!r(2)._2(2) && !r(2)._2.last)                // symbol ratio
+    assert(!r(3)._2(4) && !r(3)._2.last)                // ellipsis line
+    assert(!r(4)._2(0) && !r(4)._2.last)                // word count
+  }
+
   test("weightedSample: deterministic, exact-k, and weight-biased (A-ES)") {
     val s = spark; import s.implicits._
     // ids 1..100 carry weight 1e9, ids 101..200 weight 1: with A-ES keys
