@@ -109,6 +109,30 @@ object EventAnalytics {
       .agg(countDistinct(col("user_id")).as("users"))
   }
 
+  /** First/last-touch conversion attribution: for every purchase, the
+    * earliest and the most recent preceding touch event (view/click) of
+    * the same user. One window pass — `first`/`last` with ignoreNulls
+    * over a strictly-before frame — so attribution costs a single
+    * shuffle on the user key, never a self-join of events to events
+    * (the naive purchase⋈touches join is quadratic in events-per-user
+    * and rebuilds the timeline the window already has). Purchases with
+    * no prior touch keep null attribution (organic conversions). */
+  def attribution(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val isTouch = col("event_type").isin("view", "click")
+    val touchType = when(isTouch, col("event_type"))
+    val touchTs = when(isTouch, col("ts"))
+    events
+      .withColumn("last_touch_type", last(touchType, ignoreNulls = true).over(w))
+      .withColumn("last_touch_ts", last(touchTs, ignoreNulls = true).over(w))
+      .withColumn("first_touch_type", first(touchType, ignoreNulls = true).over(w))
+      .withColumn("first_touch_ts", first(touchTs, ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "last_touch_type", "last_touch_ts",
+        "first_touch_type", "first_touch_ts")
+  }
+
   /** Exponentially-weighted moving average of daily event counts per type
     * (s_t = α·x_t + (1−α)·s_{t−1}, s_0 = x_0), computed declaratively via
     * the scaled-cumsum closed form:

@@ -244,6 +244,27 @@ object AnalyticsQueries {
              |FROM f WHERE day <= (SELECT max(d) FROM a)
              |GROUP BY day ORDER BY day""".stripMargin)),
 
+    // ---- ev8: first/last-touch conversion attribution — one window
+    // pass with IGNORE NULLS over a strictly-before frame, never a
+    // purchases⋈touches self-join ----
+    QueryDef("ev8_attribution",
+      (s, d) => EventAnalytics.attribution(Tables.events(s, d))
+        .orderBy("event_id"),
+      Some("""SELECT event_id, user_id, ts,
+             |  last_value(CASE WHEN event_type IN ('view','click')
+             |                  THEN event_type END IGNORE NULLS) OVER w AS last_touch_type,
+             |  last_value(CASE WHEN event_type IN ('view','click')
+             |                  THEN ts END IGNORE NULLS) OVER w AS last_touch_ts,
+             |  first_value(CASE WHEN event_type IN ('view','click')
+             |                   THEN event_type END IGNORE NULLS) OVER w AS first_touch_type,
+             |  first_value(CASE WHEN event_type IN ('view','click')
+             |                   THEN ts END IGNORE NULLS) OVER w AS first_touch_ts
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |QUALIFY event_type = 'purchase'
+             |ORDER BY event_id""".stripMargin)),
+
     // ---- ts15: Zipf power-law fit (OLS slope of ln freq ~ ln rank over
     // the top-N terms) — a one-row corpus-health gauge ----
     QueryDef("ts15_zipf",

@@ -434,6 +434,33 @@ object RelationalQueries {
              |       min(doc_id) AS first_doc
              |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
 
+    // ---- S15: Z-order (Morton) clustering key — the multi-dimensional
+    // data-skipping layout (Delta/Iceberg ZORDER BY) from plain bit
+    // arithmetic: customer bits interleave with order-day bits, so files
+    // range-sorted by zkey carry tight min/max bounds on BOTH columns.
+    // The key arithmetic is engine-portable; the oracle replays the
+    // magic-mask spread bit for bit. ----
+    QueryDef("s15_zorder_key",
+      (s, d) => {
+        val day = datediff(to_date(col("o_orderdate")), to_date(lit("1970-01-01")))
+        t(s, d, "orders")
+          .select(col("o_orderkey"),
+            graft.operators.ZOrder.zkey2(col("o_custkey"), day).as("zkey"))
+          .orderBy("zkey", "o_orderkey")
+      },
+      Some("""WITH s AS (SELECT o_orderkey, o_custkey & 65535 AS a,
+             |    (o_orderdate::DATE - DATE '1970-01-01') & 65535 AS b FROM orders),
+             |c1 AS (SELECT o_orderkey, (a | (a << 8)) & 16711935 AS a,
+             |       (b | (b << 8)) & 16711935 AS b FROM s),
+             |c2 AS (SELECT o_orderkey, (a | (a << 4)) & 252645135 AS a,
+             |       (b | (b << 4)) & 252645135 AS b FROM c1),
+             |c3 AS (SELECT o_orderkey, (a | (a << 2)) & 858993459 AS a,
+             |       (b | (b << 2)) & 858993459 AS b FROM c2),
+             |c4 AS (SELECT o_orderkey, (a | (a << 1)) & 1431655765 AS a,
+             |       (b | (b << 1)) & 1431655765 AS b FROM c3)
+             |SELECT o_orderkey, (a | (b << 1)) AS zkey FROM c4
+             |ORDER BY zkey, o_orderkey""".stripMargin)),
+
     // ---- S3 roundtrip: partitioned sink → pruned read-back. The filter
     // hits the partition directory (PartitionFilters, proven in ScaleSpec);
     // values that crossed the dir-encoding boundary must still hash-match

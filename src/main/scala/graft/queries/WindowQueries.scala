@@ -320,6 +320,44 @@ object WindowQueries {
              |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
              |ORDER BY o_custkey, o_orderkey""".stripMargin)),
 
+    // ---- wf4: RFM customer segmentation. The interesting part is the
+    // plan: the quintiles come from Ranking.globalNtile (range exchange +
+    // local rank + broadcast prefix offsets), NOT `ntile() OVER (ORDER
+    // BY ...)` — the naive form funnels the whole customer table through
+    // ONE task; this one is exchange-parallel at any scale and
+    // bit-identical to SQL NTILE (the oracle IS the naive form).
+    // Monetary ranks on exact cents so float summation order can never
+    // flip a rank. ----
+    QueryDef("wf4_rfm",
+      (s, d) => {
+        val rfm = orders(s, d).groupBy(col("o_custkey")).agg(
+          max(to_date(col("o_orderdate"))).as("last_order"),
+          count(lit(1)).as("frequency"),
+          round(sum(col("o_totalprice")) * 100).cast("long").as("monetary_cents"))
+        val scored = Seq[(String, Seq[org.apache.spark.sql.Column])](
+          ("r_score", Seq(col("last_order"), col("o_custkey"))),
+          ("f_score", Seq(col("frequency"), col("o_custkey"))),
+          ("m_score", Seq(col("monetary_cents"), col("o_custkey"))))
+          .foldLeft(rfm) { case (df, (name, keys)) =>
+            graft.operators.Ranking.globalNtile(df, name, 5, keys: _*)
+          }
+        scored.select(col("o_custkey"), col("last_order"), col("frequency"),
+            round(col("monetary_cents") / 100.0, 2).as("monetary"),
+            col("r_score"), col("f_score"), col("m_score"))
+          .orderBy("o_custkey")
+      },
+      Some("""WITH rfm AS (
+             |  SELECT o_custkey, max(o_orderdate::DATE) AS last_order,
+             |         count(*) AS frequency,
+             |         round(sum(o_totalprice) * 100)::BIGINT AS monetary_cents
+             |  FROM orders GROUP BY 1)
+             |SELECT o_custkey, last_order, frequency,
+             |       round(monetary_cents / 100.0, 2) AS monetary,
+             |       ntile(5) OVER (ORDER BY last_order, o_custkey) AS r_score,
+             |       ntile(5) OVER (ORDER BY frequency, o_custkey) AS f_score,
+             |       ntile(5) OVER (ORDER BY monetary_cents, o_custkey) AS m_score
+             |FROM rfm ORDER BY o_custkey""".stripMargin)),
+
     // ---- wf2b: the 100 TB percentile path. Exact `percentile` buffers
     // every value per group (a 3-group corpus funnels the whole column into
     // 3 aggregation buffers); approx_percentile keeps a bounded GK sketch

@@ -166,4 +166,27 @@ class EventAnalyticsSpec extends SparkSpecBase {
     // d4 would be a partial future window → clipped at max activity day.
     assert(r === Array(("2020-01-01", 2L), ("2020-01-02", 2L), ("2020-01-03", 1L)))
   }
+
+  test("attribution: first/last touch strictly before, organic stays null") {
+    // u1: view → click → purchase (first=view, last=click); the same-ts
+    // click tied to the purchase must NOT attribute (strictly before);
+    // u2: purchase with no touches → organic (nulls); 'error' never counts
+    val events = Seq(
+      (1L, 1L, ts("2020-01-01 10:00:00"), "view"),
+      (2L, 1L, ts("2020-01-01 11:00:00"), "click"),
+      (3L, 1L, ts("2020-01-01 12:00:00"), "error"),
+      (4L, 1L, ts("2020-01-01 12:30:00"), "click"),
+      (5L, 1L, ts("2020-01-01 12:30:00"), "purchase"),
+      (6L, 2L, ts("2020-01-01 09:00:00"), "purchase")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val r = EventAnalytics.attribution(events).orderBy("event_id").collect()
+    // event 5: events 4 and 5 share a timestamp; event_id tiebreak puts
+    // the click before the purchase, so it IS the last touch
+    assert(r(0).getLong(0) === 5L)
+    assert(r(0).getString(3) === "click")
+    assert(r(0).getTimestamp(4) === ts("2020-01-01 12:30:00"))
+    assert(r(0).getString(5) === "view")
+    assert(r(0).getTimestamp(6) === ts("2020-01-01 10:00:00"))
+    assert(r(1).getLong(0) === 6L && r(1).isNullAt(3) && r(1).isNullAt(5))
+  }
 }
