@@ -293,11 +293,16 @@ object Graph {
     * join and the closing-edge join are equi-joins on node keys; nothing
     * is ever all-pairs, and no step leaves the cluster. */
   def triangles(edges: DataFrame): DataFrame = {
+    // the edge list is referenced by degree counting, orientation, the
+    // wedge self-join AND the closure join — pin it once (the GraphX
+    // materialize-the-graph pattern; without this every reference
+    // re-derives the whole upstream edge pipeline: observed 15
+    // exchanges / 23 joins in the audited plan vs 7/5 pinned)
     val und = edges
       .select(least(col("src"), col("dst")).as("u"), greatest(col("src"), col("dst")).as("v"))
-      .filter(col("u") =!= col("v")).distinct()
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
     val deg = und.select(col("u").as("n")).union(und.select(col("v").as("n")))
-      .groupBy("n").agg(count(lit(1)).as("deg"))
+      .groupBy("n").agg(count(lit(1)).as("deg")).localCheckpoint()
     // degree is a node-cardinality dim — broadcast both endpoint joins
     val keyed = und
       .join(broadcast(deg).select(col("n").as("u"), col("deg").as("du")), "u")
@@ -308,6 +313,7 @@ object Graph {
       when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("v"))
         .otherwise(col("u")).as("b"))
       .join(broadcast(deg).select(col("n").as("b"), col("deg").as("db")), "b")
+      .localCheckpoint() // feeds both wedge sides and the closure probe
     val e1 = oriented.select(col("a"), col("b").as("y"), col("db").as("dy"))
     val e2 = oriented.select(col("a"), col("b").as("z"), col("db").as("dz"))
     val tri = e1.join(e2, Seq("a"))

@@ -169,7 +169,21 @@ class ScaleSpec extends SparkSpecBase {
       // dd12's BNLJ is the broadcast benchmark-vector set (small by
       // definition — the dd7 pattern on embeddings)
       "dd12_semantic_decontamination" -> "2/0/0/1/p",
-      "mm4_perceptual_dedup" -> "2/0/0/0/-")
+      "mm4_perceptual_dedup" -> "2/0/0/0/-",
+      // cur11 is a pure TakeOrderedAndProject (zero shuffles); ev6's BNLJ
+      // is the 1-row max-day broadcast; wf4's three BNLJs are the 1-row
+      // offset/total broadcasts of the three checkpoint-truncated ntile
+      // passes; g8's audited plan starts at the pinned oriented edge list
+      // (checkpoint-truncated, like g2/g5)
+      "cur11_weighted_sample" -> "0/0/0/0/-",
+      "ev6_sliding_dau" -> "5/0/0/1/-",
+      "g8_triangles" -> "8/7/0/0/-",
+      "ts16_gopher_rules" -> "1/0/0/0/-",
+      "ov1_overlap_join" -> "3/1/0/0/-",
+      "ov2_interval_concurrency" -> "2/0/0/0/-",
+      "ev8_attribution" -> "2/0/0/0/-",
+      "wf4_rfm" -> "5/0/0/3/-",
+      "s15_zorder_key" -> "1/0/0/0/-")
     val drift = graft.SparkEntry.all
       .filter(q => snapshot.contains(q.name))
       .flatMap { q =>
@@ -178,7 +192,7 @@ class ScaleSpec extends SparkSpecBase {
         else Some(s"${q.name}: expected ${snapshot(q.name)}, got $live")
       }
     assert(drift.isEmpty, s"plan drift:\n${drift.mkString("\n")}")
-    assert(snapshot.size === 57)
+    assert(snapshot.size === 66)
   }
 
   test("co-bucketed tables join without an Exchange") {
