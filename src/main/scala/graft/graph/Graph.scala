@@ -278,6 +278,21 @@ object Graph {
       s"\nSELECT node, round(r, 6) AS pagerank FROM pr$iters ORDER BY node"
   }
 
+  /** Tie-strength backbone: each node keeps its `k` strongest outgoing
+    * edges (weight desc, dst asc tiebreak — fully deterministic). The raw
+    * transition graph densifies toward a clique as observation volume
+    * grows (at sf0.1 the supplier graph is already 69% complete, and every
+    * clustering coefficient degenerates toward 1), so structural measures
+    * like triangles are computed on the backbone — the standard
+    * backbone-extraction step. One window over edges partitioned by src:
+    * a single shuffle, no driver involvement, k bounds every node's
+    * out-degree so downstream wedge volume is ≤ n·k². */
+  def backbone(edges: DataFrame, k: Int = 5): DataFrame = {
+    val w = Window.partitionBy("src").orderBy(desc("w"), asc("dst"))
+    edges.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k).drop("__rk")
+  }
+
   /** Per-node triangle counts + local clustering coefficient via
     * degree-ordered orientation (the compact-forward / Latapy 2008
     * scheme MapReduce triangle counting inherits): every undirected edge

@@ -625,4 +625,45 @@ object Dedup {
           coalesce(col("max_run"), lit(0L)) + (l - 1)).otherwise(0L)
           .as("longest_span_tokens"))
   }
+
+  /** Cross-document boilerplate line removal — the line-level dedup pass of
+    * CCNet / RefinedWeb: a (normalized, non-empty) line that recurs in
+    * >= `minDf` distinct documents is boilerplate (navigation chrome,
+    * cookie banners, license headers) and is dropped from EVERY document;
+    * the surviving lines are reassembled in their original order.
+    *
+    * Scale shape: one posexplode (linear in corpus chars), the
+    * line-frequency aggregate shuffles only (line-key, doc) pairs with
+    * map-side distinct, the boilerplate set comes back as a left_anti
+    * equi-join (shuffled hash join on the line key — the boilerplate table
+    * is corpus-sized in the worst case, so it is NOT broadcast), and the
+    * reassembly is one hash aggregate per doc. No pair join, nothing
+    * driver-side.
+    *
+    * Output per input doc (docs whose every line was boilerplate survive
+    * with empty text): (id, n_lines, n_kept, clean_text). */
+  def lineDedup(df: DataFrame, id: String, text: String,
+                minDf: Int = 3): DataFrame = {
+    val lines = df
+      .select(col(id), posexplode(split(col(text), "\n")).as(Seq("pos", "line")))
+      .withColumn("k", lower(trim(col("line"))))
+    val boilerplate = lines
+      .filter(length(col("k")) > 0)
+      .select(col(id), col("k")).distinct()
+      .groupBy("k").agg(count(lit(1)).as("line_df"))
+      .filter(col("line_df") >= minDf)
+      .select("k")
+    val rebuilt = lines
+      .join(boilerplate, Seq("k"), "left_anti")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws("\n",
+          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            x => x("line"))).as("clean_text"))
+    df.select(col(id), size(split(col(text), "\n")).cast("long").as("n_lines"))
+      .join(rebuilt, Seq(id), "left")
+      .select(col(id), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
 }

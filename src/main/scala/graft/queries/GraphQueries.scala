@@ -167,14 +167,24 @@ object GraphQueries {
     // ---- g8: per-node triangle counts + clustering coefficient via
     // degree-ordered orientation (each triangle counted once as a wedge
     // from its lowest-order corner closed by an oriented edge; hub nodes
-    // generate no wedges, so candidate volume stays subquadratic) ----
+    // generate no wedges, so candidate volume stays subquadratic).
+    // Counted on the top-5 tie-strength BACKBONE: the raw transition
+    // graph densifies toward a clique as observations accumulate (69%
+    // complete at sf0.1 — every clustering coefficient → 1, and triangle
+    // volume → n³), so the structural measure lives on the strongest-ties
+    // graph, where wedge volume is bounded by n·k². ----
     QueryDef("g8_triangles",
       (s, d) => {
         val edges = Graph.supplierTransitions(
           Tables.lineitem(s, d), Tables.orders(s, d))
-        Graph.triangles(edges).orderBy("node")
+        Graph.triangles(Graph.backbone(edges, k = 5)).orderBy("node")
       },
-      Some(s"""WITH edges AS MATERIALIZED ($edgesSql),
+      Some(s"""WITH edges0 AS MATERIALIZED ($edgesSql),
+              |edges AS (
+              |  SELECT src, dst, w FROM (
+              |    SELECT *, row_number() OVER (PARTITION BY src
+              |             ORDER BY w DESC, dst) AS rk FROM edges0)
+              |  WHERE rk <= 5),
               |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
               |        FROM edges WHERE src <> dst),
               |deg AS (SELECT n, count(*) AS deg FROM (

@@ -440,6 +440,34 @@ object LlmQueries {
       Some(Dedup.incrementalNeardupOracleSql(
         "documents", "doc_id", "text", batchPred = "doc_id % 7 = 0"))),
 
+    // ---- cross-document boilerplate line removal (CCNet/RefinedWeb line
+    // dedup): a normalized line recurring in >= 3 distinct docs is dropped
+    // from every doc; survivors reassemble in original order ----
+    QueryDef("dd13_line_dedup",
+      (s, d) => Dedup.lineDedup(t(s, d, "documents"), "doc_id", "text", minDf = 3)
+        .orderBy("doc_id"),
+      Some("""WITH ls AS (
+             |  SELECT doc_id, text, string_split(text, chr(10)) AS l FROM documents),
+             |lines0 AS (
+             |  SELECT doc_id, unnest(generate_series(1, len(l))) AS pos,
+             |         unnest(l) AS line
+             |  FROM ls),
+             |lines AS (
+             |  SELECT doc_id, pos, line, lower(trim(line)) AS k FROM lines0),
+             |bp AS (
+             |  SELECT k FROM (SELECT DISTINCT doc_id, k FROM lines WHERE len(k) > 0)
+             |  GROUP BY k HAVING count(*) >= 3),
+             |rebuilt AS (
+             |  SELECT doc_id, count(*) AS n_kept,
+             |         string_agg(line, chr(10) ORDER BY pos) AS clean_text
+             |  FROM lines WHERE k NOT IN (SELECT k FROM bp)
+             |  GROUP BY doc_id)
+             |SELECT d.doc_id, len(d.l)::BIGINT AS n_lines,
+             |       coalesce(r.n_kept, 0)::BIGINT AS n_kept,
+             |       coalesce(r.clean_text, '') AS clean_text
+             |FROM ls d LEFT JOIN rebuilt r USING (doc_id)
+             |ORDER BY d.doc_id""".stripMargin)),
+
     // ---- TF-IDF keyword extraction: top-3 terms per doc, ranked on the
     // 6dp-rounded score with term tiebreak (engine-independent order) ----
     QueryDef("ts12_tfidf_keywords",

@@ -461,6 +461,30 @@ object RelationalQueries {
              |SELECT o_orderkey, (a | (b << 1)) AS zkey FROM c4
              |ORDER BY zkey, o_orderkey""".stripMargin)),
 
+    // ---- J10: Bloom-pruned semi-join — the petabyte-fact pattern: the
+    // fact side is pre-filtered map-side by a Bloom filter of the key set
+    // (fits in memory at key counts where the dim itself doesn't), so only
+    // might-match rows reach the exchange; the exact semi-join removes the
+    // false positives, so the composition is exact and fully
+    // oracle-checkable. ----
+    QueryDef("j10_bloom_prune",
+      (s, d) => {
+        val rich = t(s, d, "customer").filter(col("c_acctbal") > 7500)
+        graft.operators.Bloom.semiJoin(
+            t(s, d, "orders"), rich, "o_custkey", "c_custkey",
+            expected = 100000L, fpp = 0.03)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_orders"),
+            round(sum(col("o_totalprice")), 2).as("total_price"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n_orders,
+             |       round(sum(o_totalprice), 2) AS total_price
+             |FROM orders o
+             |WHERE EXISTS (SELECT 1 FROM customer c
+             |              WHERE c.c_custkey = o.o_custkey AND c.c_acctbal > 7500)
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
     // ---- S3 roundtrip: partitioned sink → pruned read-back. The filter
     // hits the partition directory (PartitionFilters, proven in ScaleSpec);
     // values that crossed the dir-encoding boundary must still hash-match

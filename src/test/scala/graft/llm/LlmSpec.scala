@@ -597,4 +597,37 @@ class LlmSpec extends SparkSpecBase {
       .orderBy(col("u").desc).limit(20).collect().map(_.getLong(0)).toSet
     assert(got === expect)
   }
+
+  test("line dedup drops cross-doc boilerplate, keeps order, survives empty docs") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (0L, "COOKIE BANNER\nunique alpha\nfooter text"),
+      (1L, "cookie banner\nunique beta\nfooter text"),   // banner matches case-insensitively
+      (2L, "  cookie banner \nunique gamma\nfooter text"), // and after trim
+      (3L, "cookie banner\nfooter text"),                // all lines boilerplate
+      (4L, "standalone doc\n\nwith an empty line")       // empty lines never boilerplate
+    ).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(df, "doc_id", "text", minDf = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out(0) === ((0L, 3L, 1L, "unique alpha")))
+    assert(out(1) === ((1L, 3L, 1L, "unique beta")))
+    assert(out(2) === ((2L, 3L, 1L, "unique gamma")))
+    assert(out(3) === ((3L, 2L, 0L, "")))                // fully-boilerplate doc kept
+    // doc 4: nothing recurs 3x; empty line kept; original order preserved
+    assert(out(4) === ((4L, 3L, 3L, "standalone doc\n\nwith an empty line")))
+  }
+
+  test("bloom semi-join is exact: equals the plain semi-join, fp or not") {
+    val s = spark; import s.implicits._
+    val fact = (1L to 2000L).map(k => (k, k % 97)).toDF("id", "key")
+    val keys = (0L to 96L by 3).toDF("k")
+    val got = graft.operators.Bloom.semiJoin(fact, keys, "key", "k",
+        expected = 100L, fpp = 0.2) // high fpp: false positives certain
+      .select("id").collect().map(_.getLong(0)).sorted
+    val expect = fact.join(keys.withColumnRenamed("k", "key"), Seq("key"), "left_semi")
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(got === expect)
+    assert(got.nonEmpty)
+  }
 }

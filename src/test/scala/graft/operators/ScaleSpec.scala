@@ -183,7 +183,13 @@ class ScaleSpec extends SparkSpecBase {
       "ov2_interval_concurrency" -> "2/0/0/0/-",
       "ev8_attribution" -> "2/0/0/0/-",
       "wf4_rfm" -> "5/0/0/3/-",
-      "s15_zorder_key" -> "1/0/0/0/-")
+      "s15_zorder_key" -> "1/0/0/0/-",
+      // j10's exchanges are the key-distinct, the final agg, and the
+      // output sort; the bloom prefilter itself is exchange-free (map-side)
+      "j10_bloom_prune" -> "3/1/0/0/p",
+      // dd13: line-df aggregate + doc reassembly; the boilerplate
+      // anti-join broadcasts at audit scale (AQE picks SHJ at corpus scale)
+      "dd13_line_dedup" -> "2/1/0/0/p")
     val drift = graft.SparkEntry.all
       .filter(q => snapshot.contains(q.name))
       .flatMap { q =>
@@ -192,7 +198,7 @@ class ScaleSpec extends SparkSpecBase {
         else Some(s"${q.name}: expected ${snapshot(q.name)}, got $live")
       }
     assert(drift.isEmpty, s"plan drift:\n${drift.mkString("\n")}")
-    assert(snapshot.size === 66)
+    assert(snapshot.size === 68)
   }
 
   test("co-bucketed tables join without an Exchange") {
