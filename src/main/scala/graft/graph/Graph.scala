@@ -293,6 +293,90 @@ object Graph {
       .filter(col("__rk") <= k).drop("__rk")
   }
 
+  /** k-core membership by iterative peeling: repeatedly delete nodes of
+    * degree < k (with their edges) until fixpoint — the classic coreness
+    * screen for "embedded in a dense mesh" vs "peripheral". The k-core is
+    * UNIQUE (peel order never matters), so a fixed round count `rounds`
+    * ≥ the peel depth reproduces it deterministically, and the rounds
+    * unroll into a DuckDB oracle exactly like pagerank's.
+    *
+    * Per round: one degree aggregate + two semi-joins against the
+    * surviving-node set (node-cardinality — broadcast), lineage truncated
+    * per round. Edge volume only shrinks, so round cost is bounded by the
+    * first round. */
+  def kcore(nodes: DataFrame, edges: DataFrame, k: Int,
+            rounds: Int = 8): DataFrame = {
+    var und = edges
+      .select(least(col("src"), col("dst")).as("u"), greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    // Early exit on convergence is oracle-safe: peeling is idempotent at
+    // the fixpoint, so running the remaining unrolled oracle rounds on a
+    // converged edge set changes nothing. The count is on the checkpointed
+    // set — a cached-partition sum, not a recompute.
+    var prev = und.count()
+    var converged = false
+    for (_ <- 1 to rounds if !converged) {
+      val deg = und.select(col("u").as("n")).union(und.select(col("v").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k).select("n").localCheckpoint()
+      und = und
+        .join(broadcast(keep).select(col("n").as("u")), Seq("u"), "left_semi")
+        .join(broadcast(keep).select(col("n").as("v")), Seq("v"), "left_semi")
+        .localCheckpoint()
+      val cur = und.count()
+      converged = cur == prev
+      prev = cur
+    }
+    val coreDeg = und.select(col("u").as("n")).union(und.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("core_degree"))
+    nodes.join(broadcast(coreDeg), nodes("node") === coreDeg("n"), "left")
+      .select(col("node"),
+        coalesce(col("core_degree"), lit(0L)).as("core_degree"),
+        col("n").isNotNull.as("in_core"))
+  }
+
+  /** Unrolled DuckDB oracle for [[kcore]] over the top-`bk` backbone of
+    * the supplier transition graph (the same fixed-round replay technique
+    * as [[pagerankOracleSql]]). */
+  def kcoreOracleSql(k: Int, rounds: Int = 8, bk: Int = 5): String = {
+    val base = s"""
+      |WITH seq AS MATERIALIZED (
+      |  SELECT o.o_custkey AS cust, l.l_suppkey AS supp,
+      |         lag(l.l_suppkey) OVER (PARTITION BY o.o_custkey
+      |           ORDER BY o.o_orderdate, l.l_orderkey, l.l_linenumber,
+      |                    l.l_suppkey) AS prev
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      |edges0 AS MATERIALIZED (
+      |  SELECT prev AS src, supp AS dst, count(*)::DOUBLE AS w
+      |  FROM seq WHERE prev IS NOT NULL AND prev <> supp GROUP BY 1, 2),
+      |bb AS MATERIALIZED (
+      |  SELECT src, dst FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY src
+      |             ORDER BY w DESC, dst) AS rk FROM edges0)
+      |  WHERE rk <= $bk),
+      |und0 AS MATERIALIZED (
+      |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+      |  FROM bb WHERE src <> dst)""".stripMargin
+    val steps = (1 to rounds).map { r =>
+      s""",
+         |keep$r AS MATERIALIZED (
+         |  SELECT n FROM (SELECT n, count(*) AS deg FROM (
+         |      SELECT u AS n FROM und${r - 1} UNION ALL SELECT v FROM und${r - 1})
+         |    GROUP BY 1) WHERE deg >= $k),
+         |und$r AS MATERIALIZED (
+         |  SELECT u, v FROM und${r - 1}
+         |  WHERE u IN (SELECT n FROM keep$r) AND v IN (SELECT n FROM keep$r))""".stripMargin
+    }.mkString
+    base + steps + s""",
+      |cd AS (SELECT n, count(*) AS core_degree FROM (
+      |    SELECT u AS n FROM und$rounds UNION ALL SELECT v FROM und$rounds)
+      |  GROUP BY 1)
+      |SELECT s.s_suppkey AS node, coalesce(cd.core_degree, 0)::BIGINT AS core_degree,
+      |       cd.n IS NOT NULL AS in_core
+      |FROM supplier s LEFT JOIN cd ON s.s_suppkey = cd.n
+      |ORDER BY node""".stripMargin
+  }
+
   /** Per-node triangle counts + local clustering coefficient via
     * degree-ordered orientation (the compact-forward / Latapy 2008
     * scheme MapReduce triangle counting inherits): every undirected edge

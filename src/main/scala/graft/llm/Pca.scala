@@ -82,6 +82,46 @@ object Pca {
        |FROM prods pr JOIN sums si ON pr.i = si.i JOIN sums sj ON pr.j = sj.i
        |ORDER BY pr.i, pr.j""".stripMargin
 
+  /** Correlation matrix: corr(i,j) = cov(i,j) / (σᵢ·σⱼ) — the
+    * scale-invariant view of [[covariance]] (dimension-drift monitoring,
+    * redundant-dimension detection before PCA). The covariance pass is
+    * checkpointed once (d² rows — model-sized), so the diagonal self-join
+    * does NOT rerun the corpus scan; both diagonal joins broadcast. */
+  def correlation(emb: DataFrame, vec: String): DataFrame = {
+    val cov = covariance(emb, vec).localCheckpoint()
+    val diag = cov.filter(col("i") === col("j"))
+      .select(col("i").as("k"), sqrt(col("cov")).as("sd"))
+    cov
+      .join(broadcast(diag).select(col("k").as("i"), col("sd").as("sd_i")), "i")
+      .join(broadcast(diag).select(col("k").as("j"), col("sd").as("sd_j")), "j")
+      .select(col("i"), col("j"), (col("cov") / (col("sd_i") * col("sd_j"))).as("corr"))
+  }
+
+  /** DuckDB twin of [[correlation]]: the covariance CTE chain extended by
+    * the same diagonal normalization; `digits`dp rounding on both sides
+    * absorbs summation order. */
+  def correlationOracleSql(table: String, vec: String, digits: Int = 6): String =
+    s"""WITH e AS MATERIALIZED (SELECT $vec AS v FROM $table),
+       |nn AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM e),
+       |pos AS MATERIALIZED (
+       |  SELECT unnest(range(0, (SELECT max(len(v)) FROM e))) AS p),
+       |sums AS MATERIALIZED (
+       |  SELECT pi.p AS i, sum(e.v[pi.p + 1]::DOUBLE) AS s
+       |  FROM e CROSS JOIN pos pi GROUP BY 1),
+       |prods AS MATERIALIZED (
+       |  SELECT pi.p AS i, pj.p AS j,
+       |         sum(e.v[pi.p + 1]::DOUBLE * e.v[pj.p + 1]::DOUBLE) AS sp
+       |  FROM e CROSS JOIN pos pi CROSS JOIN pos pj GROUP BY 1, 2),
+       |cov AS MATERIALIZED (
+       |  SELECT pr.i, pr.j,
+       |         pr.sp/(SELECT n FROM nn)
+       |         - (si.s/(SELECT n FROM nn))*(sj.s/(SELECT n FROM nn)) AS cov
+       |  FROM prods pr JOIN sums si ON pr.i = si.i JOIN sums sj ON pr.j = sj.i),
+       |diag AS (SELECT i AS k, sqrt(cov) AS sd FROM cov WHERE i = j)
+       |SELECT c.i, c.j, round(c.cov / (di.sd * dj.sd), $digits) AS corr
+       |FROM cov c JOIN diag di ON c.i = di.k JOIN diag dj ON c.j = dj.k
+       |ORDER BY c.i, c.j""".stripMargin
+
   /** A fitted PCA model: per-dimension means, eigenvalues (descending) and
     * the matching eigenvectors (rows of `components`). */
   final case class Model(means: Array[Double], eigenvalues: Array[Double],

@@ -371,6 +371,15 @@ object AnalyticsQueries {
         .orderBy("i", "j"),
       Some(Pca.covarianceOracleSql("embeddings", "embedding", digits = 7))),
 
+    // ---- emb4: correlation matrix — emb1's covariance normalized by the
+    // diagonal (scale-invariant drift/redundancy monitoring); the d²-row
+    // covariance is checkpointed so the corpus scan runs ONCE ----
+    QueryDef("emb4_correlation",
+      (s, d) => Pca.correlation(Tables.embeddings(s, d), "embedding")
+        .select(col("i"), col("j"), round(col("corr"), 6).as("corr"))
+        .orderBy("i", "j"),
+      Some(Pca.correlationOracleSql("embeddings", "embedding", digits = 6))),
+
     // ---- emb2: PCA projection onto the top-8 components. The model fit
     // (collect d×d rounded covariance → driver Jacobi) is deterministic;
     // eigendecomposition is not SQL-expressible → rows-only, with

@@ -164,6 +164,19 @@ object GraphQueries {
               |                LEFT JOIN i ON n.s_suppkey = i.node
               |ORDER BY node""".stripMargin)),
 
+    // ---- g9: 3-core of the top-5 tie backbone — iterative peel (degree
+    // < 3 nodes deleted with their edges until fixpoint), fixed 8 rounds
+    // so the unique core replays as unrolled CTEs in the oracle ----
+    QueryDef("g9_kcore",
+      (s, d) => {
+        val edges = Graph.supplierTransitions(
+          Tables.lineitem(s, d), Tables.orders(s, d))
+        Graph.kcore(Tables.supplier(s, d).select(col("s_suppkey").as("node")),
+            Graph.backbone(edges, k = 5), k = 3)
+          .orderBy("node")
+      },
+      Some(Graph.kcoreOracleSql(k = 3))),
+
     // ---- g8: per-node triangle counts + clustering coefficient via
     // degree-ordered orientation (each triangle counted once as a wedge
     // from its lowest-order corner closed by an oriented edge; hub nodes

@@ -153,4 +153,37 @@ class GraphSpec extends SparkSpecBase {
       (1L, 0L, 1L, 0.0), (2L, 0L, 2L, 0.0), (3L, 0L, 1L, 0.0),
       (4L, 0L, 1L, 0.0), (5L, 0L, 1L, 0.0)))
   }
+
+  test("kcore: peeling cascades through a tail, keeps the clique") {
+    val s = spark; import s.implicits._
+    // K4 {1,2,3,4} (the 3-core) + tail 4-5-6-7: 7 peels first, which
+    // drops 6 below degree 1... each tail node has degree <3 so the whole
+    // tail peels in round one EXCEPT the cascade check: give 5 two tail
+    // neighbors so it only peels after they do
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (5L, 7L), (6L, 7L)).toDF("src", "dst")
+    val nodes = (1L to 7L).toDF("node")
+    val r = Graph.kcore(nodes, edges, k = 3).orderBy("node").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getBoolean(2)))
+    // {5,6,7} form a triangle but every member has degree <3 after 4-5 is
+    // peeled... 5 has neighbors {4,6,7} = degree 3, 6/7 have degree 2 →
+    // 6,7 peel round one, then 5 loses them and peels: only K4 survives
+    assert(r === Array(
+      (1L, 3L, true), (2L, 3L, true), (3L, 3L, true), (4L, 3L, true),
+      (5L, 0L, false), (6L, 0L, false), (7L, 0L, false)))
+    // fixpoint invariant: every surviving node meets the core threshold
+    assert(r.filter(_._3).forall(_._2 >= 3))
+  }
+
+  test("kcore: k=2 keeps any cycle, empty graph yields no core") {
+    val s = spark; import s.implicits._
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("src", "dst")
+    val r = Graph.kcore((1L to 4L).toDF("node"), cyc, k = 2).orderBy("node")
+      .collect().map(x => (x.getLong(0), x.getBoolean(2)))
+    assert(r === Array((1L, true), (2L, true), (3L, true), (4L, false)))
+    val none = Graph.kcore((1L to 3L).toDF("node"),
+        Seq((1L, 2L)).toDF("src", "dst"), k = 2)
+      .filter(col("in_core")).count()
+    assert(none === 0L)
+  }
 }

@@ -189,7 +189,12 @@ class ScaleSpec extends SparkSpecBase {
       "j10_bloom_prune" -> "3/1/0/0/p",
       // dd13: line-df aggregate + doc reassembly; the boilerplate
       // anti-join broadcasts at audit scale (AQE picks SHJ at corpus scale)
-      "dd13_line_dedup" -> "2/1/0/0/p")
+      "dd13_line_dedup" -> "2/1/0/0/p",
+      // g9/emb4 audited plans start at their checkpointed intermediates
+      // (peeled edge set / d²-row covariance) — the shapes below are the
+      // final aggregation+join stages
+      "g9_kcore" -> "2/1/0/0/-",
+      "emb4_correlation" -> "1/2/0/0/-")
     val drift = graft.SparkEntry.all
       .filter(q => snapshot.contains(q.name))
       .flatMap { q =>
@@ -198,7 +203,7 @@ class ScaleSpec extends SparkSpecBase {
         else Some(s"${q.name}: expected ${snapshot(q.name)}, got $live")
       }
     assert(drift.isEmpty, s"plan drift:\n${drift.mkString("\n")}")
-    assert(snapshot.size === 68)
+    assert(snapshot.size === 70)
   }
 
   test("co-bucketed tables join without an Exchange") {
