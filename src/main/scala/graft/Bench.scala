@@ -33,7 +33,10 @@ object Bench {
     "dd6_neardup_components", "dd7_decontaminate", "ts7_repetition",
     "sim6_pq_ann", "st4_streaming_neardup", "st5_stream_enrich",
     "dd8_span_coverage", "cur6_source_cap", "cur9_curation_deterministic",
-    "g2_pagerank", "emb1_covariance", "ev2_funnel", "ts14_heavy_hitters")
+    "g2_pagerank", "emb1_covariance", "ev2_funnel", "ts14_heavy_hitters",
+    "g7_personalized_pagerank", "g8_triangles", "g9_kcore",
+    "dd13_line_dedup", "dd14_span_removal", "j10_bloom_prune",
+    "emb4_correlation")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

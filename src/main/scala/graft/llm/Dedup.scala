@@ -626,6 +626,65 @@ object Dedup {
           .as("longest_span_tokens"))
   }
 
+  /** Exact-substring span REMOVAL — the cut step of Lee et al. 2022 that
+    * [[spanCoverage]] only measures: every verbatim token span of length
+    * >= `l` that already occurred in an earlier document (smaller id) is
+    * cut from the later one, keeping exactly the first occurrence in the
+    * corpus. Token t of doc D is removed iff some gram position p with
+    * p <= t <= p+l-1 carries a gram whose minimum-occurrence doc is < D.
+    *
+    * Scale shape: the same inverted gram index as dd8 (one explode, one
+    * gram aggregate carrying its occurrence list — a single shuffle of
+    * the position table), then removable positions expand to their l
+    * covered token indices (a bounded generator, volume <= l x positions),
+    * one distinct, one anti-join against the token table, and a per-doc
+    * reassembly aggregate. No pair join, nothing driver-side.
+    *
+    * Gram matching is case-insensitive; surviving tokens keep their
+    * original case and order.
+    *
+    * `hashGrams = true` shuffles 8-byte xxhash64 gram keys instead of the
+    * l-token strings (the production path, as in [[spanCoverage]];
+    * identical up to 64-bit collisions); `false` keeps raw strings so the
+    * DuckDB oracle replays bit-for-bit. */
+  def spanRemoval(df: DataFrame, id: String, text: String, l: Int = 8,
+                  hashGrams: Boolean = true): DataFrame = {
+    val toks = split(col(text), "\\s+")
+    val nGrams = greatest(size(toks) - (l - 1), lit(1))
+    val gramArr = transform(sequence(lit(1), nGrams), i => {
+      val g = lower(concat_ws(" ", slice(toks, i, lit(l))))
+      if (hashGrams) xxhash64(g).cast("string") else g
+    })
+    val positions = df.select(col(id), posexplode(gramArr).as(Seq("pos0", "gram")))
+      .select(col(id), (col("pos0") + 1).as("pos"), col("gram"))
+    // one aggregate: each gram's occurrence list; re-emit occurrences in
+    // docs AFTER the gram's first doc (those spans are the duplicates)
+    val removable = positions.groupBy(col("gram"))
+      .agg(collect_list(struct(col(id), col("pos"))).as("occs"))
+      .select(explode(col("occs")).as("occ"),
+        aggregate(col("occs"), lit(Long.MaxValue),
+          (m, o) => least(m, o(id).cast("long"))).as("first_doc"))
+      .filter(col(s"occ.$id") > col("first_doc"))
+      .select(col(s"occ.$id").as(id), col("occ.pos").as("pos"))
+    val covered = removable
+      .select(col(id), explode(sequence(col("pos"), col("pos") + (l - 1))).as("t"))
+      .distinct()
+    val tokenTable = df
+      .select(col(id), posexplode(toks).as(Seq("t0", "tok")))
+      .select(col(id), (col("t0") + 1).as("t"), col("tok"))
+    val kept = tokenTable.join(covered, Seq(id, "t"), "left_anti")
+    val rebuilt = kept.groupBy(col(id))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("t"), col("tok")))),
+            x => x("tok"))).as("clean_text"))
+    df.select(col(id), size(toks).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq(id), "left")
+      .select(col(id), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Cross-document boilerplate line removal — the line-level dedup pass of
     * CCNet / RefinedWeb: a (normalized, non-empty) line that recurs in
     * >= `minDf` distinct documents is boilerplate (navigation chrome,

@@ -440,6 +440,49 @@ object LlmQueries {
       Some(Dedup.incrementalNeardupOracleSql(
         "documents", "doc_id", "text", batchPred = "doc_id % 7 = 0"))),
 
+    // ---- exact-substring span REMOVAL (the cut step of Lee et al. 2022;
+    // dd8 measures coverage, this produces the cut corpus): verbatim
+    // 8-token spans already seen in an earlier doc are cut, first
+    // occurrence kept; case-insensitive matching, original case kept ----
+    QueryDef("dd14_span_removal",
+      (s, d) => Dedup.spanRemoval(t(s, d, "documents"), "doc_id", "text", l = 8,
+          hashGrams = false)
+        .orderBy("doc_id"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+             |pos0 AS (
+             |  SELECT doc_id, t,
+             |         unnest(generate_series(1, greatest(len(t) - 7, 1))) AS pos
+             |  FROM toks),
+             |positions AS (
+             |  SELECT doc_id, pos,
+             |         lower(array_to_string(t[pos:pos+7], ' ')) AS gram
+             |  FROM pos0),
+             |firstdoc AS (SELECT gram, min(doc_id) AS fd FROM positions GROUP BY gram),
+             |removable AS (
+             |  SELECT p.doc_id, p.pos FROM positions p JOIN firstdoc f USING (gram)
+             |  WHERE p.doc_id > f.fd),
+             |covered AS (SELECT DISTINCT doc_id, ti FROM (
+             |  SELECT doc_id, unnest(generate_series(pos, pos + 7)) AS ti
+             |  FROM removable)),
+             |tokens AS (
+             |  SELECT doc_id, unnest(generate_series(1, len(t))) AS ti,
+             |         unnest(t) AS tok
+             |  FROM toks),
+             |kept AS (
+             |  SELECT tk.doc_id, tk.ti, tk.tok FROM tokens tk
+             |  LEFT JOIN covered c ON tk.doc_id = c.doc_id AND tk.ti = c.ti
+             |  WHERE c.ti IS NULL),
+             |rebuilt AS (
+             |  SELECT doc_id, count(*) AS n_kept,
+             |         string_agg(tok, ' ' ORDER BY ti) AS clean_text
+             |  FROM kept GROUP BY doc_id)
+             |SELECT d.doc_id, len(d.t)::BIGINT AS n_tokens,
+             |       coalesce(r.n_kept, 0)::BIGINT AS n_kept,
+             |       coalesce(r.clean_text, '') AS clean_text
+             |FROM toks d LEFT JOIN rebuilt r USING (doc_id)
+             |ORDER BY d.doc_id""".stripMargin)),
+
     // ---- cross-document boilerplate line removal (CCNet/RefinedWeb line
     // dedup): a normalized line recurring in >= 3 distinct docs is dropped
     // from every doc; survivors reassemble in original order ----

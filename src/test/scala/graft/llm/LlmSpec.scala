@@ -618,6 +618,30 @@ class LlmSpec extends SparkSpecBase {
     assert(out(4) === ((4L, 3L, 3L, "standalone doc\n\nwith an empty line")))
   }
 
+  test("span removal cuts later occurrences only, case-insensitively") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (0L, "a b c d e f"),                 // first occurrence — untouched
+      (1L, "x a b c d y"),                 // grams "a b c","b c d" seen in 0
+      (2L, "A B C q r s"),                 // case-insensitive match on "a b c"
+      (3L, "unique words only here now")   // nothing shared
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanRemoval(df, "doc_id", "text", l = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out(0) === ((0L, 6L, 6L, "a b c d e f")))
+    // covered token range in doc 1: positions 2,3 cover tokens 2..5
+    assert(out(1) === ((1L, 6L, 2L, "x y")))
+    // original case survives around the cut; matching ignored case
+    assert(out(2) === ((2L, 6L, 3L, "q r s")))
+    assert(out(3) === ((3L, 5L, 5L, "unique words only here now")))
+    // the hashed-gram production path computes the identical corpus
+    val hashed = Dedup.spanRemoval(df, "doc_id", "text", l = 3, hashGrams = true)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(hashed === out)
+  }
+
   test("bloom semi-join is exact: equals the plain semi-join, fp or not") {
     val s = spark; import s.implicits._
     val fact = (1L to 2000L).map(k => (k, k % 97)).toDF("id", "key")

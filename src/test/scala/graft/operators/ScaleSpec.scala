@@ -194,7 +194,10 @@ class ScaleSpec extends SparkSpecBase {
       // (peeled edge set / d²-row covariance) — the shapes below are the
       // final aggregation+join stages
       "g9_kcore" -> "2/1/0/0/-",
-      "emb4_correlation" -> "1/2/0/0/-")
+      "emb4_correlation" -> "1/2/0/0/-",
+      // dd14: gram-index agg, covered-distinct, token anti-join (BHJ at
+      // audit scale), reassembly agg
+      "dd14_span_removal" -> "4/2/0/0/p")
     val drift = graft.SparkEntry.all
       .filter(q => snapshot.contains(q.name))
       .flatMap { q =>
@@ -203,7 +206,7 @@ class ScaleSpec extends SparkSpecBase {
         else Some(s"${q.name}: expected ${snapshot(q.name)}, got $live")
       }
     assert(drift.isEmpty, s"plan drift:\n${drift.mkString("\n")}")
-    assert(snapshot.size === 70)
+    assert(snapshot.size === 71)
   }
 
   test("co-bucketed tables join without an Exchange") {
