@@ -704,6 +704,24 @@ object LlmQueries {
              |       (greatest(ceil(octet_length(encode(text)) / 64.0)::BIGINT - 1, 0) // 4 + 1) AS n_frames
              |FROM documents ORDER BY media_id""".stripMargin)),
 
+    // ---- multimodal: resize stage chained into frame sampling — the
+    // stub rewrites meta only (a real codec would rewrite content);
+    // proves the stage composes with downstream plumbing intact ----
+    QueryDef("mm5_resize",
+      (s, d) => {
+        val resized = Multimodal.resize(
+          Multimodal.asMediaTable(t(s, d, "documents"), "doc_id", "text"), 224, 224)
+        Multimodal.sampleFrames(resized, chunk = 64, stride = 4)
+          .groupBy("media_id").agg(count(lit(1)).as("n_frames"))
+          .join(resized.select(col("media_id"),
+            col("meta.width").as("width"), col("meta.height").as("height")), "media_id")
+          .orderBy("media_id")
+      },
+      Some("""SELECT doc_id AS media_id,
+             |       (greatest(ceil(octet_length(encode(text)) / 64.0)::BIGINT - 1, 0) // 4 + 1) AS n_frames,
+             |       224 AS width, 224 AS height
+             |FROM documents ORDER BY media_id""".stripMargin)),
+
     // ---- multimodal: stubbed decode → feature extraction (rows-only) ----
     QueryDef("mm3_features",
       (s, d) => Multimodal.extractFeatures(
