@@ -89,6 +89,60 @@ object MinHashKernel {
     new GenericArrayData(java.util.Arrays.copyOf(arr, w))
   }
 
+  /** Fused PORTABLE MinHash — the md5-based proof family of
+    * llm/Dedup.minhashPortable computed in one kernel call, bit-identical
+    * to the Column algebra
+    * `min((conv(substring(md5(shingle),1,7),16,10) * a_i + b_i) % p)`
+    * over the character k-shingles of lower(text):
+    *   - shingling is CHARACTER-based on the lowercased text (UTF8String
+    *     substringSQL — same operator the Column `substr` lowers to), so
+    *     multi-byte codepoints shingle identically;
+    *   - the base hash is the first 7 hex digits of md5(shingle-utf8) =
+    *     the top 28 bits of the digest, read off the digest bytes without
+    *     materializing the hex string;
+    *   - the per-seed k-universal transforms reuse PORTABLE_P and the
+    *     (a_i, b_i) family shared verbatim with the DuckDB oracle side
+    *     (equality with the Column algebra is property-pinned in
+    *     MinHashExprSpec, so the constants cannot drift silently).
+    * Eliminates the per-shingle hex-string + conv + array allocation and,
+    * at the call sites, the explode/groupBy shuffle of one row PER
+    * SHINGLE. */
+  val PORTABLE_P = 268435399L // largest prime < 2^28
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def portableSignature(text: UTF8String, k: Int, numHashes: Int): ArrayData = {
+    val t = text.toLowerCase
+    val nChars = t.numChars()
+    val windows = math.max(nChars - k + 1, 1)
+    val digest = md.get()
+    val mins = new Array[Long](numHashes)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var i = 0
+    while (i < windows) {
+      // substringSQL is 1-based and clamps past the end — identical to
+      // the Column algebra's t.substr(i, k)
+      val sh = t.substringSQL(i + 1, k)
+      digest.reset()
+      val bytes = sh.getBytes
+      val d = digest.digest(bytes)
+      val h = ((d(0) & 0xffL) << 20) | ((d(1) & 0xffL) << 12) |
+        ((d(2) & 0xffL) << 4) | ((d(3) & 0xffL) >>> 4)
+      var s = 0
+      while (s < numHashes) {
+        val a = (2L * s + 3) * 12582917L % PORTABLE_P
+        val b = (s + 1) * 15485863L % PORTABLE_P
+        val v = (h * a + b) % PORTABLE_P
+        if (v < mins(s)) mins(s) = v
+        s += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
   /** Fused byte-shingle MinHash: slides a k-byte window directly over the
     * text's backing bytes — no substring allocation, no intermediate
     * shingle array, no dedup (min is duplicate-insensitive). Each window
@@ -222,6 +276,41 @@ object MinHashText {
   /** Column-API wrapper. */
   def apply(text: Column, k: Int, numHashes: Int): Column =
     ColumnBridge.column(MinHashText(ColumnBridge.expression(text), k, numHashes))
+}
+
+/** Fused portable (md5-family) MinHash signature (see
+  * MinHashKernel.portableSignature). Input: string. Output: array<long>
+  * of numHashes portable minima. */
+case class PortableMinHash(child: Expression, k: Int, numHashes: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"portable_minhash expects string, got $other")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashKernel.portableSignature(input.asInstanceOf[UTF8String], k, numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinHashKernel.portableSignature($c, $k, $numHashes)")
+
+  override def prettyName: String = "portable_minhash"
+
+  override protected def withNewChildInternal(newChild: Expression): PortableMinHash =
+    copy(child = newChild)
+}
+
+object PortableMinHash {
+  /** Column-API wrapper. */
+  def apply(text: Column, k: Int, numHashes: Int): Column =
+    ColumnBridge.column(PortableMinHash(ColumnBridge.expression(text), k, numHashes))
 }
 
 /** Distinct hashed byte-shingle set of a text (see

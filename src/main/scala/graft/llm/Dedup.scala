@@ -190,13 +190,17 @@ object Dedup {
     * the narrower 28-bit domain only matters to these proof queries. */
   def minhashPortable(df: DataFrame, id: String, text: String,
                       k: Int = 5, numHashes: Int = 8): DataFrame = {
-    val sh = df.select(col(id), explode(shingles(col(text), k)).as("s"))
-      .withColumn("h", conv(substring(md5(col("s")), 1, 7), 16, 10).cast("long"))
-    val mins = (0 until numHashes).map { seed =>
-      val (a, b) = portableCoef(seed)
-      min((col("h") * a + b) % portableP).as(s"m$seed")
-    }
-    sh.groupBy(col(id)).agg(mins.head, mins.tail: _*)
+    // fused native kernel (functions/MinHashExpr.portableSignature):
+    // bit-identical to the explode + md5-hex + conv + groupBy-min Column
+    // algebra (property-pinned in MinHashExprSpec), with no hex-string
+    // allocation and NO shuffle — the signature is computed per row.
+    // The isNotNull filter preserves the explode form's drop-null-text
+    // semantics.
+    val sig = graft.functions.PortableMinHash(col(text), k, numHashes)
+    df.filter(col(text).isNotNull)
+      .select(col(id), sig.as("__sig"))
+      .select(col(id) +: (0 until numHashes).map(i =>
+        element_at(col("__sig"), i + 1).as(s"m$i")): _*)
   }
 
   /** DuckDB SQL computing the identical portable MinHash signature. */

@@ -39,14 +39,10 @@ object StreamDedup {
     * numHashes minima) — no aggregation, so it composes with streaming
     * stateful operators. Same values as Dedup.minhashPortable's m0..m*
     * columns (min is insensitive to the shingle dedup). */
-  def portableSigArray(text: Column, k: Int = 5, numHashes: Int = 8): Column = {
-    val hs = transform(Dedup.shingles(text, k),
-      s => conv(substring(md5(s), 1, 7), 16, 10).cast("long"))
-    array((0 until numHashes).map { i =>
-      val (a, b) = Dedup.portableCoef(i)
-      array_min(transform(hs, h => (h * a + b) % Dedup.portableP))
-    }: _*)
-  }
+  def portableSigArray(text: Column, k: Int = 5, numHashes: Int = 8): Column =
+    // fused native kernel — bit-identical to the md5-hex Column algebra
+    // (property-pinned in MinHashExprSpec), no per-shingle allocation
+    graft.functions.PortableMinHash(text, k, numHashes)
 
   private def estimate(a: Seq[Long], b: Seq[Long]): Double =
     a.iterator.zip(b.iterator).count { case (x, y) => x == y }.toDouble / a.size

@@ -54,4 +54,29 @@ class MinHashExprSpec extends SparkSpecBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(viaArray === viaText)
   }
+
+  test("PortableMinHash equals the md5-hex Column algebra, unicode included") {
+    val s = spark; import s.implicits._
+    val k = 5
+    val cases = docs.select(col("id"), col("text"))
+      .union(Seq(
+        (6L, "naïve café — résumé ☃ über"),   // multi-byte codepoints
+        (7L, "ÅÄÖ ÅÄÖ åäö mixed CASE"),
+        (8L, "a"), (9L, "exactly5")
+      ).toDF("id", "text"))
+    // the Column algebra PortableMinHash replaces (the DuckDB-portable
+    // definition): per-shingle md5 hex prefix → conv → k-universal minima
+    val hs = transform(Dedup.shingles(col("text"), k),
+      sh => conv(substring(md5(sh), 1, 7), 16, 10).cast("long"))
+    val composedCols = (0 until 8).map { i =>
+      val a = (2L * i + 3) * 12582917L % 268435399L
+      val b = (i + 1) * 15485863L % 268435399L
+      array_min(transform(hs, h => (h * a + b) % 268435399L)).as(s"m$i")
+    }
+    val composed = cases.select((col("id") +: composedCols): _*)
+      .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getLong)).toMap
+    val fused = cases.select(col("id"), PortableMinHash(col("text"), k, 8).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toIndexedSeq).toMap
+    assert(fused === composed)
+  }
 }
