@@ -143,6 +143,42 @@ object MinHashKernel {
     new GenericArrayData(mins)
   }
 
+  /** Fused portable SimHash — the 60-bit md5 fingerprint of
+    * llm/Dedup.simhashPortable in one kernel call, bit-identical to the
+    * Column algebra: tokens = lower(text) split on a single space (empty
+    * tokens kept, as the regex split keeps them), token hash = first 15
+    * hex digits of md5 (top 60 bits of the digest), bit i votes +1/−1 by
+    * the hash's bit i, fingerprint bit i set iff the vote sum is
+    * positive. Replaces an explode of one row PER TOKEN plus a 60-column
+    * aggregate shuffle with a single per-row pass. */
+  def portableSimhash(text: UTF8String): Long = {
+    val toks = text.toLowerCase.toString.split(" ", -1)
+    val votes = new Array[Int](60)
+    val digest = md.get()
+    var ti = 0
+    while (ti < toks.length) {
+      digest.reset()
+      val d = digest.digest(toks(ti).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val h = ((d(0) & 0xffL) << 52) | ((d(1) & 0xffL) << 44) |
+        ((d(2) & 0xffL) << 36) | ((d(3) & 0xffL) << 28) |
+        ((d(4) & 0xffL) << 20) | ((d(5) & 0xffL) << 12) |
+        ((d(6) & 0xffL) << 4) | ((d(7) & 0xffL) >>> 4)
+      var i = 0
+      while (i < 60) {
+        if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
+        i += 1
+      }
+      ti += 1
+    }
+    var fp = 0L
+    var i = 0
+    while (i < 60) {
+      if (votes(i) > 0) fp |= 1L << i
+      i += 1
+    }
+    fp
+  }
+
   /** Fused byte-shingle MinHash: slides a k-byte window directly over the
     * text's backing bytes — no substring allocation, no intermediate
     * shingle array, no dedup (min is duplicate-insensitive). Each window
@@ -311,6 +347,39 @@ object PortableMinHash {
   /** Column-API wrapper. */
   def apply(text: Column, k: Int, numHashes: Int): Column =
     ColumnBridge.column(PortableMinHash(ColumnBridge.expression(text), k, numHashes))
+}
+
+/** Fused portable (md5-family) 60-bit SimHash fingerprint (see
+  * MinHashKernel.portableSimhash). Input: string. Output: long. */
+case class PortableSimHash(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"portable_simhash expects string, got $other")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashKernel.portableSimhash(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinHashKernel.portableSimhash($c)")
+
+  override def prettyName: String = "portable_simhash"
+
+  override protected def withNewChildInternal(newChild: Expression): PortableSimHash =
+    copy(child = newChild)
+}
+
+object PortableSimHash {
+  /** Column-API wrapper. */
+  def apply(text: Column): Column =
+    ColumnBridge.column(PortableSimHash(ColumnBridge.expression(text)))
 }
 
 /** Distinct hashed byte-shingle set of a text (see

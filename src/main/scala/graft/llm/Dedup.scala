@@ -260,19 +260,13 @@ object Dedup {
     * is the first 15 hex digits of md5 — computable bit-for-bit by any
     * engine, so the fingerprint itself is oracle-checkable. Tokens split on
     * a single space to keep both sides' tokenization identical. */
-  def simhashPortable(df: DataFrame, id: String, text: String): DataFrame = {
-    val tokens = df.select(col(id), explode(split(lower(col(text)), " ")).as("tok"))
-      .withColumn("h", conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
-    val bitSums = (0 until 60).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
-    }
-    val summed = tokens.groupBy(col(id)).agg(bitSums.head, bitSums.tail: _*)
-    // bits are disjoint → arithmetic sum == bitwise OR
-    val fp = (0 until 60).map { i =>
-      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    summed.select(col(id), fp.as("simhash"))
-  }
+  def simhashPortable(df: DataFrame, id: String, text: String): DataFrame =
+    // fused native kernel (functions/MinHashExpr.portableSimhash):
+    // bit-identical to the explode + md5-hex + 60-column vote aggregate
+    // it replaces (property-pinned in MinHashExprSpec) with NO shuffle;
+    // isNotNull preserves the explode form's drop-null-text semantics
+    df.filter(col(text).isNotNull)
+      .select(col(id), graft.functions.PortableSimHash(col(text)).as("simhash"))
 
   /** DuckDB SQL computing the identical 60-bit portable SimHash. */
   def simhashPortableOracleSql(table: String, id: String, text: String): String = {

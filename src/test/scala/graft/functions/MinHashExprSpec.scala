@@ -79,4 +79,30 @@ class MinHashExprSpec extends SparkSpecBase {
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toIndexedSeq).toMap
     assert(fused === composed)
   }
+
+  test("PortableSimHash equals the md5-hex vote-aggregate algebra") {
+    val s = spark; import s.implicits._
+    val cases = docs.select(col("id"), col("text"))
+      .union(Seq(
+        (6L, "naïve café — résumé ☃ über"),
+        (7L, "double  space   runs keep empty tokens"),
+        (8L, "one")
+      ).toDF("id", "text"))
+    // the Column algebra PortableSimHash replaces
+    val tokens = cases
+      .select(col("id"), explode(split(lower(col("text")), " ")).as("tok"))
+      .withColumn("h", conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
+    val bitSums = (0 until 60).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
+    }
+    val summed = tokens.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
+    val fpCol = (0 until 60).map { i =>
+      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val composed = summed.select(col("id"), fpCol.as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fused = cases.select(col("id"), PortableSimHash(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fused === composed)
+  }
 }
