@@ -244,6 +244,19 @@ object TextAnalysis {
     regexp_replace(noEmail, """\d{7,}""", "<NUM>")
   }
 
+  /** Dedup-normalization (the CCNet / fuzzy-dedup preprocessing form):
+    * lowercase, digits mapped to 0 (so "page 17" ≡ "page 42"), punctuation
+    * stripped, whitespace runs collapsed, ends trimmed. Applied to the
+    * dedup KEY only — the stored text keeps its original form. Pure
+    * regexp_replace chain: codegen'd, one scan, replayable by any engine
+    * with the same regex class semantics. */
+  def normalizeForDedup(text: Column): Column = {
+    val lowered = lower(text)
+    val digits = regexp_replace(lowered, """[0-9]""", "0")
+    val noPunct = regexp_replace(digits, """[^a-z0-9\s]""", "")
+    trim(regexp_replace(noPunct, """\s+""", " "))
+  }
+
   /** Deterministic content-addressed sampling: keep a doc iff the first hex
     * nibble of md5(id) falls in the accept set — reproducible across
     * engines and runs, no RNG state, uniform in expectation. */

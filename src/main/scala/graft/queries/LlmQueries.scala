@@ -779,6 +779,23 @@ object LlmQueries {
              |    '\d{7,}', '<NUM>', 'g') AS clean
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ---- normalized exact dedup: the CCNet-style normalization (case /
+    // digits / punctuation / whitespace folded) applied to the dedup KEY
+    // only — catches near-identical docs plain md5 misses ----
+    QueryDef("ts17_normalized_dedup",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"),
+          md5(TextAnalysis.normalizeForDedup(col("text"))).as("h"))
+        .groupBy("h").agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("cnt"))
+        .orderBy("h"),
+      Some("""SELECT md5(trim(regexp_replace(
+             |         regexp_replace(
+             |           regexp_replace(lower(text), '[0-9]', '0', 'g'),
+             |           '[^a-z0-9\s]', '', 'g'),
+             |         '\s+', ' ', 'g'))) AS h,
+             |       min(doc_id) AS keep_id, count(*) AS cnt
+             |FROM documents GROUP BY 1 ORDER BY h""".stripMargin)),
+
     // ---- lexical diversity: type-token ratio + unigram entropy (the
     // declarative proxy for perplexity gating) ----
     QueryDef("ts8_lexical_diversity",

@@ -618,6 +618,19 @@ class LlmSpec extends SparkSpecBase {
     assert(out(4) === ((4L, 3L, 3L, "standalone doc\n\nwith an empty line")))
   }
 
+  test("dedup normalization folds case, digits, punctuation, whitespace") {
+    val s = spark; import s.implicits._
+    val out = Seq(
+      ("Page 17: Hello,   World!"),
+      ("page 42 hello world"),
+      ("different content entirely")
+    ).toDF("t").select(TextAnalysis.normalizeForDedup(col("t")).as("n"))
+      .collect().map(_.getString(0))
+    assert(out(0) === "page 00 hello world")
+    assert(out(0) === out(1)) // punctuation/number/case twins share the key
+    assert(out(2) === "different content entirely")
+  }
+
   test("span removal cuts later occurrences only, case-insensitively") {
     val s = spark; import s.implicits._
     val df = Seq(
