@@ -75,4 +75,55 @@ object PropertySpec extends Properties("graft") {
       math.abs(end - tgt) < 1e-6 || math.abs(math.abs(end - tgt) - 360) < 1e-6
     }
   }
+
+  // --- fused portable kernels vs an independent hex-string reference ---
+  // The kernels read the md5 prefix straight off the digest bytes; the
+  // reference below goes through the HEX STRING and Long.parseLong —
+  // a genuinely different code path for the same definition. (Equality
+  // with the Spark Column algebra is pinned in MinHashExprSpec; this
+  // property pins the digest-byte bit-trick on arbitrary unicode.)
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private val textGen: Gen[String] = Gen.listOf(Gen.frequency(
+    8 -> Gen.alphaNumChar, 3 -> Gen.const(' '),
+    1 -> Gen.oneOf('é', 'Ü', 'ß', '☃', '中', '—'))).map(_.mkString)
+
+  private def md5Hex(s: UTF8String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+    d.map(b => f"${b & 0xff}%02x").mkString
+  }
+
+  private val P = 268435399L
+
+  property("PortableMinHash kernel == hex-string reference") =
+    forAll(textGen) { text =>
+      val t = UTF8String.fromString(text).toLowerCase
+      val windows = math.max(t.numChars() - 4, 1)
+      val mins = Array.fill(8)(Long.MaxValue)
+      for (i <- 1 to windows) {
+        val h = java.lang.Long.parseLong(md5Hex(t.substringSQL(i, 5)).substring(0, 7), 16)
+        for (s <- 0 until 8) {
+          val a = (2L * s + 3) * 12582917L % P
+          val b = (s + 1) * 15485863L % P
+          val v = (h * a + b) % P
+          if (v < mins(s)) mins(s) = v
+        }
+      }
+      val kernel = graft.functions.MinHashKernel
+        .portableSignature(UTF8String.fromString(text), 5, 8)
+      (0 until 8).forall(i => kernel.getLong(i) == mins(i))
+    }
+
+  property("PortableSimHash kernel == hex-string reference") =
+    forAll(textGen) { text =>
+      val toks = UTF8String.fromString(text).toLowerCase.toString.split(" ", -1)
+      val votes = Array.fill(60)(0)
+      toks.foreach { tok =>
+        val h = java.lang.Long.parseLong(
+          md5Hex(UTF8String.fromString(tok)).substring(0, 15), 16)
+        for (i <- 0 until 60) votes(i) += (if (((h >>> i) & 1L) == 1L) 1 else -1)
+      }
+      val ref = (0 until 60).map(i => if (votes(i) > 0) 1L << i else 0L).sum
+      graft.functions.MinHashKernel.portableSimhash(UTF8String.fromString(text)) == ref
+    }
 }
