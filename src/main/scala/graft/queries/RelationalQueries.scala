@@ -383,6 +383,26 @@ object RelationalQueries {
         .orderBy("l_returnflag"),
       None),
 
+    // ---- mergeable HLL sketches (DataSketches): per-group sketches whose
+    // UNION equals the direct whole-table sketch — the re-aggregatable
+    // rollup pattern (at 100 TB you persist per-partition sketches and
+    // re-aggregate to any grouping without rescanning). Union ≡ direct is
+    // register-wise max, proven exactly in ScaleSpec; rows-only (sketch
+    // estimates are engine-specific). ----
+    QueryDef("so6b_hll_merge",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val per = li.groupBy(col("l_returnflag"))
+          .agg(hll_sketch_agg(col("l_partkey")).as("sk"))
+        val perRows = per.select(col("l_returnflag"),
+          hll_sketch_estimate(col("sk")).as("approx_parts"))
+        val merged = per.agg(
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_parts"))
+          .select(lit("__all__").as("l_returnflag"), col("approx_parts"))
+        perRows.union(merged).orderBy("l_returnflag")
+      },
+      None),
+
     // ---- S2: incremental anti-join load (GetWeta.py:253-337) ----
     QueryDef("s2_incremental_load",
       (s, d) => {

@@ -45,6 +45,23 @@ class ScaleSpec extends SparkSpecBase {
     }
   }
 
+  test("HLL sketch union over groups equals the direct whole-table sketch") {
+    // register-wise max makes merge lossless: re-aggregating persisted
+    // per-group sketches to ANY coarser grouping gives the IDENTICAL
+    // estimate a full rescan would — the re-aggregatable rollup pattern
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val merged = li.groupBy(col("l_returnflag"))
+      .agg(hll_sketch_agg(col("l_partkey")).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .first().getLong(0)
+    val direct = li.agg(
+      hll_sketch_estimate(hll_sketch_agg(col("l_partkey"))).as("est"))
+      .first().getLong(0)
+    assert(merged === direct)
+    val exact = li.select(countDistinct(col("l_partkey"))).first().getLong(0)
+    assert(math.abs(merged - exact).toDouble / exact < 0.05)
+  }
+
   test("partition-pruned scan reads only the filtered partition directory") {
     val s = spark; import s.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
