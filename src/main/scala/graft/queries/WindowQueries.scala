@@ -294,6 +294,40 @@ object WindowQueries {
              |       round(quantile_cont(o_totalprice, 0.95), 4) AS p95
              |FROM orders GROUP BY o_orderstatus ORDER BY company""".stripMargin)),
 
+    // ---- per-group winsorization: clamp a numeric feature to its
+    // group's [p05, p95] — the standard outlier-capping pass before
+    // numeric features feed training. Percentile dim broadcast back; the
+    // clamp is codegen'd least/greatest, one scan after the stats pass ----
+    QueryDef("wf5_winsorize",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val pcts = li.groupBy(col("l_returnflag"))
+          .agg(expr("percentile(l_extendedprice, 0.05)").as("p05"),
+               expr("percentile(l_extendedprice, 0.95)").as("p95"))
+        li.join(broadcast(pcts), "l_returnflag")
+          .select(col("l_returnflag"),
+            least(greatest(col("l_extendedprice"), col("p05")), col("p95")).as("w"),
+            col("p05"), col("p95"))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            round(first(col("p05")), 4).as("p05"),
+            round(first(col("p95")), 4).as("p95"),
+            round(sum(col("w")), 2).as("winsorized_sum"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH pcts AS (
+             |  SELECT l_returnflag,
+             |         quantile_cont(l_extendedprice, 0.05) AS p05,
+             |         quantile_cont(l_extendedprice, 0.95) AS p95
+             |  FROM lineitem GROUP BY l_returnflag)
+             |SELECT l.l_returnflag, count(*) AS n,
+             |       round(any_value(p.p05), 4) AS p05,
+             |       round(any_value(p.p95), 4) AS p95,
+             |       round(sum(least(greatest(l.l_extendedprice, p.p05), p.p95)), 2)
+             |         AS winsorized_sum
+             |FROM lineitem l JOIN pcts p USING (l_returnflag)
+             |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin)),
+
     // ---- distribution + frame window functions: percent_rank/cume_dist
     // and a bounded rows-frame moving aggregate (the remaining analytic
     // surface beyond wf1's ranking family). Frame sums evaluate
