@@ -108,6 +108,13 @@ object MinHashKernel {
     * at the call sites, the explode/groupBy shuffle of one row PER
     * SHINGLE. */
   val PORTABLE_P = 268435399L // largest prime < 2^28
+
+  /** The k-universal coefficient family shared verbatim by the kernel,
+    * the Column algebra (llm/Dedup delegates here), and the DuckDB
+    * oracle SQL — ONE canonical definition so the three cannot drift. */
+  def portableCoef(i: Int): (Long, Long) =
+    ((2L * i + 3) * 12582917L % PORTABLE_P, (i + 1) * 15485863L % PORTABLE_P)
+
   private val md = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
@@ -120,6 +127,13 @@ object MinHashKernel {
     val digest = md.get()
     val mins = new Array[Long](numHashes)
     java.util.Arrays.fill(mins, Long.MaxValue)
+    // hoisted: the (a, b) pairs are loop-invariant per seed
+    val as = new Array[Long](numHashes)
+    val bs = new Array[Long](numHashes)
+    var s0 = 0
+    while (s0 < numHashes) {
+      val (a, b) = portableCoef(s0); as(s0) = a; bs(s0) = b; s0 += 1
+    }
     var i = 0
     while (i < windows) {
       // substringSQL is 1-based and clamps past the end — identical to
@@ -132,9 +146,7 @@ object MinHashKernel {
         ((d(2) & 0xffL) << 4) | ((d(3) & 0xffL) >>> 4)
       var s = 0
       while (s < numHashes) {
-        val a = (2L * s + 3) * 12582917L % PORTABLE_P
-        val b = (s + 1) * 15485863L % PORTABLE_P
-        val v = (h * a + b) % PORTABLE_P
+        val v = (h * as(s) + bs(s)) % PORTABLE_P
         if (v < mins(s)) mins(s) = v
         s += 1
       }

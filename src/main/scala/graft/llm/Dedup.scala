@@ -176,10 +176,12 @@ object Dedup {
 
   /** k-universal coefficient pairs for the portable MinHash family, shared
     * verbatim by the Spark and DuckDB sides. Domain is 28 bits (7 hex
-    * digits of md5) so a*h + b stays far below 2^63 in both engines. */
-  private[graft] val portableP = 268435399L // largest prime < 2^28
+    * digits of md5) so a*h + b stays far below 2^63 in both engines.
+    * Canonical definition lives in the fused kernel — delegated here so
+    * the kernel, the Column algebra, and the oracle SQL cannot drift. */
+  private[graft] val portableP = graft.functions.MinHashKernel.PORTABLE_P
   private[graft] def portableCoef(i: Int): (Long, Long) =
-    ((2L * i + 3) * 12582917L % portableP, (i + 1) * 15485863L % portableP)
+    graft.functions.MinHashKernel.portableCoef(i)
 
   /** Portable MinHash signature columns (m0..m{n-1}): ONE md5-derived
     * 28-bit base hash per shingle, then per-seed k-universal transforms
@@ -656,12 +658,15 @@ object Dedup {
     val positions = df.select(col(id), posexplode(gramArr).as(Seq("pos0", "gram")))
       .select(col(id), (col("pos0") + 1).as("pos"), col("gram"))
     // one aggregate: each gram's occurrence list; re-emit occurrences in
-    // docs AFTER the gram's first doc (those spans are the duplicates)
+    // docs AFTER the gram's first doc (those spans are the duplicates).
+    // first_doc is computed BEFORE the explode — in the same projection
+    // as the Generate it would be re-evaluated per generated row, making
+    // a gram with m occurrences cost O(m²)
     val removable = positions.groupBy(col("gram"))
       .agg(collect_list(struct(col(id), col("pos"))).as("occs"))
-      .select(explode(col("occs")).as("occ"),
-        aggregate(col("occs"), lit(Long.MaxValue),
-          (m, o) => least(m, o(id).cast("long"))).as("first_doc"))
+      .select(col("occs"),
+        array_min(transform(col("occs"), o => o(id).cast("long"))).as("first_doc"))
+      .select(explode(col("occs")).as("occ"), col("first_doc"))
       .filter(col(s"occ.$id") > col("first_doc"))
       .select(col(s"occ.$id").as(id), col("occ.pos").as("pos"))
     val covered = removable

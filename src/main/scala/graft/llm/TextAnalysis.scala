@@ -251,10 +251,14 @@ object TextAnalysis {
     * regexp_replace chain: codegen'd, one scan, replayable by any engine
     * with the same regex class semantics. */
   def normalizeForDedup(text: Column): Column = {
+    // EXPLICIT whitespace class, not \s: Java regex \s includes \x0B
+    // (vertical tab) but DuckDB's RE2 \s does not, so \s would let the
+    // two engines produce different dedup keys on such input
+    val ws = " \\t\\n\\r\\f"
     val lowered = lower(text)
     val digits = regexp_replace(lowered, """[0-9]""", "0")
-    val noPunct = regexp_replace(digits, """[^a-z0-9\s]""", "")
-    trim(regexp_replace(noPunct, """\s+""", " "))
+    val noPunct = regexp_replace(digits, s"""[^a-z0-9$ws]""", "")
+    trim(regexp_replace(noPunct, s"""[$ws]+""", " "))
   }
 
   /** Deterministic content-addressed sampling: keep a doc iff the first hex

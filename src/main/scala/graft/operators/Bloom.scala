@@ -32,8 +32,10 @@ object Bloom {
     val bfB = fact.sparkSession.sparkContext.broadcast(bf)
     val mightContain = udf((k: java.lang.Long) =>
       k != null && bfB.value.mightContainLong(k))
+    // no distinct on the keys side: left_semi keeps a fact row if ANY
+    // match exists, so duplicate keys cannot duplicate output, and a
+    // distinct would cost a full extra exchange on the dim
     fact.filter(mightContain(col(factKey)))
-      .join(keys.select(col(keyCol).as(factKey)).distinct(),
-        Seq(factKey), "left_semi")
+      .join(keys.select(col(keyCol).as(factKey)), Seq(factKey), "left_semi")
   }
 }

@@ -791,8 +791,8 @@ object LlmQueries {
       Some("""SELECT md5(trim(regexp_replace(
              |         regexp_replace(
              |           regexp_replace(lower(text), '[0-9]', '0', 'g'),
-             |           '[^a-z0-9\s]', '', 'g'),
-             |         '\s+', ' ', 'g'))) AS h,
+             |           '[^a-z0-9 \t\n\r\f]', '', 'g'),
+             |         '[ \t\n\r\f]+', ' ', 'g'))) AS h,
              |       min(doc_id) AS keep_id, count(*) AS cnt
              |FROM documents GROUP BY 1 ORDER BY h""".stripMargin)),
 

@@ -201,9 +201,10 @@ class ScaleSpec extends SparkSpecBase {
       "ev8_attribution" -> "2/0/0/0/-",
       "wf4_rfm" -> "5/0/0/3/-",
       "s15_zorder_key" -> "1/0/0/0/-",
-      // j10's exchanges are the key-distinct, the final agg, and the
-      // output sort; the bloom prefilter itself is exchange-free (map-side)
-      "j10_bloom_prune" -> "3/1/0/0/p",
+      // j10's exchanges are the final agg and the output sort; the bloom
+      // prefilter itself is exchange-free (map-side) and the semi-join
+      // needs no keys-side distinct
+      "j10_bloom_prune" -> "2/1/0/0/p",
       // dd13: line-df aggregate + doc reassembly; the boilerplate
       // anti-join broadcasts at audit scale (AQE picks SHJ at corpus scale)
       "dd13_line_dedup" -> "2/1/0/0/p",
