@@ -509,6 +509,30 @@ object RelationalQueries {
     // hits the partition directory (PartitionFilters, proven in ScaleSpec);
     // values that crossed the dir-encoding boundary must still hash-match
     // the parquet-side oracle. ----
+    // ---- S16: schema evolution — an old-schema batch (2 cols) and a
+    // new-schema batch (3 cols) land in the same table path; mergeSchema
+    // reconciles at read time, old rows NULL-fill the added column. The
+    // lakehouse ingest reality: producers upgrade schemas mid-table ----
+    QueryDef("s16_schema_evolution",
+      (s, d) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-schema-evo").toString
+        val o = t(s, d, "orders")
+        o.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .write.mode("overwrite").parquet(s"$tmp/batch=1")
+        o.filter(col("o_orderkey") % 2 === 1)
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+          .write.mode("overwrite").parquet(s"$tmp/batch=2")
+        s.read.option("mergeSchema", "true").parquet(tmp)
+          .groupBy(coalesce(col("o_orderstatus"), lit("pre_upgrade")).as("status"))
+          .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+          .orderBy("status")
+      },
+      Some("""SELECT coalesce(CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END,
+             |                'pre_upgrade') AS status,
+             |       count(*) AS n, round(sum(o_totalprice), 2) AS total
+             |FROM orders GROUP BY 1 ORDER BY status""".stripMargin)),
+
     QueryDef("s3b_partitioned_roundtrip",
       (s, d) => {
         val tmp = java.nio.file.Files.createTempDirectory("graft-part-rt").toString
