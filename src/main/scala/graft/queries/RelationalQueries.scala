@@ -533,6 +533,35 @@ object RelationalQueries {
              |       count(*) AS n, round(sum(o_totalprice), 2) AS total
              |FROM orders GROUP BY 1 ORDER BY status""".stripMargin)),
 
+    // ---- S17: corrupt-record capture — real feeds carry malformed rows;
+    // PERMISSIVE json parsing keeps them in _corrupt_record instead of
+    // failing the batch (FAILFAST) or silently dropping them (DROPMALFORMED).
+    // Corruption is planted deterministically so the oracle replays it ----
+    QueryDef("s17_corrupt_records",
+      (s, d) => {
+        import s.implicits._
+        val tmp = java.nio.file.Files.createTempDirectory("graft-corrupt").toString
+        t(s, d, "orders").filter(col("o_orderkey") % 10 === 0)
+          .select(when(col("o_orderkey") % 30 === 0,
+              concat(lit("{broken "), col("o_orderkey").cast("string")))
+            .otherwise(to_json(struct(col("o_orderkey").as("k"),
+              col("o_totalprice").as("p")))).as("value"))
+          .write.mode("overwrite").text(tmp)
+        val schema = "k LONG, p DOUBLE, _corrupt_record STRING"
+        s.read.schema(schema)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .json(tmp)
+          .agg(count(col("k")).as("n_good"),
+            count(col("_corrupt_record")).as("n_bad"),
+            round(sum(col("p")), 2).as("good_total"))
+      },
+      Some("""SELECT count(CASE WHEN o_orderkey % 30 <> 0 THEN 1 END) AS n_good,
+             |       count(CASE WHEN o_orderkey % 30 = 0 THEN 1 END) AS n_bad,
+             |       round(sum(CASE WHEN o_orderkey % 30 <> 0 THEN o_totalprice END), 2)
+             |         AS good_total
+             |FROM orders WHERE o_orderkey % 10 = 0""".stripMargin)),
+
     QueryDef("s3b_partitioned_roundtrip",
       (s, d) => {
         val tmp = java.nio.file.Files.createTempDirectory("graft-part-rt").toString
