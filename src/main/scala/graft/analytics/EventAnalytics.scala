@@ -99,6 +99,9 @@ object EventAnalytics {
     * a bounded `window`× fan-out. Days past the last activity day are
     * clipped (they would be partial future windows). */
   def slidingDistinctUsers(events: DataFrame, window: Int = 7): DataFrame = {
+    // window = 0 would NOT fail: sequence(d, d-1) auto-steps backwards,
+    // silently fanning each day out to itself AND the previous day
+    require(window >= 1, s"window must be >= 1, got $window")
     val activity = events.select(col("user_id"), to_date(col("ts")).as("d")).distinct()
     val maxDay = activity.agg(max("d").as("max_d"))
     activity

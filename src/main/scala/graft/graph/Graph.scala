@@ -390,7 +390,11 @@ object Graph {
     * make naive wedge counting quadratic (a 10⁶-degree celebrity node)
     * points all its edges AT itself and generates none. Both the wedge
     * join and the closing-edge join are equi-joins on node keys; nothing
-    * is ever all-pairs, and no step leaves the cluster. */
+    * is ever all-pairs. The degree-table joins use explicit broadcast()
+    * because deg is NODE-cardinality — company-scale (dim-sized) for this
+    * tier's transition graphs; a billion-node deployment would drop those
+    * hints and take shuffled equi-joins (the checkpoint-backed deg
+    * carries no stats, so the planner must be told either way). */
   def triangles(edges: DataFrame): DataFrame = {
     // the edge list is referenced by degree counting, orientation, the
     // wedge self-join AND the closure join — pin it once (the GraphX

@@ -79,18 +79,25 @@ object TextAnalysis {
     * report per-rule rejection rates (the usual ablation table) instead of
     * a single opaque pass bit. Pure Column arithmetic over one scan — no
     * UDF, no array materialization beyond the per-row token split — and
-    * every rule replays exactly in the DuckDB oracle. */
+    * every rule replays exactly in the DuckDB oracle.
+    *
+    * Tokenization uses an EXPLICIT whitespace class (Java \s includes
+    * \x0B, RE2's does not — see normalizeForDedup); the stop-word rule
+    * counts DISTINCT stop words present (table A1's "contain at least 2
+    * of" reads over the word list, not occurrences); and EVERY rule tests
+    * the rounded column the operator emits, so an engine replaying the
+    * rules from the output can never disagree at a float boundary. */
   def gopherRules(df: DataFrame, text: String,
                   minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
     val t = col(text)
-    val words = filter(split(trim(t), """\s+"""), w => length(w) > 0)
+    val words = filter(split(trim(t), """[ \t\n\r\f]+"""), w => length(w) > 0)
     val nWords = size(words)
     val meanWl = aggregate(words, lit(0L), (acc, w) => acc + length(w))
       .cast("double") / nWords
     val alphaFrac = size(filter(words, w => w.rlike("[A-Za-z]")))
       .cast("double") / nWords
-    val stopHits = size(filter(words, w =>
-      lower(w).isInCollection(Seq("the", "be", "to", "of", "and", "a", "in", "that"))))
+    val stopHits = size(array_distinct(filter(transform(words, w => lower(w)),
+      w => w.isInCollection(Seq("the", "be", "to", "of", "and", "a", "in", "that")))))
     val hashes = length(t) - length(regexp_replace(t, "#", ""))
     val ellipses = (length(t) - length(regexp_replace(t, """\.\.\.""", ""))) / 3
     val symbolRatio = (hashes + ellipses).cast("double") / nWords
@@ -106,13 +113,12 @@ object TextAnalysis {
       .withColumn("stop_hits", stopHits)
       .withColumn("symbol_ratio", round(symbolRatio, 6))
       .withColumn("bullet_frac", round(bulletFrac, 6))
+      .withColumn("ell_frac", round(ellLineFrac, 6))
       .withColumn("r_words", nWords.between(minWords, maxWords))
-      // rules test the rounded columns the operator emits, so an engine
-      // replaying them from the output can never disagree at a boundary
       .withColumn("r_mean_wl", col("mean_wl").between(3.0, 10.0))
-      .withColumn("r_symbol", symbolRatio <= 0.1)
-      .withColumn("r_bullet", bulletFrac <= 0.9)
-      .withColumn("r_ellipsis", ellLineFrac <= 0.3)
+      .withColumn("r_symbol", col("symbol_ratio") <= 0.1)
+      .withColumn("r_bullet", col("bullet_frac") <= 0.9)
+      .withColumn("r_ellipsis", col("ell_frac") <= 0.3)
       .withColumn("r_alpha", col("alpha_frac") >= 0.8)
       .withColumn("r_stop", stopHits >= 2)
       .withColumn("gopher_pass",
@@ -294,7 +300,12 @@ object TextAnalysis {
   def weightedSample(df: DataFrame, id: String, weight: Column, k: Int): DataFrame = {
     val u = (conv(substring(md5(col(id).cast("string")), 1, 8), 16, 10)
       .cast("double") + 0.5) / 4294967296.0
-    df.withColumn("__key", -log(u) / weight.cast("double"))
+    // non-positive/null weights are excluded up front: w = 0 would make
+    // the key NULL, and Spark's NULLS FIRST ascending sort would then
+    // GUARANTEE selection of exactly the rows that should have ~zero
+    // probability (DuckDB sorts NULLS LAST — a silent cross-engine split)
+    df.filter(weight.cast("double") > 0)
+      .withColumn("__key", -log(u) / weight.cast("double"))
       .orderBy(col("__key"), col(id))
       .limit(k)
       .drop("__key")

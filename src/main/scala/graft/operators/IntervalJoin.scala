@@ -31,6 +31,9 @@ object IntervalJoin {
   def joinOverlap(left: DataFrame, right: DataFrame,
                   lLo: String, lHi: String, rLo: String, rHi: String,
                   binWidth: Double): DataFrame = {
+    // binWidth = 0 would NOT fail: floor(x/0) = NULL bins, explode drops
+    // every row, and the join silently reports zero overlaps
+    require(binWidth > 0, s"binWidth must be > 0, got $binWidth")
     def binned(df: DataFrame, lo: String, hi: String) =
       df.withColumn("__bin", explode(sequence(
         floor(col(lo) / binWidth).cast("long"),

@@ -26,7 +26,14 @@ object Ranking {
 
   /** Appends `out` = 1-based global row number in the order of
     * `sortCols`. */
-  def globalRowNumber(df: DataFrame, out: String, sortCols: Column*): DataFrame = {
+  def globalRowNumber(df: DataFrame, out: String, sortCols: Column*): DataFrame =
+    rankedWithTotal(df, out, sortCols: _*).drop("__total")
+
+  /** [[globalRowNumber]] plus a `__total` row-count column derived from
+    * the same per-partition counts fold — so callers needing N (NTILE)
+    * don't pay a second full pass over the ranked plan just to count. */
+  private def rankedWithTotal(df: DataFrame, out: String,
+                              sortCols: Column*): DataFrame = {
     val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
     // range partitioning keeps partition p's keys entirely below p+1's,
     // so pid order IS key order; local ranks + prefix offsets = global
@@ -49,6 +56,8 @@ object Ranking {
         aggregate(filter(col("__counts"), c => c("__pid") < col("__pid")),
           lit(0L), (acc, c) => acc + c("__n")))
       .withColumn(out, col("__offset") + col("__lrn"))
+      .withColumn("__total",
+        aggregate(col("__counts"), lit(0L), (acc, c) => acc + c("__n")))
       .drop("__pid", "__lrn", "__counts", "__offset")
   }
 
@@ -61,12 +70,13 @@ object Ranking {
   def globalNtile(df: DataFrame, out: String, buckets: Int,
                   sortCols: Column*): DataFrame = {
     require(buckets >= 1, "buckets must be positive")
-    val ranked = globalRowNumber(df, "__rank", sortCols: _*)
-    val total = ranked.agg(count(lit(1)).as("__total"))
+    // N rides along as __total from the rank pass's own counts fold — a
+    // separate count() here would re-execute the whole ranked plan
+    val ranked = rankedWithTotal(df, "__rank", sortCols: _*)
     val q = floor(col("__total") / buckets).cast("long") // small-bucket size
     val m = col("__total") % buckets                     // # of large buckets
     val cut = m * (q + 1) // ranks up to here fall in the large buckets
-    ranked.crossJoin(broadcast(total))
+    ranked
       .withColumn(out,
         (when(col("__rank") <= cut, floor((col("__rank") - 1) / (q + 1)))
           .otherwise(m + floor((col("__rank") - cut - 1) / q)) + 1).cast("int"))

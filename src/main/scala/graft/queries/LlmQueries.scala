@@ -263,7 +263,7 @@ object LlmQueries {
         .orderBy("doc_id"),
       Some("""WITH w AS (
              |  SELECT doc_id, text,
-             |         list_filter(regexp_split_to_array(trim(text), '\s+'),
+             |         list_filter(regexp_split_to_array(trim(text), '[ \t\n\r\f]+'),
              |                     x -> length(x) > 0) AS words,
              |         string_split(text, chr(10)) AS lines
              |  FROM documents),
@@ -274,27 +274,28 @@ object LlmQueries {
              |          / len(words), 6) AS mean_wl,
              |    round(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
              |          / len(words), 6) AS alpha_frac,
-             |    len(list_filter(words, x -> lower(x) IN
-             |        ('the','be','to','of','and','a','in','that')))::INT AS stop_hits,
-             |    ((length(text) - length(replace(text, '#', '')))
+             |    len(list_distinct(list_filter(list_transform(words, x -> lower(x)),
+             |        x -> x IN ('the','be','to','of','and','a','in','that'))))::INT
+             |      AS stop_hits,
+             |    round(((length(text) - length(replace(text, '#', '')))
              |     + (length(text) - length(replace(text, '...', ''))) / 3)
-             |      / len(words) AS symbol_ratio,
-             |    len(list_filter(lines, x -> regexp_matches(ltrim(x), '^[-*•]')))::DOUBLE
-             |      / len(lines) AS bullet_frac,
-             |    len(list_filter(lines, x -> ends_with(rtrim(x), '...')))::DOUBLE
-             |      / len(lines) AS ell_line_frac
+             |      / len(words), 6) AS symbol_ratio,
+             |    round(len(list_filter(lines, x -> regexp_matches(ltrim(x), '^[-*•]')))::DOUBLE
+             |      / len(lines), 6) AS bullet_frac,
+             |    round(len(list_filter(lines, x -> ends_with(rtrim(x), '...')))::DOUBLE
+             |      / len(lines), 6) AS ell_frac
              |  FROM w)
              |SELECT doc_id, n_words, mean_wl, alpha_frac, stop_hits,
              |  n_words BETWEEN 50 AND 100000 AS r_words,
              |  mean_wl BETWEEN 3.0 AND 10.0 AS r_mean_wl,
              |  symbol_ratio <= 0.1 AS r_symbol,
              |  bullet_frac <= 0.9 AS r_bullet,
-             |  ell_line_frac <= 0.3 AS r_ellipsis,
+             |  ell_frac <= 0.3 AS r_ellipsis,
              |  alpha_frac >= 0.8 AS r_alpha,
              |  stop_hits >= 2 AS r_stop,
              |  (n_words BETWEEN 50 AND 100000) AND (mean_wl BETWEEN 3.0 AND 10.0)
              |    AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
-             |    AND ell_line_frac <= 0.3 AND alpha_frac >= 0.8
+             |    AND ell_frac <= 0.3 AND alpha_frac >= 0.8
              |    AND stop_hits >= 2 AS gopher_pass
              |FROM f ORDER BY doc_id""".stripMargin)),
 

@@ -192,14 +192,14 @@ class ScaleSpec extends SparkSpecBase {
       // offset/total broadcasts of the three checkpoint-truncated ntile
       // passes; g8's audited plan starts at the pinned oriented edge list
       // (checkpoint-truncated, like g2/g5)
-      "cur11_weighted_sample" -> "0/0/0/0/-",
+      "cur11_weighted_sample" -> "0/0/0/0/p",
       "ev6_sliding_dau" -> "5/0/0/1/-",
       "g8_triangles" -> "8/7/0/0/-",
       "ts16_gopher_rules" -> "1/0/0/0/-",
       "ov1_overlap_join" -> "3/1/0/0/-",
       "ov2_interval_concurrency" -> "2/0/0/0/-",
       "ev8_attribution" -> "2/0/0/0/-",
-      "wf4_rfm" -> "5/0/0/3/-",
+      "wf4_rfm" -> "3/0/0/1/-",
       "s15_zorder_key" -> "1/0/0/0/-",
       // j10's exchanges are the final agg and the output sort; the bloom
       // prefilter itself is exchange-free (map-side) and the semi-join
