@@ -46,14 +46,19 @@ object Catalog {
 
   /** A6 — blacklist term tally (dwwFront.js:159-169): for each term, how many
     * values contain it. The term list is tiny → broadcast nested loop join,
-    * which is exactly right: |terms| × |rows| comparisons, fully parallel. */
+    * which is exactly right: |terms| × |rows| comparisons, fully parallel.
+    * Matching is case-insensitive on BOTH sides, and the join is a RIGHT
+    * join from the term list so a term with zero matches still reports 0
+    * (the reference tally emits an entry per term — a consumer indexing
+    * by term must not hit missing keys). */
   def termTally(df: DataFrame, valueCol: String, terms: Seq[String]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val termDf = terms.toDF("term")
-    df.join(broadcast(termDf), lower(col(valueCol)).contains(col("term")))
+    df.join(broadcast(termDf),
+        lower(col(valueCol)).contains(lower(col("term"))), "right")
       .groupBy(col("term"))
-      .agg(count(lit(1)).as("cnt"))
+      .agg(count(col(valueCol)).as("cnt"))
   }
 
   /** A7 — duplicate-row total merge (dwwFront.js:83-102): re-group by a
@@ -61,9 +66,10 @@ object Catalog {
   def mergeTotals(df: DataFrame, key: Column, cnt: String): DataFrame =
     df.groupBy(key.as("key")).agg(sum(col(cnt)).as("total"))
 
-  /** A10 — first-seen distinct over nested rels (functions.js:116-140):
-    * explode the nested docs, distinct on the key, keep the first payload
-    * per key by document order. */
+  /** A10 — distinct over nested rels (functions.js:116-140): explode the
+    * nested docs and return the distinct KEY values (the reference's
+    * first-seen payload is dropped by its consumers — only the key set is
+    * served — so only the key set is computed here). */
   def distinctNested(docs: DataFrame, relsCol: String, key: String): DataFrame =
     docs.select(explode(col(relsCol)).as("rel"))
       .select(col(s"rel.$key").as(key))

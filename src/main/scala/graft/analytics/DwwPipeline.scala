@@ -81,9 +81,13 @@ object DwwPipeline {
   }
 
   /** dir=in/out filtered jumps (dwwApi.js:256-280); key is one of
-    * matchedCompanyName | location | region (GetRelKeyFromFilter). */
+    * matchedCompanyName | location | region (GetRelKeyFromFilter). The
+    * serving alias "region" resolves to the credits frame's
+    * globalRegion column (it is only renamed to `region` in the
+    * terminal CSV/grouped projections). */
   def directionalJumps(credits: DataFrame, key: String, target: String, dir: String): DataFrame =
-    Jumps.directional(jumpRels(credits), K, key, target, dir)
+    Jumps.directional(jumpRels(credits), K,
+      if (key == "region") "globalRegion" else key, target, dir)
 
   /** grouping=keys output (dwwApi.js:176-189): per key bucket, the jump
     * payloads + total. */

@@ -31,14 +31,22 @@ object Envelope {
     val jumps = docs
       .agg(sort_array(collect_list(struct(col("id"), col("name"), col("rels"))))
         .as("jumps"))
-    val locs = companyLocations.distinct()
+    // each map key is reduced to ONE payload (min = deterministic
+    // first-wins) BEFORE map_from_entries: a dim carrying two payloads
+    // for one key would otherwise kill the job under Spark's default
+    // mapKeyDedupPolicy=EXCEPTION, where the reference's JS dicts
+    // silently last-win
+    val locs = companyLocations
+      .groupBy(col("company")).agg(min(col("geoLoc")).as("geoLoc"))
       .agg(map_from_entries(sort_array(collect_list(
         struct(col("company"), col("geoLoc"))))).as("locations"))
-    val regs = regions.distinct()
+    val regs = regions
+      .groupBy(col("location"))
+      .agg(min(struct(col("geoLoc"), col("globalRegion"))).as("payload"))
       .agg(map_from_entries(sort_array(collect_list(
-        struct(col("location"),
-          struct(col("geoLoc"), col("globalRegion")))))).as("regions"))
-    val glob = globalRegions.distinct()
+        struct(col("location"), col("payload"))))).as("regions"))
+    val glob = globalRegions
+      .groupBy(col("region")).agg(min(col("coords")).as("coords"))
       .agg(map_from_entries(sort_array(collect_list(
         struct(col("region"), col("coords"))))).as("globalRegions"))
     jumps.crossJoin(locs).crossJoin(regs).crossJoin(glob)

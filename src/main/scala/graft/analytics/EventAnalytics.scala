@@ -69,11 +69,15 @@ object EventAnalytics {
   }
 
   /** Daily-volume anomaly detection: each (type, day) count is z-scored
-    * against the trailing `lookback`-day window (mean / sample stddev of
-    * the PRECEDING days only — the current day never contaminates its own
-    * baseline). One frame-bounded window per type — the monitoring pass a
-    * pipeline runs over its own ingest counters. Days with fewer than two
-    * preceding observations (or zero variance) yield a NULL z-score. */
+    * against the trailing `lookback` OBSERVED days (mean / sample stddev
+    * of the PRECEDING rows only — the current day never contaminates its
+    * own baseline; for a type with gaps the frame spans more than
+    * `lookback` calendar days). Days with ZERO events produce no row and
+    * therefore cannot be flagged — a total-outage monitor must gap-fill
+    * first (the Density.build sequence+explode pattern) so empty days
+    * exist to score. One frame-bounded window per type. Days with fewer
+    * than two preceding observations (or zero variance) yield a NULL
+    * z-score. */
   def dailyAnomalies(events: DataFrame, lookback: Int = 7,
                      zThreshold: Double = 2.0): DataFrame = {
     val daily = events

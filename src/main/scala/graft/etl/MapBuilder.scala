@@ -14,7 +14,14 @@ object MapBuilder {
 
   def seedCompanyMap(credits: DataFrame, search: String, name: String, id: String,
                      ratio: String, minRatio: Int = 90): DataFrame = {
-    val counted = credits
+    // unmapped rows must not seed: Normalize coalesces their name to the
+    // raw search, so fuzz(x, x) = 100 would pass any threshold and seed a
+    // bogus identity mapping — exactly what the curation review exists to
+    // prevent. The flag is Normalize's isMapped when present.
+    val mappedOnly =
+      if (credits.columns.contains("isMapped")) credits.filter(col("isMapped"))
+      else credits
+    val counted = mappedOnly
       .filter(col(ratio) > minRatio)
       .groupBy(col(search), col(name), col(id), col(ratio))
       .agg(count(lit(1)).as("cnt"))

@@ -53,11 +53,20 @@ object Normalize {
     // P4: sentinel discard (zzz_baddata rows dropped, GetWeta.py:161-164)
     val clean = scored.filter(!col("matchedCompanyName").startsWith("zzz_baddata"))
 
-    // J8: dedup on (person, company, movie) — deterministic first-wins
+    // J8: dedup on (person, company, movie) — deterministic first-wins.
+    // The key is a STRUCT, not a delimiter-joined string: "acme|"+"m1"
+    // and "acme"+"|m1" must not collide, and concat_ws silently skips
+    // nulls. The ordering carries (role, companySearch) tiebreaks past
+    // releaseStr/movieId — within a dedup group releaseStr is constant
+    // (it derives from the shared movie), so without them the winner of
+    // a same-person-same-movie-same-company double credit would be
+    // partition-layout-dependent.
     val deduped = Catalog.firstWins(
       clean.withColumn("__k",
-        concat_ws("|", col("personId"), col("matchedCompanyName"), col("movieId"))),
-      "__k", Seq(col("releaseStr"), col("movieId"))).drop("__k")
+        struct(col("personId"), col("matchedCompanyName"), col("movieId"))),
+      "__k",
+      Seq(col("releaseStr"), col("movieId"), col("role"), col("companySearch")))
+      .drop("__k")
 
     // J2: trueRole; unmapped and zzz_baddata roles become "" (GetWeta.py:539-540)
     val withRole = deduped

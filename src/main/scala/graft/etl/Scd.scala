@@ -24,9 +24,15 @@ object Scd {
   def scd2(events: DataFrame, key: String, value: String,
            orderCols: Seq[String]): DataFrame = {
     val w = Window.partitionBy(key).orderBy(orderCols.map(col): _*)
+    // the previous VALUE rides inside a struct so "no previous row"
+    // (struct NULL) is distinguishable from "previous value was NULL",
+    // and the comparison is null-safe (<=>): a NULL episode (deletion)
+    // is kept as its own interval and consecutive NULLs collapse, where
+    // a bare lag(value) =!= value silently dropped the NULL episode and
+    // re-opened after it
     val changes = events
-      .withColumn("__prev", lag(col(value), 1).over(w))
-      .filter(col("__prev").isNull || col("__prev") =!= col(value))
+      .withColumn("__prev", lag(struct(col(value).as("v")), 1).over(w))
+      .filter(col("__prev").isNull || !(col("__prev.v") <=> col(value)))
     val wc = Window.partitionBy(key).orderBy(orderCols.map(col): _*)
     changes
       .withColumn("valid_from", col(orderCols.head))

@@ -92,9 +92,11 @@ object Sinks {
                        name: String, version: Long): String = {
     val live = s"$basePath/$name"
     val backup = s"$basePath/backups/${name}_$version"
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
     val livePath = new org.apache.hadoop.fs.Path(live)
+    // the FS of basePath, NOT the default FS: with an s3a:// base and an
+    // hdfs default, FileSystem.get would check existence on the wrong
+    // filesystem and silently skip the backup — the one guarantee here
+    val fs = livePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(livePath)) {
       org.apache.hadoop.fs.FileUtil.copy(fs, livePath, fs,
         new org.apache.hadoop.fs.Path(backup), false, spark.sparkContext.hadoopConfiguration)

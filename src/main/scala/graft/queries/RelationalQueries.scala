@@ -236,9 +236,9 @@ object RelationalQueries {
     QueryDef("a6_blacklist_tally",
       (s, d) => Catalog.termTally(t(s, d, "part"), "p_name", Seq("blue", "green", "ivory", "red"))
         .orderBy("term"),
-      Some("""SELECT term, count(*) AS cnt
+      Some("""SELECT term, count(p_name) AS cnt
              |FROM (VALUES ('blue'), ('green'), ('ivory'), ('red')) t(term)
-             |JOIN part ON contains(lower(p_name), term)
+             |LEFT JOIN part ON contains(lower(p_name), lower(term))
              |GROUP BY term ORDER BY term""".stripMargin)),
 
     // ---- A7: duplicate-row total merge (dwwFront.js:83-102) ----

@@ -32,4 +32,38 @@ class EtlSpec extends SparkSpecBase {
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(4)))
     assert(out === Array(("weta", "Weta Digital", 2L)))
   }
+
+  test("MapBuilder excludes unmapped identity matches (fuzz(x,x)=100 must not seed)") {
+    val s = spark; import s.implicits._
+    val credits = Seq(
+      ("weta", "Weta Digital", "c1", 95, true),
+      // unmapped row: Normalize coalesced name = search, ratio 100
+      ("unknown studio", "unknown studio", "", 100, false)
+    ).toDF("search", "name", "id", "ratio", "isMapped")
+    val out = MapBuilder.seedCompanyMap(credits, "search", "name", "id", "ratio")
+      .collect().map(_.getString(0))
+    assert(out === Array("weta"))
+  }
+
+  test("scd2 keeps NULL episodes and collapses consecutive NULLs") {
+    val s = spark; import s.implicits._
+    val events = Seq(
+      ("k", Some("a"), 1L), ("k", None, 2L), ("k", None, 3L),
+      ("k", Some("a"), 4L)
+    ).toDF("key", "value", "ts")
+    val out = Scd.scd2(events, "key", "value", Seq("ts"))
+      .orderBy("valid_from")
+      .collect().map(r => (Option(r.getString(1)), r.getLong(2)))
+    // a@1, null@2 (the deletion episode — previously silently dropped),
+    // a@4 (re-creation); consecutive nulls collapse into one episode
+    assert(out === Array((Some("a"), 1L), (None, 2L), (Some("a"), 4L)))
+  }
+
+  test("termTally is case-insensitive and reports zero-match terms") {
+    val s = spark; import s.implicits._
+    val df = Seq("Red Fox", "red door", "blue sky").toDF("v")
+    val out = graft.analytics.Catalog.termTally(df, "v", Seq("Red", "green"))
+      .orderBy("term").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out === Array(("Red", 2L), ("green", 0L)))
+  }
 }
