@@ -118,8 +118,12 @@ object Graph {
     // into one plan measured SLOWER (AQE re-plans the deeper tree and the
     // intermediate aggregates recompute inside both rank references), so
     // one eager checkpoint per round is the sweet spot.
-    val checkpointEvery = 1
     for (step <- 1 to iters) {
+      // broadcast(ranks) on the STREAM side of the left-semi is
+      // deliberate: Spark honors it as a BuildLeft broadcast join, and
+      // the SAME per-round ranks broadcast also feeds the contrib join
+      // below; hinting danglingNodes instead would build a second
+      // broadcast every round for no structural gain
       val dangling = broadcast(ranks).join(danglingNodes, Seq("node"), "left_semi")
         .agg(coalesce(sum("r"), lit(0.0)).as("dm"))
       val contrib = share.join(broadcast(ranks), share("src") === ranks("node"))
@@ -130,11 +134,9 @@ object Graph {
         .select(nd("node"),
           (lit(1 - damping) * tCol +
             lit(damping) * (coalesce(col("contrib"), lit(0.0)) + col("dm") * tCol)).as("r"))
-      ranks = if (step % checkpointEvery == 0 || step == iters) {
-        val cp = next.localCheckpoint()
-        ranks.unpersist()
-        cp
-      } else next
+      val cp = next.localCheckpoint()
+      ranks.unpersist()
+      ranks = cp
     }
     share.unpersist()
     ranks

@@ -539,12 +539,19 @@ object Dedup {
   def semanticContamination(corpus: DataFrame, id: String, vec: String,
                             benchmark: DataFrame, bvec: String,
                             threshold: Double): DataFrame = {
-    val bench = broadcast(benchmark.select(col(bvec).as("__bvec")))
-    corpus.crossJoin(bench)
-      .groupBy(col(id))
-      .agg(max(Similarity.cosine(col(vec), col("__bvec"))).as("__ms"))
+    // the benchmark collapses to ONE broadcast row holding the vector
+    // array (small by definition — it's a benchmark set), and the per-doc
+    // max is an array fold: no groupBy shuffle at all, and an EMPTY
+    // benchmark degrades to array_max(empty) = NULL → contaminated=false
+    // for every doc (a crossJoin against zero bench ROWS would instead
+    // silently drop the whole corpus)
+    val benchArr = broadcast(benchmark.agg(collect_list(col(bvec)).as("__bvs")))
+    corpus.crossJoin(benchArr)
+      .select(col(id),
+        array_max(transform(col("__bvs"),
+          b => Similarity.cosine(col(vec), b))).as("__ms"))
       .select(col(id), round(col("__ms"), 4).as("max_benchmark_sim"),
-        (col("__ms") >= threshold).as("contaminated"))
+        coalesce(col("__ms") >= threshold, lit(false)).as("contaminated"))
   }
 
   /** Incremental exact dedup: the steady-state shape of a production
@@ -665,7 +672,9 @@ object Dedup {
     val removable = positions.groupBy(col("gram"))
       .agg(collect_list(struct(col(id), col("pos"))).as("occs"))
       .select(col("occs"),
-        array_min(transform(col("occs"), o => o(id).cast("long"))).as("first_doc"))
+        // min over the RAW id type: a long cast would NULL out string
+        // ids (UUIDs) and silently remove nothing
+        array_min(transform(col("occs"), o => o(id))).as("first_doc"))
       .select(explode(col("occs")).as("occ"), col("first_doc"))
       .filter(col(s"occ.$id") > col("first_doc"))
       .select(col(s"occ.$id").as(id), col("occ.pos").as("pos"))

@@ -15,7 +15,15 @@ class TopKAgg(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
   private def keep(xs: Seq[Scored]): Seq[Scored] =
     xs.sortBy(s => (-s.sim, s.id)).take(k)
   override def zero: Seq[Scored] = Vector.empty
-  override def reduce(b: Seq[Scored], a: Scored): Seq[Scored] = keep(b :+ a)
+  // fast path: keep() leaves the buffer sorted (-sim, id), so its last
+  // element is the current worst — a full buffer rejects a loser in O(1)
+  // instead of re-sorting k+1 elements for every corpus row
+  override def reduce(b: Seq[Scored], a: Scored): Seq[Scored] =
+    if (b.size >= k && {
+      val w = b.last
+      a.sim < w.sim || (a.sim == w.sim && a.id > w.id)
+    }) b
+    else keep(b :+ a)
   override def merge(x: Seq[Scored], y: Seq[Scored]): Seq[Scored] = keep(x ++ y)
   override def finish(r: Seq[Scored]): Seq[Scored] = r
   override def bufferEncoder: Encoder[Seq[Scored]] =
@@ -67,9 +75,13 @@ object Similarity {
                      queries: DataFrame, qid: String, qvec: String,
                      k: Int): DataFrame = {
     val topk = udaf(new TopKAgg(k))
-    corpus.crossJoin(broadcast(queries))
-      .select(col(qid).as("query_id"), col(id).cast("long").as("id"),
-              cosine(col(vec), col(qvec)).as("sim"))
+    // the query side is renamed BEFORE the crossJoin so a query table
+    // sharing the corpus's column names (the natural same-schema call)
+    // doesn't hit an ambiguous-reference failure
+    val q = broadcast(queries.select(col(qid).as("__qid"), col(qvec).as("__qvec")))
+    corpus.crossJoin(q)
+      .select(col("__qid").as("query_id"), col(id).cast("long").as("id"),
+              cosine(col(vec), col("__qvec")).as("sim"))
       .groupBy("query_id")
       .agg(topk(col("sim"), col("id")).as("tk"))
       .select(col("query_id"), posexplode(col("tk")))

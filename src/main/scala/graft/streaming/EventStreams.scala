@@ -62,11 +62,15 @@ object EventStreams {
 
   /** Streaming exact dedup: drop repeated event ids within the watermark
     * horizon — the streaming face of the batch exact-dedup operator (state
-    * is bounded by the watermark, so it runs forever). */
+    * is bounded by the watermark, so it runs forever). The dedup key is
+    * the id columns ALONE: an at-least-once producer re-emits the same id
+    * with a re-stamped ingest timestamp, which is exactly the duplicate
+    * this operator exists to drop (`dropDuplicatesWithinWatermark` exists
+    * precisely to allow id-only subsets with bounded state). */
   def dedupedStream(events: DataFrame, idCols: Seq[String]): DataFrame =
     events
       .withWatermark("ts", "1 day")
-      .dropDuplicatesWithinWatermark(idCols :+ "ts")
+      .dropDuplicatesWithinWatermark(idCols)
 
   /** Stream-static dimension enrichment: the fact stream broadcast-joined
     * to a (small) dim table — the streaming face of the J-family dim

@@ -112,9 +112,12 @@ class EventStreamsSpec extends SparkSpecBase {
       .outputMode("append").start()
     try {
       val t = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+      val t2 = java.sql.Timestamp.valueOf("2024-01-01 10:00:05")
       mem.addData((1L, t), (1L, t), (2L, t)) // duplicate id 1 in-batch
       q.processAllAvailable()
-      mem.addData((1L, t), (3L, t))          // duplicate id 1 across batches
+      // duplicate id 1 across batches with a RE-STAMPED ingest ts — the
+      // at-least-once-producer case: the id-only dedup key must drop it
+      mem.addData((1L, t2), (3L, t))
       q.processAllAvailable()
       val ids = s.sql("SELECT event_id FROM dedup_stream").collect().map(_.getLong(0)).sorted
       assert(ids === Array(1L, 2L, 3L))
