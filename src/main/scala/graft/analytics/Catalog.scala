@@ -47,18 +47,24 @@ object Catalog {
   /** A6 — blacklist term tally (dwwFront.js:159-169): for each term, how many
     * values contain it. The term list is tiny → broadcast nested loop join,
     * which is exactly right: |terms| × |rows| comparisons, fully parallel.
-    * Matching is case-insensitive on BOTH sides, and the join is a RIGHT
-    * join from the term list so a term with zero matches still reports 0
-    * (the reference tally emits an entry per term — a consumer indexing
-    * by term must not hit missing keys). */
+    * Matching is case-insensitive on BOTH sides. Counting uses an INNER
+    * BNLJ (the tiny term side broadcast), then the aggregated per-term
+    * counts — |terms| rows — left-join back onto the term list with
+    * coalesce(0) so a term with zero matches still reports 0 (the
+    * reference tally emits an entry per term — a consumer indexing by
+    * term must not hit missing keys). A right-outer BNLJ here would force
+    * Spark to build/broadcast the LEFT (corpus) side — the inverse plan,
+    * OOM at scale. */
   def termTally(df: DataFrame, valueCol: String, terms: Seq[String]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val termDf = terms.toDF("term")
-    df.join(broadcast(termDf),
-        lower(col(valueCol)).contains(lower(col("term"))), "right")
+    val counts = df.join(broadcast(termDf),
+        lower(col(valueCol)).contains(lower(col("term"))))
       .groupBy(col("term"))
       .agg(count(col(valueCol)).as("cnt"))
+    termDf.join(counts, Seq("term"), "left")
+      .select(col("term"), coalesce(col("cnt"), lit(0L)).as("cnt"))
   }
 
   /** A7 — duplicate-row total merge (dwwFront.js:83-102): re-group by a

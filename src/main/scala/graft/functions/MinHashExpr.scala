@@ -50,13 +50,18 @@ object MinHashKernel {
     val n = arr.numElements()
     var i = 0
     while (i < n) {
-      val h0 = arr.getLong(i)
-      if (h0 < mins(0)) mins(0) = h0
-      var h = 1
-      while (h < numHashes) {
-        val v = XXH64.hashLong(h0, 42L + 7919L * h)
-        if (v < mins(h)) mins(h) = v
-        h += 1
+      // ArrayData.getLong on a null slot returns 0 — skip nulls explicitly
+      // (mirrors the null check in the string variant above) rather than
+      // silently treating a null element as base hash 0.
+      if (!arr.isNullAt(i)) {
+        val h0 = arr.getLong(i)
+        if (h0 < mins(0)) mins(0) = h0
+        var h = 1
+        while (h < numHashes) {
+          val v = XXH64.hashLong(h0, 42L + 7919L * h)
+          if (v < mins(h)) mins(h) = v
+          h += 1
+        }
       }
       i += 1
     }

@@ -323,8 +323,16 @@ object Dedup {
     val grams = array_distinct(transform(
       sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
       i => if (hashGrams) xxhash64(gram(i)) else gram(i)))
-    val g = df.select(col(id), grams.as("g"))
-    pairs
+    // Verify cost must scale with the CANDIDATE volume, not the corpus:
+    // gram arrays are built only for docs that appear in a pair (semi-join
+    // on the distinct candidate ids — AQE broadcasts it when small), then
+    // checkpointed ONCE so both join sides read materialized arrays
+    // instead of re-running the tokenize/transform expression tree.
+    val p = pairs.localCheckpoint()
+    val candIds = p.select(col("id1").as(id))
+      .union(p.select(col("id2").as(id))).distinct()
+    val g = df.join(candIds, id).select(col(id), grams.as("g")).localCheckpoint()
+    p
       .join(g.select(col(id).as("id1"), col("g").as("g1")), "id1")
       .join(g.select(col(id).as("id2"), col("g").as("g2")), "id2")
       .withColumn("jaccard",

@@ -37,26 +37,43 @@ object Pca {
   /** Covariance entries (i, j, cov) for all d² pairs, cov = E[xy] − E[x]E[y].
     * The outer product rides a flattened nested transform so the whole
     * row-side expansion is codegen'd column algebra; the (i, j) index is
-    * recovered from the flat position via the broadcast dimension. */
+    * recovered from the flat position via the dimension.
+    *
+    * The (i, j) recovery is only valid when EVERY vector has the same
+    * length: a ragged corpus would silently scatter a short row's products
+    * to wrong cells, and null vectors would inflate n while contributing
+    * nothing to the sums. Both are hard errors here — one cheap
+    * aggregate-only pre-scan (count/min-size/max-size/null-count) guards
+    * the expansion and doubles as the source of the literal n and d. */
   def covariance(emb: DataFrame, vec: String): DataFrame = {
     val v = transform(col(vec), _.cast("double"))
-    val dims = emb.agg(count(lit(1)).cast("double").as("n"),
-      max(size(col(vec))).as("d"))
+    val stats = emb.agg(
+      count(lit(1)).as("n"),
+      min(size(col(vec))).as("dmin"),
+      max(size(col(vec))).as("dmax"),
+      count(when(col(vec).isNull, 1)).as("nulls")).head()
+    val n = stats.getLong(0)
+    require(stats.getLong(3) == 0,
+      s"covariance: ${stats.getLong(3)} null '$vec' vectors — filter them before the outer-product expansion")
+    require(n > 0, s"covariance: empty input")
+    val d = stats.getInt(2)
+    require(stats.getInt(1) == d,
+      s"covariance: ragged '$vec' lengths (${stats.getInt(1)}..$d) would scatter products to wrong (i,j) cells")
     val sums = emb
       .select(posexplode(flatten(transform(v, x => transform(v, y => x * y))))
         .as(Seq("idx", "p")))
       .groupBy("idx").agg(sum("p").as("sp"))
     val means = dimMeans(emb, vec)
-    sums.crossJoin(broadcast(dims))
-      .select((col("idx") / col("d")).cast("int").as("i"),
-        (col("idx") % col("d")).cast("int").as("j"),
-        col("sp"), col("n"))
+    sums
+      .select((col("idx") / d).cast("int").as("i"),
+        (col("idx") % d).cast("int").as("j"),
+        col("sp"))
       .join(broadcast(means).withColumnRenamed("i", "mi").withColumnRenamed("mean", "mean_i"),
         col("i") === col("mi"))
       .join(broadcast(means).withColumnRenamed("i", "mj").withColumnRenamed("mean", "mean_j"),
         col("j") === col("mj"))
       .select(col("i"), col("j"),
-        (col("sp") / col("n") - col("mean_i") * col("mean_j")).as("cov"))
+        (col("sp") / n.toDouble - col("mean_i") * col("mean_j")).as("cov"))
   }
 
   /** DuckDB twin of [[covariance]] (+7dp rounding on both sides): the

@@ -20,9 +20,14 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
-  /** The events table carries parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader only exposes as a long (legacy nanosAsLong). Normalize to a real
-    * TimestampType column here so downstream operators are unit-agnostic. */
+  /** The events table's `ts` encoding has varied across generator versions:
+    * parquet TIMESTAMP(NANOS) (exposed only as a long via legacy nanosAsLong),
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) (read as TIMESTAMP_NTZ), or a
+    * plain UTC-adjusted timestamp. Normalize all three to TimestampType here
+    * so downstream operators — including Structured Streaming watermarks,
+    * which require TIMESTAMP — are encoding-agnostic. The session timezone is
+    * pinned to UTC by every entrypoint, so the NTZ cast preserves wall-clock
+    * values and stays value-identical to the DuckDB oracle's naive read. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(spark, dir, "events")
@@ -30,6 +35,9 @@ object Tables {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }

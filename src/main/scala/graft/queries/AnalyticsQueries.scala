@@ -384,14 +384,18 @@ object AnalyticsQueries {
     // (collect d×d rounded covariance → driver Jacobi) is deterministic;
     // eigendecomposition is not SQL-expressible → rows-only, with
     // orthonormality / explained-variance / reconstruction-error pinned in
-    // PcaSpec ----
+    // PcaSpec. Emitted LONG form (vec_id, component_idx, value): the
+    // harness's rows-only comparator sorts/hashes scalar cells, and an
+    // array<double> column is unhashable on the pandas side ----
     QueryDef("emb2_pca_project",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
         val model = Pca.fit(emb, "embedding")
         Pca.project(emb, "vec_id", "embedding", model, k = 8)
-          .select(col("vec_id"), transform(col("pc"), x => round(x, 5)).as("pc"))
-          .orderBy("vec_id")
+          .select(col("vec_id"), posexplode(col("pc")).as(Seq("component_idx", "value")))
+          .select(col("vec_id"), col("component_idx"),
+            round(col("value"), 5).as("value"))
+          .orderBy("vec_id", "component_idx")
       },
       None)
   )

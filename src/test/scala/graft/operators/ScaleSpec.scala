@@ -121,7 +121,10 @@ class ScaleSpec extends SparkSpecBase {
       "j1_company_dim_join" -> "2/2/0/0/p",
       "j3_snowflake_join" -> "1/2/0/0/p",
       "a1_search_frequency" -> "2/0/0/0/-",
-      "a6_blacklist_tally" -> "2/0/0/1/p",
+      // a6: the BNLJ builds/broadcasts the tiny TERM side (inner join for
+      // counting), and the BHJ is the |terms|-row count map joined back —
+      // a right-outer BNLJ here would broadcast the corpus instead
+      "a6_blacklist_tally" -> "2/1/0/1/p",
       "w1_jump_segments" -> "2/0/0/0/-",
       "w4_dummy_synthesis" -> "2/0/0/0/-",
       "dd1_exact_dedup" -> "2/0/0/0/-",
@@ -167,7 +170,10 @@ class ScaleSpec extends SparkSpecBase {
       "ev3_retention" -> "3/0/0/0/-",
       "ev4_ewma" -> "3/0/0/0/-",
       "ts14_heavy_hitters" -> "1/0/0/0/-",
-      "emb1_covariance" -> "5/2/0/2/-",
+      // emb1 lost an exchange + a BNLJ when the n/d stats moved to a
+      // driver-side pre-scan (which also guards ragged/null vectors); the
+      // remaining BNLJ is the 64-row means dim 1-row-style broadcast
+      "emb1_covariance" -> "4/2/0/1/-",
       // g5's audited plan is the checkpoint-truncated final sort (the
       // frontier rounds checkpoint like g2's); ts15's window runs AFTER
       // the top-N cutoff
