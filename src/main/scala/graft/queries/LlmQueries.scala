@@ -81,6 +81,26 @@ object LlmQueries {
         .orderBy("id1", "id2"),
       Some(Dedup.minhashCandidatesPortableOracleSql("documents", "doc_id", "text"))),
 
+    // ---- portable MinHash on a MULTI-BYTE corpus: vowels are remapped to
+    // accented codepoints on both engines, so every shingle window crosses
+    // 2-byte UTF-8 sequences. Pins the CHARACTER-shingling contract
+    // (Dedup.scala documents the byte-vs-char divergence of the fast
+    // kernel; the portable kernel windows via UTF8String.substringSQL and
+    // must agree with DuckDB's char-based substr on non-ASCII text). ----
+    QueryDef("dd3d_minhash_utf8",
+      (s, d) => Dedup.minhashPortable(
+          t(s, d, "documents").filter(col("doc_id") % 7 === 0)
+            .select(col("doc_id"),
+              translate(lower(col("text")),
+                "aeiou", "áéíöü").as("text")),
+          "doc_id", "text")
+        .orderBy("doc_id"),
+      Some(Dedup.minhashPortableOracleSql(
+        "(SELECT doc_id, translate(lower(text), 'aeiou', " +
+          "'áéíöü') AS text " +
+          "FROM documents WHERE doc_id % 7 = 0) utf8docs",
+        "doc_id", "text"))),
+
     // ---- portable SimHash fingerprints — bit-exact oracle via md5-derived
     // token hashes ----
     QueryDef("dd4b_simhash_portable",

@@ -101,6 +101,65 @@ object PipelineQueries {
       },
       None),
 
+    // ---- the envelope, hash-checked: the SAME jumpsEnvelope document
+    // exploded back into scalar (section, k, v1..v4) rows so the harness
+    // can sort/hash it. The jumps section (doc grouping + rel payloads +
+    // dummy interleave) is pinned against the independent Python fixture
+    // (+ personName via the customer dim); the three dim-echo maps
+    // (dwwApi.js:218-223) against their literal values. Together with the
+    // rows-only JSON form above, the last e2e shape is oracle-covered. ----
+    QueryDef("e2e_envelope_flat",
+      (s, d) => {
+        import s.implicits._
+        val (_, _, lo, re) = dims(s)
+        val regions = lo.join(re, "location")
+          .select(col("location"), col("geoLoc"), col("globalRegion"))
+        val globalRegions = Seq(
+          ("oceania", "-25.0,140.0"), ("europe", "50.0,9.0"),
+          ("americas", "39.8,-98.5")).toDF("region", "coords")
+        // one 1-row envelope, four section explosions → checkpoint once
+        val env = DwwPipeline.jumpsEnvelope(credits(s, d), regions, globalRegions)
+          .localCheckpoint()
+        val nullS = lit(null).cast("string")
+        val jumps = env.select(explode(col("jumps")).as("doc"))
+          .select(col("doc.id").as("k"), col("doc.name").as("v1"),
+            explode(col("doc.rels")).as("rel"))
+          .select(lit("jumps").as("section"), col("k"), col("v1"),
+            col("rel.matchedCompanyName").as("v2"),
+            col("rel.movieReleaseYear").cast("string").as("v3"),
+            col("rel.dummy").cast("string").as("v4"))
+        val locs = env.select(explode(col("locations")).as(Seq("k", "g")))
+          .select(lit("locations").as("section"), col("k"), col("g").as("v1"),
+            nullS.as("v2"), nullS.as("v3"), nullS.as("v4"))
+        val regs = env.select(explode(col("regions")).as(Seq("k", "p")))
+          .select(lit("regions").as("section"), col("k"),
+            col("p.geoLoc").as("v1"), col("p.globalRegion").as("v2"),
+            nullS.as("v3"), nullS.as("v4"))
+        val glob = env.select(explode(col("globalRegions")).as(Seq("k", "c")))
+          .select(lit("globalRegions").as("section"), col("k"), col("c").as("v1"),
+            nullS.as("v2"), nullS.as("v3"), nullS.as("v4"))
+        jumps.union(locs).union(regs).union(glob)
+          .orderBy("section", "k", "v3", "v4", "v1", "v2")
+      },
+      Some("""SELECT 'jumps' AS section, f.personId AS k, c.c_name AS v1,
+             |       f.company AS v2, f.time_ms::VARCHAR AS v3, f.dummy::VARCHAR AS v4
+             |FROM read_parquet('/root/repo/fixtures/e2e_jumps_endpoint.parquet') f
+             |JOIN customer c ON f.personId = c.c_custkey::VARCHAR
+             |WHERE f.sf_key = (SELECT count(*) FROM orders)
+             |UNION ALL
+             |SELECT 'locations', t.k, t.v1, NULL, NULL, NULL FROM (VALUES
+             |  ('Studio O', '-41.3,174.8'), ('Studio F', '51.5,-0.1'),
+             |  ('Studio P', '34.0,-118.2')) t(k, v1)
+             |UNION ALL
+             |SELECT 'regions', t.k, t.v1, t.v2, NULL, NULL FROM (VALUES
+             |  ('wellington', '-41.3,174.8', 'oceania'), ('london', '51.5,-0.1', 'europe'),
+             |  ('los angeles', '34.0,-118.2', 'americas')) t(k, v1, v2)
+             |UNION ALL
+             |SELECT 'globalRegions', t.k, t.v1, NULL, NULL, NULL FROM (VALUES
+             |  ('oceania', '-25.0,140.0'), ('europe', '50.0,9.0'),
+             |  ('americas', '39.8,-98.5')) t(k, v1)
+             |ORDER BY section, k, v3, v4, v1, v2""".stripMargin)),
+
     QueryDef("e2e_jumps_grouped_csv",
       (s, d) => DwwPipeline.jumpsCsv(credits(s, d), "matchedCompanyName", "studio f", "in")
         .orderBy("person", "date", "company"),

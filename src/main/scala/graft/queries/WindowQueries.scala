@@ -504,6 +504,67 @@ object WindowQueries {
              |SELECT o_orderpriority,
              |       string_agg(path_id, ',' ORDER BY path_id) AS path_ids,
              |       count(*) AS n_paths
-             |FROM paths GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+             |FROM paths GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // ---- W6 KML sink (pathCreator.js:108-131): one gx:Track Placemark
+    // per path, <when>/<gx:coord> tags concatenated in seq order — the one
+    // byte-visible viz artifact, hash-checked end-to-end. Coordinates are
+    // fixed to 5dp via %.5f on BOTH engines: the doubles are bit-identical
+    // (w6b proves the algebra), and no IEEE double can land exactly on a
+    // .xxxxx5 boundary (5/10^6 is not dyadic), so Java's and C's %f
+    // rounding agree on every value. ----
+    QueryDef("w6d_kml",
+      (s, d) => {
+        val base = orders(s, d)
+          .withColumn("time_ms", unix_millis(col("o_orderdate").cast("timestamp")))
+          .withColumn("lat", ((col("o_custkey") % 120) - 60).cast("double"))
+          .withColumn("lon", (((col("o_custkey") * 13) % 360) - 180).cast("double"))
+        val K2 = Paths.Keys("o_custkey", Seq("o_orderdate", "o_orderkey"), "o_orderstatus",
+          "lat", "lon", "time_ms")
+        val expanded = Paths.expand(base, K2, portableJitter = true)
+          .withColumn("lat", format_string("%.5f", col("lat")))
+          .withColumn("lon", format_string("%.5f", col("lon")))
+          .withColumn("alt", format_string("%.5f", col("alt")))
+        Paths.toKml(expanded)
+          .withColumn("person_id", col("person_id").cast("string"))
+          .orderBy("person_id", "path_id")
+      },
+      Some {
+        val lonD = QueryDef.lonDiffSql("lon0", "lon1")
+        s"""WITH base AS (
+           |  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+           |         epoch_ms(o_orderdate) AS tms,
+           |         ((o_custkey % 120) - 60)::DOUBLE AS lat0,
+           |         (((o_custkey * 13) % 360) - 180)::DOUBLE AS lon0
+           |  FROM orders),
+           |led AS (
+           |  SELECT *, lead(o_orderstatus) OVER w AS to_company,
+           |         lead(lat0) OVER w AS lat1, lead(lon0) OVER w AS lon1,
+           |         lead(tms) OVER w AS tms1
+           |  FROM base
+           |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+           |paths AS (
+           |  SELECT *, ('0x' || substr(md5(o_custkey || '|' || o_orderstatus || '|' ||
+           |                                to_company || '|' || tms), 1, 15))::BIGINT AS path_id
+           |  FROM led WHERE to_company IS NOT NULL AND to_company <> o_orderstatus),
+           |pts AS (SELECT *, unnest(generate_series(0, 50)) AS seq FROM paths),
+           |tagged AS (
+           |  SELECT o_custkey::VARCHAR AS person_id, path_id,
+           |         o_orderstatus AS from_company, to_company, seq,
+           |         '<when>' || strftime(epoch_ms(tms + floor(((tms1 - tms) * seq) / 50.0)::BIGINT),
+           |                              '%Y-%m-%d') || '</when>' AS when_tag,
+           |         '<gx:coord>' || printf('%.5f', lon0 + ($lonD) * seq / 50) || ' ' ||
+           |           printf('%.5f', lat0 + (lat1 - lat0) * seq / 50) || ' ' ||
+           |           printf('%.5f', (-pow((seq - 25.0) * 1.0, 2) + pow(25.0, 2)) *
+           |                          ((path_id % 5000) / 100.0 + 50.0)) || '</gx:coord>' AS coord_tag
+           |  FROM pts)
+           |SELECT person_id, path_id, from_company, to_company,
+           |       '<Placemark><gx:Track><altitudeMode>absolute</altitudeMode>' ||
+           |       string_agg(when_tag, chr(10) ORDER BY seq) ||
+           |       string_agg(coord_tag, chr(10) ORDER BY seq) ||
+           |       '</gx:Track></Placemark>' AS kml
+           |FROM tagged GROUP BY person_id, path_id, from_company, to_company
+           |ORDER BY person_id, path_id""".stripMargin
+      })
   )
 }
