@@ -92,7 +92,9 @@ object Graph {
   def pagerank(nodes: DataFrame, edges: DataFrame,
                iters: Int = 15, damping: Double = 0.85,
                teleportTo: Option[Long] = None): DataFrame = {
-    val nd = nodes.select(col("node"))
+    // checkpointed: the loop re-reads the node list every round (left
+    // join spine) — one materialization instead of 15 source scans
+    val nd = nodes.select(col("node")).localCheckpoint()
     val n = nd.count().toDouble // model parameter, like IVF's k — one scalar action
     // teleport distribution: uniform (classic) or an indicator at one node
     // (personalized PageRank — relevance of every node to the seed)
@@ -100,45 +102,60 @@ object Graph {
       .map(sd => when(col("node") === sd, lit(1.0)).otherwise(lit(0.0)))
       .getOrElse(lit(1.0 / n))
     val wout = edges.groupBy("src").agg(sum("w").as("wout"))
+    // persisted BEFORE the dangling derivation below references it a
+    // second time — otherwise the whole upstream edge pipeline (scan +
+    // join + window at the call sites) is derived twice in the first
+    // materialization
     val share = edges.join(wout, "src")
       .select(col("src"), col("dst"), (col("w") / col("wout")).as("share"))
       .persist()
-    // the dangling-node set is STATIC — materialize it once, or every
-    // iteration's mass aggregate re-derives the whole edge pipeline
-    val danglingNodes = nd
+    // Dangling nodes emit their whole rank to a NULL-dst sink row, so ONE
+    // join + aggregate per round yields BOTH the per-dst contribs and the
+    // dangling mass (the NULL-dst group) — the previous separate
+    // semi-join + scalar-aggregate branch doubled the per-round plan (a
+    // second reference to the rank vector, a second broadcast, its own
+    // job) for a value the contrib pass already has in hand.
+    val danglingSink = nd
       .join(share.select(col("src").as("node")).distinct(), Seq("node"), "left_anti")
-      .localCheckpoint()
+      .select(col("node").as("src"), lit(null).cast("long").as("dst"),
+        lit(1.0).as("share"))
+    val shareAll = share.unionByName(danglingSink).persist()
     var ranks = nd.withColumn("r", tCol).localCheckpoint()
     // The rank vector is node-count sized (dimension-scale for this tier's
     // company graphs) and checkpoint-backed, so the optimizer sees no
     // stats: broadcast it EXPLICITLY or every iteration shuffle-joins the
     // full share table. A billion-node deployment would instead
     // co-partition share and ranks by src once and reuse that exchange.
-    // Checkpoint every round: chaining multiple un-checkpointed rounds
-    // into one plan measured SLOWER (AQE re-plans the deeper tree and the
-    // intermediate aggregates recompute inside both rank references), so
-    // one eager checkpoint per round is the sweet spot.
+    // Only the CONTRIB table is checkpointed per round: the next rank
+    // vector is then a shallow lazy plan (nodes + two broadcasts of the
+    // checkpointed contribs), so lineage stays depth-1 without paying a
+    // second eager materialization per round. Chaining multiple
+    // un-checkpointed rounds into one plan measured SLOWER (AQE re-plans
+    // the deeper tree and the aggregates recompute inside every rank
+    // reference), so one eager checkpoint per round is the sweet spot.
     for (step <- 1 to iters) {
-      // broadcast(ranks) on the STREAM side of the left-semi is
-      // deliberate: Spark honors it as a BuildLeft broadcast join, and
-      // the SAME per-round ranks broadcast also feeds the contrib join
-      // below; hinting danglingNodes instead would build a second
-      // broadcast every round for no structural gain
-      val dangling = broadcast(ranks).join(danglingNodes, Seq("node"), "left_semi")
-        .agg(coalesce(sum("r"), lit(0.0)).as("dm"))
-      val contrib = share.join(broadcast(ranks), share("src") === ranks("node"))
+      val contrib = shareAll
+        .join(broadcast(ranks), shareAll("src") === ranks("node"))
         .groupBy(col("dst")).agg(sum(col("share") * col("r")).as("contrib"))
+        .localCheckpoint()
+      // the dangling mass is ONE value of the checkpointed (node-sized)
+      // contrib table — read it as a scalar rather than building a
+      // broadcast-exchange + crossJoin branch per round. This is a
+      // 1-row driver read of an aggregate, not a data collect.
+      val dm = contrib.filter(col("dst").isNull)
+        .agg(coalesce(sum("contrib"), lit(0.0)).as("dm"))
+        .head().getDouble(0)
       val next = nd
-        .join(broadcast(contrib), nd("node") === contrib("dst"), "left")
-        .crossJoin(broadcast(dangling))
+        .join(broadcast(contrib.filter(col("dst").isNotNull)),
+          nd("node") === contrib("dst"), "left")
         .select(nd("node"),
           (lit(1 - damping) * tCol +
-            lit(damping) * (coalesce(col("contrib"), lit(0.0)) + col("dm") * tCol)).as("r"))
+            lit(damping) * (coalesce(col("contrib"), lit(0.0)) + lit(dm) * tCol)).as("r"))
       val cp = next.localCheckpoint()
-      ranks.unpersist()
+      ranks.unpersist(); contrib.unpersist()
       ranks = cp
     }
-    share.unpersist()
+    shareAll.unpersist(); share.unpersist()
     ranks
   }
 
