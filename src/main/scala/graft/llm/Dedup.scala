@@ -318,20 +318,36 @@ object Dedup {
     * Jaccard is then bit-exact reproducible by any engine (dd5b). */
   def ngramJaccard(df: DataFrame, id: String, text: String, n: Int,
                    pairs: DataFrame, hashGrams: Boolean = true): DataFrame = {
+    // The token array is materialized through an exchange BEFORE the gram
+    // transform: a projection-collapsed plan would inline the regex split
+    // into every lambda reference, re-tokenizing the document once PER
+    // GRAM (O(tokens²) regex work), and the candidate semi-join output is
+    // small enough that AQE coalesces it to a single task. The repartition
+    // breaks both: split runs once per doc, gram building fans across the
+    // cluster.
     val toks = split(lower(col(text)), "\\s+")
-    val gram = (i: Column) => concat_ws(" ", slice(toks, i, lit(n)))
+    val gram = (i: Column) => concat_ws(" ", slice(col("tk"), i, lit(n)))
     val grams = array_distinct(transform(
-      sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+      sequence(lit(1), greatest(size(col("tk")) - (n - 1), lit(1))),
       i => if (hashGrams) xxhash64(gram(i)) else gram(i)))
     // Verify cost must scale with the CANDIDATE volume, not the corpus:
     // gram arrays are built only for docs that appear in a pair (semi-join
-    // on the distinct candidate ids — AQE broadcasts it when small), then
-    // checkpointed ONCE so both join sides read materialized arrays
-    // instead of re-running the tokenize/transform expression tree.
+    // on the distinct candidate ids), then checkpointed ONCE so both join
+    // sides read materialized arrays instead of re-running the tokenize/
+    // transform expression tree. A checkpoint erases size stats (its leaf
+    // reports the default size, so neither AQE nor the planner would ever
+    // broadcast it) — the broadcast decision is therefore made HERE, from
+    // the materialized candidate-doc count: dim-sized gram tables join
+    // map-side, larger ones fall back to the shuffle join they need.
     val p = pairs.localCheckpoint()
     val candIds = p.select(col("id1").as(id))
       .union(p.select(col("id2").as(id))).distinct()
-    val g = df.join(candIds, id).select(col(id), grams.as("g")).localCheckpoint()
+    val gCp = df.join(candIds, id)
+      .select(col(id), toks.as("tk"))
+      .repartition(col(id))
+      .select(col(id), grams.as("g"))
+      .localCheckpoint()
+    val g = if (gCp.count() <= 20000) broadcast(gCp) else gCp
     p
       .join(g.select(col(id).as("id1"), col("g").as("g1")), "id1")
       .join(g.select(col(id).as("id2"), col("g").as("g2")), "id2")
@@ -355,12 +371,19 @@ object Dedup {
   def contaminatedIds(docs: DataFrame, id: String, text: String,
                       bench: DataFrame, btext: String,
                       n: Int = 8, hashGrams: Boolean = true): DataFrame = {
+    // The token array is let-bound via a one-element transform: a lambda
+    // variable is evaluated once per row, whereas referencing the split
+    // expression directly from the gram lambda would inline (and re-run)
+    // the regex tokenizer once PER GRAM — O(tokens²) regex work. No
+    // barrier needed, so the corpus side stays a single scan.
     def gramsOf(t: Column): Column = {
-      val tk = split(lower(t), "\\s+")
-      val g = (i: Column) => concat_ws(" ", slice(tk, i, lit(n)))
-      array_distinct(transform(
-        sequence(lit(1), greatest(size(tk) - (n - 1), lit(1))),
-        i => if (hashGrams) xxhash64(g(i)) else g(i)))
+      val mk = (tk: Column) => {
+        val g = (i: Column) => concat_ws(" ", slice(tk, i, lit(n)))
+        array_distinct(transform(
+          sequence(lit(1), greatest(size(tk) - (n - 1), lit(1))),
+          i => if (hashGrams) xxhash64(g(i)) else g(i)))
+      }
+      element_at(transform(array(split(lower(t), "\\s+")), mk), 1)
     }
     val dg = docs.select(col(id), explode(gramsOf(col(text))).as("g"))
     val bg = bench.select(explode(gramsOf(col(btext))).as("g")).distinct()
@@ -606,10 +629,13 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val toks = split(lower(col(text)), "\\s+")
     val nGrams = greatest(size(toks) - (l - 1), lit(1))
-    val gramArr = transform(sequence(lit(1), nGrams), i => {
-      val g = concat_ws(" ", slice(toks, i, lit(l)))
-      if (hashGrams) xxhash64(g).cast("string") else g
-    })
+    // token array let-bound through a one-element transform so the regex
+    // split runs once per row, not once per gram (see contaminatedIds)
+    val gramArr = element_at(transform(array(toks), tk =>
+      transform(sequence(lit(1), greatest(size(tk) - (l - 1), lit(1))), i => {
+        val g = concat_ws(" ", slice(tk, i, lit(l)))
+        if (hashGrams) xxhash64(g).cast("string") else g
+      })), 1)
     val positions = df.select(col(id), posexplode(gramArr).as(Seq("pos", "gram")))
     // inverted index in ONE shuffle: group every (doc, pos) occurrence
     // under its gram, keep grams seen in >= minDf distinct docs, re-emit

@@ -159,9 +159,12 @@ object TextAnalysis {
 
   private def composed(df: DataFrame, text: String, n: Int): DataFrame = {
     val toks = split(lower(col(text)), "\\s+")
-    val grams = transform(
-      sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
-      i => concat_ws(" ", slice(toks, i, lit(n))))
+    // token array let-bound through a one-element transform so the regex
+    // split runs once per row, not once per gram (see Dedup.contaminatedIds)
+    val grams = element_at(transform(array(toks), tk =>
+      transform(
+        sequence(lit(1), greatest(size(tk) - (n - 1), lit(1))),
+        i => concat_ws(" ", slice(tk, i, lit(n))))), 1)
     // top word count = longest equal-run in the sorted token array:
     // O(len log len) per doc vs the naive distinct x len scan (measured
     // ~10s over sf0.1 documents; this form is ~1s)
