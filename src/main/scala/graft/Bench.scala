@@ -65,7 +65,11 @@ object Bench {
           System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
           false
         }
-      (q.name, (System.nanoTime() - t0) / 1e9, ok)
+      val dt = (System.nanoTime() - t0) / 1e9
+      // release the finished query's checkpoint blocks (outside its timing;
+      // accumulated dead blocks measured the suite tail 5-7x slower)
+      SessionHygiene.release(spark, graft.queries.LlmQueries.memoizedFrames)
+      (q.name, dt, ok)
     }
     // a crashed query must not look like a fast success: its name is listed
     // under "failed"; per-query values stay raw positive durations so

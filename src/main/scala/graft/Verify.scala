@@ -19,11 +19,15 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      if (only.isEmpty || only.contains(name))
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      if (only.isEmpty || only.contains(name)) {
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        }
+        // release the finished query's checkpoint blocks (190 queries of
+        // accumulated dead blocks otherwise churn the storage region)
+        SessionHygiene.release(spark, graft.queries.LlmQueries.memoizedFrames)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

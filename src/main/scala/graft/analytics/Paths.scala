@@ -92,8 +92,56 @@ object Paths {
       .agg(sort_array(collect_set(col("path_id"))).as("path_ids"),
            countDistinct(col("path_id")).as("n_paths"))
 
-  /** KML gx:Track rendering (sink-side; pathCreator.js:108-131). One
-    * Placemark per path, points concatenated in seq order. */
+  /** KML gx:Track rendering fused over the PAIR rows (pathCreator.js:
+    * 108-131): every Placemark derives from exactly one from→to pair, so
+    * the whole track — 51 interpolated points, formatted and tag-wrapped —
+    * is a pure column expression over `pairs(...)`. Zero shuffle, zero
+    * sort: the explode → groupBy → collect_list → array_sort round trip of
+    * [[toKml]] moves every formatted point string through an exchange
+    * (51× the pair volume) only to reassemble an order this form never
+    * breaks. Coordinates are rendered at a fixed decimal width (`fmt`) —
+    * the cross-engine-stable rendering (no shortest-repr divergence). */
+  def kmlTracks(df: DataFrame, k: Keys, maxCount: Int = 50,
+                rise: Double = 1.0, verticalOffset: Double = 0.0,
+                portableJitter: Boolean = false,
+                fmt: String = "%.5f"): DataFrame = {
+    // Explicit fan-out to cluster width: each pair row explodes ~50x in
+    // BYTES (102 formatted tags) and ~200x in CPU (interpreted transform
+    // lambdas), but AQE sizes partitions by the small INPUT and coalesces
+    // the pair window to a handful of tasks — the render would run nearly
+    // serial. Cheap shuffle of the narrow pair rows, not of the tags.
+    val paired = pairs(df, k, portableJitter)
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col("path_id"))
+    val height = pmod(col("path_id"), lit(5000L)).cast("double") / 100.0 + 50.0
+    val diflat = col("to_lat") - col(k.lat)
+    val diflon = Scalars.lonDiff(col(k.lon), col("to_lon"))
+    val seqArr = sequence(lit(0), lit(maxCount))
+    def whenTag(i: Column) = concat(lit("<when>"),
+      date_format(timestamp_millis(
+        Scalars.interpMillis(col(k.timeMs), col("to_time_ms"), i, maxCount)), "yyyy-MM-dd"),
+      lit("</when>"))
+    def coordTag(i: Column) = {
+      val lat = col(k.lat) + diflat * i / maxCount
+      val lon = col(k.lon) + diflon * i / maxCount
+      val countShift = i - lit(maxCount / 2.0)
+      val alt = (-pow(countShift * rise, 2) + pow(lit(maxCount / 2.0 * rise), 2)) *
+        height + verticalOffset
+      concat(lit("<gx:coord>"), format_string(fmt, lon), lit(" "),
+        format_string(fmt, lat), lit(" "), format_string(fmt, alt), lit("</gx:coord>"))
+    }
+    paired.select(
+      col(k.person).as("person_id"), col("path_id"),
+      col(k.company).as("from_company"), col("to_company"),
+      concat(lit("<Placemark><gx:Track><altitudeMode>absolute</altitudeMode>"),
+        array_join(transform(seqArr, whenTag(_)), "\n"),
+        array_join(transform(seqArr, coordTag(_)), "\n"),
+        lit("</gx:Track></Placemark>")).as("kml"))
+  }
+
+  /** KML gx:Track rendering over an ALREADY-expanded frame (same output
+    * shape as [[kmlTracks]], which is the no-shuffle form to prefer when
+    * rendering straight from pair rows). One Placemark per path, points
+    * concatenated in seq order. */
   def toKml(expanded: DataFrame): DataFrame = {
     val whenStr = date_format(timestamp_millis(col("when_ms")), "yyyy-MM-dd")
     expanded

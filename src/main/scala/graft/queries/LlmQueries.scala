@@ -28,6 +28,13 @@ object LlmQueries {
   private val componentMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
+  /** Memoized frames still read by later registry queries — the session
+    * hygiene pass must not release their checkpoint blocks. */
+  private[graft] def memoizedFrames: Seq[DataFrame] = {
+    import scala.jdk.CollectionConverters._
+    componentMemo.values.asScala.toSeq
+  }
+
   private def portableComponents(s: SparkSession, d: String): DataFrame =
     componentMemo.computeIfAbsent((s, d), { case (sess, dir) =>
       val docs = t(sess, dir, "documents").filter(col("doc_id") % 5 === 0)

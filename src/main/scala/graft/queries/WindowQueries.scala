@@ -521,13 +521,11 @@ object WindowQueries {
           .withColumn("lon", (((col("o_custkey") * 13) % 360) - 180).cast("double"))
         val K2 = Paths.Keys("o_custkey", Seq("o_orderdate", "o_orderkey"), "o_orderstatus",
           "lat", "lon", "time_ms")
-        val expanded = Paths.expand(base, K2, portableJitter = true)
-          .withColumn("lat", format_string("%.5f", col("lat")))
-          .withColumn("lon", format_string("%.5f", col("lon")))
-          .withColumn("alt", format_string("%.5f", col("alt")))
-        Paths.toKml(expanded)
+        // no orderBy: it would range-shuffle the full multi-hundred-MB KML
+        // string volume for an ordering the comparator re-derives anyway
+        // (rows are sorted by all columns on both sides at check time)
+        Paths.kmlTracks(base, K2, portableJitter = true)
           .withColumn("person_id", col("person_id").cast("string"))
-          .orderBy("person_id", "path_id")
       },
       Some {
         val lonD = QueryDef.lonDiffSql("lon0", "lon1")

@@ -65,4 +65,22 @@ class PathsSpec extends SparkSpecBase {
     assert(s.startsWith("<Placemark>"))
     assert(s.contains("<gx:coord>"))
   }
+
+  test("kmlTracks (fused, no shuffle) equals the explode + toKml form") {
+    val expanded = Paths.expand(fixture, K)
+      .withColumn("lat", format_string("%.5f", col("lat")))
+      .withColumn("lon", format_string("%.5f", col("lon")))
+      .withColumn("alt", format_string("%.5f", col("alt")))
+    val viaGroup = Paths.toKml(expanded)
+      .orderBy("person_id", "path_id").collect()
+    val fused = Paths.kmlTracks(fixture, K)
+      .orderBy("person_id", "path_id").collect()
+    assert(fused.map(_.toSeq).toSeq === viaGroup.map(_.toSeq).toSeq)
+    // the fused plan's exchanges move only PAIR rows (the window's
+    // partition-by-person + the render fan-out) — toKml's extra shuffle
+    // moves the 51x point/tag volume through its groupBy instead
+    val nEx = Paths.kmlTracks(fixture, K).queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("Exchange"))
+    assert(nEx <= 2, s"kmlTracks must only shuffle pair rows ($nEx exchanges)")
+  }
 }
