@@ -68,7 +68,7 @@ object Bench {
       val dt = (System.nanoTime() - t0) / 1e9
       // release the finished query's checkpoint blocks (outside its timing;
       // accumulated dead blocks measured the suite tail 5-7x slower)
-      SessionHygiene.release(spark, graft.queries.LlmQueries.memoizedFrames)
+      SessionHygiene.release(spark, graft.queries.QueryMemo.frames)
       (q.name, dt, ok)
     }
     // a crashed query must not look like a fast success: its name is listed

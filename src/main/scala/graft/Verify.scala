@@ -27,7 +27,7 @@ object Verify {
         }
         // release the finished query's checkpoint blocks (190 queries of
         // accumulated dead blocks otherwise churn the storage region)
-        SessionHygiene.release(spark, graft.queries.LlmQueries.memoizedFrames)
+        SessionHygiene.release(spark, graft.queries.QueryMemo.frames)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

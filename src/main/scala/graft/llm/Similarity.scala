@@ -133,7 +133,16 @@ object Similarity {
     * Scale shape: the corpus is hashed once per table (a projection, one
     * scan), candidate generation is an equi-join on (table, bucket), and
     * only candidate pairs ever pay the full cosine — never n². Tune
-    * nTables up for recall, nPlanes up for precision/bucket size. */
+    * nTables up for recall, nPlanes up for precision/bucket size.
+    *
+    * Shuffle audit: probes broadcast, so the bucketed corpus (including
+    * the nTables-replicated vector rows) never crosses the network — the
+    * replication is map-side memory bandwidth only. The first exchange
+    * carries (query_id, id, sim) triples into the dedup, cosines already
+    * computed map-side; a pair colliding in t tables pays t cheap 64-dim
+    * cosines rather than shipping vectors to a dedup-then-fetch join
+    * (which would either re-shuffle the corpus by id or broadcast the
+    * candidate set, both strictly worse below very large nTables). */
   def lshTopK(corpus: DataFrame, id: String, vec: String,
               queries: DataFrame, qid: String, qvec: String,
               k: Int, nPlanes: Int = 8, nTables: Int = 6, dim: Int = 64,

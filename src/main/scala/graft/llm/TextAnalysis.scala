@@ -37,11 +37,14 @@ object TextAnalysis {
       .otherwise(lit("unknown"))
   }
 
-  /** Whitespace-delimited token count without materializing the array:
-    * spaces+1 arithmetic — exact, cheap, oracle-reproducible. */
+  /** Whitespace-delimited word count without materializing the token
+    * array: the number of maximal non-whitespace runs. The whitespace
+    * class is EXPLICIT ([ \t\n\r\f], the RE2-portable subset — Java \s
+    * adds \x0B) and run-based counting handles newlines and repeated
+    * separators, where the old spaces+1 arithmetic scored a 50-line
+    * document as ONE word and let the quality gate miscull it. */
   def wordCount(text: Column): Column =
-    when(length(text) === 0, 0)
-      .otherwise(length(text) - length(regexp_replace(text, " ", "")) + 1)
+    regexp_count(text, lit("[^ \t\n\r\f]+"))
 
   /** BPE-ish token estimate: count of `\w+|[^\w\s]` matches (words and
     * isolated punctuation), the standard pre-tokenizer shape. */
@@ -54,11 +57,14 @@ object TextAnalysis {
     val t = col(text)
     val nChars = length(t)
     val nWords = wordCount(t)
+    // mean word length = non-whitespace chars / words (the previous
+    // nChars − separators form assumed exactly one space between words)
+    val nonWs = length(regexp_replace(t, "[ \t\n\r\f]", ""))
     val punct = nChars - length(regexp_replace(t, """[^\w\s]""", ""))
     val digits = nChars - length(regexp_replace(t, """[0-9]""", ""))
     df.withColumn("n_chars_calc", nChars)
       .withColumn("n_words", nWords)
-      .withColumn("mean_word_len", (nChars - (nWords - 1)).cast("double") / nWords)
+      .withColumn("mean_word_len", nonWs.cast("double") / nWords)
       .withColumn("punct_ratio", punct.cast("double") / nChars)
       .withColumn("digit_ratio", digits.cast("double") / nChars)
       .withColumn("quality_score",

@@ -13,6 +13,12 @@ import graft.llm.Pca
   */
 object AnalyticsQueries {
 
+  /** One PCA model (covariance scan + driver Jacobi) serves emb2 and emb3
+    * — memoized per (session, dataDir); deterministic, so a memo hit
+    * cannot change either query's output. */
+  private def pcaModel(s: org.apache.spark.sql.SparkSession, d: String): Pca.Model =
+    QueryMemo.value(s, d, "pca_model")(Pca.fit(Tables.embeddings(s, d), "embedding"))
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- ev1: JSON property extraction (get_json_object inside codegen,
@@ -355,7 +361,7 @@ object AnalyticsQueries {
     QueryDef("emb3_pca_semdedup",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
-        val model = Pca.fit(emb, "embedding")
+        val model = pcaModel(s, d)
         val proj = Pca.project(emb, "vec_id", "embedding", model, k = 16)
         graft.llm.Dedup.semanticDedup(proj, "vec_id", "pc", threshold = 0.9, nCells = 16)
           .select(col("vec_id")).orderBy("vec_id")
@@ -390,7 +396,7 @@ object AnalyticsQueries {
     QueryDef("emb2_pca_project",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
-        val model = Pca.fit(emb, "embedding")
+        val model = pcaModel(s, d)
         Pca.project(emb, "vec_id", "embedding", model, k = 8)
           .select(col("vec_id"), posexplode(col("pc")).as(Seq("component_idx", "value")))
           .select(col("vec_id"), col("component_idx"),

@@ -19,29 +19,14 @@ object LlmQueries {
   private def t(s: SparkSession, d: String, n: String) = Tables.table(s, d, n)
 
   /** dd6 and dd6b both key off the SAME component labeling (clusters, then
-    * one survivor per cluster). Each registry query must stay standalone,
-    * so the shared clustering is memoized per (session, dataDir) and
-    * localCheckpoint'ed: whichever of dd6/dd6b runs first pays for the
-    * candidate generation + large-star/small-star rounds; the other reads
-    * the materialized blocks. On a real cluster this would be a reliable
-    * checkpoint / staged table rather than executor-local blocks. */
-  private val componentMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-
-  /** Memoized frames still read by later registry queries — the session
-    * hygiene pass must not release their checkpoint blocks. */
-  private[graft] def memoizedFrames: Seq[DataFrame] = {
-    import scala.jdk.CollectionConverters._
-    componentMemo.values.asScala.toSeq
-  }
-
+    * one survivor per cluster): memoized via [[QueryMemo]] — whichever
+    * runs first pays for candidate generation + large-star/small-star. */
   private def portableComponents(s: SparkSession, d: String): DataFrame =
-    componentMemo.computeIfAbsent((s, d), { case (sess, dir) =>
-      val docs = t(sess, dir, "documents").filter(col("doc_id") % 5 === 0)
+    QueryMemo.frame(s, d, "dd6_components") {
+      val docs = t(s, d, "documents").filter(col("doc_id") % 5 === 0)
       val edges = Dedup.minhashCandidatesPortable(docs, "doc_id", "text")
       Dedup.labelComponents(docs.select(col("doc_id")), "doc_id", edges)
-        .localCheckpoint()
-    })
+    }
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -275,19 +260,21 @@ object LlmQueries {
           round(col("punct_ratio"), 6).as("punct_ratio"),
           col("quality_score"))
         .orderBy("doc_id"),
-      Some("""SELECT doc_id,
-             |  (length(text) - length(replace(text, ' ', '')) + 1)::INT AS n_words,
-             |  round((length(text) - (length(text) - length(replace(text, ' ', '')))) /
-             |        (length(text) - length(replace(text, ' ', '')) + 1.0), 6) AS mean_word_len,
-             |  round((length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))) /
-             |        (length(text) * 1.0), 6) AS punct_ratio,
+      Some("""WITH b AS (
+             |  SELECT doc_id,
+             |    len(regexp_extract_all(text, '[^ \t\n\r\f]+')) AS nw,
+             |    length(regexp_replace(text, '[ \t\n\r\f]', '', 'g')) AS nonws,
+             |    length(text) AS nc,
+             |    length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS punct,
+             |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digits
+             |  FROM documents)
+             |SELECT doc_id, nw::INT AS n_words,
+             |  round(nonws / (nw * 1.0), 6) AS mean_word_len,
+             |  round(punct / (nc * 1.0), 6) AS punct_ratio,
              |  round(greatest(0.0, least(1.0,
-             |    1.0 - abs(((length(text) - (length(text) - length(replace(text, ' ', '')))) /
-             |               (length(text) - length(replace(text, ' ', '')) + 1.0)) - 5.0) / 10.0
-             |        - (length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))) / (length(text) * 1.0)
-             |        - (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) / (length(text) * 1.0)
-             |  )), 6) AS quality_score
-             |FROM documents ORDER BY doc_id""".stripMargin)),
+             |    1.0 - abs(nonws / (nw * 1.0) - 5.0) / 10.0
+             |        - punct / (nc * 1.0) - digits / (nc * 1.0))), 6) AS quality_score
+             |FROM b ORDER BY doc_id""".stripMargin)),
 
     // ---- ts16: Gopher rule battery (Rae et al. 2021) — per-rule booleans
     // + the conjunction, one scan, every rule replayed in the oracle ----
@@ -343,8 +330,7 @@ object LlmQueries {
           TextAnalysis.tokenEstimate(col("text")).as("n_tokens"))
         .orderBy("doc_id"),
       Some("""SELECT doc_id,
-             |  CASE WHEN length(text) = 0 THEN 0
-             |       ELSE length(text) - length(replace(text, ' ', '')) + 1 END::INT AS n_words,
+             |  len(regexp_extract_all(text, '[^ \t\n\r\f]+'))::INT AS n_words,
              |  len(regexp_extract_all(text, '\w+|[^\w\s]'))::INT AS n_tokens
              |FROM documents ORDER BY doc_id""".stripMargin)),
 

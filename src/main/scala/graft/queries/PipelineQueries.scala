@@ -42,10 +42,14 @@ object PipelineQueries {
     (companyMap, roleMap, locations, regions)
   }
 
-  private def credits(s: SparkSession, d: String): DataFrame = {
-    val (cm, rm, lo, re) = dims(s)
-    Normalize.credits(rawCredits(s, d), cm, rm, lo, re)
-  }
+  /** The normalized credits fact feeds FIVE e2e queries (normalize, jumps
+    * endpoint, both envelopes, grouped CSV) — memoized so the fuzzy-match
+    * ETL chain runs once per (session, dataDir). */
+  private def credits(s: SparkSession, d: String): DataFrame =
+    QueryMemo.frame(s, d, "e2e_credits") {
+      val (cm, rm, lo, re) = dims(s)
+      Normalize.credits(rawCredits(s, d), cm, rm, lo, re)
+    }
 
   val defs: Seq[QueryDef] = Seq(
     // For this dressed input every stage's output is statically known
@@ -239,8 +243,8 @@ object PipelineQueries {
            |  CASE WHEN b > 0 AND (${names.map(n => s"($n = b)::INT").mkString(" + ")}) = 1
            |       THEN CASE $pick END ELSE 'unknown' END AS lang_pred FROM best),
            |quality AS (SELECT doc_id, round(greatest(0.0, least(1.0,
-           |    1.0 - abs(((length(text) - (length(text) - length(replace(text, ' ', '')))) /
-           |               (length(text) - length(replace(text, ' ', '')) + 1.0)) - 5.0) / 10.0
+           |    1.0 - abs(length(regexp_replace(text, '[ \\t\\n\\r\\f]', '', 'g')) /
+           |              (len(regexp_extract_all(text, '[^ \\t\\n\\r\\f]+')) * 1.0) - 5.0) / 10.0
            |        - (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) / (length(text) * 1.0)
            |        - (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) / (length(text) * 1.0)
            |  )), 6) AS q FROM train),

@@ -116,6 +116,9 @@ class ScaleSpec extends SparkSpecBase {
     // tools/PlanAudit.shape if a plan change is intended — a drift here is
     // a scale regression until proven otherwise (new shuffle, lost
     // broadcast, lost pushdown).
+    // QueryMemo is disabled for the audit: a memo hit would replace the
+    // audited chain with a checkpoint scan and blind the gate.
+    sys.props("graft.querymemo.disable") = "true"
     val snapshot = Map(
       "p2_mapped_geocoded" -> "1/0/0/0/p",
       "j1_company_dim_join" -> "2/2/0/0/p",
@@ -222,15 +225,17 @@ class ScaleSpec extends SparkSpecBase {
       // dd14: gram-index agg, covered-distinct, token anti-join (BHJ at
       // audit scale), reassembly agg
       "dd14_span_removal" -> "4/2/0/0/p")
-    val drift = graft.SparkEntry.all
-      .filter(q => snapshot.contains(q.name))
-      .flatMap { q =>
-        val live = PlanAudit.shape(q.fn(spark, "/root/testdata/sf0.001")).snapshot
-        if (live == snapshot(q.name)) None
-        else Some(s"${q.name}: expected ${snapshot(q.name)}, got $live")
-      }
-    assert(drift.isEmpty, s"plan drift:\n${drift.mkString("\n")}")
-    assert(snapshot.size === 71)
+    try {
+      val drift = graft.SparkEntry.all
+        .filter(q => snapshot.contains(q.name))
+        .flatMap { q =>
+          val live = PlanAudit.shape(q.fn(spark, "/root/testdata/sf0.001")).snapshot
+          if (live == snapshot(q.name)) None
+          else Some(s"${q.name}: expected ${snapshot(q.name)}, got $live")
+        }
+      assert(drift.isEmpty, s"plan drift:\n${drift.mkString("\n")}")
+      assert(snapshot.size === 71)
+    } finally sys.props.remove("graft.querymemo.disable")
   }
 
   test("co-bucketed tables join without an Exchange") {
