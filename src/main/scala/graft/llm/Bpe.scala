@@ -1,0 +1,193 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE tokenizer training + encoding — the tokenizer-fitting
+  * stage of a training-data pipeline (Sennrich et al. 2016), re-expressed
+  * as declarative Spark.
+  *
+  * Scale shape (the reason this works at 100 TB):
+  *  - The corpus is scanned ONCE, into a `(word, freq)` distinct-word
+  *    table. That aggregation is the only corpus-sized shuffle; every
+  *    merge round after it runs on the vocabulary table, which is
+  *    millions of rows where the corpus is billions — the same
+  *    word-frequency compression every industrial BPE trainer uses.
+  *  - One merge round = a pair-frequency aggregate over the vocab table
+  *    (weighted by `freq`, overlapping pairs like the reference
+  *    algorithm), a deterministic 1-row top-k (count desc, then pair
+  *    lexicographic), and a map-only greedy fold applying the winning
+  *    pair. `localCheckpoint` per round truncates the growing lineage,
+  *    exactly like the PageRank loop in [[graft.graph.Graph]].
+  *  - Encoding with a FROZEN merge list is a chain of the same folds over
+  *    the distinct words of the target corpus, broadcast-joined back to
+  *    the exploded text — the corpus never shuffles at all.
+  *
+  * The greedy fold applies one learned pair left-to-right,
+  * non-overlapping: `[a a a]` under merge `(a,a)` becomes `[aa a]`, and a
+  * token produced by the merge immediately participates as the new left
+  * neighbor. Both engines implement the identical fold (Spark
+  * `aggregate`, DuckDB `list_reduce` over singleton lists), so the whole
+  * training loop is oracle-checkable bit for bit — see
+  * [[learnOracleSql]] / [[encodeOracleSql]], which unroll the rounds into
+  * chained MATERIALIZED CTEs (MATERIALIZED, or DuckDB inlines the
+  * triple-referenced chain exponentially — the g2_pagerank lesson).
+  */
+object Bpe {
+
+  final case class Merge(rank: Int, a: String, b: String, merged: String, cnt: Long)
+
+  /** Explicit whitespace class — the RE2-portable subset, matching
+    * [[TextAnalysis.wordCount]] (Java \s would add \x0B). */
+  private val wordRe = "[^ \t\n\r\f]+"
+
+  /** `(word, freq)` over lowercased whitespace-delimited words: the one
+    * corpus-sized stage. */
+  def wordFreq(docs: DataFrame, text: String): DataFrame =
+    docs
+      .select(explode(regexp_extract_all(lower(col(text)), lit(wordRe), lit(0))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+
+  /** Initial tokenization: one token per character. Words are nonempty by
+    * construction, so the array is never empty. */
+  private def charToks(word: Column): Column =
+    regexp_extract_all(word, lit("."), lit(0))
+
+  /** Weighted adjacent-pair counts (overlapping, like the reference
+    * algorithm's get_stats): `[a a a]` with freq w contributes 2w to
+    * (a,a). */
+  private def pairCounts(wordToks: DataFrame): DataFrame =
+    wordToks
+      .select(col("freq"),
+        explode(zip_with(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1),
+          (x, y) => struct(x.as("a"), y.as("b")))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum("freq").as("cnt"))
+
+  /** Greedy left-to-right single-pair merge as a pure column fold. The
+    * accumulator seeds with the first token (arrays are nonempty), so
+    * `element_at(acc, -1)` is always defined under ANSI mode.
+    *
+    * The input is LET-BOUND via a single-element `transform` (the lambda
+    * variable is referenced, not inlined): this body mentions its input 3
+    * times, so [[encode]]'s k chained merges would otherwise quadruple
+    * the expression tree PER ROUND (4^k blowup — measured 12 MiB task
+    * binaries at k=8 before the binding). */
+  private def applyMerge(toks: Column, a: String, b: String): Column =
+    element_at(
+      transform(array(toks), ts =>
+        aggregate(
+          slice(ts, lit(2), size(ts) - 1),
+          array(element_at(ts, 1)),
+          (acc, t) => when(element_at(acc, -1) === lit(a) && t === lit(b),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+            .otherwise(concat(acc, array(t))))),
+      1)
+
+  /** Learn up to `nMerges` merges. Each round collects exactly ONE row to
+    * the driver (the winning pair) — the merge table itself is the
+    * driver-sized model state, like the k-means centers in [[Ivf]].
+    * Stops early if the vocabulary runs out of adjacent pairs. */
+  def learnMerges(docs: DataFrame, text: String, nMerges: Int): Seq[Merge] = {
+    var cur = wordFreq(docs, text)
+      .select(col("word"), col("freq"), charToks(col("word")).as("toks"))
+      .localCheckpoint()
+    val out = Seq.newBuilder[Merge]
+    var rank = 1
+    var exhausted = false
+    while (rank <= nMerges && !exhausted) {
+      val top = pairCounts(cur)
+        .orderBy(desc("cnt"), asc("a"), asc("b"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val a = top(0).getAs[String]("a")
+        val b = top(0).getAs[String]("b")
+        out += Merge(rank, a, b, a + b, top(0).getAs[Long]("cnt"))
+        val next = cur
+          .withColumn("toks", applyMerge(col("toks"), a, b))
+          .localCheckpoint()
+        cur.unpersist()
+        cur = next
+        rank += 1
+      }
+    }
+    cur.unpersist()
+    out.result()
+  }
+
+  /** The learned merge table as a DataFrame (rank-ordered — applying in
+    * rank order reproduces training exactly). */
+  def mergesDf(spark: SparkSession, merges: Seq[Merge]): DataFrame = {
+    import spark.implicits._
+    merges.toDF("merge_rank", "a", "b", "merged", "cnt")
+  }
+
+  /** Encode a corpus with a frozen merge list: per-doc word and BPE token
+    * counts. The merges fold over the corpus's DISTINCT words (vocab-
+    * sized), and only the resulting `(word, n_toks)` map — broadcast —
+    * ever meets the exploded text. */
+  def encode(docs: DataFrame, id: String, text: String, merges: Seq[Merge]): DataFrame = {
+    val words = docs.select(col(id),
+      explode(regexp_extract_all(lower(col(text)), lit(wordRe), lit(0))).as("word"))
+    val vocab = words.select("word").distinct()
+      .withColumn("toks",
+        merges.foldLeft(charToks(col("word")))((c, m) => applyMerge(c, m.a, m.b)))
+      .select(col("word"), size(col("toks")).as("n_toks"))
+    words.join(broadcast(vocab), "word")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_words"), sum("n_toks").cast("long").as("n_tokens"))
+  }
+
+  // ---- DuckDB oracles: the training loop unrolled into chained CTEs ----
+
+  /** Rounds 1..k as `p_i` (pair counts) / `m_i` (winner) / `t_i` (merged
+    * vocab) MATERIALIZED CTEs over `t0`. */
+  private def chainSql(table: String, text: String, k: Int): String = {
+    val t0 =
+      s"""t0 AS MATERIALIZED (
+         |  SELECT word, count(*)::BIGINT AS freq, regexp_extract_all(word, '.') AS toks
+         |  FROM (SELECT unnest(regexp_extract_all(lower($text), '$wordRe')) AS word
+         |        FROM $table)
+         |  GROUP BY word)""".stripMargin
+    val rounds = (1 to k).map { i =>
+      s"""p$i AS MATERIALIZED (
+         |  SELECT p[1] AS a, p[2] AS b, sum(freq)::BIGINT AS cnt
+         |  FROM t${i - 1}, UNNEST(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS u(p)
+         |  GROUP BY 1, 2),
+         |m$i AS MATERIALIZED (SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1),
+         |t$i AS MATERIALIZED (
+         |  SELECT word, freq,
+         |    list_reduce(list_transform(toks, x -> [x]),
+         |      (acc, x) -> CASE WHEN acc[-1] = m.a AND x[1] = m.b
+         |                  THEN list_append(acc[1:len(acc)-1], m.a || m.b)
+         |                  ELSE list_concat(acc, x) END) AS toks
+         |  FROM t${i - 1}, m$i AS m)""".stripMargin
+    }
+    (t0 +: rounds).mkString("WITH ", ",\n", "")
+  }
+
+  /** Oracle for [[learnMerges]]: the rank-ordered merge table. */
+  def learnOracleSql(table: String, text: String, k: Int): String = {
+    val union = (1 to k)
+      .map(i => s"SELECT $i AS merge_rank, a, b, a || b AS merged, cnt FROM m$i")
+      .mkString("\nUNION ALL ")
+    s"""${chainSql(table, text, k)}
+       |SELECT * FROM (
+       |$union)
+       |ORDER BY merge_rank""".stripMargin
+  }
+
+  /** Oracle for [[encode]] when the merges were learned on the SAME
+    * corpus: join the final vocab tokenization back to the exploded
+    * text. */
+  def encodeOracleSql(table: String, id: String, text: String, k: Int): String =
+    s"""${chainSql(table, text, k)},
+       |dw AS (SELECT $id, unnest(regexp_extract_all(lower($text), '$wordRe')) AS word
+       |       FROM $table)
+       |SELECT dw.$id, count(*)::BIGINT AS n_words, sum(len(tk.toks))::BIGINT AS n_tokens
+       |FROM dw JOIN t$k tk USING (word)
+       |GROUP BY dw.$id ORDER BY dw.$id""".stripMargin
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.Tables
-import graft.llm.{Dedup, Ivf, Multimodal, Pq, Similarity, TextAnalysis}
+import graft.llm.{Bpe, Dedup, Ivf, Multimodal, Pq, Similarity, TextAnalysis}
 import graft.streaming.EventStreams
 
 /** Training-data-pipeline operators over documents/embeddings/events:
@@ -21,6 +21,14 @@ object LlmQueries {
   /** dd6 and dd6b both key off the SAME component labeling (clusters, then
     * one survivor per cluster): memoized via [[QueryMemo]] — whichever
     * runs first pays for candidate generation + large-star/small-star. */
+  /** tok1 publishes the merge table, tok2 encodes with it: one training
+    * run (8 collect-1-row rounds over the vocab table) serves both. */
+  private val bpeRounds = 8
+  private def bpeMerges(s: SparkSession, d: String): Seq[Bpe.Merge] =
+    QueryMemo.value(s, d, "bpe_merges") {
+      Bpe.learnMerges(t(s, d, "documents"), "text", bpeRounds)
+    }
+
   private def portableComponents(s: SparkSession, d: String): DataFrame =
     QueryMemo.frame(s, d, "dd6_components") {
       val docs = t(s, d, "documents").filter(col("doc_id") % 5 === 0)
@@ -333,6 +341,21 @@ object LlmQueries {
              |  len(regexp_extract_all(text, '[^ \t\n\r\f]+'))::INT AS n_words,
              |  len(regexp_extract_all(text, '\w+|[^\w\s]'))::INT AS n_tokens
              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- BPE tokenizer training: 8 merge rounds over the weighted
+    // distinct-word table (corpus scanned ONCE; rounds are vocab-sized).
+    // Oracle replays every round as chained MATERIALIZED CTEs with the
+    // identical greedy fold, so the training LOOP itself is hash-checked ----
+    QueryDef("tok1_bpe_merges",
+      (s, d) => Bpe.mergesDf(s, bpeMerges(s, d)).orderBy("merge_rank"),
+      Some(Bpe.learnOracleSql("documents", "text", bpeRounds))),
+
+    // ---- BPE encoding with the frozen merge list: per-doc word/token
+    // counts; only the broadcast (word, n_toks) vocab meets the text ----
+    QueryDef("tok2_bpe_encode",
+      (s, d) => Bpe.encode(t(s, d, "documents"), "doc_id", "text", bpeMerges(s, d))
+        .orderBy("doc_id"),
+      Some(Bpe.encodeOracleSql("documents", "doc_id", "text", bpeRounds))),
 
     // ---- document fingerprinting ----
     QueryDef("ts4_fingerprint",
