@@ -24,14 +24,23 @@ object Curation {
     * ONCE, not once per downstream consumer (the exact-dedup semi-join
     * reads it twice and the near-dup stage three more times — uncached,
     * the whole gate chain re-executes five times across the DAG). */
-  def exactCurated(docs: DataFrame, id: String, text: String, cfg: Config): DataFrame = {
+  def exactCurated(docs: DataFrame, id: String, text: String, cfg: Config): DataFrame =
+    exactFromGated(gatedScan(docs, id, text, cfg), id)
+
+  /** The gated scan alone (stage 1): score + quality/language filters,
+    * checkpointed once for all downstream consumers. */
+  def gatedScan(docs: DataFrame, id: String, text: String, cfg: Config): DataFrame = {
     val scored = TextAnalysis.qualityFeatures(docs, text)
       .withColumn("lang_pred", TextAnalysis.langId(col(text)))
       .withColumn("fp", TextAnalysis.fingerprint(col(text)))
-    val gated = scored
+    scored
       .filter(col("quality_score") >= cfg.minQuality)
       .filter(col("lang_pred").isin(cfg.keepLangs: _*))
       .localCheckpoint()
+  }
+
+  /** Stage 2 on an already-gated scan: first doc per fingerprint wins. */
+  def exactFromGated(gated: DataFrame, id: String): DataFrame = {
     val keep = gated.groupBy(col("fp")).agg(min(col(id)).as(id))
     gated.join(keep, Seq("fp", id), "left_semi")
   }
@@ -66,6 +75,29 @@ object Curation {
     val capped = TextAnalysis.capPerGroup(clean, source, id, capK)
     TextAnalysis.corpusShuffle(
       TextAnalysis.stratifiedSplit(capped, id, valFrac, testFrac), id)
+  }
+
+  /** Per-stage survivor counts through the deterministic pass — the
+    * attrition funnel every production corpus build publishes next to its
+    * output (how many documents each gate removed). One row per stage;
+    * the gated scan is checkpointed so the union of stage aggregates
+    * re-reads blocks, not the regex-heavy scoring chain. Split/shuffle
+    * are row-preserving, so the funnel ends at the source cap. */
+  def attrition(docs: DataFrame, id: String, text: String,
+                source: String, benchmark: DataFrame,
+                cfg: Config = Config(), capK: Int = 15): DataFrame = {
+    val gated = gatedScan(docs, id, text, cfg)
+    val exact = exactFromGated(gated, id)
+    val clean = Dedup.decontaminate(exact, id, text, benchmark, text,
+      n = 8, hashGrams = false)
+    val capped = TextAnalysis.capPerGroup(clean, source, id, capK)
+    val stages = Seq(
+      "raw" -> docs, "quality_lang_gate" -> gated, "exact_dedup" -> exact,
+      "decontaminated" -> clean, "source_cap" -> capped)
+    stages.zipWithIndex.map { case ((name, df), i) =>
+      df.agg(count(lit(1)).as("docs"))
+        .select(lit(i + 1).as("stage_ord"), lit(name).as("stage"), col("docs"))
+    }.reduce(_ union _)
   }
 
   /** Stage 3: drop the higher-id member of every verified near-dup pair. */

@@ -227,53 +227,85 @@ object PipelineQueries {
           .orderBy("doc_id")
       },
       Some {
-        val langs = graft.llm.TextAnalysis.stopwords.toSeq.sortBy(_._1)
-        val scoreCols = langs.map { case (l, ws) =>
-          s"len(list_intersect(tk, [${ws.map(w => s"'$w'").mkString(", ")}])) AS s_$l"
-        }.mkString(",\n  ")
-        val names = langs.map { case (l, _) => s"s_$l" }
-        val pick = langs.map { case (l, _) => s"WHEN s_$l = b THEN '$l'" }.mkString(" ")
-        s"""WITH train AS (
-           |  SELECT doc_id, source, text FROM documents WHERE doc_id % 17 <> 0),
-           |toks AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS tk FROM train),
-           |sc AS (SELECT doc_id, $scoreCols FROM toks),
-           |best AS (SELECT doc_id, ${names.mkString(", ")},
-           |                greatest(${names.mkString(", ")}) AS b FROM sc),
-           |lang AS (SELECT doc_id,
-           |  CASE WHEN b > 0 AND (${names.map(n => s"($n = b)::INT").mkString(" + ")}) = 1
-           |       THEN CASE $pick END ELSE 'unknown' END AS lang_pred FROM best),
-           |quality AS (SELECT doc_id, round(greatest(0.0, least(1.0,
-           |    1.0 - abs(length(regexp_replace(text, '[ \\t\\n\\r\\f]', '', 'g')) /
-           |              (len(regexp_extract_all(text, '[^ \\t\\n\\r\\f]+')) * 1.0) - 5.0) / 10.0
-           |        - (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) / (length(text) * 1.0)
-           |        - (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) / (length(text) * 1.0)
-           |  )), 6) AS q FROM train),
-           |gated AS (SELECT t.doc_id, t.source, t.text,
-           |                 md5(regexp_replace(lower(t.text), '\\s+', ' ', 'g')) AS fp
-           |          FROM train t JOIN lang USING (doc_id) JOIN quality USING (doc_id)
-           |          WHERE lang_pred = 'en' AND q >= 0.3),
-           |keep AS (SELECT fp, min(doc_id) AS doc_id FROM gated GROUP BY fp),
-           |exact AS (SELECT g.* FROM gated g JOIN keep k ON g.fp = k.fp AND g.doc_id = k.doc_id),
-           |bg AS (SELECT DISTINCT unnest([array_to_string(t[i:i+7], ' ')
-           |          FOR i IN generate_series(1, greatest(len(t) - 7, 1))]) AS gram
-           |       FROM (SELECT string_split_regex(lower(text), '\\s+') AS t
-           |             FROM documents WHERE doc_id % 17 = 0)),
-           |eg AS (SELECT doc_id, unnest([array_to_string(t[i:i+7], ' ')
-           |          FOR i IN generate_series(1, greatest(len(t) - 7, 1))]) AS gram
-           |       FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM exact)),
-           |dirty AS (SELECT DISTINCT doc_id FROM eg JOIN bg USING (gram)),
-           |clean AS (SELECT * FROM exact WHERE doc_id NOT IN (SELECT doc_id FROM dirty)),
-           |capped AS (SELECT doc_id, source, cap_rank FROM (
-           |    SELECT doc_id, source,
-           |           row_number() OVER (PARTITION BY source
-           |             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS cap_rank
-           |    FROM clean) WHERE cap_rank <= 15)
+        s"""$deterministicChainSql
            |SELECT doc_id, source, cap_rank::INT AS cap_rank,
            |       CASE WHEN f < 0.1 THEN 'test' WHEN f < 0.2 THEN 'val' ELSE 'train' END AS split,
            |       row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS shuffle_pos
            |FROM (SELECT *, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
            |                / 4294967296.0 AS f FROM capped)
            |ORDER BY doc_id""".stripMargin
+      }),
+
+    // ---- cur12: the attrition funnel over the same deterministic pass —
+    // survivor counts after each gate, the observability row every corpus
+    // build publishes next to its output. Shares cur9's oracle chain ----
+    QueryDef("cur12_attrition",
+      (s, d) => {
+        val docs = Tables.table(s, d, "documents")
+        graft.llm.Curation.attrition(
+            docs.filter(col("doc_id") % 17 =!= 0), "doc_id", "text", "source",
+            docs.filter(col("doc_id") % 17 === 0))
+          .orderBy("stage_ord")
+      },
+      Some {
+        s"""$deterministicChainSql
+           |SELECT * FROM (
+           |  SELECT 1 AS stage_ord, 'raw' AS stage, count(*)::BIGINT AS docs FROM train
+           |  UNION ALL SELECT 2, 'quality_lang_gate', count(*)::BIGINT FROM gated
+           |  UNION ALL SELECT 3, 'exact_dedup', count(*)::BIGINT FROM exact
+           |  UNION ALL SELECT 4, 'decontaminated', count(*)::BIGINT FROM clean
+           |  UNION ALL SELECT 5, 'source_cap', count(*)::BIGINT FROM capped)
+           |ORDER BY stage_ord""".stripMargin
       })
   )
+
+  /** The cur9/cur12 oracle chain: the deterministic curation pass through
+    * the per-source cap, every stage a pure md5 function of (id, text).
+    * CTEs referenced more than once are MATERIALIZED so the attrition
+    * counts don't re-execute the gram joins per reference. */
+  private lazy val deterministicChainSql: String = {
+    val langs = graft.llm.TextAnalysis.stopwords.toSeq.sortBy(_._1)
+    val scoreCols = langs.map { case (l, ws) =>
+      s"len(list_intersect(tk, [${ws.map(w => s"'$w'").mkString(", ")}])) AS s_$l"
+    }.mkString(",\n  ")
+    val names = langs.map { case (l, _) => s"s_$l" }
+    val pick = langs.map { case (l, _) => s"WHEN s_$l = b THEN '$l'" }.mkString(" ")
+    s"""WITH train AS MATERIALIZED (
+       |  SELECT doc_id, source, text FROM documents WHERE doc_id % 17 <> 0),
+       |toks AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS tk FROM train),
+       |sc AS (SELECT doc_id, $scoreCols FROM toks),
+       |best AS (SELECT doc_id, ${names.mkString(", ")},
+       |                greatest(${names.mkString(", ")}) AS b FROM sc),
+       |lang AS (SELECT doc_id,
+       |  CASE WHEN b > 0 AND (${names.map(n => s"($n = b)::INT").mkString(" + ")}) = 1
+       |       THEN CASE $pick END ELSE 'unknown' END AS lang_pred FROM best),
+       |quality AS (SELECT doc_id, round(greatest(0.0, least(1.0,
+       |    1.0 - abs(length(regexp_replace(text, '[ \\t\\n\\r\\f]', '', 'g')) /
+       |              (len(regexp_extract_all(text, '[^ \\t\\n\\r\\f]+')) * 1.0) - 5.0) / 10.0
+       |        - (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) / (length(text) * 1.0)
+       |        - (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) / (length(text) * 1.0)
+       |  )), 6) AS q FROM train),
+       |gated AS MATERIALIZED (SELECT t.doc_id, t.source, t.text,
+       |                 md5(regexp_replace(lower(t.text), '\\s+', ' ', 'g')) AS fp
+       |          FROM train t JOIN lang USING (doc_id) JOIN quality USING (doc_id)
+       |          WHERE lang_pred = 'en' AND q >= 0.3),
+       |keep AS (SELECT fp, min(doc_id) AS doc_id FROM gated GROUP BY fp),
+       |exact AS MATERIALIZED (
+       |  SELECT g.* FROM gated g JOIN keep k ON g.fp = k.fp AND g.doc_id = k.doc_id),
+       |bg AS (SELECT DISTINCT unnest([array_to_string(t[i:i+7], ' ')
+       |          FOR i IN generate_series(1, greatest(len(t) - 7, 1))]) AS gram
+       |       FROM (SELECT string_split_regex(lower(text), '\\s+') AS t
+       |             FROM documents WHERE doc_id % 17 = 0)),
+       |eg AS (SELECT doc_id, unnest([array_to_string(t[i:i+7], ' ')
+       |          FOR i IN generate_series(1, greatest(len(t) - 7, 1))]) AS gram
+       |       FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM exact)),
+       |dirty AS (SELECT DISTINCT doc_id FROM eg JOIN bg USING (gram)),
+       |clean AS MATERIALIZED (
+       |  SELECT * FROM exact WHERE doc_id NOT IN (SELECT doc_id FROM dirty)),
+       |capped AS MATERIALIZED (SELECT doc_id, source, cap_rank FROM (
+       |    SELECT doc_id, source,
+       |           row_number() OVER (PARTITION BY source
+       |             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS cap_rank
+       |    FROM clean) WHERE cap_rank <= 15)""".stripMargin
+  }
 }
