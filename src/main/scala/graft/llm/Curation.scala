@@ -68,14 +68,33 @@ object Curation {
   def deterministicPass(docs: DataFrame, id: String, text: String,
                         source: String, benchmark: DataFrame,
                         cfg: Config = Config(), capK: Int = 15,
-                        valFrac: Double = 0.1, testFrac: Double = 0.1): DataFrame = {
-    val exact = exactCurated(docs, id, text, cfg)
+                        valFrac: Double = 0.1, testFrac: Double = 0.1): DataFrame =
+    finishDeterministic(detStages(docs, id, text, benchmark, cfg).clean,
+      id, source, capK, valFrac, testFrac)
+
+  /** The deterministic pass's intermediate stages, exposed so several
+    * queries (the pass itself, the attrition funnel) can share one build
+    * — the staged-table pattern a pipeline server would use. */
+  final case class DetStages(raw: DataFrame, gated: DataFrame,
+                             exact: DataFrame, clean: DataFrame)
+
+  def detStages(docs: DataFrame, id: String, text: String,
+                benchmark: DataFrame, cfg: Config = Config()): DetStages = {
+    val gated = gatedScan(docs, id, text, cfg)
+    val exact = exactFromGated(gated, id)
     val clean = Dedup.decontaminate(exact, id, text, benchmark, text,
       n = 8, hashGrams = false)
-    val capped = TextAnalysis.capPerGroup(clean, source, id, capK)
-    TextAnalysis.corpusShuffle(
-      TextAnalysis.stratifiedSplit(capped, id, valFrac, testFrac), id)
+    DetStages(docs, gated, exact, clean)
   }
+
+  /** The row-preserving tail of the deterministic pass: per-source cap →
+    * stratified split → corpus shuffle. */
+  def finishDeterministic(clean: DataFrame, id: String, source: String,
+                          capK: Int = 15, valFrac: Double = 0.1,
+                          testFrac: Double = 0.1): DataFrame =
+    TextAnalysis.corpusShuffle(
+      TextAnalysis.stratifiedSplit(
+        TextAnalysis.capPerGroup(clean, source, id, capK), id, valFrac, testFrac), id)
 
   /** Per-stage survivor counts through the deterministic pass — the
     * attrition funnel every production corpus build publishes next to its
@@ -83,17 +102,13 @@ object Curation {
     * the gated scan is checkpointed so the union of stage aggregates
     * re-reads blocks, not the regex-heavy scoring chain. Split/shuffle
     * are row-preserving, so the funnel ends at the source cap. */
-  def attrition(docs: DataFrame, id: String, text: String,
-                source: String, benchmark: DataFrame,
-                cfg: Config = Config(), capK: Int = 15): DataFrame = {
-    val gated = gatedScan(docs, id, text, cfg)
-    val exact = exactFromGated(gated, id)
-    val clean = Dedup.decontaminate(exact, id, text, benchmark, text,
-      n = 8, hashGrams = false)
-    val capped = TextAnalysis.capPerGroup(clean, source, id, capK)
+  def attrition(st: DetStages, id: String, source: String,
+                capK: Int = 15): DataFrame = {
+    val capped = TextAnalysis.capPerGroup(st.clean, source, id, capK)
     val stages = Seq(
-      "raw" -> docs, "quality_lang_gate" -> gated, "exact_dedup" -> exact,
-      "decontaminated" -> clean, "source_cap" -> capped)
+      "raw" -> st.raw, "quality_lang_gate" -> st.gated,
+      "exact_dedup" -> st.exact, "decontaminated" -> st.clean,
+      "source_cap" -> capped)
     stages.zipWithIndex.map { case ((name, df), i) =>
       df.agg(count(lit(1)).as("docs"))
         .select(lit(i + 1).as("stage_ord"), lit(name).as("stage"), col("docs"))

@@ -218,14 +218,10 @@ object PipelineQueries {
     // one DuckDB query (cur1's LSH tail keeps it rows-only; this is the
     // engine-portable twin of the whole pipeline) ----
     QueryDef("cur9_curation_deterministic",
-      (s, d) => {
-        val docs = Tables.table(s, d, "documents")
-        graft.llm.Curation.deterministicPass(
-            docs.filter(col("doc_id") % 17 =!= 0), "doc_id", "text", "source",
-            docs.filter(col("doc_id") % 17 === 0))
-          .select("doc_id", "source", "cap_rank", "split", "shuffle_pos")
-          .orderBy("doc_id")
-      },
+      (s, d) => graft.llm.Curation.finishDeterministic(
+          detStages(s, d).clean, "doc_id", "source")
+        .select("doc_id", "source", "cap_rank", "split", "shuffle_pos")
+        .orderBy("doc_id"),
       Some {
         s"""$deterministicChainSql
            |SELECT doc_id, source, cap_rank::INT AS cap_rank,
@@ -240,13 +236,8 @@ object PipelineQueries {
     // survivor counts after each gate, the observability row every corpus
     // build publishes next to its output. Shares cur9's oracle chain ----
     QueryDef("cur12_attrition",
-      (s, d) => {
-        val docs = Tables.table(s, d, "documents")
-        graft.llm.Curation.attrition(
-            docs.filter(col("doc_id") % 17 =!= 0), "doc_id", "text", "source",
-            docs.filter(col("doc_id") % 17 === 0))
-          .orderBy("stage_ord")
-      },
+      (s, d) => graft.llm.Curation.attrition(detStages(s, d), "doc_id", "source")
+        .orderBy("stage_ord"),
       Some {
         s"""$deterministicChainSql
            |SELECT * FROM (
@@ -258,6 +249,30 @@ object PipelineQueries {
            |ORDER BY stage_ord""".stripMargin
       })
   )
+
+  /** cur9/cur12 share one build of the deterministic pass's stages — the
+    * gated scan, exact-dedup survivors, and decontaminated set are each
+    * memoized checkpoint-backed frames, so whichever query runs first
+    * pays for the regex scoring + gram joins and the other reads blocks.
+    * The memo calls are strictly SEQUENTIAL (each resolved before the
+    * next build starts): a frame build must never invoke QueryMemo
+    * reentrantly — computeIfAbsent inside computeIfAbsent on one map is
+    * undefined behavior. */
+  private def detStages(s: SparkSession, d: String): graft.llm.Curation.DetStages = {
+    val docs = Tables.table(s, d, "documents")
+    val train = docs.filter(col("doc_id") % 17 =!= 0)
+    val gated = QueryMemo.frame(s, d, "cur_det_gated") {
+      graft.llm.Curation.gatedScan(train, "doc_id", "text", graft.llm.Curation.Config())
+    }
+    val exact = QueryMemo.frame(s, d, "cur_det_exact") {
+      graft.llm.Curation.exactFromGated(gated, "doc_id")
+    }
+    val clean = QueryMemo.frame(s, d, "cur_det_clean") {
+      graft.llm.Dedup.decontaminate(exact, "doc_id", "text",
+        docs.filter(col("doc_id") % 17 === 0), "text", n = 8, hashGrams = false)
+    }
+    graft.llm.Curation.DetStages(train, gated, exact, clean)
+  }
 
   /** The cur9/cur12 oracle chain: the deterministic curation pass through
     * the per-source cap, every stage a pure md5 function of (id, text).
