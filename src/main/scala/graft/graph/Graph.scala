@@ -297,6 +297,80 @@ object Graph {
       s"\nSELECT node, round(r, 6) AS pagerank FROM pr$iters ORDER BY node"
   }
 
+  /** Synchronous label propagation (Raghavan et al. 2007) made fully
+    * deterministic: every node starts labeled with its own id; each round
+    * it adopts the label with the greatest total incident edge weight
+    * among its neighbors, ties broken by the SMALLEST label. A fixed
+    * round count (not convergence) keeps the run — including any
+    * bipartite oscillation — bit-reproducible, so the rounds unroll into
+    * a DuckDB oracle exactly like pagerank's. Edge weights are integer
+    * counts, so vote sums are exact in doubles and the tiebreak can never
+    * diverge across engines.
+    *
+    * Per round: one equi-join of the symmetrized edges against the
+    * broadcast label vector, a (node, label) weight aggregate, and a
+    * deterministic argmax via one more hash aggregate (max of a
+    * (weight, -label) struct — NO per-node window/sort). Same
+    * billion-node note as pagerank: co-partition edges and labels by node
+    * once instead of broadcasting. */
+  def labelPropagation(nodes: DataFrame, edges: DataFrame, iters: Int = 6): DataFrame = {
+    val nd = nodes.select(col("node")).localCheckpoint()
+    val und = edges.select(col("src"), col("dst"), col("w"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      .groupBy("src", "dst").agg(sum("w").as("w"))
+      .persist()
+    var labels = nd.withColumn("label", col("node")).localCheckpoint()
+    for (_ <- 1 to iters) {
+      val winners = und
+        .join(broadcast(labels), und("dst") === labels("node"))
+        .groupBy(col("src").as("nd"), col("label"))
+        .agg(sum("w").as("wv"))
+        .groupBy("nd")
+        .agg(max(struct(col("wv"), (-col("label")).as("nl"))).as("m"))
+        .select(col("nd"), (-col("m.nl")).as("lbl"))
+        .localCheckpoint()
+      // a node absent from the vote table has no edges, so its label is
+      // still its initial id — coalesce to node ≡ coalesce to prev label
+      val next = nd.join(broadcast(winners), nd("node") === winners("nd"), "left")
+        .select(nd("node"), coalesce(col("lbl"), nd("node")).as("label"))
+        .localCheckpoint()
+      labels.unpersist(); winners.unpersist()
+      labels = next
+    }
+    und.unpersist()
+    labels
+  }
+
+  /** DuckDB oracle for [[labelPropagation]]: rounds unrolled into chained
+    * MATERIALIZED CTEs; argmax via row_number (weight desc, label asc). */
+  def labelPropagationOracleSql(edgesSql: String, nodesSql: String,
+                                iters: Int = 6): String = {
+    val base =
+      s"""WITH edges AS MATERIALIZED ($edgesSql),
+         |und AS MATERIALIZED (
+         |  SELECT src, dst, sum(w)::DOUBLE AS w FROM (
+         |    SELECT src, dst, w FROM edges
+         |    UNION ALL SELECT dst, src, w FROM edges)
+         |  GROUP BY 1, 2),
+         |nodes AS MATERIALIZED ($nodesSql),
+         |l0 AS MATERIALIZED (SELECT node, node AS label FROM nodes)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s""",
+         |v$i AS (SELECT u.src AS nd, l.label, sum(u.w) AS wv
+         |       FROM und u JOIN l${i - 1} l ON u.dst = l.node GROUP BY 1, 2),
+         |w$i AS (SELECT nd, label FROM (
+         |        SELECT nd, label,
+         |               row_number() OVER (PARTITION BY nd
+         |                 ORDER BY wv DESC, label ASC) AS rk
+         |        FROM v$i) WHERE rk = 1),
+         |l$i AS MATERIALIZED (
+         |  SELECT n.node, coalesce(w.label, n.node) AS label
+         |  FROM nodes n LEFT JOIN w$i w ON n.node = w.nd)""".stripMargin
+    }.mkString
+    base + steps +
+      s"\nSELECT node, label AS community FROM l$iters ORDER BY node"
+  }
+
   /** Tie-strength backbone: each node keeps its `k` strongest outgoing
     * edges (weight desc, dst asc tiebreak — fully deterministic). The raw
     * transition graph densifies toward a clique as observation volume

@@ -177,6 +177,27 @@ object GraphQueries {
       },
       Some(Graph.kcoreOracleSql(k = 3))),
 
+    // ---- g10: label-propagation communities on the top-5 tie backbone —
+    // 6 fixed synchronous rounds, heaviest-neighbor-label argmax with
+    // smallest-label tiebreak (vote sums are integer-valued doubles, so
+    // ties are engine-exact); rounds unroll into the oracle like g2's ----
+    QueryDef("g10_label_propagation",
+      (s, d) => {
+        val edges = Graph.supplierTransitions(
+          Tables.lineitem(s, d), Tables.orders(s, d))
+        Graph.labelPropagation(
+            Tables.supplier(s, d).select(col("s_suppkey").as("node")),
+            Graph.backbone(edges, k = 5), iters = 6)
+          .select(col("node"), col("label").as("community"))
+          .orderBy("node")
+      },
+      Some(Graph.labelPropagationOracleSql(
+        s"""SELECT src, dst, w FROM (
+           |  SELECT e.*, row_number() OVER (PARTITION BY src
+           |    ORDER BY w DESC, dst) AS rk
+           |  FROM ($edgesSql) e) WHERE rk <= 5""".stripMargin,
+        "SELECT s_suppkey AS node FROM supplier", iters = 6))),
+
     // ---- g8: per-node triangle counts + clustering coefficient via
     // degree-ordered orientation (each triangle counted once as a wedge
     // from its lowest-order corner closed by an oriented edge; hub nodes

@@ -679,6 +679,81 @@ object RelationalQueries {
       },
       Some("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey")),
 
+    // ---- stats1: ANALYZE-style column profile — rows/nulls/NDV/min/max
+    // for four lineitem columns in ONE scan (the multi-distinct Expand +
+    // two-level hash agg; never a scan per column), unpivoted via stack.
+    // Renderings are type-explicit so both engines emit identical
+    // strings; l_quantity is integer-valued so %.2f can't face a rounding
+    // boundary ----
+    QueryDef("stats1_column_profile",
+      (s, d) => t(s, d, "lineitem")
+        .agg(
+          count(lit(1)).as("n"),
+          count(col("l_orderkey")).as("c1"),
+          countDistinct(col("l_orderkey")).as("d1"),
+          min(col("l_orderkey")).cast("string").as("mn1"),
+          max(col("l_orderkey")).cast("string").as("mx1"),
+          count(col("l_quantity")).as("c2"),
+          countDistinct(col("l_quantity")).as("d2"),
+          format_string("%.2f", min(col("l_quantity"))).as("mn2"),
+          format_string("%.2f", max(col("l_quantity"))).as("mx2"),
+          count(col("l_shipdate")).as("c3"),
+          countDistinct(col("l_shipdate")).as("d3"),
+          date_format(min(col("l_shipdate")), "yyyy-MM-dd").as("mn3"),
+          date_format(max(col("l_shipdate")), "yyyy-MM-dd").as("mx3"),
+          count(col("l_returnflag")).as("c4"),
+          countDistinct(col("l_returnflag")).as("d4"),
+          min(col("l_returnflag")).as("mn4"),
+          max(col("l_returnflag")).as("mx4"))
+        .selectExpr(
+          """stack(4,
+             |  'l_orderkey',  n, n - c1, d1, mn1, mx1,
+             |  'l_quantity',  n, n - c2, d2, mn2, mx2,
+             |  'l_shipdate',  n, n - c3, d3, mn3, mx3,
+             |  'l_returnflag', n, n - c4, d4, mn4, mx4)
+             |AS (column_name, n_rows, n_nulls, n_distinct, min_value, max_value)
+             |""".stripMargin)
+        .orderBy("column_name"),
+      Some {
+        def row(c: String, mn: String, mx: String) =
+          s"""SELECT '$c' AS column_name, count(*)::BIGINT AS n_rows,
+             |  (count(*) - count($c))::BIGINT AS n_nulls,
+             |  count(DISTINCT $c)::BIGINT AS n_distinct,
+             |  $mn AS min_value, $mx AS max_value FROM lineitem""".stripMargin
+        Seq(
+          row("l_orderkey", "CAST(min(l_orderkey) AS VARCHAR)",
+            "CAST(max(l_orderkey) AS VARCHAR)"),
+          row("l_quantity", "printf('%.2f', min(l_quantity))",
+            "printf('%.2f', max(l_quantity))"),
+          row("l_shipdate", "strftime(min(l_shipdate), '%Y-%m-%d')",
+            "strftime(max(l_shipdate), '%Y-%m-%d')"),
+          row("l_returnflag", "min(l_returnflag)", "max(l_returnflag)"))
+          .mkString("SELECT * FROM (\n", "\nUNION ALL ", ")\nORDER BY column_name")
+      }),
+
+    // ---- stats2: equi-width histogram (20 bins) of l_extendedprice —
+    // global min/max as a broadcast 1-row stats relation, bin arithmetic
+    // identical double expressions on both engines ----
+    QueryDef("stats2_histogram",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val bounds = li.agg(min(col("l_extendedprice")).as("mn"),
+          max(col("l_extendedprice")).as("mx"))
+        li.crossJoin(broadcast(bounds))
+          .select(least(
+              floor((col("l_extendedprice") - col("mn")) /
+                ((col("mx") - col("mn")) / 20.0)),
+              lit(19L)).cast("int").as("bin"))
+          .groupBy("bin").agg(count(lit(1)).as("cnt"))
+          .orderBy("bin")
+      },
+      Some("""WITH s AS (SELECT min(l_extendedprice) AS mn,
+             |                  max(l_extendedprice) AS mx FROM lineitem)
+             |SELECT least(floor((l_extendedprice - mn) / ((mx - mn) / 20.0)),
+             |             19.0)::INT AS bin,
+             |       count(*)::BIGINT AS cnt
+             |FROM lineitem, s GROUP BY 1 ORDER BY bin""".stripMargin)),
+
     // ---- S5: CSV sink projection with comma strip (dwwApi.js:33-35) ----
     QueryDef("s5_csv_projection",
       (s, d) => t(s, d, "part")

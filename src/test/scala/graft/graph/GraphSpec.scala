@@ -175,6 +175,32 @@ class GraphSpec extends SparkSpecBase {
     assert(r.filter(_._3).forall(_._2 >= 3))
   }
 
+  test("labelPropagation: two cliques joined by a weak bridge separate") {
+    val s = spark; import s.implicits._
+    // triangles {1,2,3} and {4,5,6} with heavy internal edges, one
+    // weight-1 bridge 3-4; isolated node 7 keeps its own label
+    val edges = Seq(
+      (1L, 2L, 5.0), (1L, 3L, 5.0), (2L, 3L, 5.0),
+      (4L, 5L, 5.0), (4L, 6L, 5.0), (5L, 6L, 5.0),
+      (3L, 4L, 1.0)).toDF("src", "dst", "w")
+    val r = Graph.labelPropagation((1L to 7L).toDF("node"), edges, iters = 6)
+      .orderBy("node").collect().map(x => (x.getLong(0), x.getLong(1)))
+    val byNode = r.toMap
+    assert(Set(byNode(1L), byNode(2L), byNode(3L)).size === 1)
+    assert(Set(byNode(4L), byNode(5L), byNode(6L)).size === 1)
+    assert(byNode(1L) !== byNode(4L))
+    assert(byNode(7L) === 7L)
+  }
+
+  test("labelPropagation: tie votes pick the smallest label") {
+    val s = spark; import s.implicits._
+    // node 3 hears labels 1 and 2 with equal weight → adopts 1
+    val edges = Seq((1L, 3L, 2.0), (2L, 3L, 2.0)).toDF("src", "dst", "w")
+    val r = Graph.labelPropagation((1L to 3L).toDF("node"), edges, iters = 1)
+      .orderBy("node").collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(r(2) === (3L, 1L))
+  }
+
   test("kcore: k=2 keeps any cycle, empty graph yields no core") {
     val s = spark; import s.implicits._
     val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("src", "dst")
