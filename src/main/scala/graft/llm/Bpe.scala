@@ -141,6 +141,17 @@ object Bpe {
       .agg(count(lit(1)).as("n_words"), sum("n_toks").cast("long").as("n_tokens"))
   }
 
+  /** The trained vocabulary: every surviving token with its total corpus
+    * occurrence count — the artifact a tokenizer ships alongside its
+    * merge list. Same vocab-sized fold as [[encode]]; the corpus is
+    * represented by the weighted word table throughout. */
+  def vocabulary(docs: DataFrame, text: String, merges: Seq[Merge]): DataFrame =
+    wordFreq(docs, text)
+      .withColumn("toks",
+        merges.foldLeft(charToks(col("word")))((c, m) => applyMerge(c, m.a, m.b)))
+      .select(explode(col("toks")).as("token"), col("freq"))
+      .groupBy("token").agg(sum("freq").as("freq"))
+
   // ---- DuckDB oracles: the training loop unrolled into chained CTEs ----
 
   /** Rounds 1..k as `p_i` (pair counts) / `m_i` (winner) / `t_i` (merged
@@ -179,6 +190,14 @@ object Bpe {
        |$union)
        |ORDER BY merge_rank""".stripMargin
   }
+
+  /** Oracle for [[vocabulary]]: unnest the final vocab tokenization,
+    * weighted by word frequency. */
+  def vocabularyOracleSql(table: String, text: String, k: Int): String =
+    s"""${chainSql(table, text, k)}
+       |SELECT token, sum(freq)::BIGINT AS freq
+       |FROM (SELECT unnest(toks) AS token, freq FROM t$k)
+       |GROUP BY token ORDER BY token""".stripMargin
 
   /** Oracle for [[encode]] when the merges were learned on the SAME
     * corpus: join the final vocab tokenization back to the exploded

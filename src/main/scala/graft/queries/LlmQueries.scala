@@ -357,6 +357,13 @@ object LlmQueries {
         .orderBy("doc_id"),
       Some(Bpe.encodeOracleSql("documents", "doc_id", "text", bpeRounds))),
 
+    // ---- the trained vocabulary with corpus occurrence counts — the
+    // artifact shipped next to the merge list ----
+    QueryDef("tok3_bpe_vocab",
+      (s, d) => Bpe.vocabulary(t(s, d, "documents"), "text", bpeMerges(s, d))
+        .orderBy("token"),
+      Some(Bpe.vocabularyOracleSql("documents", "text", bpeRounds))),
+
     // ---- document fingerprinting ----
     QueryDef("ts4_fingerprint",
       (s, d) => t(s, d, "documents")

@@ -40,8 +40,14 @@ object PlanAudit {
   }
 
   def main(args: Array[String]): Unit = {
-    val sfDir = args.filterNot(_.startsWith("--")).headOption.getOrElse("/root/testdata/sf0.001")
+    val positional = args.filterNot(_.startsWith("--"))
+    val sfDir = positional.headOption.getOrElse("/root/testdata/sf0.001")
+    // optional trailing names restrict the audit (local iteration)
+    val only = positional.drop(1).toSet
     val md = args.contains("--md")
+    // audit the REAL chains: a memo hit would replace a query's upstream
+    // plan with a checkpoint scan (same prop ScaleSpec's gate sets)
+    sys.props("graft.querymemo.disable") = "true"
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
@@ -57,7 +63,7 @@ object PlanAudit {
       println("| query | exchanges | BHJ | SMJ | BNLJ | WSCG | pushdown |")
       println("|---|---|---|---|---|---|---|")
     }
-    for (q <- graft.SparkEntry.all) {
+    for (q <- graft.SparkEntry.all if only.isEmpty || only.contains(q.name)) {
       try {
         val s = shape(q.fn(spark, sfDir))
         if (md)

@@ -53,6 +53,20 @@ class BpeSpec extends SparkSpecBase {
     assert(vocabToks === 1L)
   }
 
+  test("vocabulary: token counts conserve total corpus tokens") {
+    val s = spark; import s.implicits._
+    val docs = Seq((1L, "aa ab"), (2L, "aa")).toDF("doc_id", "text")
+    val merges = Bpe.learnMerges(docs, "text", nMerges = 5)
+    val v = Bpe.vocabulary(docs, "text", merges)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // after (a,a) and (a,b): words are [aa] x2 and [ab] -> vocab {aa: 2, ab: 1}
+    assert(v === Map("aa" -> 2L, "ab" -> 1L))
+    // untrained vocabulary is the raw character counts
+    val raw = Bpe.vocabulary(docs, "text", Nil)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(raw === Map("a" -> 5L, "b" -> 1L))
+  }
+
   test("merge counts are weighted by word frequency, not document count") {
     val s = spark; import s.implicits._
     // "xy" appears 5 times in one doc, "zz" once each in two docs:

@@ -224,7 +224,22 @@ class ScaleSpec extends SparkSpecBase {
       "emb4_correlation" -> "1/2/0/0/-",
       // dd14: gram-index agg, covered-distinct, token anti-join (BHJ at
       // audit scale), reassembly agg
-      "dd14_span_removal" -> "4/2/0/0/p")
+      "dd14_span_removal" -> "4/2/0/0/p",
+      // tok2: word explode+distinct, vocab fold, broadcast (word,n_toks)
+      // join back to the text — the corpus side never shuffles before the
+      // per-doc aggregate (fn also re-trains the merges here: the memo is
+      // disabled, so the audit pays the 8 driver rounds)
+      "tok2_bpe_encode" -> "3/1/0/0/-",
+      // cur12: the full deterministic chain (gates + gram joins + cap)
+      // under the disabled memo, then five 1-row stage aggregates
+      "cur12_attrition" -> "10/7/0/0/p",
+      // g10's audited plan starts at the checkpointed label vector (like
+      // g2); the tail is one aggregate + the output sort
+      "g10_label_propagation" -> "1/0/0/0/-",
+      // stats1: multi-distinct Expand = two-level agg, one scan, no
+      // filter → no pushdown entry; stats2's BNLJ is the 1-row bounds
+      "stats1_column_profile" -> "2/0/0/0/-",
+      "stats2_histogram" -> "3/0/0/1/-")
     try {
       val drift = graft.SparkEntry.all
         .filter(q => snapshot.contains(q.name))
@@ -234,7 +249,7 @@ class ScaleSpec extends SparkSpecBase {
           else Some(s"${q.name}: expected ${snapshot(q.name)}, got $live")
         }
       assert(drift.isEmpty, s"plan drift:\n${drift.mkString("\n")}")
-      assert(snapshot.size === 71)
+      assert(snapshot.size === 76)
     } finally sys.props.remove("graft.querymemo.disable")
   }
 
