@@ -321,6 +321,9 @@ object Graph {
       .persist()
     var labels = nd.withColumn("label", col("node")).localCheckpoint()
     for (_ <- 1 to iters) {
+      // the vote argmax stays LAZY inside the round's broadcast build, so
+      // each round pays exactly ONE eager checkpoint (the new label
+      // vector), not two
       val winners = und
         .join(broadcast(labels), und("dst") === labels("node"))
         .groupBy(col("src").as("nd"), col("label"))
@@ -328,13 +331,12 @@ object Graph {
         .groupBy("nd")
         .agg(max(struct(col("wv"), (-col("label")).as("nl"))).as("m"))
         .select(col("nd"), (-col("m.nl")).as("lbl"))
-        .localCheckpoint()
       // a node absent from the vote table has no edges, so its label is
       // still its initial id — coalesce to node ≡ coalesce to prev label
       val next = nd.join(broadcast(winners), nd("node") === winners("nd"), "left")
         .select(nd("node"), coalesce(col("lbl"), nd("node")).as("label"))
         .localCheckpoint()
-      labels.unpersist(); winners.unpersist()
+      labels.unpersist()
       labels = next
     }
     und.unpersist()

@@ -31,13 +31,29 @@ object GraphQueries {
        |FROM ($transitionsSql) WHERE prev IS NOT NULL AND prev <> supp
        |GROUP BY 1, 2""".stripMargin
 
+  /** Every query in this tier derives the same transition edge list
+    * (lineitem ⋈ orders + the jump window), and three of them reduce it
+    * to the same top-5 backbone: one memoized checkpoint-backed build
+    * each per session ([[QueryMemo]] — the staged-table pattern; each
+    * query stays standalone-correct). The memo calls are strictly
+    * sequential — `edgesMemo` is resolved BEFORE the backbone build
+    * starts, never from inside it. */
+  private def edgesMemo(s: org.apache.spark.sql.SparkSession, d: String) =
+    QueryMemo.frame(s, d, "graph_edges") {
+      Graph.supplierTransitions(Tables.lineitem(s, d), Tables.orders(s, d))
+    }
+
+  private def backboneMemo(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val e = edgesMemo(s, d)
+    QueryMemo.frame(s, d, "graph_backbone")(Graph.backbone(e, k = 5))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- g1: the transition matrix (edge weights + P(dst|src)) ----
     QueryDef("g1_transition_matrix",
       (s, d) => {
-        val edges = Graph.supplierTransitions(
-          Tables.lineitem(s, d), Tables.orders(s, d))
+        val edges = edgesMemo(s, d)
         Graph.transitionMatrix(edges)
           .select(col("src"), col("dst"), col("w").cast("long").as("w"),
             round(col("p"), 6).as("p"))
@@ -53,8 +69,7 @@ object GraphQueries {
     // iterations (Pregel-style join+agg per round, lineage truncated) ----
     QueryDef("g2_pagerank",
       (s, d) => {
-        val edges = Graph.supplierTransitions(
-          Tables.lineitem(s, d), Tables.orders(s, d))
+        val edges = edgesMemo(s, d)
         val nodes = Tables.supplier(s, d).select(col("s_suppkey").as("node"))
         Graph.pagerank(nodes, edges, iters = 15, damping = 0.85)
           .select(col("node"), round(col("r"), 6).as("pagerank"))
@@ -68,8 +83,7 @@ object GraphQueries {
     // dd6-style recursive-CTE transitive closure over the same edges ----
     QueryDef("g3_strong_components",
       (s, d) => {
-        val edges = Graph.transitionMatrix(Graph.supplierTransitions(
-            Tables.lineitem(s, d), Tables.orders(s, d)))
+        val edges = Graph.transitionMatrix(edgesMemo(s, d))
           .filter(col("p") >= 0.05)
           .select("src", "dst")
         val nodes = Tables.supplier(s, d).select(col("s_suppkey").as("node"))
@@ -97,8 +111,7 @@ object GraphQueries {
     // movement flows (same machinery as g2, indicator teleport) ----
     QueryDef("g7_personalized_pagerank",
       (s, d) => {
-        val edges = Graph.supplierTransitions(
-          Tables.lineitem(s, d), Tables.orders(s, d))
+        val edges = edgesMemo(s, d)
         val nodes = Tables.supplier(s, d).select(col("s_suppkey").as("node"))
         Graph.pagerank(nodes, edges, iters = 15, damping = 0.85, teleportTo = Some(0L))
           .select(col("node"), round(col("r"), 6).as("ppr"))
@@ -134,8 +147,7 @@ object GraphQueries {
     // equi-join + anti-join per round, diameter-bounded) ----
     QueryDef("g5_bfs_hops",
       (s, d) => {
-        val edges = Graph.supplierTransitions(
-          Tables.lineitem(s, d), Tables.orders(s, d)).select("src", "dst")
+        val edges = edgesMemo(s, d).select("src", "dst")
         val nodes = Tables.supplier(s, d).select(col("s_suppkey").as("node"))
         Graph.bfsHops(nodes, edges, seed = 0L).orderBy("node")
       },
@@ -144,8 +156,7 @@ object GraphQueries {
     // ---- g4: degree centrality (in/out degree + strength) ----
     QueryDef("g4_degree_centrality",
       (s, d) => {
-        val edges = Graph.supplierTransitions(
-          Tables.lineitem(s, d), Tables.orders(s, d))
+        val edges = edgesMemo(s, d)
         val nodes = Tables.supplier(s, d).select(col("s_suppkey").as("node"))
         Graph.degrees(nodes, edges)
           .select(col("node"), col("out_deg"), col("in_deg"),
@@ -169,10 +180,8 @@ object GraphQueries {
     // so the unique core replays as unrolled CTEs in the oracle ----
     QueryDef("g9_kcore",
       (s, d) => {
-        val edges = Graph.supplierTransitions(
-          Tables.lineitem(s, d), Tables.orders(s, d))
         Graph.kcore(Tables.supplier(s, d).select(col("s_suppkey").as("node")),
-            Graph.backbone(edges, k = 5), k = 3)
+            backboneMemo(s, d), k = 3)
           .orderBy("node")
       },
       Some(Graph.kcoreOracleSql(k = 3))),
@@ -183,11 +192,9 @@ object GraphQueries {
     // ties are engine-exact); rounds unroll into the oracle like g2's ----
     QueryDef("g10_label_propagation",
       (s, d) => {
-        val edges = Graph.supplierTransitions(
-          Tables.lineitem(s, d), Tables.orders(s, d))
         Graph.labelPropagation(
             Tables.supplier(s, d).select(col("s_suppkey").as("node")),
-            Graph.backbone(edges, k = 5), iters = 6)
+            backboneMemo(s, d), iters = 6)
           .select(col("node"), col("label").as("community"))
           .orderBy("node")
       },
@@ -209,9 +216,7 @@ object GraphQueries {
     // graph, where wedge volume is bounded by n·k². ----
     QueryDef("g8_triangles",
       (s, d) => {
-        val edges = Graph.supplierTransitions(
-          Tables.lineitem(s, d), Tables.orders(s, d))
-        Graph.triangles(Graph.backbone(edges, k = 5)).orderBy("node")
+        Graph.triangles(backboneMemo(s, d)).orderBy("node")
       },
       Some(s"""WITH edges0 AS MATERIALIZED ($edgesSql),
               |edges AS (
