@@ -297,6 +297,91 @@ object Graph {
       s"\nSELECT node, round(r, 6) AS pagerank FROM pr$iters ORDER BY node"
   }
 
+  /** HITS hubs & authorities (Kleinberg 1999) over the weighted directed
+    * graph: auth(v) ∝ Σ_{u→v} w·hub(u), hub(u) ∝ Σ_{u→v} w·auth(v), each
+    * half-step L1-normalized. A fixed round count (no convergence test)
+    * makes the run a pure function of the graph, so the rounds unroll
+    * into a DuckDB oracle exactly like pagerank's; the mutual-recursion
+    * power iteration is a contraction toward the principal eigenvectors
+    * of AᵀA / AAᵀ, so summation-order float noise stays bounded and a
+    * trailing 6dp round absorbs it.
+    *
+    * Per half-step: ONE shuffle (the contrib aggregate over dst or src);
+    * the L1 normalizer is read as a single scalar off the checkpointed
+    * contrib table (pagerank's dangling-mass pattern — a 1-row driver
+    * read of an aggregate, not a data collect). The hub/auth vectors are
+    * node-count sized and checkpoint-backed (no optimizer stats), so
+    * they are broadcast EXPLICITLY into the edge join; a billion-node
+    * deployment would co-partition edges by src and dst once and reuse
+    * those exchanges instead. Requires a non-empty edge set (the L1 mass
+    * is otherwise zero and the quotient undefined). */
+  def hits(nodes: DataFrame, edges: DataFrame, iters: Int = 8): DataFrame = {
+    val nd = nodes.select(col("node")).localCheckpoint()
+    val e = edges.select(col("src"), col("dst"), col("w")).persist()
+    var hub = nd.withColumn("hub", lit(1.0)).localCheckpoint()
+    var auth: DataFrame = null
+    for (_ <- 1 to iters) {
+      val ac = e.join(broadcast(hub), e("src") === hub("node"))
+        .groupBy(col("dst")).agg(sum(col("w") * col("hub")).as("v"))
+        .localCheckpoint()
+      val an = ac.agg(sum("v")).head().getDouble(0)
+      val nextAuth = nd.join(broadcast(ac), nd("node") === ac("dst"), "left")
+        .select(nd("node"), (coalesce(col("v"), lit(0.0)) / an).as("auth"))
+        .localCheckpoint()
+      if (auth != null) auth.unpersist()
+      auth = nextAuth
+      val hc = e.join(broadcast(auth), e("dst") === auth("node"))
+        .groupBy(col("src")).agg(sum(col("w") * col("auth")).as("v"))
+        .localCheckpoint()
+      val hn = hc.agg(sum("v")).head().getDouble(0)
+      val nextHub = nd.join(broadcast(hc), nd("node") === hc("src"), "left")
+        .select(nd("node"), (coalesce(col("v"), lit(0.0)) / hn).as("hub"))
+        .localCheckpoint()
+      hub.unpersist(); ac.unpersist(); hc.unpersist()
+      hub = nextHub
+    }
+    e.unpersist()
+    // both vectors span every node (left-join spine + coalesce 0)
+    hub.join(auth, Seq("node"))
+  }
+
+  /** Unrolled DuckDB oracle for [[hits]] over the supplier transition
+    * graph — chained MATERIALIZED CTEs, two per round (auth then hub),
+    * mirroring the Spark arithmetic exactly. */
+  def hitsOracleSql(iters: Int = 8): String = {
+    val base = s"""
+      |WITH seq AS MATERIALIZED (
+      |  SELECT o.o_custkey AS cust, l.l_suppkey AS supp,
+      |         lag(l.l_suppkey) OVER (PARTITION BY o.o_custkey
+      |           ORDER BY o.o_orderdate, l.l_orderkey, l.l_linenumber,
+      |                    l.l_suppkey) AS prev
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      |edges AS MATERIALIZED (
+      |  SELECT prev AS src, supp AS dst, count(*)::DOUBLE AS w
+      |  FROM seq WHERE prev IS NOT NULL AND prev <> supp GROUP BY 1, 2),
+      |nodes AS MATERIALIZED (SELECT s_suppkey AS node FROM supplier),
+      |h0 AS MATERIALIZED (SELECT node, 1.0 AS hub FROM nodes)""".stripMargin
+    val steps = (1 to iters).map { k =>
+      s""",
+         |ac$k AS MATERIALIZED (
+         |  SELECT e.dst AS node, sum(e.w * h.hub) AS v
+         |  FROM edges e JOIN h${k - 1} h ON e.src = h.node GROUP BY 1),
+         |a$k AS MATERIALIZED (
+         |  SELECT n.node, COALESCE(c.v, 0) / (SELECT sum(v) FROM ac$k) AS auth
+         |  FROM nodes n LEFT JOIN ac$k c ON n.node = c.node),
+         |hc$k AS MATERIALIZED (
+         |  SELECT e.src AS node, sum(e.w * a.auth) AS v
+         |  FROM edges e JOIN a$k a ON e.dst = a.node GROUP BY 1),
+         |h$k AS MATERIALIZED (
+         |  SELECT n.node, COALESCE(c.v, 0) / (SELECT sum(v) FROM hc$k) AS hub
+         |  FROM nodes n LEFT JOIN hc$k c ON n.node = c.node)""".stripMargin
+    }.mkString
+    base + steps +
+      s"""
+         |SELECT h.node, round(h.hub, 6) AS hub, round(a.auth, 6) AS auth
+         |FROM h$iters h JOIN a$iters a ON h.node = a.node ORDER BY h.node""".stripMargin
+  }
+
   /** Synchronous label propagation (Raghavan et al. 2007) made fully
     * deterministic: every node starts labeled with its own id; each round
     * it adopts the label with the greatest total incident edge weight

@@ -205,6 +205,22 @@ object GraphQueries {
            |  FROM ($edgesSql) e) WHERE rk <= 5""".stripMargin,
         "SELECT s_suppkey AS node FROM supplier", iters = 6))),
 
+    // ---- g11: HITS hubs & authorities — 8 fixed L1-normalized rounds of
+    // the mutual power iteration (auth = in-flow of hub mass, hub =
+    // out-flow of auth mass: which companies feed talent everywhere vs
+    // absorb it from everywhere); rounds unroll into the oracle like
+    // g2's, two MATERIALIZED CTEs per round ----
+    QueryDef("g11_hits",
+      (s, d) => {
+        val edges = edgesMemo(s, d)
+        val nodes = Tables.supplier(s, d).select(col("s_suppkey").as("node"))
+        Graph.hits(nodes, edges, iters = 8)
+          .select(col("node"), round(col("hub"), 6).as("hub"),
+            round(col("auth"), 6).as("auth"))
+          .orderBy("node")
+      },
+      Some(Graph.hitsOracleSql(iters = 8))),
+
     // ---- g8: per-node triangle counts + clustering coefficient via
     // degree-ordered orientation (each triangle counted once as a wedge
     // from its lowest-order corner closed by an oriented edge; hub nodes

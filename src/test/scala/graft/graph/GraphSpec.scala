@@ -201,6 +201,34 @@ class GraphSpec extends SparkSpecBase {
     assert(r(2) === (3L, 1L))
   }
 
+  test("hits: star sinks get the authority, spokes get the hubs") {
+    val s = spark; import s.implicits._
+    // 1,2,3 all point at 9 (equal weight) → 9 is the sole authority,
+    // the three spokes share hub mass equally; both vectors L1 = 1
+    val edges = Seq((1L, 9L, 1.0), (2L, 9L, 1.0), (3L, 9L, 1.0)).toDF("src", "dst", "w")
+    val r = Graph.hits(Seq(1L, 2L, 3L, 9L).toDF("node"), edges, iters = 3)
+      .orderBy("node").collect()
+      .map(x => (x.getLong(0), x.getDouble(1), x.getDouble(2)))
+    val byNode = r.map(t => t._1 -> (t._2, t._3)).toMap
+    assert(math.abs(byNode(9L)._2 - 1.0) < 1e-12) // all authority
+    assert(math.abs(byNode(9L)._1) < 1e-12)       // no hub mass
+    Seq(1L, 2L, 3L).foreach { n =>
+      assert(math.abs(byNode(n)._1 - 1.0 / 3) < 1e-12)
+      assert(math.abs(byNode(n)._2) < 1e-12)
+    }
+    assert(math.abs(r.map(_._2).sum - 1.0) < 1e-9)
+    assert(math.abs(r.map(_._3).sum - 1.0) < 1e-9)
+  }
+
+  test("hits: weighted chain favors the heavier edge's endpoint") {
+    val s = spark; import s.implicits._
+    // 1→2 (w 3) and 1→3 (w 1): node 2 must out-rank node 3 in authority
+    val edges = Seq((1L, 2L, 3.0), (1L, 3L, 1.0)).toDF("src", "dst", "w")
+    val r = Graph.hits(Seq(1L, 2L, 3L).toDF("node"), edges, iters = 4)
+      .collect().map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    assert(r(2L) > r(3L) && r(3L) > 0.0)
+  }
+
   test("kcore: k=2 keeps any cycle, empty graph yields no core") {
     val s = spark; import s.implicits._
     val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("src", "dst")
