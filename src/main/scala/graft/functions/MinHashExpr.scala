@@ -160,6 +160,39 @@ object MinHashKernel {
     new GenericArrayData(mins)
   }
 
+  /** Distinct PORTABLE shingle hashes: the exact-set sibling of
+    * [[portableSignature]] — every character k-window of lower(text)
+    * hashed to the md5-28 base (identical windowing + hash family), then
+    * sorted + deduped. The engine-portable twin of [[shingleHashes]]:
+    * DuckDB reproduces each value as
+    * `('0x' || substr(md5(substr(lower(text), i, k)), 1, 7))::BIGINT`,
+    * so set algebra over these hashes (corpus overlap, containment) is
+    * oracle-checkable. */
+  def portableShingleHashes(text: UTF8String, k: Int): ArrayData = {
+    val t = text.toLowerCase
+    val nChars = t.numChars()
+    val windows = math.max(nChars - k + 1, 1)
+    val digest = md.get()
+    val arr = new Array[Long](windows)
+    var i = 0
+    while (i < windows) {
+      val sh = t.substringSQL(i + 1, k)
+      digest.reset()
+      val d = digest.digest(sh.getBytes)
+      arr(i) = ((d(0) & 0xffL) << 20) | ((d(1) & 0xffL) << 12) |
+        ((d(2) & 0xffL) << 4) | ((d(3) & 0xffL) >>> 4)
+      i += 1
+    }
+    java.util.Arrays.sort(arr)
+    var w = 0
+    i = 0
+    while (i < windows) {
+      if (i == 0 || arr(i) != arr(i - 1)) { arr(w) = arr(i); w += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(arr, w))
+  }
+
   /** Fused portable SimHash — the 60-bit md5 fingerprint of
     * llm/Dedup.simhashPortable in one kernel call, bit-identical to the
     * Column algebra: tokens = lower(text) split on a single space (empty
@@ -397,6 +430,40 @@ object PortableSimHash {
   /** Column-API wrapper. */
   def apply(text: Column): Column =
     ColumnBridge.column(PortableSimHash(ColumnBridge.expression(text)))
+}
+
+/** Distinct portable (md5-28) character-shingle hash set of a text (see
+  * MinHashKernel.portableShingleHashes). Input: string. Output:
+  * array<long>, sorted ascending. */
+case class PortableShingleHashes(child: Expression, k: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"portable_shingle_hashes expects string, got $other")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashKernel.portableShingleHashes(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinHashKernel.portableShingleHashes($c, $k)")
+
+  override def prettyName: String = "portable_shingle_hashes"
+
+  override protected def withNewChildInternal(newChild: Expression): PortableShingleHashes =
+    copy(child = newChild)
+}
+
+object PortableShingleHashes {
+  /** Column-API wrapper. */
+  def apply(text: Column, k: Int): Column =
+    ColumnBridge.column(PortableShingleHashes(ColumnBridge.expression(text), k))
 }
 
 /** Distinct hashed byte-shingle set of a text (see

@@ -258,6 +258,99 @@ object Dedup {
        |ORDER BY id1, id2""".stripMargin
   }
 
+  /** Corpus-level overlap between sources: exact shingle-set Jaccard AND
+    * its MinHash-sketch estimate, side by side per source pair. The
+    * sketch column is the 100 TB path — a corpus-level signature is just
+    * the component-wise MIN over the per-doc minima, so each source
+    * reduces to `numHashes` longs no matter how many petabytes it spans,
+    * and cross-corpus similarity becomes a constant-size comparison. The
+    * exact columns (linear inverted index, never a doc×doc join) are what
+    * makes the estimator itself oracle-checkable: both columns replay
+    * bit-for-bit in DuckDB via the portable md5-28 shingle family
+    * ([[corpusOverlapOracleSql]]), so this is the rare query where a
+    * SKETCH'S accuracy is hash-checked against its own ground truth.
+    *
+    * Scale shape: one fused-kernel pass per doc (no per-shingle explode
+    * of un-hashed strings), one (source, hash) dedup, one equi-join on
+    * hash for intersections; source cardinality is dim-sized, so the
+    * pair frame and both size joins broadcast. */
+  def corpusOverlap(df: DataFrame, source: String, text: String,
+                    k: Int = 5, numHashes: Int = 32): DataFrame = {
+    // (source, shingle-hash) inverted index — `h` is the md5-28 base the
+    // whole portable family shares; distinct once, reused three times
+    val sh = df.filter(col(text).isNotNull)
+      .select(col(source).as("s"),
+        explode(graft.functions.PortableShingleHashes(col(text), k)).as("h"))
+      .distinct()
+      .localCheckpoint()
+    val sizes = sh.groupBy("s").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.h") === col("b.h") && col("a.s") < col("b.s"))
+      .groupBy(col("a.s").as("source1"), col("b.s").as("source2"))
+      .agg(count(lit(1)).as("inter"))
+    // corpus sketch: min over the source's distinct hashes per family member
+    val minCols = (0 until numHashes).map { i =>
+      val (a, b) = portableCoef(i)
+      min((col("h") * a + b) % portableP).as(s"m$i")
+    }
+    val mins = sh.groupBy("s").agg(minCols.head, minCols.tail: _*)
+    val matches = (0 until numHashes)
+      .map(i => when(col(s"x.m$i") === col(s"y.m$i"), 1).otherwise(0): Column)
+      .reduce(_ + _)
+    val est = mins.as("x").join(mins.as("y"), col("x.s") < col("y.s"))
+      .select(col("x.s").as("source1"), col("y.s").as("source2"),
+        (matches.cast("double") / numHashes).as("est"))
+    est
+      .join(broadcast(inter), Seq("source1", "source2"), "left")
+      .join(broadcast(sizes.select(col("s").as("source1"), col("n").as("n1"))), "source1")
+      .join(broadcast(sizes.select(col("s").as("source2"), col("n").as("n2"))), "source2")
+      .select(col("source1"), col("source2"), col("n1"), col("n2"),
+        coalesce(col("inter"), lit(0L)).as("inter"),
+        round(coalesce(col("inter"), lit(0L)).cast("double") /
+          (col("n1") + col("n2") - coalesce(col("inter"), lit(0L))), 6).as("jaccard"),
+        round(col("est"), 6).as("est_jaccard"))
+  }
+
+  /** DuckDB SQL computing [[corpusOverlap]] bit-for-bit. */
+  def corpusOverlapOracleSql(table: String, source: String, text: String,
+                             k: Int = 5, numHashes: Int = 32): String = {
+    val mins = (0 until numHashes).map { i =>
+      val (a, b) = portableCoef(i)
+      s"min((h * $a + $b) % $portableP) AS m$i"
+    }.mkString(",\n         ")
+    val matches = (0 until numHashes)
+      .map(i => s"(CASE WHEN x.m$i = y.m$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH base AS (
+       |  SELECT $source AS s, lower($text) AS t FROM $table WHERE $text IS NOT NULL),
+       |sh AS MATERIALIZED (
+       |  SELECT DISTINCT s,
+       |         ('0x' || substr(md5(substr(t, i, $k)), 1, 7))::BIGINT AS h
+       |  FROM (SELECT s, t,
+       |          unnest(generate_series(1, greatest(length(t) - ${k - 1}, 1)))::INT AS i
+       |        FROM base)),
+       |sizes AS (SELECT s, count(*) AS n FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT a.s AS s1, b.s AS s2, count(*) AS inter
+       |  FROM sh a JOIN sh b ON a.h = b.h AND a.s < b.s GROUP BY 1, 2),
+       |mins AS (
+       |  SELECT s,
+       |         $mins
+       |  FROM sh GROUP BY 1),
+       |pairs AS (
+       |  SELECT x.s AS s1, y.s AS s2, ($matches)::DOUBLE / $numHashes AS est
+       |  FROM mins x JOIN mins y ON x.s < y.s)
+       |SELECT p.s1 AS source1, p.s2 AS source2,
+       |       z1.n::BIGINT AS n1, z2.n::BIGINT AS n2,
+       |       COALESCE(i.inter, 0)::BIGINT AS inter,
+       |       round(COALESCE(i.inter, 0) / (z1.n + z2.n - COALESCE(i.inter, 0)), 6) AS jaccard,
+       |       round(p.est, 6) AS est_jaccard
+       |FROM pairs p
+       |JOIN sizes z1 ON p.s1 = z1.s JOIN sizes z2 ON p.s2 = z2.s
+       |LEFT JOIN inter i ON p.s1 = i.s1 AND p.s2 = i.s2
+       |ORDER BY source1, source2""".stripMargin
+  }
+
   /** Portable SimHash (60-bit): identical to `simhash` but the token hash
     * is the first 15 hex digits of md5 — computable bit-for-bit by any
     * engine, so the fingerprint itself is oracle-checkable. Tokens split on

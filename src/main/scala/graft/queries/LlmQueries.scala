@@ -101,6 +101,16 @@ object LlmQueries {
           "FROM documents WHERE doc_id % 7 = 0) utf8docs",
         "doc_id", "text"))),
 
+    // ---- corpus-level overlap matrix: exact shingle-set Jaccard per
+    // source pair AND its 32-hash MinHash-sketch estimate side by side —
+    // the sketch (the 100 TB path: each corpus reduces to 32 longs) is
+    // hash-checked against its own ground truth, both via the portable
+    // md5-28 shingle family ----
+    QueryDef("dd15_corpus_overlap",
+      (s, d) => Dedup.corpusOverlap(t(s, d, "documents"), "source", "text")
+        .orderBy("source1", "source2"),
+      Some(Dedup.corpusOverlapOracleSql("documents", "source", "text"))),
+
     // ---- portable SimHash fingerprints — bit-exact oracle via md5-derived
     // token hashes ----
     QueryDef("dd4b_simhash_portable",

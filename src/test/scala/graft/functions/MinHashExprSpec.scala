@@ -80,6 +80,24 @@ class MinHashExprSpec extends SparkSpecBase {
     assert(fused === composed)
   }
 
+  test("PortableShingleHashes equals the distinct md5-hex window algebra") {
+    val s = spark; import s.implicits._
+    val k = 5
+    val cases = docs.select(col("id"), col("text"))
+      .union(Seq(
+        (6L, "naïve café — résumé ☃ über"), // multi-byte codepoints
+        (7L, "aaaaaaaa"),                   // duplicate windows collapse
+        (8L, "a"), (9L, "exactly5")         // shorter-than-k clamps
+      ).toDF("id", "text"))
+    val composed = cases.select(col("id"),
+        sort_array(array_distinct(transform(Dedup.shingles(col("text"), k),
+          sh => conv(substring(md5(sh), 1, 7), 16, 10).cast("long")))).as("hs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toIndexedSeq).toMap
+    val fused = cases.select(col("id"), PortableShingleHashes(col("text"), k).as("hs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toIndexedSeq).toMap
+    assert(fused === composed)
+  }
+
   test("PortableSimHash equals the md5-hex vote-aggregate algebra") {
     val s = spark; import s.implicits._
     val cases = docs.select(col("id"), col("text"))

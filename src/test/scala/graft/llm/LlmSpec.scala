@@ -667,4 +667,23 @@ class LlmSpec extends SparkSpecBase {
     assert(got === expect)
     assert(got.nonEmpty)
   }
+
+  test("corpusOverlap: identical corpora score 1, disjoint score 0, sketch tracks exact") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "alpha", "the quick brown fox jumps over the lazy dog"),
+      (2L, "beta",  "the quick brown fox jumps over the lazy dog"),
+      (3L, "gamma", "zzzzz yyyyy xxxxx wwwww vvvvv uuuuu qqqqq")
+    ).toDF("doc_id", "source", "text")
+    val r = Dedup.corpusOverlap(docs, "source", "text", k = 5, numHashes = 32)
+      .collect()
+      .map(x => (x.getString(0), x.getString(1)) ->
+        (x.getDouble(5), x.getDouble(6))).toMap
+    // alpha ≡ beta: exact jaccard 1 and every sketch component equal
+    assert(r(("alpha", "beta")) === ((1.0, 1.0)))
+    // gamma shares no 5-shingle with either: both measures 0
+    assert(r(("alpha", "gamma"))._1 === 0.0)
+    assert(r(("beta", "gamma"))._1 === 0.0)
+    assert(r(("alpha", "gamma"))._2 === 0.0)
+  }
 }
