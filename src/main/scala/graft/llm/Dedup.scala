@@ -351,6 +351,58 @@ object Dedup {
        |ORDER BY source1, source2""".stripMargin
   }
 
+  /** Content-defined-chunk dedup ledger: CDC-chunk every document
+    * (functions/CdcExpr.scala — boundaries re-sync after edits, so shared
+    * runs between near-identical documents yield identical chunks), then
+    * group by chunk hash. One row per chunk seen ≥ 2 times, with the
+    * characters a chunk-store would save. The whole pipeline is one
+    * fused-kernel projection + explode + hash aggregate — linear in
+    * corpus size, no pair joins, partial aggregation map-side. */
+  def cdcChunkDedup(df: DataFrame, text: String,
+                    w: Int = 16, maskBits: Int = 5): DataFrame = {
+    df.filter(col(text).isNotNull)
+      .select(explode(graft.functions.CdcChunks(col(text), w, maskBits)).as("c"))
+      .select(col("c.hash").as("h"), col("c.len").as("len"))
+      .groupBy("h")
+      // len is content-determined (same hash ⇒ same chunk text), max() is
+      // just the shuffle-safe way to carry it through the aggregate
+      .agg(max("len").cast("long").as("len"), count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
+      .select(col("h"), col("len"), col("cnt"),
+        ((col("cnt") - 1) * col("len")).as("saved_chars"))
+  }
+
+  /** DuckDB SQL computing [[cdcChunkDedup]] bit-for-bit: boundary
+    * positions via generate_series + the md5-28 window hash, chunk
+    * reconstruction via lag() over the boundary list, chunk ids via the
+    * 60-bit md5 prefix. */
+  def cdcChunkOracleSql(table: String, text: String,
+                        w: Int = 16, maskBits: Int = 5): String = {
+    val mask = 1L << maskBits
+    s"""WITH base AS (
+       |  SELECT row_number() OVER () AS rid, $text AS t, length($text) AS n
+       |  FROM $table WHERE $text IS NOT NULL AND length($text) > 0),
+       |pos AS (SELECT rid, t, n, unnest(generate_series($w, n))::INT AS i FROM base),
+       |bnd AS (
+       |  SELECT rid, i FROM pos
+       |  WHERE ('0x' || substr(md5(substr(t, i - ${w - 1}, $w)), 1, 7))::BIGINT % $mask = 0),
+       |allb AS (
+       |  SELECT DISTINCT rid, i FROM (
+       |    SELECT rid, i FROM bnd UNION ALL SELECT rid, n FROM base)),
+       |chunks AS (
+       |  SELECT rid,
+       |         COALESCE(lag(i) OVER (PARTITION BY rid ORDER BY i), 0) + 1 AS start,
+       |         i AS fin
+       |  FROM allb),
+       |hashed AS (
+       |  SELECT ('0x' || substr(md5(substr(b.t, c.start, c.fin - c.start + 1)), 1, 15))::BIGINT AS h,
+       |         c.fin - c.start + 1 AS len
+       |  FROM chunks c JOIN base b USING (rid))
+       |SELECT h, max(len)::BIGINT AS len, count(*)::BIGINT AS cnt,
+       |       ((count(*) - 1) * max(len))::BIGINT AS saved_chars
+       |FROM hashed GROUP BY h HAVING count(*) >= 2 ORDER BY h""".stripMargin
+  }
+
   /** Portable SimHash (60-bit): identical to `simhash` but the token hash
     * is the first 15 hex digits of md5 — computable bit-for-bit by any
     * engine, so the fingerprint itself is oracle-checkable. Tokens split on

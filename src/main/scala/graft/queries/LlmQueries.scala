@@ -111,6 +111,15 @@ object LlmQueries {
         .orderBy("source1", "source2"),
       Some(Dedup.corpusOverlapOracleSql("documents", "source", "text"))),
 
+    // ---- content-defined-chunk dedup ledger: CDC boundaries (md5-28
+    // window hash, mask 1/32, w=16) re-sync after edits, so near-identical
+    // docs share chunks; one row per duplicated chunk with the chars a
+    // chunk-store would save — the storage-level dedup tier, linear scan,
+    // no pair join; boundary rule AND chunk ids both replay in DuckDB ----
+    QueryDef("dd16_cdc_chunk_dedup",
+      (s, d) => Dedup.cdcChunkDedup(t(s, d, "documents"), "text").orderBy("h"),
+      Some(Dedup.cdcChunkOracleSql("documents", "text"))),
+
     // ---- portable SimHash fingerprints — bit-exact oracle via md5-derived
     // token hashes ----
     QueryDef("dd4b_simhash_portable",
