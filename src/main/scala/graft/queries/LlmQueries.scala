@@ -868,6 +868,45 @@ object LlmQueries {
              |       min(doc_id) AS keep_id, count(*) AS cnt
              |FROM documents GROUP BY 1 ORDER BY h""".stripMargin)),
 
+    // ---- Unicode NFC normalization (native codegen expression over the
+    // JDK normalizer; DuckDB's nfc_normalize is the oracle): each doc is
+    // lifted to a COMPOSED variant (é U+00E9 …) and a DECOMPOSED twin
+    // (e + combining U+0301 …) — different bytes, same text. The NFC'd
+    // md5 groups must pair them back up (cnt 2 per group), and the
+    // per-doc equality column pins our normalizer against DuckDB's
+    // codepoint for codepoint. Without this pass, visually-identical
+    // duplicates sail through every hash-keyed dedup in the tier. ----
+    QueryDef("ts18_nfc_dedup",
+      (s, d) => {
+        // decomposed twin: base letter + combining mark (U+0301 acute /
+        // U+0308 diaeresis) — different bytes, same rendered text; NFC
+        // must fold it back onto the composed variant
+        val dec = Seq(("a", "a\u0301"), ("e", "e\u0301"), ("i", "i\u0301"),
+            ("o", "o\u0308"), ("u", "u\u0308"))
+          .foldLeft(lower(col("text")): org.apache.spark.sql.Column) {
+            case (c, (from, to)) => regexp_replace(c, from, to)
+          }
+        t(s, d, "documents").filter(col("doc_id") % 7 === 0)
+          .select(col("doc_id"),
+            translate(lower(col("text")), "aeiou", "\u00e1\u00e9\u00ed\u00f6\u00fc").as("comp"),
+            dec.as("decomp"))
+          .select(col("doc_id"),
+            md5(graft.functions.NfcNormalize(col("decomp"))).as("h"),
+            (graft.functions.NfcNormalize(col("decomp")) === col("comp")).as("collapsed"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH sel AS (SELECT doc_id, lower(text) AS t FROM documents WHERE doc_id % 7 = 0),
+              |v AS (SELECT doc_id,
+              |        translate(t, 'aeiou', 'áéíöü') AS comp,
+              |        replace(replace(replace(replace(replace(t,
+              |          'a', 'a' || chr(769)), 'e', 'e' || chr(769)),
+              |          'i', 'i' || chr(769)), 'o', 'o' || chr(776)),
+              |          'u', 'u' || chr(776)) AS decomp
+              |      FROM sel)
+              |SELECT doc_id, md5(nfc_normalize(decomp)) AS h,
+              |       nfc_normalize(decomp) = comp AS collapsed
+              |FROM v ORDER BY doc_id""".stripMargin)),
+
     // ---- lexical diversity: type-token ratio + unigram entropy (the
     // declarative proxy for perplexity gating) ----
     QueryDef("ts8_lexical_diversity",
