@@ -239,7 +239,16 @@ class ScaleSpec extends SparkSpecBase {
       // stats1: multi-distinct Expand = two-level agg, one scan, no
       // filter → no pushdown entry; stats2's BNLJ is the 1-row bounds
       "stats1_column_profile" -> "2/0/0/0/-",
-      "stats2_histogram" -> "3/0/0/1/-")
+      "stats2_histogram" -> "3/0/0/1/-",
+      // g11's audited plan is the checkpoint-truncated final hub⋈auth
+      // join (per-round checkpoints like g2's)
+      "g11_hits" -> "3/1/0/0/-",
+      // dd15's BNLJ is the source-pair sketch comparison — both sides are
+      // the 20-row per-source minima dim; the corpus never self-joins
+      "dd15_corpus_overlap" -> "5/4/0/1/-",
+      // dd16: one fused-kernel projection + chunk-hash agg + output sort
+      "dd16_cdc_chunk_dedup" -> "2/0/0/0/p",
+      "ts18_nfc_dedup" -> "1/0/0/0/p")
     try {
       val drift = graft.SparkEntry.all
         .filter(q => snapshot.contains(q.name))
@@ -249,7 +258,7 @@ class ScaleSpec extends SparkSpecBase {
           else Some(s"${q.name}: expected ${snapshot(q.name)}, got $live")
         }
       assert(drift.isEmpty, s"plan drift:\n${drift.mkString("\n")}")
-      assert(snapshot.size === 76)
+      assert(snapshot.size === 80)
     } finally sys.props.remove("graft.querymemo.disable")
   }
 
