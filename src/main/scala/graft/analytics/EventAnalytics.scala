@@ -167,4 +167,33 @@ object EventAnalytics {
         round(pow(lit(decay), col("t")) *
           (lit(alpha) * (col("cu") - col("u0")) + col("u0")), 4).as("ewma"))
   }
+
+  /** Engagement concentration: how unevenly activity is distributed over
+    * users — the Gini coefficient of per-user event counts plus the share
+    * of events generated by the top-10% most active users (the power-user
+    * curve's two headline numbers). Gini via the rank-weighted closed form
+    *   G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n
+    * over counts ranked ascending (ties broken by user id, so the rank —
+    * and thus the output — is deterministic on both engines).
+    *
+    * Scale shape: one per-user count aggregate, then the two-level global
+    * row number (operators/Ranking — never a single-reducer window), one
+    * 1-row stats aggregate broadcast back, one final fold. Nothing here
+    * holds more than (user, count) rows, so the pipeline is user-table
+    * sized regardless of event volume. */
+  def engagementConcentration(events: DataFrame): DataFrame = {
+    val cnts = events.groupBy("user_id").agg(count(lit(1)).as("cnt"))
+    val ranked = graft.operators.Ranking
+      .globalRowNumber(cnts, "i", col("cnt"), col("user_id"))
+    val stats = ranked.agg(count(lit(1)).as("n"), sum("cnt").as("tot"),
+      sum(col("i") * col("cnt")).as("iw"))
+    ranked.crossJoin(broadcast(stats))
+      .agg(
+        first("n").as("n_users"),
+        first("tot").as("total_events"),
+        round(lit(2.0) * first("iw") / (first("n") * first("tot"))
+          - (first("n") + lit(1.0)) / first("n"), 6).as("gini"),
+        round(sum(when(col("i") > col("n") - ceil(col("n") / lit(10.0)), col("cnt"))
+            .otherwise(lit(0L))).cast("double") / first("tot"), 6).as("top10_share"))
+  }
 }

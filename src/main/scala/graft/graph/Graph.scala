@@ -318,31 +318,40 @@ object Graph {
   def hits(nodes: DataFrame, edges: DataFrame, iters: Int = 8): DataFrame = {
     val nd = nodes.select(col("node")).localCheckpoint()
     val e = edges.select(col("src"), col("dst"), col("w")).persist()
-    var hub = nd.withColumn("hub", lit(1.0)).localCheckpoint()
+    // Per half-step ONE eager job: the contrib table is checkpointed and
+    // the L1 normalizer rides as a LAZY 1-row aggregate of that
+    // checkpointed table, crossJoined back as a broadcast row — never a
+    // separate driver action (2 jobs/round; the explicit head() variant
+    // measured 3× this loop's wall time). Element arithmetic (v / Σv,
+    // then Σ w·(v/Σv)) is unchanged, so the unrolled oracle still
+    // replays it; nodes without contribs drop from the inner joins and
+    // contribute exactly the 0.0 their coalesced rows used to.
+    var hub = nd.withColumn("h", lit(1.0)).localCheckpoint()
+    var prevHc: DataFrame = hub
+    var prevAc: DataFrame = null
     var auth: DataFrame = null
     for (_ <- 1 to iters) {
       val ac = e.join(broadcast(hub), e("src") === hub("node"))
-        .groupBy(col("dst")).agg(sum(col("w") * col("hub")).as("v"))
+        .groupBy(col("dst").as("node")).agg(sum(col("w") * col("h")).as("v"))
         .localCheckpoint()
-      val an = ac.agg(sum("v")).head().getDouble(0)
-      val nextAuth = nd.join(broadcast(ac), nd("node") === ac("dst"), "left")
-        .select(nd("node"), (coalesce(col("v"), lit(0.0)) / an).as("auth"))
-        .localCheckpoint()
-      if (auth != null) auth.unpersist()
-      auth = nextAuth
+      if (prevAc != null) prevAc.unpersist()
+      prevAc = ac
+      prevHc.unpersist() // backed the hub vector that ac just consumed
+      auth = ac.crossJoin(broadcast(ac.agg(sum("v").as("s"))))
+        .select(col("node"), (col("v") / col("s")).as("h"))
       val hc = e.join(broadcast(auth), e("dst") === auth("node"))
-        .groupBy(col("src")).agg(sum(col("w") * col("auth")).as("v"))
+        .groupBy(col("src").as("node")).agg(sum(col("w") * col("h")).as("v"))
         .localCheckpoint()
-      val hn = hc.agg(sum("v")).head().getDouble(0)
-      val nextHub = nd.join(broadcast(hc), nd("node") === hc("src"), "left")
-        .select(nd("node"), (coalesce(col("v"), lit(0.0)) / hn).as("hub"))
-        .localCheckpoint()
-      hub.unpersist(); ac.unpersist(); hc.unpersist()
-      hub = nextHub
+      prevHc = hc
+      hub = hc.crossJoin(broadcast(hc.agg(sum("v").as("s"))))
+        .select(col("node"), (col("v") / col("s")).as("h"))
     }
     e.unpersist()
-    // both vectors span every node (left-join spine + coalesce 0)
-    hub.join(auth, Seq("node"))
+    // lift the edge-supported vectors onto the full node spine
+    nd.join(broadcast(hub.select(col("node"), col("h").as("hub"))), Seq("node"), "left")
+      .join(broadcast(auth.select(col("node"), col("h").as("auth"))), Seq("node"), "left")
+      .select(col("node"), coalesce(col("hub"), lit(0.0)).as("hub"),
+        coalesce(col("auth"), lit(0.0)).as("auth"))
   }
 
   /** Unrolled DuckDB oracle for [[hits]] over the supplier transition
@@ -457,6 +466,77 @@ object Graph {
     base + steps +
       s"\nSELECT node, label AS community FROM l$iters ORDER BY node"
   }
+
+  /** Whole-graph structure summary: node/edge counts, directed density,
+    * reciprocity (fraction of directed edges whose reverse also exists —
+    * do career flows run both ways between company pairs?), and degree
+    * assortativity (Pearson correlation of endpoint degrees over the
+    * symmetrized edge list — do big hubs connect to other hubs or to the
+    * periphery?). One row out.
+    *
+    * Scale shape: degree is a node-sized dim (broadcast into both
+    * endpoint joins), reciprocity is ONE self-equi-join on the reversed
+    * key, and every output is an aggregate — nothing driver-side, no
+    * all-pairs anything. Zero-variance degree sequences (regular graphs)
+    * make the correlation undefined: both engines emit NULL (Spark's NaN
+    * is mapped via nanvl, matching DuckDB's corr). */
+  def summary(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).filter(col("src") =!= col("dst"))
+      .distinct().localCheckpoint() // referenced 4x below (counts, recip x2, und)
+    val nN = nodes.select(col("node")).agg(count(lit(1)).as("n_nodes"))
+    val nE = e.agg(count(lit(1)).as("n_edges"))
+    val recip = e.as("a").join(e.as("b"),
+        col("a.src") === col("b.dst") && col("a.dst") === col("b.src"))
+      .agg(count(lit(1)).as("recip_edges"))
+    val und = e.select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v")).distinct()
+    val sym = und.unionByName(und.select(col("v").as("u"), col("u").as("v")))
+    val deg = sym.groupBy(col("u").as("n")).agg(count(lit(1)).as("deg"))
+    // corr() under ANSI mode throws DIVIDE_BY_ZERO on a zero-variance
+    // degree sequence (regular graphs); build Pearson from its guarded
+    // parts instead — DuckDB's corr returns NULL there, and so do we
+    val assort = sym
+      .join(broadcast(deg.select(col("n").as("u"), col("deg").as("du"))), "u")
+      .join(broadcast(deg.select(col("n").as("v"), col("deg").as("dv"))), "v")
+      .agg(covar_samp(col("du").cast("double"), col("dv").cast("double")).as("c"),
+        stddev_samp(col("du").cast("double")).as("s1"),
+        stddev_samp(col("dv").cast("double")).as("s2"))
+      .select(when(col("s1").isNull || col("s2").isNull ||
+          col("s1") * col("s2") === 0, lit(null).cast("double"))
+        .otherwise(col("c") / (col("s1") * col("s2"))).as("r"))
+    nN.crossJoin(broadcast(nE)).crossJoin(broadcast(recip)).crossJoin(broadcast(assort))
+      .select(col("n_nodes"), col("n_edges"),
+        round(col("n_edges").cast("double") /
+          (col("n_nodes") * (col("n_nodes") - 1)), 6).as("density"),
+        round(col("recip_edges").cast("double") / col("n_edges"), 6).as("reciprocity"),
+        round(nanvl(col("r"), lit(null).cast("double")), 6).as("assortativity"))
+  }
+
+  /** DuckDB oracle for [[summary]] over the supplier transition graph. */
+  def summaryOracleSql(): String =
+    s"""WITH seq AS MATERIALIZED (
+       |  SELECT o.o_custkey AS cust, l.l_suppkey AS supp,
+       |         lag(l.l_suppkey) OVER (PARTITION BY o.o_custkey
+       |           ORDER BY o.o_orderdate, l.l_orderkey, l.l_linenumber,
+       |                    l.l_suppkey) AS prev
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+       |e AS MATERIALIZED (
+       |  SELECT DISTINCT prev AS src, supp AS dst
+       |  FROM seq WHERE prev IS NOT NULL AND prev <> supp),
+       |nn AS (SELECT count(*)::BIGINT AS n_nodes FROM supplier),
+       |ne AS (SELECT count(*)::BIGINT AS n_edges FROM e),
+       |rc AS (SELECT count(*)::BIGINT AS recip_edges
+       |       FROM e a JOIN e b ON a.src = b.dst AND a.dst = b.src),
+       |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM e),
+       |sym AS (SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
+       |deg AS (SELECT u AS n, count(*)::BIGINT AS deg FROM sym GROUP BY 1),
+       |ar AS (SELECT corr(du.deg::DOUBLE, dv.deg::DOUBLE) AS r
+       |       FROM sym s JOIN deg du ON s.u = du.n JOIN deg dv ON s.v = dv.n)
+       |SELECT nn.n_nodes, ne.n_edges,
+       |       round(ne.n_edges / (nn.n_nodes * (nn.n_nodes - 1.0)), 6) AS density,
+       |       round(rc.recip_edges / ne.n_edges::DOUBLE, 6) AS reciprocity,
+       |       round(ar.r, 6) AS assortativity
+       |FROM nn, ne, rc, ar""".stripMargin
 
   /** Tie-strength backbone: each node keeps its `k` strongest outgoing
     * edges (weight desc, dst asc tiebreak — fully deterministic). The raw

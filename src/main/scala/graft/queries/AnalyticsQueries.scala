@@ -58,6 +58,26 @@ object AnalyticsQueries {
              |       count(tc) AS users_click, count(tp) AS users_purchase
              |FROM u""".stripMargin)),
 
+    // ---- ev7: engagement concentration — Gini of per-user event counts
+    // + the top-10% users' event share (the power-user curve's headline
+    // numbers); rank via the two-level global row number, never a
+    // single-reducer window ----
+    QueryDef("ev7_engagement_gini",
+      (s, d) => EventAnalytics.engagementConcentration(Tables.events(s, d)),
+      Some("""WITH cnts AS (SELECT user_id, count(*)::BIGINT AS cnt
+             |              FROM events GROUP BY 1),
+             |ranked AS (SELECT cnt,
+             |             row_number() OVER (ORDER BY cnt, user_id) AS i
+             |           FROM cnts),
+             |st AS (SELECT count(*)::BIGINT AS n, sum(cnt)::BIGINT AS tot,
+             |              sum(i * cnt)::BIGINT AS iw
+             |       FROM ranked)
+             |SELECT st.n AS n_users, st.tot AS total_events,
+             |       round(2.0 * st.iw / (st.n * st.tot) - (st.n + 1.0) / st.n, 6) AS gini,
+             |       round((SELECT COALESCE(sum(cnt), 0) FROM ranked, st
+             |              WHERE i > st.n - ceil(st.n / 10.0))::DOUBLE / st.tot, 6) AS top10_share
+             |FROM st""".stripMargin)),
+
     // ---- ev3: cohort retention (first-activity day → day-offset distinct
     // users); cohort via window min, no self-join ----
     QueryDef("ev3_retention",

@@ -221,6 +221,16 @@ object GraphQueries {
       },
       Some(Graph.hitsOracleSql(iters = 8))),
 
+    // ---- g12: whole-graph structure summary — density, reciprocity
+    // (career flows running both ways), degree assortativity (hubs
+    // wiring to hubs vs periphery); every output an aggregate, degree
+    // dim broadcast, reciprocity ONE reversed-key equi-join ----
+    QueryDef("g12_graph_summary",
+      (s, d) => Graph.summary(
+        Tables.supplier(s, d).select(col("s_suppkey").as("node")),
+        edgesMemo(s, d)),
+      Some(Graph.summaryOracleSql())),
+
     // ---- g8: per-node triangle counts + clustering coefficient via
     // degree-ordered orientation (each triangle counted once as a wedge
     // from its lowest-order corner closed by an oriented edge; hub nodes

@@ -189,4 +189,28 @@ class EventAnalyticsSpec extends SparkSpecBase {
     assert(r(0).getTimestamp(6) === ts("2020-01-01 10:00:00"))
     assert(r(1).getLong(0) === 6L && r(1).isNullAt(3) && r(1).isNullAt(5))
   }
+
+  test("engagementConcentration: uniform activity scores Gini 0") {
+    // 4 users × 3 events each: perfectly equal → G = 0; top-10% = top-1
+    // user (ceil(4/10) = 1) holds exactly 1/4 of the events
+    val events = (1L to 4L).flatMap(u => (1 to 3).map(i =>
+      (u, ts(f"2020-01-01 10:0$i:00")))).toDF("user_id", "ts")
+    val r = EventAnalytics.engagementConcentration(events).head()
+    assert(r.getLong(0) === 4L && r.getLong(1) === 12L)
+    assert(r.getDouble(2) === 0.0)
+    assert(r.getDouble(3) === 0.25)
+  }
+
+  test("engagementConcentration: one dominant user matches the closed form") {
+    // counts 1,1,1,7 ascending → ranks 1..4 (ties by user id)
+    // G = 2*(1*1+2*1+3*1+4*7)/(4*10) - 5/4 = 68/40 - 1.25 = 0.45
+    val events =
+      ((1 to 7).map(i => (9L, ts(f"2020-01-01 10:0$i:00"))) ++
+        Seq((1L, ts("2020-01-01 11:00:00")), (2L, ts("2020-01-01 11:00:00")),
+          (3L, ts("2020-01-01 11:00:00")))).toDF("user_id", "ts")
+    val r = EventAnalytics.engagementConcentration(events).head()
+    assert(r.getLong(0) === 4L && r.getLong(1) === 10L)
+    assert(r.getDouble(2) === 0.45)
+    assert(r.getDouble(3) === 0.7) // the top user holds 7 of 10 events
+  }
 }

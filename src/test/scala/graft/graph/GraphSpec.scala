@@ -229,6 +229,28 @@ class GraphSpec extends SparkSpecBase {
     assert(r(2L) > r(3L) && r(3L) > 0.0)
   }
 
+  test("summary: density, reciprocity, and assortativity on a known graph") {
+    val s = spark; import s.implicits._
+    // 1↔2 reciprocal, 1→3 one-way: 3 directed edges over 3 nodes.
+    // density = 3/6; reciprocity = 2/3; undirected star degrees
+    // (2,1,1) → assortativity = Pearson over {(2,1),(1,2),(2,1),(1,2)} = −1
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L)).toDF("src", "dst")
+    val r = Graph.summary((1L to 3L).toDF("node"), edges).head()
+    assert(r.getLong(0) === 3L && r.getLong(1) === 3L)
+    assert(r.getDouble(2) === 0.5)
+    assert(r.getDouble(3) === 0.666667)
+    assert(r.getDouble(4) === -1.0)
+  }
+
+  test("summary: regular graph leaves assortativity undefined (null)") {
+    val s = spark; import s.implicits._
+    // a 3-cycle: every degree 2 → zero variance → NULL, not NaN
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val r = Graph.summary((1L to 3L).toDF("node"), edges).head()
+    assert(r.isNullAt(4))
+    assert(r.getDouble(3) === 0.0) // no reciprocal directed edges
+  }
+
   test("kcore: k=2 keeps any cycle, empty graph yields no core") {
     val s = spark; import s.implicits._
     val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("src", "dst")

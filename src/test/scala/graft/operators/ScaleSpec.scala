@@ -240,9 +240,16 @@ class ScaleSpec extends SparkSpecBase {
       // filter → no pushdown entry; stats2's BNLJ is the 1-row bounds
       "stats1_column_profile" -> "2/0/0/0/-",
       "stats2_histogram" -> "3/0/0/1/-",
-      // g11's audited plan is the checkpoint-truncated final hub⋈auth
-      // join (per-round checkpoints like g2's)
-      "g11_hits" -> "3/1/0/0/-",
+      // g11's audited plan is the final node-spine join; the two BNLJs
+      // are the lazy 1-row L1-normalizer broadcasts of the last round
+      "g11_hits" -> "3/2/0/2/-",
+      // g12 is a 1-row summary: its exchanges are the per-aggregate
+      // finals over the checkpointed node/edge-scale frames, its BNLJs
+      // the 1-row stat crossJoins
+      "g12_graph_summary" -> "12/3/0/3/-",
+      // ev7: count agg + the two-level ranking passes; BNLJs = the 1-row
+      // offset/stats broadcasts
+      "ev7_engagement_gini" -> "4/0/0/3/-",
       // dd15's BNLJ is the source-pair sketch comparison — both sides are
       // the 20-row per-source minima dim; the corpus never self-joins
       "dd15_corpus_overlap" -> "5/4/0/1/-",
@@ -258,7 +265,7 @@ class ScaleSpec extends SparkSpecBase {
           else Some(s"${q.name}: expected ${snapshot(q.name)}, got $live")
         }
       assert(drift.isEmpty, s"plan drift:\n${drift.mkString("\n")}")
-      assert(snapshot.size === 80)
+      assert(snapshot.size === 82)
     } finally sys.props.remove("graft.querymemo.disable")
   }
 
