@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** A composed training-data curation pipeline — the shape a 100 TB corpus
@@ -113,6 +113,42 @@ object Curation {
       df.agg(count(lit(1)).as("docs"))
         .select(lit(i + 1).as("stage_ord"), lit(name).as("stage"), col("docs"))
     }.reduce(_ union _)
+  }
+
+  /** Largest-remainder (Hamilton) quota allocation: split a fixed
+    * document budget across sources exactly proportionally to a weight
+    * (here: corpus mass). Each source gets floor(N·wᵢ/W); the r = N − Σfloor
+    * leftover seats go to the r largest fractional remainders (ties by
+    * source name — fully deterministic, so the allocation is
+    * oracle-checkable). This is the curation primitive behind "sample
+    * exactly N docs with the corpus mixture preserved": naive
+    * round(N·wᵢ/W) can over/under-shoot the budget by up to |sources|/2;
+    * Hamilton rounding hits N exactly and is the unique allocation
+    * staying within 1 of every exact quota.
+    *
+    * Scale shape: one weight aggregate (source-dim sized), the remainder
+    * rank over that dim-sized frame (bounded cardinality — NOT a
+    * corpus-row window), and one broadcast join back for the per-source
+    * pick. The picked rows use the per-source cap_rank machinery, so the
+    * corpus side is one hash partition by source. */
+  def quotaAllocate(docs: DataFrame, id: String, source: String,
+                    weight: Column, budget: Int): DataFrame = {
+    val w = docs.groupBy(col(source)).agg(sum(weight).as("w"),
+      count(lit(1)).as("avail"))
+    val tot = w.agg(sum("w").as("tot"))
+    val frac = w.crossJoin(broadcast(tot))
+      .withColumn("exact", lit(budget) * col("w") / col("tot"))
+      .withColumn("base", floor(col("exact")).cast("long"))
+      .withColumn("rem", col("exact") - col("base"))
+    val leftovers = frac.agg((lit(budget) - sum("base")).as("r"))
+    // remainder rank over the SOURCE DIM (bounded cardinality, not corpus
+    // rows) — the +1 seats go to the largest remainders, ties by name
+    val ranked = frac.withColumn("rk",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("rem").desc, col(source))))
+    ranked.crossJoin(broadcast(leftovers))
+      .select(col(source), col("w"), col("avail"),
+        (col("base") + when(col("rk") <= col("r"), 1L).otherwise(0L)).as("quota"))
   }
 
   /** Stage 3: drop the higher-id member of every verified near-dup pair. */

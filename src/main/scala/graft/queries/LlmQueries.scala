@@ -1027,6 +1027,30 @@ object LlmQueries {
              |  FROM documents)
              |WHERE cap_rank <= 10 ORDER BY doc_id""".stripMargin)),
 
+    // ---- largest-remainder (Hamilton) quota allocation: a 200-doc budget
+    // split across sources exactly proportionally to corpus mass — floor
+    // quotas + the leftover seats to the largest fractional remainders
+    // (ties by source name); hits the budget EXACTLY where naive rounding
+    // over/under-shoots, and every step is engine-replayable ----
+    QueryDef("cur13_quota_allocation",
+      (s, d) => graft.llm.Curation.quotaAllocate(
+          t(s, d, "documents"), "doc_id", "source", col("n_chars"), budget = 200)
+        .orderBy("source"),
+      Some("""WITH w AS (SELECT source, sum(n_chars)::BIGINT AS w,
+             |                 count(*)::BIGINT AS avail
+             |          FROM documents GROUP BY 1),
+             |tot AS (SELECT sum(w) AS tot FROM w),
+             |frac AS (SELECT source, w, avail,
+             |                200 * w / tot.tot AS exact,
+             |                floor(200 * w / tot.tot)::BIGINT AS base
+             |         FROM w, tot),
+             |lv AS (SELECT 200 - sum(base) AS r FROM frac),
+             |rk AS (SELECT *, row_number() OVER (ORDER BY exact - base DESC, source) AS rk
+             |       FROM frac)
+             |SELECT source, w, avail,
+             |       (base + CASE WHEN rk <= lv.r THEN 1 ELSE 0 END)::BIGINT AS quota
+             |FROM rk, lv ORDER BY source""".stripMargin)),
+
     // ---- stratified train/val/test split: hash-cut md5 fraction, stable
     // under reshuffles and appends; per-source counts prove stratification ----
     QueryDef("cur7_split",
@@ -1100,6 +1124,39 @@ object LlmQueries {
              |      FROM part WHERE p_partkey % 50 = 0) p
              |  ON e.value >= p.lo AND e.value <= p.hi
              |ORDER BY event_id, p_partkey""".stripMargin)),
+
+    // ---- geo1: grid-bucketed spatial proximity join (the scale path for
+    // the reference's haversine tier, locUtils.js:2-16): all point pairs
+    // within 40 km via lat/lon cell bucketing + 3×3 probe + exact
+    // haversine verify — Σ cell² candidates, never n²; oracle = the
+    // brute-force n² distance filter over the same synthesized coords ----
+    QueryDef("geo1_proximity_join",
+      (s, d) => {
+        val pts = Tables.table(s, d, "customer")
+          .filter(col("c_custkey") % 5 === 0)
+          .select(col("c_custkey"),
+            (lit(40.0) + (col("c_custkey") * 7919 % 4000) / 1000.0).as("lat"),
+            (lit(-74.0) + (col("c_custkey") * 104729 % 4000) / 1000.0).as("lon"))
+        graft.operators.GeoJoin.withinDistance(pts, "c_custkey", "lat", "lon", 40.0)
+          .orderBy("id1", "id2")
+      },
+      Some("""WITH pts AS (
+             |  SELECT c_custkey,
+             |         40.0 + (c_custkey * 7919 % 4000) / 1000.0 AS lat,
+             |         -74.0 + (c_custkey * 104729 % 4000) / 1000.0 AS lon
+             |  FROM customer WHERE c_custkey % 5 = 0),
+             |pairs AS (
+             |  SELECT a.c_custkey AS id1, b.c_custkey AS id2,
+             |         6371.0 * 2.0 * atan2(sqrt(
+             |             pow(sin(radians(b.lat - a.lat) / 2), 2)
+             |           + cos(radians(a.lat)) * cos(radians(b.lat))
+             |           * pow(sin(radians(b.lon - a.lon) / 2), 2)),
+             |           sqrt(1.0 - (pow(sin(radians(b.lat - a.lat) / 2), 2)
+             |           + cos(radians(a.lat)) * cos(radians(b.lat))
+             |           * pow(sin(radians(b.lon - a.lon) / 2), 2)))) AS km
+             |  FROM pts a JOIN pts b ON a.c_custkey < b.c_custkey)
+             |SELECT id1, id2, round(km, 4) AS km
+             |FROM pairs WHERE km <= 40.0 ORDER BY id1, id2""".stripMargin)),
 
     // ---- ov1: interval-OVERLAP join (interval×interval, binned to an
     // equi-join + residual filter — never a nested loop): each order's

@@ -668,6 +668,33 @@ class LlmSpec extends SparkSpecBase {
     assert(got.nonEmpty)
   }
 
+  test("quotaAllocate: hits the budget exactly, stays within 1 of proportional") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "a", 100L), (2L, "a", 100L), (3L, "b", 50L),
+      (4L, "c", 30L), (5L, "c", 25L), (6L, "d", 10L)
+    ).toDF("doc_id", "source", "n_chars")
+    val q = graft.llm.Curation.quotaAllocate(docs, "doc_id", "source",
+        col("n_chars"), budget = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    // weights 200/55/55/10 of 315 → exact 6.349/1.746/1.746/0.317,
+    // floors 6/1/1/0 (Σ 8), two leftover seats → the two largest
+    // remainders .746/.746 (tie broken by name: b then c)
+    assert(q.values.sum === 10L)
+    assert(q === Map("a" -> 6L, "b" -> 2L, "c" -> 2L, "d" -> 0L))
+  }
+
+  test("quotaAllocate: uniform weights with remainder ties resolve by name") {
+    val s = spark; import s.implicits._
+    val docs = (1L to 8L).map(i => (i, s"s${i % 4}", 10L))
+      .toDF("doc_id", "source", "n_chars")
+    val q = graft.llm.Curation.quotaAllocate(docs, "doc_id", "source",
+        col("n_chars"), budget = 6)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    // 4 sources × exact 1.5 → floors 1 (Σ 4), 2 seats → s0, s1 by name
+    assert(q === Map("s0" -> 2L, "s1" -> 2L, "s2" -> 1L, "s3" -> 1L))
+  }
+
   test("corpusOverlap: identical corpora score 1, disjoint score 0, sketch tracks exact") {
     val s = spark; import s.implicits._
     val docs = Seq(

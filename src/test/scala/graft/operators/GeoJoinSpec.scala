@@ -1,0 +1,36 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class GeoJoinSpec extends SparkSpecBase {
+
+  test("grid bucket join equals the brute-force distance join") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val pts = (1L to 300L).map(i =>
+      (i, 40.0 + rnd.nextDouble() * 3, -74.0 + rnd.nextDouble() * 3))
+      .toDF("id", "lat", "lon")
+    val fast = GeoJoin.withinDistance(pts, "id", "lat", "lon", 25.0)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val a = pts.select(col("id").as("id1"), col("lat").as("lat1"), col("lon").as("lon1"))
+    val brute = a.crossJoin(
+        pts.select(col("id").as("id2"), col("lat").as("lat2"), col("lon").as("lon2")))
+      .filter(col("id1") < col("id2"))
+      .filter(graft.functions.Scalars.haversineKm(
+        col("lat1"), col("lon1"), col("lat2"), col("lon2")) <= 25.0)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(fast === brute)
+    assert(brute.nonEmpty) // the comparison must actually exercise pairs
+  }
+
+  test("cross-cell neighbors are found; no duplicate pairs emitted") {
+    val s = spark; import s.implicits._
+    // two points ~0.1° apart straddling a cell boundary at 25/111 ≈ 0.225°
+    val pts = Seq((1L, 40.224, -70.0), (2L, 40.226, -70.0), (3L, 55.0, -70.0))
+      .toDF("id", "lat", "lon")
+    val r = GeoJoin.withinDistance(pts, "id", "lat", "lon", 25.0)
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(r.toSeq == Seq((1L, 2L))) // exactly once, far point excluded
+  }
+}

@@ -250,6 +250,12 @@ class ScaleSpec extends SparkSpecBase {
       // ev7: count agg + the two-level ranking passes; BNLJs = the 1-row
       // offset/stats broadcasts
       "ev7_engagement_gini" -> "4/0/0/3/-",
+      // geo1: the 3×3-probe side broadcasts at audit scale (AQE shuffles
+      // it at corpus scale); candidates are cell-equi-joined, never n²
+      "geo1_proximity_join" -> "1/1/0/0/p",
+      // cur13: source-dim aggregates + the bounded remainder rank; BNLJs
+      // are the 1-row total/leftover broadcasts
+      "cur13_quota_allocation" -> "6/0/0/3/-",
       // dd15's BNLJ is the source-pair sketch comparison — both sides are
       // the 20-row per-source minima dim; the corpus never self-joins
       "dd15_corpus_overlap" -> "5/4/0/1/-",
@@ -265,7 +271,7 @@ class ScaleSpec extends SparkSpecBase {
           else Some(s"${q.name}: expected ${snapshot(q.name)}, got $live")
         }
       assert(drift.isEmpty, s"plan drift:\n${drift.mkString("\n")}")
-      assert(snapshot.size === 82)
+      assert(snapshot.size === 84)
     } finally sys.props.remove("graft.querymemo.disable")
   }
 
