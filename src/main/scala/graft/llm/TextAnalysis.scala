@@ -50,6 +50,35 @@ object TextAnalysis {
     * isolated punctuation), the standard pre-tokenizer shape. */
   def tokenEstimate(text: Column): Column = regexp_count(text, lit("""\w+|[^\w\s]"""))
 
+  /** Flesch reading-ease + Flesch-Kincaid grade level — the classic
+    * readability pair, a standard cheap quality/complexity signal next to
+    * the Gopher gates. Syllables use the vowel-group heuristic (number of
+    * maximal [aeiouy]+ runs — the textbook approximation); vowel runs
+    * never span word boundaries, so one whole-text regexp count equals
+    * the per-word sum without tokenizing. Words are maximal alphabetic
+    * runs, sentences maximal [.!?]+ runs (min 1). Three regexp counts per
+    * row inside codegen — no arrays, no UDF — and each replays exactly in
+    * DuckDB as len(regexp_extract_all(...)). Documents with no
+    * alphabetic word yield NULL scores. */
+  def readability(df: DataFrame, id: String, text: String): DataFrame = {
+    val t = lower(col(text))
+    val words = regexp_count(t, lit("[a-z]+"))
+    val sentences = greatest(regexp_count(t, lit("[.!?]+")), lit(1))
+    val syllables = regexp_count(t, lit("[aeiouy]+"))
+    df.select(col(id), words.cast("long").as("words"),
+        sentences.cast("long").as("sentences"),
+        syllables.cast("long").as("syllables"))
+      .withColumn("flesch",
+        round(when(col("words") > 0,
+          lit(206.835)
+            - lit(1.015) * col("words") / col("sentences")
+            - lit(84.6) * col("syllables") / col("words")), 4))
+      .withColumn("fk_grade",
+        round(when(col("words") > 0,
+          lit(0.39) * col("words") / col("sentences")
+            + lit(11.8) * col("syllables") / col("words") - lit(15.59)), 4))
+  }
+
   /** Quality scoring: length, word stats, punctuation/digit/space ratios,
     * and a composite [0,1] score (longer docs with normal word length and
     * low symbol noise score higher). */

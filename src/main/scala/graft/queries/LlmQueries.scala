@@ -221,6 +221,55 @@ object LlmQueries {
            |ORDER BY doc_id""".stripMargin
       }),
 
+    // ---- quality-aware survivor selection: per near-dup cluster keep
+    // the HIGHEST-quality member (ties by lowest id) instead of the id
+    // minimum — the policy real curation uses (drop the worse copy, not
+    // the newer one); rides the memoized dd6 component labeling + the
+    // ts2 quality score, argmax via one struct-max aggregate (no
+    // per-cluster window) ----
+    QueryDef("dd17_quality_survivors",
+      (s, d) => {
+        val docs5 = t(s, d, "documents").filter(col("doc_id") % 5 === 0)
+        val q = TextAnalysis.qualityFeatures(docs5, "text")
+          .select(col("doc_id"), col("quality_score"))
+        portableComponents(s, d).join(q, "doc_id")
+          .groupBy("component")
+          .agg(max(struct(col("quality_score"), (-col("doc_id")).as("nid"))).as("m"))
+          .select(col("component"), (-col("m.nid")).as("survivor"),
+            col("m.quality_score").as("quality"))
+          .orderBy("component")
+      },
+      Some {
+        val cands = Dedup.minhashCandidatesPortableOracleSql("docs5", "doc_id", "text")
+        s"""WITH RECURSIVE docs5 AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+           |cands AS ($cands),
+           |sym AS (SELECT id1 AS u, id2 AS v FROM cands
+           |        UNION SELECT id2, id1 FROM cands),
+           |reach AS (
+           |  SELECT u, v FROM sym
+           |  UNION
+           |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u WHERE s.v <> r.u),
+           |comp AS (SELECT u AS doc_id, least(u, min(v)) AS component
+           |         FROM reach GROUP BY u),
+           |labeled AS (
+           |  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+           |  FROM docs5 d LEFT JOIN comp c USING (doc_id)),
+           |q AS (
+           |  SELECT doc_id, round(greatest(0.0, least(1.0,
+           |    1.0 - abs(length(regexp_replace(text, '[ \\t\\n\\r\\f]', '', 'g'))
+           |              / (len(regexp_extract_all(text, '[^ \\t\\n\\r\\f]+')) * 1.0) - 5.0) / 10.0
+           |        - (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) / (length(text) * 1.0)
+           |        - (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) / (length(text) * 1.0))), 6) AS quality_score
+           |  FROM docs5),
+           |ranked AS (
+           |  SELECT l.component, l.doc_id, q.quality_score,
+           |         row_number() OVER (PARTITION BY l.component
+           |           ORDER BY q.quality_score DESC, l.doc_id) AS rk
+           |  FROM labeled l JOIN q USING (doc_id))
+           |SELECT component, doc_id AS survivor, quality_score AS quality
+           |FROM ranked WHERE rk = 1 ORDER BY component""".stripMargin
+      }),
+
     // ---- fast-path clustering: verified xxhash64 near-dup pairs over the
     // FULL corpus (rows-only like dd3; component algebra proven by dd6) ----
     QueryDef("dd6c_components_fast",
@@ -906,6 +955,27 @@ object LlmQueries {
               |SELECT doc_id, md5(nfc_normalize(decomp)) AS h,
               |       nfc_normalize(decomp) = comp AS collapsed
               |FROM v ORDER BY doc_id""".stripMargin)),
+
+    // ---- Flesch / Flesch-Kincaid readability: vowel-group syllable
+    // heuristic, three codegen'd regexp counts per row, scores NULL when
+    // no alphabetic word exists ----
+    QueryDef("ts19_readability",
+      (s, d) => TextAnalysis.readability(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""WITH c AS (
+             |  SELECT doc_id,
+             |         len(regexp_extract_all(lower(text), '[a-z]+')) AS words,
+             |         greatest(len(regexp_extract_all(lower(text), '[.!?]+')), 1) AS sentences,
+             |         len(regexp_extract_all(lower(text), '[aeiouy]+')) AS syllables
+             |  FROM documents)
+             |SELECT doc_id, words, sentences, syllables,
+             |       CASE WHEN words > 0 THEN
+             |         round(206.835 - 1.015 * words / sentences
+             |               - 84.6 * syllables / words, 4) END AS flesch,
+             |       CASE WHEN words > 0 THEN
+             |         round(0.39 * words / sentences
+             |               + 11.8 * syllables / words - 15.59, 4) END AS fk_grade
+             |FROM c ORDER BY doc_id""".stripMargin)),
 
     // ---- lexical diversity: type-token ratio + unigram entropy (the
     // declarative proxy for perplexity gating) ----

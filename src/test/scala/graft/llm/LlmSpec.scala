@@ -668,6 +668,22 @@ class LlmSpec extends SparkSpecBase {
     assert(got.nonEmpty)
   }
 
+  test("readability: known sentence scores match the hand computation") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "The cat sat. The dog ran!"), // 6 words, 2 sentences, 6 syllables
+      (2L, "!!! 123 ...")                 // no alphabetic word → NULL scores
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.readability(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert((r(0).getLong(1), r(0).getLong(2), r(0).getLong(3)) === ((6L, 2L, 6L)))
+    // 206.835 − 1.015·3 − 84.6·1 = 119.19
+    assert(r(0).getDouble(4) === 119.19)
+    // 0.39·3 + 11.8·1 − 15.59 = −2.62
+    assert(r(0).getDouble(5) === -2.62)
+    assert(r(1).isNullAt(4) && r(1).isNullAt(5))
+  }
+
   test("quotaAllocate: hits the budget exactly, stays within 1 of proportional") {
     val s = spark; import s.implicits._
     val docs = Seq(

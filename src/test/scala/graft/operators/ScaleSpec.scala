@@ -256,6 +256,10 @@ class ScaleSpec extends SparkSpecBase {
       // cur13: source-dim aggregates + the bounded remainder rank; BNLJs
       // are the 1-row total/leftover broadcasts
       "cur13_quota_allocation" -> "6/0/0/3/-",
+      "ts19_readability" -> "1/0/0/0/-",
+      // dd17: the memo-disabled audit pays the full candidate+component
+      // chain; the tail is the quality join + one struct-max aggregate
+      "dd17_quality_survivors" -> "4/2/0/0/p",
       // dd15's BNLJ is the source-pair sketch comparison — both sides are
       // the 20-row per-source minima dim; the corpus never self-joins
       "dd15_corpus_overlap" -> "5/4/0/1/-",
@@ -271,7 +275,7 @@ class ScaleSpec extends SparkSpecBase {
           else Some(s"${q.name}: expected ${snapshot(q.name)}, got $live")
         }
       assert(drift.isEmpty, s"plan drift:\n${drift.mkString("\n")}")
-      assert(snapshot.size === 84)
+      assert(snapshot.size === 86)
     } finally sys.props.remove("graft.querymemo.disable")
   }
 
