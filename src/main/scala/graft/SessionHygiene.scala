@@ -37,6 +37,20 @@ object SessionHygiene {
     out.toSet
   }
 
+  /** Frees the block-manager storage behind a localCheckpoint-backed
+    * frame NOW. `Dataset.unpersist` only unregisters CacheManager
+    * entries — a no-op for checkpoint RDDs, which persist directly with
+    * the block manager — so iterative loops (pagerank, HITS, label
+    * propagation) call this on each retired per-round frame to keep
+    * intra-query storage O(1) in the round count instead of waiting for
+    * GC-driven ContextCleaner collection. Only call on frames whose
+    * checkpoint is truly dead: the lineage is truncated, so freed blocks
+    * cannot be recomputed. */
+  def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(blocking = false))
+
   def release(spark: SparkSession, keep: Seq[DataFrame]): Unit = {
     val protectedIds = keep.flatMap(df => persistedAncestors(df.rdd)).toSet
     spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>

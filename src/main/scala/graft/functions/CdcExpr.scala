@@ -31,29 +31,20 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object CdcKernel {
 
-  private val md = new ThreadLocal[java.security.MessageDigest] {
-    override def initialValue(): java.security.MessageDigest =
-      java.security.MessageDigest.getInstance("MD5")
-  }
-
   /** Chunks of `text` as (start, len, hash) rows; start is 1-based, len in
     * characters, hash the 60-bit md5 prefix of the chunk substring. Texts
     * shorter than `w` form a single chunk; empty text yields no chunks. */
   def chunks(text: UTF8String, w: Int, maskBits: Int): ArrayData = {
     val n = text.numChars()
     if (n == 0) return new GenericArrayData(Array.empty[Any])
-    val digest = md.get()
+    val digest = MinHashKernel.digest()
     val mask = (1L << maskBits) - 1
     val out = new scala.collection.mutable.ArrayBuffer[Any]
     def emit(start: Int, end: Int): Unit = { // [start, end] 1-based inclusive
       val len = end - start + 1
       val chunk = text.substringSQL(start, len)
       digest.reset()
-      val d = digest.digest(chunk.getBytes)
-      val h = ((d(0) & 0xffL) << 52) | ((d(1) & 0xffL) << 44) |
-        ((d(2) & 0xffL) << 36) | ((d(3) & 0xffL) << 28) |
-        ((d(4) & 0xffL) << 20) | ((d(5) & 0xffL) << 12) |
-        ((d(6) & 0xffL) << 4) | ((d(7) & 0xffL) >>> 4)
+      val h = MinHashKernel.md5Top60(digest.digest(chunk.getBytes))
       out += org.apache.spark.sql.catalyst.InternalRow(start, len, h)
     }
     var prev = 0
@@ -61,9 +52,7 @@ object CdcKernel {
     while (i <= n) {
       val win = text.substringSQL(i - w + 1, w)
       digest.reset()
-      val d = digest.digest(win.getBytes)
-      val h = ((d(0) & 0xffL) << 20) | ((d(1) & 0xffL) << 12) |
-        ((d(2) & 0xffL) << 4) | ((d(3) & 0xffL) >>> 4)
+      val h = MinHashKernel.md5Top28(digest.digest(win.getBytes))
       if ((h & mask) == 0L || i == n) { emit(prev + 1, i); prev = i }
       i += 1
     }

@@ -125,6 +125,28 @@ object MinHashKernel {
       java.security.MessageDigest.getInstance("MD5")
   }
 
+  /** Thread-local MD5 instance shared by every portable kernel (CDC
+    * included) — one digest object per thread, zero per-row allocation. */
+  private[functions] def digest(): java.security.MessageDigest = md.get()
+
+  /** Top 28 bits of an MD5 digest = first 7 hex digits — THE portable
+    * base-hash fold, read off the digest bytes without a hex string.
+    * Canonical here so the MinHash, shingle-set, and CDC kernels cannot
+    * drift from each other or from the DuckDB side's
+    * ('0x' || substr(md5(x), 1, 7))::BIGINT. */
+  private[functions] def md5Top28(d: Array[Byte]): Long =
+    ((d(0) & 0xffL) << 20) | ((d(1) & 0xffL) << 12) |
+      ((d(2) & 0xffL) << 4) | ((d(3) & 0xffL) >>> 4)
+
+  /** Top 60 bits = first 15 hex digits — the portable wide-id fold
+    * (SimHash token hashes, CDC chunk ids); DuckDB twin:
+    * ('0x' || substr(md5(x), 1, 15))::BIGINT. */
+  private[functions] def md5Top60(d: Array[Byte]): Long =
+    ((d(0) & 0xffL) << 52) | ((d(1) & 0xffL) << 44) |
+      ((d(2) & 0xffL) << 36) | ((d(3) & 0xffL) << 28) |
+      ((d(4) & 0xffL) << 20) | ((d(5) & 0xffL) << 12) |
+      ((d(6) & 0xffL) << 4) | ((d(7) & 0xffL) >>> 4)
+
   def portableSignature(text: UTF8String, k: Int, numHashes: Int): ArrayData = {
     val t = text.toLowerCase
     val nChars = t.numChars()
@@ -146,9 +168,7 @@ object MinHashKernel {
       val sh = t.substringSQL(i + 1, k)
       digest.reset()
       val bytes = sh.getBytes
-      val d = digest.digest(bytes)
-      val h = ((d(0) & 0xffL) << 20) | ((d(1) & 0xffL) << 12) |
-        ((d(2) & 0xffL) << 4) | ((d(3) & 0xffL) >>> 4)
+      val h = md5Top28(digest.digest(bytes))
       var s = 0
       while (s < numHashes) {
         val v = (h * as(s) + bs(s)) % PORTABLE_P
@@ -178,9 +198,7 @@ object MinHashKernel {
     while (i < windows) {
       val sh = t.substringSQL(i + 1, k)
       digest.reset()
-      val d = digest.digest(sh.getBytes)
-      arr(i) = ((d(0) & 0xffL) << 20) | ((d(1) & 0xffL) << 12) |
-        ((d(2) & 0xffL) << 4) | ((d(3) & 0xffL) >>> 4)
+      arr(i) = md5Top28(digest.digest(sh.getBytes))
       i += 1
     }
     java.util.Arrays.sort(arr)
@@ -208,11 +226,8 @@ object MinHashKernel {
     var ti = 0
     while (ti < toks.length) {
       digest.reset()
-      val d = digest.digest(toks(ti).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      val h = ((d(0) & 0xffL) << 52) | ((d(1) & 0xffL) << 44) |
-        ((d(2) & 0xffL) << 36) | ((d(3) & 0xffL) << 28) |
-        ((d(4) & 0xffL) << 20) | ((d(5) & 0xffL) << 12) |
-        ((d(6) & 0xffL) << 4) | ((d(7) & 0xffL) >>> 4)
+      val h = md5Top60(digest.digest(
+        toks(ti).getBytes(java.nio.charset.StandardCharsets.UTF_8)))
       var i = 0
       while (i < 60) {
         if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1

@@ -152,7 +152,9 @@ object Graph {
           (lit(1 - damping) * tCol +
             lit(damping) * (coalesce(col("contrib"), lit(0.0)) + lit(dm) * tCol)).as("r"))
       val cp = next.localCheckpoint()
-      ranks.unpersist(); contrib.unpersist()
+      // real frees: Dataset.unpersist is a no-op on checkpoint frames
+      graft.SessionHygiene.freeCheckpoint(ranks)
+      graft.SessionHygiene.freeCheckpoint(contrib)
       ranks = cp
     }
     shareAll.unpersist(); share.unpersist()
@@ -316,6 +318,7 @@ object Graph {
     * those exchanges instead. Requires a non-empty edge set (the L1 mass
     * is otherwise zero and the quotient undefined). */
   def hits(nodes: DataFrame, edges: DataFrame, iters: Int = 8): DataFrame = {
+    require(iters >= 1, s"hits needs at least one iteration, got $iters")
     val nd = nodes.select(col("node")).localCheckpoint()
     val e = edges.select(col("src"), col("dst"), col("w")).persist()
     // Per half-step ONE eager job: the contrib table is checkpointed and
@@ -334,9 +337,11 @@ object Graph {
       val ac = e.join(broadcast(hub), e("src") === hub("node"))
         .groupBy(col("dst").as("node")).agg(sum(col("w") * col("h")).as("v"))
         .localCheckpoint()
-      if (prevAc != null) prevAc.unpersist()
+      if (prevAc != null) graft.SessionHygiene.freeCheckpoint(prevAc)
       prevAc = ac
-      prevHc.unpersist() // backed the hub vector that ac just consumed
+      // backed the hub vector that ac just consumed; freeCheckpoint
+      // because Dataset.unpersist is a no-op on checkpoint-backed frames
+      graft.SessionHygiene.freeCheckpoint(prevHc)
       auth = ac.crossJoin(broadcast(ac.agg(sum("v").as("s"))))
         .select(col("node"), (col("v") / col("s")).as("h"))
       val hc = e.join(broadcast(auth), e("dst") === auth("node"))
@@ -430,7 +435,7 @@ object Graph {
       val next = nd.join(broadcast(winners), nd("node") === winners("nd"), "left")
         .select(nd("node"), coalesce(col("lbl"), nd("node")).as("label"))
         .localCheckpoint()
-      labels.unpersist()
+      graft.SessionHygiene.freeCheckpoint(labels)
       labels = next
     }
     und.unpersist()
@@ -504,11 +509,14 @@ object Graph {
       .select(when(col("s1").isNull || col("s2").isNull ||
           col("s1") * col("s2") === 0, lit(null).cast("double"))
         .otherwise(col("c") / (col("s1") * col("s2"))).as("r"))
+    // degenerate graphs (no edges / < 2 nodes) yield NULL ratios, not a
+    // DIVIDE_BY_ZERO under ANSI mode
     nN.crossJoin(broadcast(nE)).crossJoin(broadcast(recip)).crossJoin(broadcast(assort))
       .select(col("n_nodes"), col("n_edges"),
-        round(col("n_edges").cast("double") /
-          (col("n_nodes") * (col("n_nodes") - 1)), 6).as("density"),
-        round(col("recip_edges").cast("double") / col("n_edges"), 6).as("reciprocity"),
+        round(when(col("n_nodes") > 1, col("n_edges").cast("double") /
+          (col("n_nodes") * (col("n_nodes") - 1))), 6).as("density"),
+        round(when(col("n_edges") > 0,
+          col("recip_edges").cast("double") / col("n_edges")), 6).as("reciprocity"),
         round(nanvl(col("r"), lit(null).cast("double")), 6).as("assortativity"))
   }
 

@@ -146,9 +146,18 @@ object Curation {
     val ranked = frac.withColumn("rk",
       row_number().over(org.apache.spark.sql.expressions.Window
         .orderBy(col("rem").desc, col(source))))
+    // `picked` clamps the allocation to what the source can actually
+    // supply: a source whose mass exceeds its doc count (one huge doc)
+    // saturates, and Σ picked then falls short of the budget. The
+    // shortfall is NOT silently redistributed — re-run with the remaining
+    // budget over the unsaturated sources when an exact total is required
+    // (capped-Hamilton is inherently iterative; one pass per saturation
+    // level, sources-dim work each).
     ranked.crossJoin(broadcast(leftovers))
-      .select(col(source), col("w"), col("avail"),
-        (col("base") + when(col("rk") <= col("r"), 1L).otherwise(0L)).as("quota"))
+      .withColumn("quota",
+        col("base") + when(col("rk") <= col("r"), 1L).otherwise(0L))
+      .select(col(source), col("w"), col("avail"), col("quota"),
+        least(col("quota"), col("avail")).as("picked"))
   }
 
   /** Stage 3: drop the higher-id member of every verified near-dup pair. */

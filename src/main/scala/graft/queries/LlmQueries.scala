@@ -1118,7 +1118,9 @@ object LlmQueries {
              |rk AS (SELECT *, row_number() OVER (ORDER BY exact - base DESC, source) AS rk
              |       FROM frac)
              |SELECT source, w, avail,
-             |       (base + CASE WHEN rk <= lv.r THEN 1 ELSE 0 END)::BIGINT AS quota
+             |       (base + CASE WHEN rk <= lv.r THEN 1 ELSE 0 END)::BIGINT AS quota,
+             |       least((base + CASE WHEN rk <= lv.r THEN 1 ELSE 0 END)::BIGINT,
+             |             avail) AS picked
              |FROM rk, lv ORDER BY source""".stripMargin)),
 
     // ---- stratified train/val/test split: hash-cut md5 fraction, stable

@@ -690,14 +690,19 @@ class LlmSpec extends SparkSpecBase {
       (1L, "a", 100L), (2L, "a", 100L), (3L, "b", 50L),
       (4L, "c", 30L), (5L, "c", 25L), (6L, "d", 10L)
     ).toDF("doc_id", "source", "n_chars")
-    val q = graft.llm.Curation.quotaAllocate(docs, "doc_id", "source",
+    val rows = graft.llm.Curation.quotaAllocate(docs, "doc_id", "source",
         col("n_chars"), budget = 10)
-      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+      .collect().map(r => r.getString(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    val q = rows.view.mapValues(_._1).toMap
     // weights 200/55/55/10 of 315 → exact 6.349/1.746/1.746/0.317,
     // floors 6/1/1/0 (Σ 8), two leftover seats → the two largest
     // remainders .746/.746 (tie broken by name: b then c)
     assert(q.values.sum === 10L)
     assert(q === Map("a" -> 6L, "b" -> 2L, "c" -> 2L, "d" -> 0L))
+    // source a only HAS 2 docs: picked clamps to availability (the
+    // shortfall is reported, not silently redistributed)
+    assert(rows("a")._2 === 2L)
+    assert(rows("b")._2 === 1L) // b has 1 doc, quota 2 → picked 1
   }
 
   test("quotaAllocate: uniform weights with remainder ties resolve by name") {
