@@ -403,6 +403,77 @@ object Dedup {
        |FROM hashed GROUP BY h HAVING count(*) >= 2 ORDER BY h""".stripMargin
   }
 
+  /** Incremental CDC dedup — the steady-state form of [[cdcChunkDedup]]
+    * (dd9 exact / dd11 near-dup lifted to the chunk level): a new batch's
+    * chunks are anti-joined against the corpus's distinct chunk-hash set
+    * (the persisted chunk store at scale), yielding per-document novelty
+    * — how many chunks/chars a chunk-store ingest would actually write
+    * vs deduplicate away. Crawl re-fetches and boilerplate-heavy pages
+    * score near-zero novelty and can be dropped before any expensive
+    * processing. One kernel pass over each side, one hash anti-join;
+    * nothing pairwise. */
+  def cdcIncremental(df: DataFrame, id: String, text: String, isNew: Column,
+                     w: Int = 16, maskBits: Int = 5): DataFrame = {
+    val chunks = df.filter(col(text).isNotNull)
+      .select(col(id), isNew.as("is_new"),
+        explode(graft.functions.CdcChunks(col(text), w, maskBits)).as("c"))
+      .select(col(id), col("is_new"), col("c.hash").as("h"), col("c.len").as("len"))
+      .localCheckpoint() // both sides below read the one chunking pass
+    val corpus = chunks.filter(!col("is_new")).select("h").distinct()
+    val batch = chunks.filter(col("is_new"))
+    val novel = batch.join(corpus, Seq("h"), "left_anti")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("novel_chunks"), sum("len").as("novel_chars"))
+    batch.groupBy(col(id))
+      .agg(count(lit(1)).as("chunks"), sum("len").as("chars"))
+      .join(novel, Seq(id), "left")
+      .select(col(id), col("chunks"), col("chars").cast("long").as("chars"),
+        coalesce(col("novel_chunks"), lit(0L)).as("novel_chunks"),
+        coalesce(col("novel_chars"), lit(0L)).cast("long").as("novel_chars"),
+        round(lit(1.0) - coalesce(col("novel_chars"), lit(0L)) /
+          col("chars").cast("double"), 6).as("reuse_ratio"))
+  }
+
+  /** DuckDB SQL computing [[cdcIncremental]] bit-for-bit over
+    * `table`, with `newPred` selecting the batch side. */
+  def cdcIncrementalOracleSql(table: String, id: String, text: String,
+                              newPred: String,
+                              w: Int = 16, maskBits: Int = 5): String = {
+    val mask = 1L << maskBits
+    s"""WITH base AS (
+       |  SELECT $id, ($newPred) AS is_new, $text AS t, length($text) AS n
+       |  FROM $table WHERE $text IS NOT NULL AND length($text) > 0),
+       |pos AS (SELECT $id, t, n, unnest(generate_series($w, n))::INT AS i FROM base),
+       |bnd AS (
+       |  SELECT $id, i FROM pos
+       |  WHERE ('0x' || substr(md5(substr(t, i - ${w - 1}, $w)), 1, 7))::BIGINT % $mask = 0),
+       |allb AS (
+       |  SELECT DISTINCT $id, i FROM (
+       |    SELECT $id, i FROM bnd UNION ALL SELECT $id, n FROM base)),
+       |chunks AS (
+       |  SELECT b.$id, b.is_new,
+       |         ('0x' || substr(md5(substr(b.t, c.start, c.len)), 1, 15))::BIGINT AS h,
+       |         c.len
+       |  FROM (
+       |    SELECT $id,
+       |           COALESCE(lag(i) OVER (PARTITION BY $id ORDER BY i), 0) + 1 AS start,
+       |           i - COALESCE(lag(i) OVER (PARTITION BY $id ORDER BY i), 0) AS len
+       |    FROM allb) c JOIN base b USING ($id)),
+       |corpus AS (SELECT DISTINCT h FROM chunks WHERE NOT is_new),
+       |batch AS (SELECT * FROM chunks WHERE is_new),
+       |novel AS (
+       |  SELECT $id, count(*)::BIGINT AS novel_chunks, sum(len)::BIGINT AS novel_chars
+       |  FROM batch WHERE h NOT IN (SELECT h FROM corpus) GROUP BY 1),
+       |tot AS (
+       |  SELECT $id, count(*)::BIGINT AS chunks, sum(len)::BIGINT AS chars
+       |  FROM batch GROUP BY 1)
+       |SELECT t.$id, t.chunks, t.chars,
+       |       COALESCE(n.novel_chunks, 0) AS novel_chunks,
+       |       COALESCE(n.novel_chars, 0) AS novel_chars,
+       |       round(1.0 - COALESCE(n.novel_chars, 0) / (t.chars * 1.0), 6) AS reuse_ratio
+       |FROM tot t LEFT JOIN novel n USING ($id) ORDER BY t.$id""".stripMargin
+  }
+
   /** Portable SimHash (60-bit): identical to `simhash` but the token hash
     * is the first 15 hex digits of md5 — computable bit-for-bit by any
     * engine, so the fingerprint itself is oracle-checkable. Tokens split on

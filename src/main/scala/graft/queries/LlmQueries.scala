@@ -120,6 +120,17 @@ object LlmQueries {
       (s, d) => Dedup.cdcChunkDedup(t(s, d, "documents"), "text").orderBy("h"),
       Some(Dedup.cdcChunkOracleSql("documents", "text"))),
 
+    // ---- incremental CDC dedup: a new batch (doc_id % 3 = 1) scored for
+    // chunk-level novelty against the corpus chunk store — dd9/dd11's
+    // steady-state shape at the storage level; near-zero novelty docs are
+    // crawl re-fetches a chunk-store ingest would drop ----
+    QueryDef("dd18_cdc_incremental",
+      (s, d) => Dedup.cdcIncremental(t(s, d, "documents"), "doc_id", "text",
+          isNew = col("doc_id") % 3 === 1)
+        .orderBy("doc_id"),
+      Some(Dedup.cdcIncrementalOracleSql("documents", "doc_id", "text",
+        newPred = "doc_id % 3 = 1"))),
+
     // ---- portable SimHash fingerprints — bit-exact oracle via md5-derived
     // token hashes ----
     QueryDef("dd4b_simhash_portable",

@@ -61,6 +61,22 @@ class CdcSpec extends SparkSpecBase {
     assert(a == b)
   }
 
+  test("cdcIncremental: re-fetched doc scores full reuse, novel doc zero") {
+    val s = spark; import s.implicits._
+    val body = "the quick brown fox jumps over the lazy dog " * 20
+    val docs = Seq(
+      (1L, body, false),                            // corpus
+      (2L, "completely different content here " * 20, false),
+      (10L, body, true),                            // exact re-fetch
+      (11L, "brand new never seen text " * 20, true)
+    ).toDF("doc_id", "text", "nu")
+    val r = graft.llm.Dedup.cdcIncremental(docs, "doc_id", "text", col("nu"))
+      .collect().map(x => x.getLong(0) -> x.getDouble(5)).toMap
+    assert(r(10L) === 1.0) // every chunk already in the corpus store
+    assert(r(11L) === 0.0) // nothing reusable
+    assert(r.size === 2)   // corpus docs are not scored
+  }
+
   test("boundary rule matches the md5-28 window algebra (SQL replay)") {
     val s = spark; import s.implicits._
     val text = "the quick brown fox jumps over the lazy dog " * 10

@@ -260,6 +260,9 @@ class ScaleSpec extends SparkSpecBase {
       // dd17: the memo-disabled audit pays the full candidate+component
       // chain; the tail is the quality join + one struct-max aggregate
       "dd17_quality_survivors" -> "4/2/0/0/p",
+      // dd18: one chunking pass checkpointed, corpus distinct + per-doc
+      // aggs; the anti-join and novelty join broadcast at audit scale
+      "dd18_cdc_incremental" -> "4/2/0/0/-",
       // dd15's BNLJ is the source-pair sketch comparison — both sides are
       // the 20-row per-source minima dim; the corpus never self-joins
       "dd15_corpus_overlap" -> "5/4/0/1/-",
@@ -275,7 +278,7 @@ class ScaleSpec extends SparkSpecBase {
           else Some(s"${q.name}: expected ${snapshot(q.name)}, got $live")
         }
       assert(drift.isEmpty, s"plan drift:\n${drift.mkString("\n")}")
-      assert(snapshot.size === 86)
+      assert(snapshot.size === 87)
     } finally sys.props.remove("graft.querymemo.disable")
   }
 
