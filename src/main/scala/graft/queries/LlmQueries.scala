@@ -1320,6 +1320,23 @@ object LlmQueries {
 
     // ---- session windows (6h gap): per-user activity bursts; the oracle
     // is the classic gaps-and-islands rewrite ----
+    // ---- st10: streaming heavy hitters — the space-saving sketch
+    // (Metwally 2005) as flatMapGroupsWithState keyed by TERM BUCKET
+    // (state O(buckets×capacity) for any stream length); capacity ≥
+    // bucket vocabulary ⇒ counters exact, so the BATCH execution of the
+    // same stateful code path is oracle-green vs plain word counts
+    // (ts14b's trick lifted to the streaming engine); stream ≡ batch
+    // across micro-batches pinned in TopKStreamSpec ----
+    QueryDef("st10_streaming_topk",
+      (s, d) => graft.streaming.TopKStream.counts(s, t(s, d, "documents")).toDF()
+        .select(col("term"), col("cnt"))
+        .orderBy(desc("cnt"), asc("term")).limit(20),
+      Some("""SELECT term, count(*) AS cnt
+             |FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS term
+             |      FROM documents)
+             |WHERE term <> ''
+             |GROUP BY term ORDER BY cnt DESC, term LIMIT 20""".stripMargin)),
+
     QueryDef("st3_session_windows",
       (s, d) => EventStreams.sessionCounts(Tables.events(s, d))
         .orderBy("user_id", "session_start"),
