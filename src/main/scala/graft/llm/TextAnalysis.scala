@@ -65,18 +65,24 @@ object TextAnalysis {
     val words = regexp_count(t, lit("[a-z]+"))
     val sentences = greatest(regexp_count(t, lit("[.!?]+")), lit(1))
     val syllables = regexp_count(t, lit("[aeiouy]+"))
+    // round() half-ties diverge across engines (Spark rounds the DECIMAL
+    // expansion via BigDecimal HALF_UP, DuckDB rounds the double) — at
+    // sf0.1 five docs landed exactly on a 4dp half boundary. floor(x·10⁴
+    // + 0.5)/10⁴ is pure double arithmetic, so both engines execute the
+    // IDENTICAL operations on the identical double and cannot disagree.
+    def r4(c: Column): Column = floor(c * 10000 + 0.5) / 10000.0
     df.select(col(id), words.cast("long").as("words"),
         sentences.cast("long").as("sentences"),
         syllables.cast("long").as("syllables"))
       .withColumn("flesch",
-        round(when(col("words") > 0,
+        r4(when(col("words") > 0,
           lit(206.835)
             - lit(1.015) * col("words") / col("sentences")
-            - lit(84.6) * col("syllables") / col("words")), 4))
+            - lit(84.6) * col("syllables") / col("words"))))
       .withColumn("fk_grade",
-        round(when(col("words") > 0,
+        r4(when(col("words") > 0,
           lit(0.39) * col("words") / col("sentences")
-            + lit(11.8) * col("syllables") / col("words") - lit(15.59)), 4))
+            + lit(11.8) * col("syllables") / col("words") - lit(15.59))))
   }
 
   /** Quality scoring: length, word stats, punctuation/digit/space ratios,

@@ -388,6 +388,38 @@ object AnalyticsQueries {
       },
       None),
 
+    // ---- emb5: embedding-norm hygiene per label — L2-norm distribution
+    // (count / mean / min / max + near-zero detector). Norm collapse or
+    // blow-up per class is the standard first symptom of a broken
+    // embedding export; one scan, one dim-sized aggregate. The fold is
+    // cast to double BEFORE squaring so DuckDB's ::DOUBLE[] list algebra
+    // replays it exactly (the sim1 parity pattern). ----
+    QueryDef("emb5_norm_stats",
+      (s, d) => {
+        val sq = aggregate(
+          transform(col("embedding").cast("array<double>"), x => x * x),
+          lit(0.0), (acc, v) => acc + v)
+        Tables.embeddings(s, d)
+          .select(col("label"), sqrt(sq).as("nrm"))
+          .groupBy("label")
+          .agg(count(lit(1)).as("n"),
+            round(avg("nrm"), 4).as("avg_norm"),
+            round(min("nrm"), 4).as("min_norm"),
+            round(max("nrm"), 4).as("max_norm"),
+            sum(when(col("nrm") < 1e-6, 1L).otherwise(0L)).as("near_zero"))
+          .orderBy("label")
+      },
+      Some("""WITH n AS (
+             |  SELECT label,
+             |         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+             |  FROM embeddings)
+             |SELECT label, count(*) AS n,
+             |       round(avg(nrm), 4) AS avg_norm,
+             |       round(min(nrm), 4) AS min_norm,
+             |       round(max(nrm), 4) AS max_norm,
+             |       sum(CASE WHEN nrm < 1e-6 THEN 1 ELSE 0 END)::BIGINT AS near_zero
+             |FROM n GROUP BY label ORDER BY label""".stripMargin)),
+
     // ---- emb1: embedding covariance — all d² second moments in one scan
     // (flattened outer product + partial/final hash agg; only d² sums per
     // partition cross the wire) ----

@@ -981,11 +981,13 @@ object LlmQueries {
              |  FROM documents)
              |SELECT doc_id, words, sentences, syllables,
              |       CASE WHEN words > 0 THEN
-             |         round(206.835 - 1.015 * words / sentences
-             |               - 84.6 * syllables / words, 4) END AS flesch,
+             |         floor((206.835::DOUBLE - 1.015::DOUBLE * words / sentences
+             |               - 84.6::DOUBLE * syllables / words) * 10000 + 0.5) / 10000.0
+             |       END AS flesch,
              |       CASE WHEN words > 0 THEN
-             |         round(0.39 * words / sentences
-             |               + 11.8 * syllables / words - 15.59, 4) END AS fk_grade
+             |         floor((0.39::DOUBLE * words / sentences
+             |               + 11.8::DOUBLE * syllables / words - 15.59::DOUBLE) * 10000 + 0.5) / 10000.0
+             |       END AS fk_grade
              |FROM c ORDER BY doc_id""".stripMargin)),
 
     // ---- lexical diversity: type-token ratio + unigram entropy (the

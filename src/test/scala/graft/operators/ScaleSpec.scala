@@ -266,6 +266,7 @@ class ScaleSpec extends SparkSpecBase {
       // st10: one bucket shuffle into the stateful fold, then
       // TakeOrderedAndProject
       "st10_streaming_topk" -> "1/0/0/0/-",
+      "emb5_norm_stats" -> "2/0/0/0/-",
       // dd15's BNLJ is the source-pair sketch comparison — both sides are
       // the 20-row per-source minima dim; the corpus never self-joins
       "dd15_corpus_overlap" -> "5/4/0/1/-",
@@ -281,7 +282,7 @@ class ScaleSpec extends SparkSpecBase {
           else Some(s"${q.name}: expected ${snapshot(q.name)}, got $live")
         }
       assert(drift.isEmpty, s"plan drift:\n${drift.mkString("\n")}")
-      assert(snapshot.size === 88)
+      assert(snapshot.size === 89)
     } finally sys.props.remove("graft.querymemo.disable")
   }
 
