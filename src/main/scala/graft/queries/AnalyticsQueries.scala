@@ -78,6 +78,36 @@ object AnalyticsQueries {
              |              WHERE i > st.n - ceil(st.n / 10.0))::DOUBLE / st.tot, 6) AS top10_share
              |FROM st""".stripMargin)),
 
+    // ---- ev9: behavioral paths — the most common 3-step event-type
+    // sequences across user journeys (the product-analytics "path
+    // analysis" view); two lag()s over ONE user partition = one shuffle,
+    // then a trigram count; tiebreak fully ordered so the top-20 head is
+    // deterministic ----
+    QueryDef("ev9_event_trigrams",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts", "event_id")
+        Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .withColumn("e1", lag(col("event_type"), 2).over(w))
+          .withColumn("e2", lag(col("event_type"), 1).over(w))
+          .filter(col("e1").isNotNull)
+          .groupBy(col("e1"), col("e2"), col("event_type").as("e3"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(desc("cnt"), asc("e1"), asc("e2"), asc("e3"))
+          .limit(20)
+      },
+      Some("""WITH seq AS (
+             |  SELECT user_id, event_type,
+             |         lag(event_type, 2) OVER w AS e1,
+             |         lag(event_type, 1) OVER w AS e2
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+             |SELECT e1, e2, event_type AS e3, count(*) AS cnt
+             |FROM seq WHERE e1 IS NOT NULL
+             |GROUP BY 1, 2, 3
+             |ORDER BY cnt DESC, e1, e2, e3 LIMIT 20""".stripMargin)),
+
     // ---- ev3: cohort retention (first-activity day → day-offset distinct
     // users); cohort via window min, no self-join ----
     QueryDef("ev3_retention",

@@ -267,6 +267,9 @@ class ScaleSpec extends SparkSpecBase {
       // TakeOrderedAndProject
       "st10_streaming_topk" -> "1/0/0/0/-",
       "emb5_norm_stats" -> "2/0/0/0/-",
+      // ev9: the user-partition window + trigram agg, head via
+      // TakeOrderedAndProject
+      "ev9_event_trigrams" -> "2/0/0/0/-",
       // dd15's BNLJ is the source-pair sketch comparison — both sides are
       // the 20-row per-source minima dim; the corpus never self-joins
       "dd15_corpus_overlap" -> "5/4/0/1/-",
@@ -282,7 +285,7 @@ class ScaleSpec extends SparkSpecBase {
           else Some(s"${q.name}: expected ${snapshot(q.name)}, got $live")
         }
       assert(drift.isEmpty, s"plan drift:\n${drift.mkString("\n")}")
-      assert(snapshot.size === 89)
+      assert(snapshot.size === 90)
     } finally sys.props.remove("graft.querymemo.disable")
   }
 
