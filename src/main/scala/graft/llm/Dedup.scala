@@ -430,8 +430,10 @@ object Dedup {
       .select(col(id), col("chunks"), col("chars").cast("long").as("chars"),
         coalesce(col("novel_chunks"), lit(0L)).as("novel_chunks"),
         coalesce(col("novel_chars"), lit(0L)).cast("long").as("novel_chars"),
-        round(lit(1.0) - coalesce(col("novel_chars"), lit(0L)) /
-          col("chars").cast("double"), 6).as("reuse_ratio"))
+        // floor(x·10⁶+0.5)/10⁶, not round(): Spark/DuckDB round() half-tie
+        // semantics diverge on integer ratios (the ts19 incident class)
+        (floor((lit(1.0) - coalesce(col("novel_chars"), lit(0L)) /
+          col("chars").cast("double")) * 1000000 + 0.5) / 1000000.0).as("reuse_ratio"))
   }
 
   /** DuckDB SQL computing [[cdcIncremental]] bit-for-bit over
@@ -470,7 +472,7 @@ object Dedup {
        |SELECT t.$id, t.chunks, t.chars,
        |       COALESCE(n.novel_chunks, 0) AS novel_chunks,
        |       COALESCE(n.novel_chars, 0) AS novel_chars,
-       |       round(1.0 - COALESCE(n.novel_chars, 0) / (t.chars * 1.0), 6) AS reuse_ratio
+       |       floor((1.0 - COALESCE(n.novel_chars, 0) / (t.chars * 1.0)) * 1000000 + 0.5) / 1000000.0 AS reuse_ratio
        |FROM tot t LEFT JOIN novel n USING ($id) ORDER BY t.$id""".stripMargin
   }
 

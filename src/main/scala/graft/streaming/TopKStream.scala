@@ -22,24 +22,32 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * stamped with a monotone `ver` (rows processed so far), so the live
   * top-k at any moment = max-`ver` rows per bucket → global (cnt desc,
   * term) head. Stream ≡ batch is pinned in TopKStreamSpec.
+  *
+  * Memory honesty: the O(buckets × capacity) bound is the persistent
+  * STATE; each trigger additionally buffers (and sorts, for the
+  * deterministic fold order) its micro-batch's share of one bucket — in
+  * streaming that working set is bounded by the trigger size, while the
+  * batch execution buffers a bucket's full token stream on one task
+  * (fine at verify scale; a 100 TB batch run would pre-aggregate per
+  * (bucket, term) upstream or stream the corpus through triggers).
   */
 object TopKStream {
 
-  final case class TermRow(bucket: Int, ord: Long, term: String)
+  final case class TermRow(bucket: Int, doc: Long, pos: Int, term: String)
   final case class SSState(counts: Map[String, Long], processed: Long)
   final case class BucketCount(bucket: Int, term: String, cnt: Long, ver: Long)
 
-  /** Tokenize docs into bucket-routed term rows; `ord` fixes the
-    * within-group processing order (doc, position) so eviction behavior
-    * is deterministic under any partitioning. Tokenization mirrors
-    * ts14's (\s+ split), empties dropped on both engines. */
+  /** Tokenize docs into bucket-routed term rows; (doc, pos) fixes the
+    * within-group processing order so eviction behavior is deterministic
+    * under any partitioning. Tokenization mirrors ts14's (\s+ split),
+    * empties dropped on both engines. */
   def termRows(docs: DataFrame, id: String, text: String,
                buckets: Int = 16): DataFrame =
     docs.select(col(id).cast("long").as("doc"),
         posexplode(split(lower(col(text)), "\\s+")).as(Seq("pos", "term")))
       .filter(length(col("term")) > 0)
       .select(pmod(xxhash64(col("term")), lit(buckets)).cast("int").as("bucket"),
-        (col("doc") * 100000 + col("pos")).as("ord"), col("term"))
+        col("doc"), col("pos"), col("term"))
 
   /** The space-saving fold, runnable as a STREAM (flatMapGroupsWithState
     * over micro-batches) or as a BATCH (same operator, one group pass) —
@@ -54,7 +62,7 @@ object TopKStream {
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (bucket, rows, state: GroupState[SSState]) =>
           var st = state.getOption.getOrElse(SSState(Map.empty, 0L))
-          rows.toSeq.sortBy(_.ord).foreach { r =>
+          rows.toSeq.sortBy(r => (r.doc, r.pos)).foreach { r =>
             val m = st.counts
             val next =
               if (m.contains(r.term)) m.updated(r.term, m(r.term) + 1)
