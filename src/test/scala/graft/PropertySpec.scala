@@ -126,4 +126,56 @@ object PropertySpec extends Properties("graft") {
       val ref = (0 until 60).map(i => if (votes(i) > 0) 1L << i else 0L).sum
       graft.functions.MinHashKernel.portableSimhash(UTF8String.fromString(text)) == ref
     }
+
+  // CDC chunking must PARTITION any text: chunks contiguous from 1,
+  // covering every character exactly once, each at least 1 char — for
+  // arbitrary unicode content and any window/mask parameters.
+  private val anyText: Gen[String] = Gen.oneOf(
+    Gen.listOf(Gen.alphaNumChar).map(_.mkString),
+    Gen.listOf(Gen.oneOf('a', 'b', ' ', 'é', '☃', '字')).map(_.mkString))
+
+  property("CDC chunks partition arbitrary text exactly") =
+    forAll(anyText, Gen.choose(2, 20), Gen.choose(1, 8)) { (text, w, maskBits) =>
+      val t = UTF8String.fromString(text)
+      val arr = graft.functions.CdcKernel.chunks(t, w, maskBits)
+      val n = t.numChars()
+      if (n == 0) arr.numElements() == 0
+      else {
+        val rows = (0 until arr.numElements()).map { i =>
+          val r = arr.getStruct(i, 3); (r.getInt(0), r.getInt(1))
+        }
+        rows.head._1 == 1 &&
+        rows.forall(_._2 >= 1) &&
+        rows.map(_._2).sum == n &&
+        rows.sliding(2).forall {
+          case Seq((s1, l1), (s2, _)) => s2 == s1 + l1
+          case _ => true
+        }
+      }
+    }
+
+  // Hamilton quota allocation: Σ quota == budget exactly, and every
+  // quota stays within 1 of its exact proportional share (the two
+  // defining invariants of largest-remainder rounding). Driven through
+  // the real Spark operator on a shared local session.
+  property("quotaAllocate: exact budget, within-1 proportionality") = {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    import spark.implicits._
+    val weights = Gen.nonEmptyListOf(Gen.choose(1L, 1000L)).map(_.take(8))
+    forAll(weights, Gen.choose(1, 50)) { (ws, budget) =>
+      val docs = ws.zipWithIndex.map { case (w, i) => (i.toLong, s"s$i", w) }
+        .toDF("doc_id", "source", "n_chars")
+      val rows = graft.llm.Curation
+        .quotaAllocate(docs, "doc_id", "source", org.apache.spark.sql.functions.col("n_chars"), budget)
+        .collect().map(r => (r.getLong(1), r.getLong(3)))
+      val tot = ws.sum.toDouble
+      rows.map(_._2).sum == budget.toLong &&
+      rows.forall { case (w, q) =>
+        val exact = budget * w / tot
+        q >= math.floor(exact) - 0.5 && q <= math.ceil(exact) + 0.5
+      }
+    }
+  }
 }
