@@ -45,11 +45,24 @@ object SessionHygiene {
     * intra-query storage O(1) in the round count instead of waiting for
     * GC-driven ContextCleaner collection. Only call on frames whose
     * checkpoint is truly dead: the lineage is truncated, so freed blocks
-    * cannot be recomputed. */
+    * cannot be recomputed.
+    *
+    * Accepts ONLY a checkpoint-ROOTED frame (the analyzed plan is the
+    * bare LogicalRDD `localCheckpoint` returned). A lazily-derived frame
+    * can reference OTHER live checkpoints in its subtree; blanket-freeing
+    * every LogicalRDD found there would destroy blocks that can never be
+    * recomputed (lineage truncated). Passing a derived frame throws
+    * rather than guessing. */
   def freeCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.collect {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-    }.foreach(_.unpersist(blocking = false))
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case other => throw new IllegalArgumentException(
+        "freeCheckpoint requires the checkpoint-rooted frame itself " +
+          s"(plan root is ${other.nodeName}, not LogicalRDD); freeing " +
+          "LogicalRDDs inside a derived plan could strand other live " +
+          "checkpoints")
+    }
 
   def release(spark: SparkSession, keep: Seq[DataFrame]): Unit = {
     val protectedIds = keep.flatMap(df => persistedAncestors(df.rdd)).toSet

@@ -42,4 +42,11 @@ object SparkEntry {
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     all.flatMap(q => q.oracle.map(o => q.name -> o)).toMap
+
+  /** Data-dependent oracles (see [[graft.queries.QueryDef.oracleFn]]):
+    * SQL text built against a specific scale directory, e.g. with pinned
+    * model literals from a deterministic fit. Merged into
+    * oracle_sql.json by Verify. */
+  def dynamicOracleSql(spark: SparkSession, sfDir: String): Map[String, String] =
+    all.flatMap(q => q.oracleFn.map(f => q.name -> f(spark, sfDir))).toMap
 }

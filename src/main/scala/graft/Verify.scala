@@ -42,7 +42,13 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // static oracles + data-dependent ones (model-literal SQL built
+    // against THIS sfDir); dynamic oracles are only evaluated for queries
+    // included in this run so targeted local iteration stays fast
+    val dynamic = SparkEntry.all
+      .filter(qd => only.isEmpty || only.contains(qd.name))
+      .flatMap(qd => qd.oracleFn.map(f => qd.name -> f(spark, sfDir))).toMap
+    val json = (SparkEntry.oracleSql ++ dynamic)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -185,13 +185,18 @@ object EventAnalytics {
     val cnts = events.groupBy("user_id").agg(count(lit(1)).as("cnt"))
     val ranked = graft.operators.Ranking
       .globalRowNumber(cnts, "i", col("cnt"), col("user_id"))
+    // i·x and n·Σx are folded in DOUBLE, not LONG: at claimed event
+    // volumes (n ~ 1e9 users, tot ~ 1e12 events) both products exceed
+    // Long.MAX — a LONG fold silently wraps (non-ANSI) or throws (ANSI).
+    // Double loses low-order bits past 2^53, which is exactly what a
+    // 6-decimal Gini can afford; the oracle mirrors with ::DOUBLE.
     val stats = ranked.agg(count(lit(1)).as("n"), sum("cnt").as("tot"),
-      sum(col("i") * col("cnt")).as("iw"))
+      sum(col("i").cast("double") * col("cnt")).as("iw"))
     ranked.crossJoin(broadcast(stats))
       .agg(
         first("n").as("n_users"),
         first("tot").as("total_events"),
-        round(lit(2.0) * first("iw") / (first("n") * first("tot"))
+        round(lit(2.0) * first("iw") / (first("n").cast("double") * first("tot"))
           - (first("n") + lit(1.0)) / first("n"), 6).as("gini"),
         round(sum(when(col("i") > col("n") - ceil(col("n") / lit(10.0)), col("cnt"))
             .otherwise(lit(0L))).cast("double") / first("tot"), 6).as("top10_share"))

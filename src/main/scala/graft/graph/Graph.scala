@@ -88,13 +88,37 @@ object Graph {
     * 1-row relation. `localCheckpoint` truncates lineage each round —
     * without it the rank plan doubles per iteration (ranks feeds both the
     * contrib join and the dangling aggregate) and analysis cost grows
-    * 2^iters. */
+    * 2^iters.
+    *
+    * Two rank-delivery strategies, identical arithmetic:
+    *  - `copartition = false`: the node-sized rank vector is broadcast
+    *    into the edge join each round. Simplest plan, but the vector
+    *    must fit on every executor — a broadcast CEILING at
+    *    billion-node graphs.
+    *  - `copartition = true` (the 100×-scale path, now the default for
+    *    the query tier): the edge-sized share table is hash-partitioned
+    *    by `src` ONCE and persisted; the rank vector lives
+    *    hash-partitioned by `node` (same partition count), so each
+    *    round's contrib join is a shuffled-hash join with ZERO exchange
+    *    on the edge side — localCheckpoint preserves outputPartitioning,
+    *    and the next-rank frame inherits hash(node) through the
+    *    node-spine left join, so after round 1 no side of either join
+    *    re-shuffles. Per round the only shuffle is the contrib
+    *    aggregate on dst (node-sized), exactly like the broadcast form,
+    *    but nothing node-count-sized ever has to fit on one executor.
+    *    GraphSpec pins ≡ between the two forms. */
   def pagerank(nodes: DataFrame, edges: DataFrame,
                iters: Int = 15, damping: Double = 0.85,
-               teleportTo: Option[Long] = None): DataFrame = {
+               teleportTo: Option[Long] = None,
+               copartition: Boolean = false): DataFrame = {
     // checkpointed: the loop re-reads the node list every round (left
-    // join spine) — one materialization instead of 15 source scans
-    val nd = nodes.select(col("node")).localCheckpoint()
+    // join spine) — one materialization instead of 15 source scans.
+    // In copartition mode the spine is hash(node)-partitioned first, so
+    // every frame derived from it (ranks, next-rank joins) inherits the
+    // co-located layout for free.
+    val ndPlan = nodes.select(col("node"))
+    val nd = (if (copartition) ndPlan.repartition(col("node")) else ndPlan)
+      .localCheckpoint()
     val n = nd.count().toDouble // model parameter, like IVF's k — one scalar action
     // teleport distribution: uniform (classic) or an indicator at one node
     // (personalized PageRank — relevance of every node to the seed)
@@ -119,13 +143,20 @@ object Graph {
       .join(share.select(col("src").as("node")).distinct(), Seq("node"), "left_anti")
       .select(col("node").as("src"), lit(null).cast("long").as("dst"),
         lit(1.0).as("share"))
-    val shareAll = share.unionByName(danglingSink).persist()
+    // copartition: the edge-sized table pays its ONE hash(src) exchange
+    // here, before the persist — every round's contrib join then reads
+    // it co-located.
+    val shareAllPlan = share.unionByName(danglingSink)
+    val shareAll = (if (copartition) shareAllPlan.repartition(col("src"))
+                    else shareAllPlan).persist()
     var ranks = nd.withColumn("r", tCol).localCheckpoint()
-    // The rank vector is node-count sized (dimension-scale for this tier's
-    // company graphs) and checkpoint-backed, so the optimizer sees no
-    // stats: broadcast it EXPLICITLY or every iteration shuffle-joins the
-    // full share table. A billion-node deployment would instead
-    // co-partition share and ranks by src once and reuse that exchange.
+    // Broadcast mode: the rank vector is node-count sized
+    // (dimension-scale for this tier's company graphs) and
+    // checkpoint-backed, so the optimizer sees no stats — broadcast it
+    // EXPLICITLY or every iteration shuffle-joins the full share table.
+    // Copartition mode: the shuffled-hash hint BUILDS the node-sized
+    // rank side; both sides' existing hash layouts satisfy the join's
+    // distribution, so no exchange is inserted on either side.
     // Only the CONTRIB table is checkpointed per round: the next rank
     // vector is then a shallow lazy plan (nodes + two broadcasts of the
     // checkpointed contribs), so lineage stays depth-1 without paying a
@@ -134,8 +165,9 @@ object Graph {
     // the deeper tree and the aggregates recompute inside every rank
     // reference), so one eager checkpoint per round is the sweet spot.
     for (step <- 1 to iters) {
+      val rankSide = if (copartition) ranks.hint("shuffle_hash") else broadcast(ranks)
       val contrib = shareAll
-        .join(broadcast(ranks), shareAll("src") === ranks("node"))
+        .join(rankSide, shareAll("src") === rankSide("node"))
         .groupBy(col("dst")).agg(sum(col("share") * col("r")).as("contrib"))
         .localCheckpoint()
       // the dangling mass is ONE value of the checkpointed (node-sized)
@@ -145,9 +177,11 @@ object Graph {
       val dm = contrib.filter(col("dst").isNull)
         .agg(coalesce(sum("contrib"), lit(0.0)).as("dm"))
         .head().getDouble(0)
+      val contribNN = contrib.filter(col("dst").isNotNull)
+      val contribSide = if (copartition) contribNN.hint("shuffle_hash")
+                        else broadcast(contribNN)
       val next = nd
-        .join(broadcast(contrib.filter(col("dst").isNotNull)),
-          nd("node") === contrib("dst"), "left")
+        .join(contribSide, nd("node") === contribSide("dst"), "left")
         .select(nd("node"),
           (lit(1 - damping) * tCol +
             lit(damping) * (coalesce(col("contrib"), lit(0.0)) + lit(dm) * tCol)).as("r"))

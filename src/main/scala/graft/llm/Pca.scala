@@ -104,8 +104,16 @@ object Pca {
     * redundant-dimension detection before PCA). The covariance pass is
     * checkpointed once (d² rows — model-sized), so the diagonal self-join
     * does NOT rerun the corpus scan; both diagonal joins broadcast. */
-  def correlation(emb: DataFrame, vec: String): DataFrame = {
-    val cov = covariance(emb, vec).localCheckpoint()
+  def correlation(emb: DataFrame, vec: String): DataFrame =
+    correlationFromCov(covariance(emb, vec).localCheckpoint())
+
+  /** Diagonal normalization over an already-built covariance frame (d²
+    * rows — model-sized). Callers that share the covariance across
+    * queries (emb1/emb4/the PCA fit ride one memoized checkpoint) hand
+    * it in here so the corpus scan behind it runs ONCE per session; the
+    * frame is referenced three times below (diag + two joins), so it
+    * must be materialized (checkpointed/memoized), not a lazy plan. */
+  def correlationFromCov(cov: DataFrame): DataFrame = {
     val diag = cov.filter(col("i") === col("j"))
       .select(col("i").as("k"), sqrt(col("cov")).as("sd"))
     cov
@@ -213,13 +221,16 @@ object Pca {
   /** Fit PCA on an embedding column. The covariance entries are collected
     * ROUNDED (7dp — far above cross-run summation noise), so the fitted
     * model is a deterministic function of the data across runs and
-    * partitionings. */
-  def fit(emb: DataFrame, vec: String): Model = {
+    * partitionings. Pass `covFrame` to reuse a covariance already
+    * materialized elsewhere (the emb1/emb4 memo) — the rounding below
+    * makes the model identical either way. */
+  def fit(emb: DataFrame, vec: String,
+          covFrame: Option[DataFrame] = None): Model = {
     val means = dimMeans(emb, vec).collect()
       .map(r => r.getInt(0) -> r.getDouble(1)).sortBy(_._1).map(_._2)
     val d = means.length
     val cov = Array.ofDim[Double](d, d)
-    covariance(emb, vec).collect().foreach { r =>
+    covFrame.getOrElse(covariance(emb, vec)).collect().foreach { r =>
       cov(r.getInt(0))(r.getInt(1)) =
         BigDecimal(r.getDouble(2)).setScale(7, BigDecimal.RoundingMode.HALF_UP).toDouble
     }

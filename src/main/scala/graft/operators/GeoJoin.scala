@@ -23,23 +23,46 @@ object GeoJoin {
   /** All unordered point pairs within `radiusKm`, with their distance.
     * Supported latitude band |lat| ≤ 60° (the lon cell width is sized for
     * cos 60°; widen `lonCellDeg` for polar data). Columns out:
-    * (id1, id2, km). */
+    * (id1, id2, km).
+    *
+    * Longitude cells live on a RING: lon is normalized to [-180, 180) and
+    * the cell index is taken modulo the ring size, with the 3×3 probe
+    * wrapping via pmod — a pair straddling the ±180° anti-meridian (e.g.
+    * 179.9° and −179.95°) lands in adjacent ring cells and is found like
+    * any other (haversine itself is 360°-periodic in Δlon, so the verify
+    * step needs no special casing). Flat `floor(lon/cellDeg)` bucketing
+    * would silently drop exactly those pairs. The ring cell count is
+    * FLOOR(360/cellDeg) so all cells are equal width ≥ cellDeg — a
+    * ceil-sized ring leaves a narrower final cell, and two points closer
+    * than cellDeg could then sit TWO ring indices apart across it,
+    * breaking the 3×3 recall guarantee. */
   def withinDistance(points: DataFrame, id: String, lat: String, lon: String,
                      radiusKm: Double): DataFrame = {
     // cell edges ≥ radius: 1° lat = 111.32 km; 1° lon = 111.32·cos(lat) km,
     // ≥ 55.66 km up to |lat| = 60°
     val latCellDeg = radiusKm / 111.0
     val lonCellDeg = radiusKm / (111.0 * 0.5)
+    // equal-width ring cells, each ≥ lonCellDeg (floor, never ceil — see
+    // scaladoc); ringSize ≥ 3 keeps the 3×3 probe duplicate-free (dx = −1
+    // and +1 must reach DIFFERENT cells, or a pair meets twice)
+    val ringSize = math.floor(360.0 / lonCellDeg).toLong
+    require(ringSize >= 3,
+      s"radiusKm=$radiusKm needs lon cells >90° (ring of $ringSize); " +
+        "a grid join degenerates there — use the direct n² form")
+    val ringCellDeg = 360.0 / ringSize
+    val lonNorm = (col(lon) + 540.0) % 360.0 - 180.0 // [-180, 180)
     val cellLat = floor(col(lat) / latCellDeg).cast("long")
-    val cellLon = floor(col(lon) / lonCellDeg).cast("long")
+    val cellLon = floor((lonNorm + 180.0) / ringCellDeg).cast("long")
     val cells = points.select(col(id), col(lat), col(lon),
       cellLat.as("cy"), cellLon.as("cx"))
-    // left side probes its 3×3 neighborhood; right side stays home
+    // left side probes its 3×3 neighborhood (lon wrapping around the
+    // ring); right side stays home
     val probes = cells.select(col(id), col(lat), col(lon),
         explode(expr("sequence(-1, 1)")).as("dy"), col("cy"), col("cx"))
       .select(col(id), col(lat), col(lon), (col("cy") + col("dy")).as("cy"),
         explode(expr("sequence(-1, 1)")).as("dx"), col("cx"))
-      .select(col(id), col(lat), col(lon), col("cy"), (col("cx") + col("dx")).as("cx"))
+      .select(col(id), col(lat), col(lon), col("cy"),
+        pmod(col("cx") + col("dx"), lit(ringSize)).as("cx"))
     val a = probes.select(col(id).as("id1"), col(lat).as("lat1"),
       col(lon).as("lon1"), col("cy"), col("cx"))
     val b = cells.select(col(id).as("id2"), col(lat).as("lat2"),

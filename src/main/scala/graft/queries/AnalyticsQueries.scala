@@ -13,11 +13,22 @@ import graft.llm.Pca
   */
 object AnalyticsQueries {
 
+  /** One d²-row covariance frame serves emb1, emb4 AND the PCA fit —
+    * memoized per (session, dataDir) so the corpus outer-product scan
+    * runs once; each query stays standalone-correct (a memo hit only
+    * changes where the frame comes from, never its rows). */
+  private def covMemo(s: org.apache.spark.sql.SparkSession, d: String) =
+    QueryMemo.frame(s, d, "emb_covariance")(
+      Pca.covariance(Tables.embeddings(s, d), "embedding"))
+
   /** One PCA model (covariance scan + driver Jacobi) serves emb2 and emb3
     * — memoized per (session, dataDir); deterministic, so a memo hit
-    * cannot change either query's output. */
+    * cannot change either query's output. Rides the shared covariance
+    * memo (the fit rounds entries to 7dp, so the model is identical with
+    * or without the memo). */
   private def pcaModel(s: org.apache.spark.sql.SparkSession, d: String): Pca.Model =
-    QueryMemo.value(s, d, "pca_model")(Pca.fit(Tables.embeddings(s, d), "embedding"))
+    QueryMemo.value(s, d, "pca_model")(
+      Pca.fit(Tables.embeddings(s, d), "embedding", Some(covMemo(s, d))))
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -70,10 +81,10 @@ object AnalyticsQueries {
              |             row_number() OVER (ORDER BY cnt, user_id) AS i
              |           FROM cnts),
              |st AS (SELECT count(*)::BIGINT AS n, sum(cnt)::BIGINT AS tot,
-             |              sum(i * cnt)::BIGINT AS iw
+             |              sum(i::DOUBLE * cnt) AS iw
              |       FROM ranked)
              |SELECT st.n AS n_users, st.tot AS total_events,
-             |       round(2.0 * st.iw / (st.n * st.tot) - (st.n + 1.0) / st.n, 6) AS gini,
+             |       round(2.0 * st.iw / (st.n::DOUBLE * st.tot) - (st.n + 1.0) / st.n, 6) AS gini,
              |       round((SELECT COALESCE(sum(cnt), 0) FROM ranked, st
              |              WHERE i > st.n - ceil(st.n / 10.0))::DOUBLE / st.tot, 6) AS top10_share
              |FROM st""".stripMargin)),
@@ -423,19 +434,24 @@ object AnalyticsQueries {
     // blow-up per class is the standard first symptom of a broken
     // embedding export; one scan, one dim-sized aggregate. The fold is
     // cast to double BEFORE squaring so DuckDB's ::DOUBLE[] list algebra
-    // replays it exactly (the sim1 parity pattern). ----
+    // replays it exactly (the sim1 parity pattern), and the 4dp rounding
+    // is the engine-identical floor(x·10⁴+0.5)/10⁴ fold (the ts19/dd18
+    // pattern) — Spark's round() is BigDecimal-HALF_UP, DuckDB's rounds
+    // the double; a norm on a half boundary flips the hash. ----
     QueryDef("emb5_norm_stats",
       (s, d) => {
         val sq = aggregate(
           transform(col("embedding").cast("array<double>"), x => x * x),
           lit(0.0), (acc, v) => acc + v)
+        def r4(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+          floor(c * 10000 + 0.5) / 10000.0
         Tables.embeddings(s, d)
           .select(col("label"), sqrt(sq).as("nrm"))
           .groupBy("label")
           .agg(count(lit(1)).as("n"),
-            round(avg("nrm"), 4).as("avg_norm"),
-            round(min("nrm"), 4).as("min_norm"),
-            round(max("nrm"), 4).as("max_norm"),
+            r4(avg("nrm")).as("avg_norm"),
+            r4(min("nrm")).as("min_norm"),
+            r4(max("nrm")).as("max_norm"),
             sum(when(col("nrm") < 1e-6, 1L).otherwise(0L)).as("near_zero"))
           .orderBy("label")
       },
@@ -444,37 +460,45 @@ object AnalyticsQueries {
              |         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
              |  FROM embeddings)
              |SELECT label, count(*) AS n,
-             |       round(avg(nrm), 4) AS avg_norm,
-             |       round(min(nrm), 4) AS min_norm,
-             |       round(max(nrm), 4) AS max_norm,
+             |       floor(avg(nrm) * 10000 + 0.5) / 10000.0 AS avg_norm,
+             |       floor(min(nrm) * 10000 + 0.5) / 10000.0 AS min_norm,
+             |       floor(max(nrm) * 10000 + 0.5) / 10000.0 AS max_norm,
              |       sum(CASE WHEN nrm < 1e-6 THEN 1 ELSE 0 END)::BIGINT AS near_zero
              |FROM n GROUP BY label ORDER BY label""".stripMargin)),
 
     // ---- emb1: embedding covariance — all d² second moments in one scan
     // (flattened outer product + partial/final hash agg; only d² sums per
-    // partition cross the wire) ----
+    // partition cross the wire); the scan is shared with emb4 and the
+    // PCA fit via the covariance memo ----
     QueryDef("emb1_covariance",
-      (s, d) => Pca.covariance(Tables.embeddings(s, d), "embedding")
+      (s, d) => covMemo(s, d)
         .select(col("i"), col("j"), round(col("cov"), 7).as("cov"))
         .orderBy("i", "j"),
       Some(Pca.covarianceOracleSql("embeddings", "embedding", digits = 7))),
 
     // ---- emb4: correlation matrix — emb1's covariance normalized by the
-    // diagonal (scale-invariant drift/redundancy monitoring); the d²-row
-    // covariance is checkpointed so the corpus scan runs ONCE ----
+    // diagonal (scale-invariant drift/redundancy monitoring); rides the
+    // same memoized d²-row covariance as emb1, so the corpus scan runs
+    // ONCE for the pair ----
     QueryDef("emb4_correlation",
-      (s, d) => Pca.correlation(Tables.embeddings(s, d), "embedding")
+      (s, d) => Pca.correlationFromCov(covMemo(s, d))
         .select(col("i"), col("j"), round(col("corr"), 6).as("corr"))
         .orderBy("i", "j"),
       Some(Pca.correlationOracleSql("embeddings", "embedding", digits = 6))),
 
     // ---- emb2: PCA projection onto the top-8 components. The model fit
-    // (collect d×d rounded covariance → driver Jacobi) is deterministic;
-    // eigendecomposition is not SQL-expressible → rows-only, with
-    // orthonormality / explained-variance / reconstruction-error pinned in
-    // PcaSpec. Emitted LONG form (vec_id, component_idx, value): the
-    // harness's rows-only comparator sorts/hashes scalar cells, and an
-    // array<double> column is unhashable on the pandas side ----
+    // (collect d×d 7dp-rounded covariance → driver Jacobi, sign-
+    // canonicalized eigenvectors) is a DETERMINISTIC pure function of the
+    // data (partition-independence pinned in PcaSpec), so the fitted
+    // means + eigenvectors are pinned as literals into a DATA-DEPENDENT
+    // oracle (oracleFn) and DuckDB replays the projection arithmetic
+    // bit-for-bit: same centered values, same left-to-right dot fold,
+    // same floor(x·10⁵+0.5)/10⁵ rounding on both engines. The
+    // eigensolver itself stays driver-side (not SQL-expressible); what
+    // the oracle certifies is the distributed projection over it.
+    // Emitted LONG form (vec_id, component_idx, value): the harness's
+    // comparator sorts/hashes scalar cells, and an array<double> column
+    // is unhashable on the pandas side ----
     QueryDef("emb2_pca_project",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
@@ -482,9 +506,29 @@ object AnalyticsQueries {
         Pca.project(emb, "vec_id", "embedding", model, k = 8)
           .select(col("vec_id"), posexplode(col("pc")).as(Seq("component_idx", "value")))
           .select(col("vec_id"), col("component_idx"),
-            round(col("value"), 5).as("value"))
+            (floor(col("value") * 100000 + 0.5) / 100000.0).as("value"))
           .orderBy("vec_id", "component_idx")
       },
-      None)
+      None,
+      oracleFn = Some((s, d) => {
+        val model = pcaModel(s, d) // memoized — free after emb2/emb3 ran
+        // every literal rides CAST('<repr>' AS DOUBLE): a string→double
+        // parse is IEEE-exact on DuckDB's side, immune to the
+        // decimal-literal parsing class (the ts19 lesson)
+        def dl(x: Double) = s"CAST('$x' AS DOUBLE)"
+        val dim = model.means.length
+        val centered = (0 until dim)
+          .map(i => s"(embedding[${i + 1}]::DOUBLE - ${dl(model.means(i))}) AS x$i")
+          .mkString(",\n       ")
+        val comps = (0 until 8).map { k =>
+          // explicit left-associative + chain ≡ Spark's aggregate fold
+          val dot = (0 until dim)
+            .map(i => s"x$i * ${dl(model.components(k)(i))}").mkString(" + ")
+          s"SELECT vec_id, $k AS component_idx,\n" +
+            s"       floor(($dot) * 100000 + 0.5) / 100000.0 AS value\nFROM c"
+        }.mkString("\nUNION ALL\n")
+        s"WITH c AS MATERIALIZED (\n  SELECT vec_id,\n       $centered\n" +
+          s"  FROM embeddings)\n$comps\nORDER BY vec_id, component_idx"
+      }))
   )
 }

@@ -71,7 +71,11 @@ object GraphQueries {
       (s, d) => {
         val edges = edgesMemo(s, d)
         val nodes = Tables.supplier(s, d).select(col("s_suppkey").as("node"))
-        Graph.pagerank(nodes, edges, iters = 15, damping = 0.85)
+        // copartition = the 100×-scale path: share hash-partitioned by
+        // src once, ranks delivered via co-located shuffled-hash join —
+        // no node-vector broadcast ceiling (GraphSpec pins ≡ broadcast)
+        Graph.pagerank(nodes, edges, iters = 15, damping = 0.85,
+            copartition = true)
           .select(col("node"), round(col("r"), 6).as("pagerank"))
           .orderBy("node")
       },
@@ -113,7 +117,8 @@ object GraphQueries {
       (s, d) => {
         val edges = edgesMemo(s, d)
         val nodes = Tables.supplier(s, d).select(col("s_suppkey").as("node"))
-        Graph.pagerank(nodes, edges, iters = 15, damping = 0.85, teleportTo = Some(0L))
+        Graph.pagerank(nodes, edges, iters = 15, damping = 0.85,
+            teleportTo = Some(0L), copartition = true)
           .select(col("node"), round(col("r"), 6).as("ppr"))
           .orderBy("node")
       },

@@ -1217,18 +1217,43 @@ object LlmQueries {
     // brute-force n² distance filter over the same synthesized coords ----
     QueryDef("geo1_proximity_join",
       (s, d) => {
+        // every 7th point sits ON the ±180° anti-meridian seam: even
+        // multiples of 35 just west of +180, odd multiples just east of
+        // −180, lat pinned to a 0.2° band — so straddling pairs (e.g.
+        // custkeys 0↔35, ~25 km apart across the seam) exist at every
+        // scale factor. Exercises GeoJoin's ring-wrapped lon cells; the
+        // brute n² oracle finds those pairs for free since haversine is
+        // 360°-periodic in Δlon. All literals double on BOTH engines
+        // (::DOUBLE in the SQL) so the coordinate chains are bit-identical
+        // (the ts19 decimal-literal lesson).
         val pts = Tables.table(s, d, "customer")
           .filter(col("c_custkey") % 5 === 0)
           .select(col("c_custkey"),
-            (lit(40.0) + (col("c_custkey") * 7919 % 4000) / 1000.0).as("lat"),
-            (lit(-74.0) + (col("c_custkey") * 104729 % 4000) / 1000.0).as("lon"))
+            when(col("c_custkey") % 7 === 0,
+              lit(40.0) + (col("c_custkey") * 7919 % 200) / 1000.0)
+              .otherwise(lit(40.0) + (col("c_custkey") * 7919 % 4000) / 1000.0)
+              .as("lat"),
+            when(col("c_custkey") % 70 === 0,
+              lit(179.82) + (col("c_custkey") * 104729 % 160) / 1000.0)
+              .when(col("c_custkey") % 7 === 0,
+                lit(-180.0) + (col("c_custkey") * 104729 % 160) / 1000.0)
+              .otherwise(lit(-74.0) + (col("c_custkey") * 104729 % 4000) / 1000.0)
+              .as("lon"))
         graft.operators.GeoJoin.withinDistance(pts, "c_custkey", "lat", "lon", 40.0)
           .orderBy("id1", "id2")
       },
       Some("""WITH pts AS (
              |  SELECT c_custkey,
-             |         40.0 + (c_custkey * 7919 % 4000) / 1000.0 AS lat,
-             |         -74.0 + (c_custkey * 104729 % 4000) / 1000.0 AS lon
+             |         CASE WHEN c_custkey % 7 = 0
+             |           THEN 40.0::DOUBLE + (c_custkey * 7919 % 200) / 1000.0::DOUBLE
+             |           ELSE 40.0::DOUBLE + (c_custkey * 7919 % 4000) / 1000.0::DOUBLE
+             |         END AS lat,
+             |         CASE WHEN c_custkey % 70 = 0
+             |           THEN 179.82::DOUBLE + (c_custkey * 104729 % 160) / 1000.0::DOUBLE
+             |           WHEN c_custkey % 7 = 0
+             |           THEN -180.0::DOUBLE + (c_custkey * 104729 % 160) / 1000.0::DOUBLE
+             |           ELSE -74.0::DOUBLE + (c_custkey * 104729 % 4000) / 1000.0::DOUBLE
+             |         END AS lon
              |  FROM customer WHERE c_custkey % 5 = 0),
              |pairs AS (
              |  SELECT a.c_custkey AS id1, b.c_custkey AS id2,
@@ -1330,9 +1355,21 @@ object LlmQueries {
     // (ts14b's trick lifted to the streaming engine); stream ≡ batch
     // across micro-batches pinned in TopKStreamSpec ----
     QueryDef("st10_streaming_topk",
-      (s, d) => graft.streaming.TopKStream.counts(s, t(s, d, "documents")).toDF()
-        .select(col("term"), col("cnt"))
-        .orderBy(desc("cnt"), asc("term")).limit(20),
+      (s, d) => {
+        val c = graft.streaming.TopKStream.counts(s, t(s, d, "documents"))
+          .toDF().localCheckpoint()
+        // exactness precondition CHECKED, not assumed: the oracle equality
+        // below is only meaningful while capacity ≥ every bucket's
+        // vocabulary (zero evictions ⇒ counters exact). Once a larger
+        // corpus crosses that, this fails loudly as "sketch mode" instead
+        // of a hash mismatch indistinguishable from a real bug. 1-row
+        // scalar read of the checkpointed (bucket-bounded) counts table.
+        val ev = c.agg(coalesce(max("evictions"), lit(0L))).head().getLong(0)
+        require(ev == 0L, s"space-saving evicted $ev times — counts are " +
+          "over-estimates (sketch mode); raise capacity/buckets for an exact gate")
+        c.select(col("term"), col("cnt"))
+          .orderBy(desc("cnt"), asc("term")).limit(20)
+      },
       Some("""SELECT term, count(*) AS cnt
              |FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS term
              |      FROM documents)

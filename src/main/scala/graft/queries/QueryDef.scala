@@ -6,11 +6,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * an equivalent DuckDB oracle. Column names MUST match between the two —
   * the driver sorts columns by name and hashes values. Every query orders by
   * a deterministic unique key so output order can't flake the hash.
-  */
+  *
+  * `oracleFn` is the DATA-DEPENDENT oracle variant: SQL whose text embeds
+  * literals derived from a deterministic model fit at the given scale
+  * directory (e.g. emb2 pins the sign-canonicalized PCA eigenvectors so
+  * DuckDB can replay the projection arithmetic — the eigensolver itself
+  * is not SQL-expressible, but it IS a deterministic pure function of the
+  * data, so the pinned literals are reproducible). Verify evaluates these
+  * against its sfDir and merges them into oracle_sql.json alongside the
+  * static oracles. */
 final case class QueryDef(
     name: String,
     fn: (SparkSession, String) => DataFrame,
-    oracle: Option[String])
+    oracle: Option[String],
+    oracleFn: Option[(SparkSession, String) => String] = None)
 
 object QueryDef {
   /** Pseudo-coordinates used by the geo operators: the testdata has no

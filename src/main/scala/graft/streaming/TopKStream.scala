@@ -34,8 +34,16 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object TopKStream {
 
   final case class TermRow(bucket: Int, doc: Long, pos: Int, term: String)
-  final case class SSState(counts: Map[String, Long], processed: Long)
-  final case class BucketCount(bucket: Int, term: String, cnt: Long, ver: Long)
+  /** `evictions` counts every overflow eviction the bucket has ever
+    * performed — the EXACTNESS precondition made checkable: zero means
+    * capacity never overflowed, so every counter is an exact count and an
+    * oracle equality over the output is meaningful; nonzero means the
+    * counters are space-saving over-estimates (still within the classic
+    * error bound) and an exact-match failure is the sketch, not a bug. */
+  final case class SSState(counts: Map[String, Long], processed: Long,
+                           evictions: Long)
+  final case class BucketCount(bucket: Int, term: String, cnt: Long, ver: Long,
+                               evictions: Long)
 
   /** Tokenize docs into bucket-routed term rows; (doc, pos) fixes the
     * within-group processing order so eviction behavior is deterministic
@@ -61,23 +69,41 @@ object TopKStream {
       .flatMapGroupsWithState[SSState, BucketCount](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (bucket, rows, state: GroupState[SSState]) =>
-          var st = state.getOption.getOrElse(SSState(Map.empty, 0L))
+          val prev = state.getOption.getOrElse(SSState(Map.empty, 0L, 0L))
+          // Working set per invocation: a hash map for O(1) count lookup
+          // plus a TreeSet ordered by (count, term) as the min-structure
+          // — O(log capacity) per eviction (the stream-summary role)
+          // instead of an O(capacity) minBy scan per overflow insert,
+          // which at high-churn buckets made eviction the CPU bottleneck.
+          // (count, term) ordering ≡ the old minBy key, so eviction
+          // choice — and thus every count — is bit-identical.
+          val m = scala.collection.mutable.HashMap.empty[String, Long]
+          val heap = new java.util.TreeSet[(Long, String)](
+            implicitly[Ordering[(Long, String)]])
+          prev.counts.foreach { case (t, c) => m.update(t, c); heap.add((c, t)) }
+          var processed = prev.processed
+          var evictions = prev.evictions
           rows.toSeq.sortBy(r => (r.doc, r.pos)).foreach { r =>
-            val m = st.counts
-            val next =
-              if (m.contains(r.term)) m.updated(r.term, m(r.term) + 1)
-              else if (m.size < capacity) m.updated(r.term, 1L)
-              else {
+            m.get(r.term) match {
+              case Some(c) =>
+                heap.remove((c, r.term))
+                m.update(r.term, c + 1); heap.add((c + 1, r.term))
+              case None if m.size < capacity =>
+                m.update(r.term, 1L); heap.add((1L, r.term))
+              case None =>
                 // evict the minimum counter (ties by term for
                 // determinism) and inherit its count + 1
-                val (evict, minCnt) = m.minBy { case (t, c) => (c, t) }
-                (m - evict).updated(r.term, minCnt + 1)
-              }
-            st = SSState(next, st.processed + 1)
+                val min = heap.pollFirst(); val (minCnt, evict) = min
+                m.remove(evict)
+                m.update(r.term, minCnt + 1); heap.add((minCnt + 1, r.term))
+                evictions += 1
+            }
+            processed += 1
           }
+          val st = SSState(m.toMap, processed, evictions)
           state.update(st)
           st.counts.iterator
-            .map { case (t, c) => BucketCount(bucket, t, c, st.processed) }
+            .map { case (t, c) => BucketCount(bucket, t, c, st.processed, evictions) }
       }
   }
 }

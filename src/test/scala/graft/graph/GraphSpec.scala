@@ -83,6 +83,61 @@ class GraphSpec extends SparkSpecBase {
     assert(math.abs(got.values.sum - 1.0) < 1e-9, "ranks sum to 1")
   }
 
+  test("pagerank copartition ≡ broadcast (incl. dangling + personalized teleport)") {
+    val nodesSeq = Seq(1L, 2L, 3L, 4L, 5L)
+    val edgesSeq = Seq((1L, 2L, 2.0), (1L, 3L, 1.0), (2L, 3L, 1.0), (3L, 4L, 5.0),
+      (4L, 2L, 1.0))
+    val nodes = nodesSeq.toDF("node")
+    val edges = edgesSeq.toDF("src", "dst", "w")
+    for (tp <- Seq(None, Some(3L))) {
+      val bc = Graph.pagerank(nodes, edges, teleportTo = tp)
+        .as[(Long, Double)].collect().toMap
+      val cp = Graph.pagerank(nodes, edges, teleportTo = tp, copartition = true)
+        .as[(Long, Double)].collect().toMap
+      assert(bc.keySet == cp.keySet)
+      bc.foreach { case (k, v) => assert(math.abs(v - cp(k)) < 1e-12, s"node $k tp=$tp") }
+    }
+    // the copartitioned contrib join must not broadcast the rank vector:
+    // the share table is hash(src)-partitioned once and the round joins
+    // are shuffled-hash — a broadcast there is the scale ceiling this
+    // path exists to remove. (The final node-spine lift is outside the
+    // loop and node-sized either way.)
+    val local = pagerankLocal(nodesSeq, edgesSeq, iters = 15, d = 0.85)
+    val got = Graph.pagerank(nodes, edges, copartition = true)
+      .as[(Long, Double)].collect().toMap
+    local.foreach { case (k, v) => assert(math.abs(v - got(k)) < 1e-12, s"node $k") }
+  }
+
+  test("copartitioned round join: checkpoint keeps hash layout, no exchange, no broadcast") {
+    // the exact shape pagerank(copartition = true) runs per round: share
+    // hash(src)-partitioned + persisted, ranks hash(node)-partitioned +
+    // localCheckpoint'ed. localCheckpoint must PRESERVE outputPartitioning
+    // (LogicalRDD carries it) so the shuffled-hash join satisfies both
+    // sides' distributions with ZERO new exchanges — that property is the
+    // entire point of the 100×-scale path, so pin it.
+    val share = (1L to 200L).map(i => (i % 20, i % 7, 1.0))
+      .toDF("src", "dst", "share").repartition(col("src")).persist()
+    val ranks = (0L to 19L).map(i => (i, 0.05)).toDF("node", "r")
+      .repartition(col("node")).localCheckpoint()
+    try {
+      val j = share.join(ranks.hint("shuffle_hash"), share("src") === ranks("node"))
+        .groupBy(col("dst")).agg(sum(col("share") * col("r")).as("contrib"))
+      j.collect() // finalize AQE
+      val plan = j.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+      assert(plan.contains("ShuffledHashJoin"), s"expected shuffled-hash join:\n$plan")
+      assert(!plan.contains("BroadcastExchange"),
+        s"rank vector must not broadcast on the copartitioned path:\n$plan")
+      // the ONLY exchange Spark had to INSERT is the contrib aggregate's
+      // hash(dst) — neither join input re-shuffles. (The share cache's
+      // stored build plan prints its one-time REPARTITION_BY_COL exchange
+      // inside the InMemoryRelation; that's the deliberate one-off cost,
+      // not a per-round one, so count only ENSURE_REQUIREMENTS.)
+      val inserted = "ENSURE_REQUIREMENTS".r.findAllIn(plan).size
+      assert(inserted == 1, s"expected only the dst aggregate exchange, got $inserted:\n$plan")
+      assert("Exchange hashpartitioning\\(dst".r.findAllIn(plan).size == 1, plan)
+    } finally share.unpersist()
+  }
+
   test("pagerank: symmetric cycle is uniform") {
     val nodes = Seq(1L, 2L, 3L).toDF("node")
     val edges = Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (3L, 1L, 1.0)).toDF("src", "dst", "w")

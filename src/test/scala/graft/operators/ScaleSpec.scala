@@ -217,11 +217,15 @@ class ScaleSpec extends SparkSpecBase {
       // dd13: line-df aggregate + doc reassembly; the boilerplate
       // anti-join broadcasts at audit scale (AQE picks SHJ at corpus scale)
       "dd13_line_dedup" -> "2/1/0/0/p",
-      // g9/emb4 audited plans start at their checkpointed intermediates
-      // (peeled edge set / d²-row covariance) — the shapes below are the
-      // final aggregation+join stages
+      // g9's audited plan starts at its checkpointed intermediate (peeled
+      // edge set) — the shape below is the final aggregation+join stage
       "g9_kcore" -> "2/1/0/0/-",
-      "emb4_correlation" -> "1/2/0/0/-",
+      // emb4 normally rides the memoized d²-row covariance checkpoint
+      // (corpus scan ONCE for emb1+emb4+PCA fit); with the memo disabled
+      // the audit sees the full covariance chain referenced three times
+      // (diag + the two normalization joins) — audit-only recompute at
+      // sf0.001, never the production shape
+      "emb4_correlation" -> "6/8/0/1/-",
       // dd14: gram-index agg, covered-distinct, token anti-join (BHJ at
       // audit scale), reassembly agg
       "dd14_span_removal" -> "4/2/0/0/p",
@@ -263,9 +267,11 @@ class ScaleSpec extends SparkSpecBase {
       // dd18: one chunking pass checkpointed, corpus distinct + per-doc
       // aggs; the anti-join and novelty join broadcast at audit scale
       "dd18_cdc_incremental" -> "4/2/0/0/-",
-      // st10: one bucket shuffle into the stateful fold, then
-      // TakeOrderedAndProject
-      "st10_streaming_topk" -> "1/0/0/0/-",
+      // st10: the audited plan is the head over the checkpointed counts
+      // table (the checkpoint exists so the eviction-counter exactness
+      // gate reads ONE scalar without re-running the stateful fold; the
+      // fold itself is one bucket shuffle, behind the checkpoint)
+      "st10_streaming_topk" -> "0/0/0/0/-",
       "emb5_norm_stats" -> "2/0/0/0/-",
       // ev9: the user-partition window + trigram agg, head via
       // TakeOrderedAndProject

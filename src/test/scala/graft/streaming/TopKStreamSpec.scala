@@ -52,5 +52,12 @@ class TopKStreamSpec extends SparkSpecBase {
     assert(out.length <= 2)
     val heavy = out.find(_.term == "aaa")
     assert(heavy.isDefined && heavy.get.cnt >= 10L)
+    // the eviction counter surfaces sketch mode: 5 singletons through a
+    // capacity-2 table must record evictions (exactness precondition
+    // visibly violated), while an under-capacity stream records zero
+    assert(out.forall(_.evictions > 0L), out.mkString(", "))
+    val exact = TopKStream.counts(s, docs, buckets = 1, capacity = 64).collect()
+    assert(exact.forall(_.evictions == 0L))
+    assert(exact.find(_.term == "aaa").get.cnt == 10L)
   }
 }
