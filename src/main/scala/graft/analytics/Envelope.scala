@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** The serving JSON envelope (dwwApi.js:201-223) — the wrapper the clients
@@ -50,6 +50,58 @@ object Envelope {
       .agg(map_from_entries(sort_array(collect_list(
         struct(col("region"), col("coords"))))).as("globalRegions"))
     jumps.crossJoin(locs).crossJoin(regs).crossJoin(glob)
+  }
+
+  /** Canonical JSON rendering of the [[unfiltered]] envelope — ONE string
+    * column (`envelope_json`), fully deterministic and engine-portable:
+    * keys emitted in sorted order ("dummy" < "imdbMovieId" < … inside
+    * rels; "globalRegions" < "jumps" < "locations" < "regions" at the
+    * top), compact separators, JSON string escaping for `\` and `"`,
+    * null realOnly fields rendered as JSON null. `to_json` is NOT
+    * canonical (field order follows struct layout and map internals), so
+    * an independent oracle building the same document with
+    * `json.dumps(sort_keys=True, separators=(",",":"))` can hash-match
+    * this renderer character-for-character (dwwApi.js:201-223 shape).
+    * Map entries are re-sorted defensively; the jumps array is already
+    * sort_array'd by (id, name, rels). */
+  def canonicalJson(env: DataFrame): DataFrame = {
+    def esc(c: Column): Column =
+      regexp_replace(regexp_replace(c, "\\\\", "\\\\\\\\"), "\"", "\\\\\"")
+    def str(c: Column): Column = concat(lit("\""), esc(c), lit("\""))
+    def strOrNull(c: Column): Column =
+      when(c.isNull, lit("null")).otherwise(str(c))
+    def relJson(r: Column): Column = concat(
+      lit("{\"dummy\":"), r.getField("dummy").cast("string"),
+      lit(",\"imdbMovieId\":"), str(r.getField("imdbMovieId")),
+      lit(",\"location\":"), strOrNull(r.getField("location")),
+      lit(",\"matchedCompanyName\":"), str(r.getField("matchedCompanyName")),
+      lit(",\"movieReleaseYear\":"), r.getField("movieReleaseYear").cast("string"),
+      lit(",\"personMappedRole\":"), str(r.getField("personMappedRole")),
+      lit(",\"region\":"), str(r.getField("region")),
+      lit(",\"seq\":"), r.getField("seq").cast("string"), lit("}"))
+    def docJson(d: Column): Column = concat(
+      lit("{\"id\":"), str(d.getField("id")),
+      lit(",\"name\":"), str(d.getField("name")),
+      lit(",\"rels\":["),
+      array_join(transform(d.getField("rels"), relJson(_)), ","), lit("]}"))
+    def strMapJson(m: Column): Column = concat(lit("{"),
+      array_join(transform(array_sort(map_entries(m)), e =>
+        concat(str(e.getField("key")), lit(":"), str(e.getField("value")))), ","),
+      lit("}"))
+    val regionsJson = concat(lit("{"),
+      array_join(transform(array_sort(map_entries(col("regions"))), e =>
+        concat(str(e.getField("key")),
+          lit(":{\"geoLoc\":"), str(e.getField("value").getField("geoLoc")),
+          lit(",\"globalRegion\":"), str(e.getField("value").getField("globalRegion")),
+          lit("}"))), ","),
+      lit("}"))
+    env.select(concat(
+      lit("{\"globalRegions\":"), strMapJson(col("globalRegions")),
+      lit(",\"jumps\":["),
+      array_join(transform(col("jumps"), docJson(_)), ","), lit("]"),
+      lit(",\"locations\":"), strMapJson(col("locations")),
+      lit(",\"regions\":"), regionsJson,
+      lit("}")).as("envelope_json"))
   }
 
   /** Filtered envelope, grouping=none: flat jump list (dwwApi.js:157-175).

@@ -45,6 +45,131 @@ object Ivf {
     Index(centroids, assigned)
   }
 
+  /** Deterministic, cross-engine-replayable IVF coarse quantizer — the
+    * portable twin of [[build]] (the sim4b/cur9 determinism pattern
+    * lifted to k-means): initial centroids are the `k` vectors with the
+    * smallest md5(id) (engine-shared pseudo-random pick), then `rounds`
+    * FIXED Lloyd's iterations. Each update rounds centroid coordinates
+    * through the engine-identical floor(x·10⁶+0.5)/10⁶ fold, so
+    * distributed summation order cannot leak into the next round's
+    * assignments — distances computed FROM rounded centroids are then
+    * bit-identical on both engines and the argmin (ties → smaller cell)
+    * replays exactly in DuckDB's unrolled round CTEs
+    * ([[portableOracleSql]]). An empty cell keeps its previous centroid.
+    *
+    * Scale shape: per round one n×k broadcast expansion + per-id argmin
+    * + one (cell, dim)-sized mean aggregate — linear in the corpus, the
+    * same cost class as MLlib's own Lloyd's pass; lineage truncated per
+    * round. MLlib [[build]] stays the production path (sampling init,
+    * early convergence); this twin exists so the quantizer itself is
+    * oracle-checkable end-to-end.
+    *
+    * Returns (centroids (cell, cv), assignments (pid, pv, cell)). */
+  def portableQuantizer(corpus: DataFrame, id: String, vec: String,
+                        k: Int, rounds: Int): (DataFrame, DataFrame) = {
+    val base = corpus.select(col(id).cast("long").as("pid"),
+        transform(col(vec), _.cast("double")).as("pv"))
+      .localCheckpoint()
+    // k rows — the limit runs first, so the single-partition window is
+    // k-sized (partitionBy(lit) keeps the unpartitioned-window warning
+    // out of the logs)
+    val wSeed = Window.partitionBy(lit(1)).orderBy("h", "pid")
+    var cent = base
+      .withColumn("h", md5(col("pid").cast("string")))
+      .orderBy("h", "pid").limit(k)
+      .select((row_number().over(wSeed) - 1).as("cell"), col("pv").as("cv"))
+      .localCheckpoint()
+    val d2 = aggregate(zip_with(col("pv"), col("cv"), (x, c) => (x - c) * (x - c)),
+      lit(0.0), (acc, t) => acc + t)
+    def assign(c: DataFrame): DataFrame = base.crossJoin(broadcast(c))
+      .withColumn("d2", d2)
+      .groupBy("pid")
+      .agg(min(struct(col("d2"), col("cell"))).as("m"), first("pv").as("pv"))
+      .select(col("pid"), col("pv"), col("m.cell").as("cell"))
+    for (_ <- 1 to rounds) {
+      val means = assign(cent)
+        .select(col("cell"), posexplode(col("pv")).as(Seq("i", "x")))
+        .groupBy("cell", "i")
+        .agg((floor(sum("x") / count(lit(1)) * 1000000 + 0.5) / 1000000.0).as("mean"))
+        .groupBy("cell")
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("mean")))),
+          s => s.getField("mean")).as("nv"))
+      val next = cent.join(means, Seq("cell"), "left")
+        .select(col("cell"), coalesce(col("nv"), col("cv")).as("cv"))
+        .localCheckpoint()
+      graft.SessionHygiene.freeCheckpoint(cent)
+      cent = next
+    }
+    // checkpointed: callers reference the assignment table at least twice
+    // (query slice + candidate cells)
+    (cent, assign(cent).localCheckpoint())
+  }
+
+  /** DuckDB twin of [[portableQuantizer]] + the probe/rerank tail: seeds,
+    * every Lloyd's round (assign CTE + centroid CTE), the nProbes cell
+    * probe and the in-cell cosine rerank unrolled as MATERIALIZED CTEs —
+    * the pagerank/BPE oracle pattern. All dot/distance folds are
+    * left-to-right list_sum chains ≡ Spark's aggregate fold, so sims are
+    * bit-identical and (sim DESC, id) ranking cannot flip. */
+  def portableOracleSql(table: String, id: String, vec: String,
+                        k: Int, rounds: Int, dim: Int,
+                        querySql: String, nProbes: Int, kTop: Int): String = {
+    val r = s"range(1, ${dim + 1})"
+    def d2(a: String, b: String) =
+      s"list_sum(list_transform($r, i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
+    def dot(a: String, b: String) =
+      s"list_sum(list_transform($r, i -> $a[i] * $b[i]))"
+    def cos(a: String, b: String) =
+      s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
+    val roundCtes = (1 to rounds).map { rd =>
+      val prev = if (rd == 1) "c0" else s"c${rd - 1}"
+      s"""a$rd AS MATERIALIZED (
+         |  SELECT pid, pv, cell FROM (
+         |    SELECT b.pid, b.pv, c.cell,
+         |           row_number() OVER (PARTITION BY b.pid
+         |             ORDER BY ${d2("b.pv", "c.cv")}, c.cell) AS rn
+         |    FROM base b CROSS JOIN $prev c) WHERE rn = 1),
+         |c$rd AS MATERIALIZED (
+         |  SELECT p.cell, coalesce(m.nv, p.cv) AS cv
+         |  FROM $prev p LEFT JOIN (
+         |    SELECT cell, list(mean ORDER BY i) AS nv FROM (
+         |      SELECT cell, dims.i,
+         |             floor(sum(pv[dims.i]) / count(*) * 1000000 + 0.5) / 1000000.0 AS mean
+         |      FROM a$rd CROSS JOIN (SELECT unnest($r) AS i) dims
+         |      GROUP BY cell, dims.i)
+         |    GROUP BY cell) m ON p.cell = m.cell)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH base AS MATERIALIZED (
+       |  SELECT $id::BIGINT AS pid, $vec::DOUBLE[] AS pv FROM $table),
+       |c0 AS MATERIALIZED (
+       |  SELECT cell, cv FROM (
+       |    SELECT (row_number() OVER (ORDER BY md5(pid::VARCHAR), pid) - 1)::INT AS cell,
+       |           pv AS cv
+       |    FROM base) WHERE cell < $k),
+       |$roundCtes,
+       |fin AS MATERIALIZED (
+       |  SELECT pid, pv, cell FROM (
+       |    SELECT b.pid, b.pv, c.cell,
+       |           row_number() OVER (PARTITION BY b.pid
+       |             ORDER BY ${d2("b.pv", "c.cv")}, c.cell) AS rn
+       |    FROM base b CROSS JOIN c$rounds c) WHERE rn = 1),
+       |probe AS MATERIALIZED (
+       |  SELECT qid, qv, cell FROM (
+       |    SELECT q.pid AS qid, q.pv AS qv, c.cell,
+       |           row_number() OVER (PARTITION BY q.pid
+       |             ORDER BY ${cos("q.pv", "c.cv")} DESC, c.cell) AS rn
+       |    FROM (SELECT * FROM fin WHERE $querySql) q CROSS JOIN c$rounds c)
+       |  WHERE rn <= $nProbes),
+       |scored AS (
+       |  SELECT p.qid AS query_id, a.pid AS id, ${cos("a.pv", "p.qv")} AS s
+       |  FROM fin a JOIN probe p ON a.cell = p.cell)
+       |SELECT query_id, id,
+       |       row_number() OVER (PARTITION BY query_id ORDER BY s DESC, id) AS rank,
+       |       floor(s * 10000 + 0.5) / 10000.0 AS sim
+       |FROM scored QUALIFY rank <= $kTop
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Approximate top-k: probe the nProbes cells whose centroids are nearest
     * (by cosine) to each query, rerank exactly within them. */
   def topK(index: Index, id: String, vec: String,

@@ -775,6 +775,38 @@ object LlmQueries {
       },
       None),
 
+    // ---- portable IVF ANN: md5-seeded fixed-round Lloyd's quantizer +
+    // cell probe + in-cell rerank, EVERY stage replayed in DuckDB
+    // (unrolled round CTEs; 6dp-rounded centroids make assignments
+    // engine-identical; left-to-right cosine folds make ranks
+    // tie-stable) — the third ANN family with an end-to-end oracle.
+    // sim5 keeps the MLlib production path. ----
+    QueryDef("sim5b_ivf_portable",
+      (s, d) => {
+        val (cent, assigned) = Ivf.portableQuantizer(
+          t(s, d, "embeddings"), "vec_id", "embedding", k = 8, rounds = 4)
+        val w = org.apache.spark.sql.expressions.Window
+        val q = assigned.filter(col("pid") < 3)
+          .select(col("pid").as("qid"), col("pv").as("qv"))
+        val probed = q.crossJoin(broadcast(cent))
+          .withColumn("csim", Similarity.cosine(col("qv"), col("cv")))
+          .withColumn("rn", row_number().over(
+            w.partitionBy("qid").orderBy(desc("csim"), asc("cell"))))
+          .filter(col("rn") <= 2)
+          .select(col("qid"), col("qv"), col("cell"))
+        assigned.join(broadcast(probed), "cell")
+          .withColumn("s", Similarity.cosine(col("pv"), col("qv")))
+          .withColumn("rank", row_number().over(
+            w.partitionBy("qid").orderBy(desc("s"), asc("pid"))))
+          .filter(col("rank") <= 10)
+          .select(col("qid").as("query_id"), col("pid").as("id"), col("rank"),
+            (floor(col("s") * 10000 + 0.5) / 10000.0).as("sim"))
+          .orderBy("query_id", "rank")
+      },
+      Some(Ivf.portableOracleSql("embeddings", "vec_id", "embedding",
+        k = 8, rounds = 4, dim = 64, querySql = "pid < 3",
+        nProbes = 2, kTop = 10))),
+
     // ---- similarity: product-quantization ANN (per-subspace k-means
     // codebooks, ADC scoring over the compact codes table, exact rerank;
     // rows-only: k-means codebooks are model-dependent; recall vs exact is

@@ -81,10 +81,14 @@ object PipelineQueries {
              |WHERE sf_key = (SELECT count(*) FROM orders)
              |ORDER BY personId, time_ms, dummy, company""".stripMargin)),
 
-    // ---- the serving JSON envelope (dwwApi.js:218-223): one document
-    // wrapping the jumps docs with the company-location echo and geo dims.
-    // Rows-only (single nested document); the roundtrip + inner-doc
-    // equality is asserted in IoSpec. ----
+    // ---- the serving JSON envelope (dwwApi.js:201-223): one document
+    // wrapping the jumps docs with the company-location echo and geo dims,
+    // rendered as the CANONICAL sorted-key JSON string
+    // (Envelope.canonicalJson) and hash-checked character-for-character
+    // against the independent Python fixture (make_fixtures.py builds the
+    // same document from its own jumps reimplementation and
+    // json.dumps(sort_keys=True)). Structural equality additionally in
+    // IoSpec. ----
     QueryDef("e2e_jumps_envelope",
       (s, d) => {
         import s.implicits._
@@ -94,16 +98,12 @@ object PipelineQueries {
         val globalRegions = Seq(
           ("oceania", "-25.0,140.0"), ("europe", "50.0,9.0"),
           ("americas", "39.8,-98.5")).toDF("region", "coords")
-        // Serialized to ONE json string column: the envelope is nested
-        // maps/arrays, which the correctness harness's pandas sort/hash
-        // cannot canonicalize. to_json over the deterministic (sort_array'd)
-        // envelope is itself deterministic, so the rows-only record at least
-        // pins a stable payload; structural equality lives in IoSpec.
-        DwwPipeline.jumpsEnvelope(credits(s, d), regions, globalRegions)
-          .select(to_json(struct(col("jumps"), col("locations"),
-            col("regions"), col("globalRegions"))).as("envelope_json"))
+        graft.analytics.Envelope.canonicalJson(
+          DwwPipeline.jumpsEnvelope(credits(s, d), regions, globalRegions))
       },
-      None),
+      Some("""SELECT envelope_json
+             |FROM read_parquet('/root/repo/fixtures/e2e_envelope_json.parquet')
+             |WHERE sf_key = (SELECT count(*) FROM orders)""".stripMargin)),
 
     // ---- the envelope, hash-checked: the SAME jumpsEnvelope document
     // exploded back into scalar (section, k, v1..v4) rows so the harness

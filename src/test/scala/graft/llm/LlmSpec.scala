@@ -139,6 +139,49 @@ class LlmSpec extends SparkSpecBase {
     idx.release() // frees the cached cell assignments
   }
 
+  test("portable IVF quantizer: deterministic across partitionings, balanced, usable recall") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val k = 8
+    val (cent, assigned) = Ivf.portableQuantizer(emb, "vec_id", "embedding", k, rounds = 4)
+    val a1 = assigned.select("pid", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // partition-independence: the exact same assignment from a reshuffled
+    // input (the property the 6dp centroid rounding exists to guarantee)
+    val (c2, assigned2) = Ivf.portableQuantizer(
+      emb.repartition(7, col("vec_id")), "vec_id", "embedding", k, rounds = 4)
+    val a2 = assigned2.select("pid", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a1 === a2, "assignments must not depend on input partitioning")
+    // Lloyd's actually clustered: every cell non-empty and no cell owns
+    // the whole corpus
+    val sizes = a1.values.groupBy(identity).view.mapValues(_.size)
+    assert(sizes.size === k, s"expected $k non-empty cells, got ${sizes.size}")
+    assert(sizes.values.max < a1.size, "degenerate single-cell clustering")
+    // probing 2/8 cells finds the query itself and a usable share of the
+    // true neighbors (the quantizer is a real quantizer, not a hash)
+    val q = assigned.filter(col("pid") < 5)
+      .select(col("pid").as("qid"), col("pv").as("qvec"))
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        q, "qid", "qvec", 5)
+      .select("query_id", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+    val probed = q.crossJoin(broadcast(cent))
+      .withColumn("csim", Similarity.cosine(col("qvec"), col("cv")))
+      .withColumn("rn", row_number().over(
+        w.partitionBy("qid").orderBy(desc("csim"), asc("cell"))))
+      .filter(col("rn") <= 2).select(col("qid"), col("qvec"), col("cell"))
+    val approx = assigned.join(broadcast(probed), "cell")
+      .withColumn("s", Similarity.cosine(col("pv"), col("qvec")))
+      .withColumn("rank", row_number().over(
+        w.partitionBy("qid").orderBy(desc("s"), asc("pid"))))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("pid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((0L until 5L).forall(i => approx.contains((i, i))), "query must find itself")
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.4, s"portable IVF recall $recall too low")
+  }
+
   test("PQ ANN: ADC shortlist + exact rerank recovers most exact neighbors; self found") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = emb.filter(col("vec_id") < 5).select(col("vec_id").as("qid"), col("embedding").as("qvec"))

@@ -142,6 +142,66 @@ def make_e2e_grouped_csv():
     print("e2e grouped csv rows:", len(recs))
 
 
+GEOSTR = {"O": "-41.3,174.8", "F": "51.5,-0.1", "P": "34.0,-118.2"}
+
+
+def make_e2e_envelope():
+    """e2e_jumps_envelope: the FULL unfiltered serving envelope
+    (dwwApi.js:201-223) as ONE canonical JSON string per SF — keys sorted,
+    compact separators — built from this file's independent jumps
+    reimplementation. Spark's Envelope.canonicalJson must reproduce it
+    character-for-character."""
+    import json
+    recs = []
+    for sf in SFS:
+        n = con.execute(f"SELECT count(*) FROM '{sf}/orders.parquet'").fetchone()[0]
+        people = jumps_pipeline(sf)
+        docs = []
+        statuses_seen = set()
+        for pid in sorted(people):  # sort_array(struct(id,...)): id string order
+            kept = people[pid]
+            times = [epoch_ms(datetime.strptime(r[0], "%Y-%m-%d")) for r in kept]
+            name = kept[0][3]
+            rels = []
+            for i, r in enumerate(kept):
+                st = r[2]
+                statuses_seen.add(st)
+                rels.append({
+                    "seq": 2 * i, "dummy": False,
+                    "imdbMovieId": r[1],
+                    "matchedCompanyName": COMPANY[st],
+                    "movieReleaseYear": times[i],
+                    "personMappedRole": "Artist",
+                    "region": LOC[st],
+                    "location": GEOSTR[st]})
+                if i + 1 < len(kept):
+                    t = times[i + 1] - trip_days(GEO[st], GEO[kept[i + 1][2]]) * 86400000
+                    rels.append({
+                        "seq": 2 * i + 1, "dummy": True,
+                        "imdbMovieId": r[1],
+                        "matchedCompanyName": COMPANY[st],
+                        "movieReleaseYear": t,
+                        "personMappedRole": "Artist",
+                        "region": LOC[st],
+                        "location": None})
+            docs.append({"id": pid, "name": name, "rels": rels})
+        env = {
+            "jumps": docs,
+            # dwwApi.js:122: exactly the companies observed in served rels
+            "locations": {COMPANY[s]: GEOSTR[s] for s in statuses_seen},
+            "regions": {LOC[s]: {"geoLoc": GEOSTR[s], "globalRegion": REGION[s]}
+                        for s in ["O", "F", "P"]},
+            "globalRegions": {"oceania": "-25.0,140.0", "europe": "50.0,9.0",
+                              "americas": "39.8,-98.5"}}
+        recs.append((n, json.dumps(env, sort_keys=True, separators=(",", ":"),
+                                   ensure_ascii=False)))
+    con.execute("""CREATE OR REPLACE TABLE e2e_env(
+        sf_key BIGINT, envelope_json VARCHAR)""")
+    con.executemany("INSERT INTO e2e_env VALUES (?, ?)", recs)
+    con.execute(f"COPY e2e_env TO '{OUT}/e2e_envelope_json.parquet' (FORMAT PARQUET)")
+    print("e2e envelope rows:", len(recs), "len0:", len(recs[0][1]))
+
+
 def make_mm3():
     """mm3_features: independent reimplementation of Multimodal.decodeStub
     (FNV-ish fold over SIGNED utf-8 bytes, one LCG step, ((h>>>40) % 1000)
@@ -220,5 +280,6 @@ if __name__ == "__main__":
     make_f4()
     make_e2e_endpoint()
     make_e2e_grouped_csv()
+    make_e2e_envelope()
     make_mm3()
     make_mm4()
