@@ -346,15 +346,27 @@ object Graph {
     * the L1 normalizer is read as a single scalar off the checkpointed
     * contrib table (pagerank's dangling-mass pattern — a 1-row driver
     * read of an aggregate, not a data collect). The hub/auth vectors are
-    * node-count sized and checkpoint-backed (no optimizer stats), so
-    * they are broadcast EXPLICITLY into the edge join; a billion-node
-    * deployment would co-partition edges by src and dst once and reuse
-    * those exchanges instead. Requires a non-empty edge set (the L1 mass
-    * is otherwise zero and the quotient undefined). */
-  def hits(nodes: DataFrame, edges: DataFrame, iters: Int = 8): DataFrame = {
+    * node-count sized and checkpoint-backed (no optimizer stats), so by
+    * default they are broadcast EXPLICITLY into the edge join. With
+    * `copartition = true` (the 100×-scale path, pagerank's pattern) the
+    * edge table instead pays TWO one-time exchanges — hash(src) for the
+    * auth half-step, hash(dst) for the hub half-step — and every round's
+    * vector join is a co-located shuffled-hash join: nothing node-sized
+    * ever has to fit on one executor, and the edge table never
+    * re-shuffles. Requires a non-empty edge set (the L1 mass is
+    * otherwise zero and the quotient undefined). */
+  def hits(nodes: DataFrame, edges: DataFrame, iters: Int = 8,
+           copartition: Boolean = false): DataFrame = {
     require(iters >= 1, s"hits needs at least one iteration, got $iters")
-    val nd = nodes.select(col("node")).localCheckpoint()
-    val e = edges.select(col("src"), col("dst"), col("w")).persist()
+    val ndPlan = nodes.select(col("node"))
+    val nd = (if (copartition) ndPlan.repartition(col("node")) else ndPlan)
+      .localCheckpoint()
+    val e0 = edges.select(col("src"), col("dst"), col("w"))
+    val e = (if (copartition) e0.repartition(col("src")) else e0).persist()
+    val eDst = if (copartition) e0.repartition(col("dst")).persist() else e
+    // rank-vector delivery per strategy (see scaladoc)
+    def side(v: DataFrame): DataFrame =
+      if (copartition) v.hint("shuffle_hash") else broadcast(v)
     // Per half-step ONE eager job: the contrib table is checkpointed and
     // the L1 normalizer rides as a LAZY 1-row aggregate of that
     // checkpointed table, crossJoined back as a broadcast row — never a
@@ -368,7 +380,8 @@ object Graph {
     var prevAc: DataFrame = null
     var auth: DataFrame = null
     for (_ <- 1 to iters) {
-      val ac = e.join(broadcast(hub), e("src") === hub("node"))
+      val hubSide = side(hub)
+      val ac = e.join(hubSide, e("src") === hubSide("node"))
         .groupBy(col("dst").as("node")).agg(sum(col("w") * col("h")).as("v"))
         .localCheckpoint()
       if (prevAc != null) graft.SessionHygiene.freeCheckpoint(prevAc)
@@ -378,17 +391,22 @@ object Graph {
       graft.SessionHygiene.freeCheckpoint(prevHc)
       auth = ac.crossJoin(broadcast(ac.agg(sum("v").as("s"))))
         .select(col("node"), (col("v") / col("s")).as("h"))
-      val hc = e.join(broadcast(auth), e("dst") === auth("node"))
+      val authSide = side(auth)
+      val hc = eDst.join(authSide, eDst("dst") === authSide("node"))
         .groupBy(col("src").as("node")).agg(sum(col("w") * col("h")).as("v"))
         .localCheckpoint()
       prevHc = hc
       hub = hc.crossJoin(broadcast(hc.agg(sum("v").as("s"))))
         .select(col("node"), (col("v") / col("s")).as("h"))
     }
-    e.unpersist()
-    // lift the edge-supported vectors onto the full node spine
-    nd.join(broadcast(hub.select(col("node"), col("h").as("hub"))), Seq("node"), "left")
-      .join(broadcast(auth.select(col("node"), col("h").as("auth"))), Seq("node"), "left")
+    e.unpersist(); if (copartition) eDst.unpersist()
+    // lift the edge-supported vectors onto the full node spine (nd is
+    // hash(node)-partitioned in copartition mode, so the hinted joins
+    // stay exchange-free on the spine side)
+    val hubL = side(hub.select(col("node"), col("h").as("hub")))
+    val authL = side(auth.select(col("node"), col("h").as("auth")))
+    nd.join(hubL, Seq("node"), "left")
+      .join(authL, Seq("node"), "left")
       .select(col("node"), coalesce(col("hub"), lit(0.0)).as("hub"),
         coalesce(col("auth"), lit(0.0)).as("auth"))
   }
@@ -443,22 +461,30 @@ object Graph {
     * Per round: one equi-join of the symmetrized edges against the
     * broadcast label vector, a (node, label) weight aggregate, and a
     * deterministic argmax via one more hash aggregate (max of a
-    * (weight, -label) struct — NO per-node window/sort). Same
-    * billion-node note as pagerank: co-partition edges and labels by node
-    * once instead of broadcasting. */
-  def labelPropagation(nodes: DataFrame, edges: DataFrame, iters: Int = 6): DataFrame = {
-    val nd = nodes.select(col("node")).localCheckpoint()
-    val und = edges.select(col("src"), col("dst"), col("w"))
+    * (weight, -label) struct — NO per-node window/sort). With
+    * `copartition = true` (pagerank's pattern) the symmetrized edge
+    * table is hash(dst)-partitioned once and each round's label join is
+    * a co-located shuffled-hash join — no label-vector broadcast
+    * ceiling at billion-node graphs. */
+  def labelPropagation(nodes: DataFrame, edges: DataFrame, iters: Int = 6,
+                       copartition: Boolean = false): DataFrame = {
+    val ndPlan = nodes.select(col("node"))
+    val nd = (if (copartition) ndPlan.repartition(col("node")) else ndPlan)
+      .localCheckpoint()
+    val und0 = edges.select(col("src"), col("dst"), col("w"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst"), col("w")))
       .groupBy("src", "dst").agg(sum("w").as("w"))
-      .persist()
+    val und = (if (copartition) und0.repartition(col("dst")) else und0).persist()
+    def side(v: DataFrame): DataFrame =
+      if (copartition) v.hint("shuffle_hash") else broadcast(v)
     var labels = nd.withColumn("label", col("node")).localCheckpoint()
     for (_ <- 1 to iters) {
       // the vote argmax stays LAZY inside the round's broadcast build, so
       // each round pays exactly ONE eager checkpoint (the new label
       // vector), not two
+      val labelSide = side(labels)
       val winners = und
-        .join(broadcast(labels), und("dst") === labels("node"))
+        .join(labelSide, und("dst") === labelSide("node"))
         .groupBy(col("src").as("nd"), col("label"))
         .agg(sum("w").as("wv"))
         .groupBy("nd")
@@ -466,7 +492,8 @@ object Graph {
         .select(col("nd"), (-col("m.nl")).as("lbl"))
       // a node absent from the vote table has no edges, so its label is
       // still its initial id — coalesce to node ≡ coalesce to prev label
-      val next = nd.join(broadcast(winners), nd("node") === winners("nd"), "left")
+      val winnerSide = side(winners)
+      val next = nd.join(winnerSide, nd("node") === winnerSide("nd"), "left")
         .select(nd("node"), coalesce(col("lbl"), nd("node")).as("label"))
         .localCheckpoint()
       graft.SessionHygiene.freeCheckpoint(labels)

@@ -199,7 +199,7 @@ object GraphQueries {
       (s, d) => {
         Graph.labelPropagation(
             Tables.supplier(s, d).select(col("s_suppkey").as("node")),
-            backboneMemo(s, d), iters = 6)
+            backboneMemo(s, d), iters = 6, copartition = true)
           .select(col("node"), col("label").as("community"))
           .orderBy("node")
       },
@@ -219,7 +219,7 @@ object GraphQueries {
       (s, d) => {
         val edges = edgesMemo(s, d)
         val nodes = Tables.supplier(s, d).select(col("s_suppkey").as("node"))
-        Graph.hits(nodes, edges, iters = 8)
+        Graph.hits(nodes, edges, iters = 8, copartition = true)
           .select(col("node"), round(col("hub"), 6).as("hub"),
             round(col("auth"), 6).as("auth"))
           .orderBy("node")

@@ -247,6 +247,29 @@ class GraphSpec extends SparkSpecBase {
     assert(byNode(7L) === 7L)
   }
 
+  test("hits + labelPropagation: copartition ≡ broadcast") {
+    val s = spark; import s.implicits._
+    val edges = Seq(
+      (1L, 2L, 5.0), (1L, 3L, 5.0), (2L, 3L, 5.0),
+      (4L, 5L, 5.0), (4L, 6L, 5.0), (5L, 6L, 5.0),
+      (3L, 4L, 1.0), (6L, 1L, 2.0)).toDF("src", "dst", "w")
+    val nodes = (1L to 7L).toDF("node")
+    val lpaB = Graph.labelPropagation(nodes, edges, iters = 6)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val lpaC = Graph.labelPropagation(nodes, edges, iters = 6, copartition = true)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(lpaB === lpaC)
+    val hB = Graph.hits(nodes, edges, iters = 5)
+      .collect().map(x => x.getLong(0) -> (x.getDouble(1), x.getDouble(2))).toMap
+    val hC = Graph.hits(nodes, edges, iters = 5, copartition = true)
+      .collect().map(x => x.getLong(0) -> (x.getDouble(1), x.getDouble(2))).toMap
+    assert(hB.keySet === hC.keySet)
+    hB.foreach { case (k, (hub, auth)) =>
+      assert(math.abs(hub - hC(k)._1) < 1e-12 && math.abs(auth - hC(k)._2) < 1e-12,
+        s"node $k")
+    }
+  }
+
   test("labelPropagation: tie votes pick the smallest label") {
     val s = spark; import s.implicits._
     // node 3 hears labels 1 and 2 with equal weight → adopts 1

@@ -244,9 +244,11 @@ class ScaleSpec extends SparkSpecBase {
       // filter → no pushdown entry; stats2's BNLJ is the 1-row bounds
       "stats1_column_profile" -> "2/0/0/0/-",
       "stats2_histogram" -> "3/0/0/1/-",
-      // g11's audited plan is the final node-spine join; the two BNLJs
-      // are the lazy 1-row L1-normalizer broadcasts of the last round
-      "g11_hits" -> "3/2/0/2/-",
+      // g11's audited plan is the final node-spine join (copartitioned:
+      // shuffled-hash lifts instead of vector broadcasts — node-sized
+      // exchanges, no broadcast ceiling); the two BNLJs are the lazy
+      // 1-row L1-normalizer broadcasts of the last round
+      "g11_hits" -> "6/0/0/2/-",
       // g12 is a 1-row summary: its exchanges are the per-aggregate
       // finals over the checkpointed node/edge-scale frames, its BNLJs
       // the 1-row stat crossJoins
@@ -281,7 +283,18 @@ class ScaleSpec extends SparkSpecBase {
       "dd15_corpus_overlap" -> "5/4/0/1/-",
       // dd16: one fused-kernel projection + chunk-hash agg + output sort
       "dd16_cdc_chunk_dedup" -> "2/0/0/0/p",
-      "ts18_nfc_dedup" -> "1/0/0/0/p")
+      "ts18_nfc_dedup" -> "1/0/0/0/p",
+      // w6d: fused column-expression KML render — pair shuffle + the
+      // explicit cluster-width fan-out repartition, zero joins
+      "w6d_kml" -> "2/0/0/0/-",
+      // tok1/tok3 ride the memoized merge list (audit disables the memo
+      // but the plans are checkpoint-truncated per merge round anyway)
+      "tok1_bpe_merges" -> "1/0/0/0/-",
+      "tok3_bpe_vocab" -> "3/0/0/0/-",
+      // sim5b: portable Lloyd's tail — the BNLJ is the k-row centroid
+      // broadcast, the BHJ the probed-cell join; quantizer rounds are
+      // checkpoint-truncated
+      "sim5b_ivf_portable" -> "3/1/0/1/-")
     try {
       val drift = graft.SparkEntry.all
         .filter(q => snapshot.contains(q.name))
@@ -291,7 +304,7 @@ class ScaleSpec extends SparkSpecBase {
           else Some(s"${q.name}: expected ${snapshot(q.name)}, got $live")
         }
       assert(drift.isEmpty, s"plan drift:\n${drift.mkString("\n")}")
-      assert(snapshot.size === 90)
+      assert(snapshot.size === 94)
     } finally sys.props.remove("graft.querymemo.disable")
   }
 
