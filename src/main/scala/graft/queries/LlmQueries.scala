@@ -700,18 +700,34 @@ object LlmQueries {
              |     (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0) q
              |ORDER BY e.vec_id""".stripMargin)),
 
-    // ---- similarity: brute-force exact top-k (rows-only: rank ties near
-    // float equality are engine-sensitive; invariants in LlmSpec) ----
+    // ---- similarity: brute-force exact top-k. Oracle-checked end-to-end:
+    // every cosine is the same left-to-right double fold on both engines
+    // (queries are corpus members), so sims are bit-identical and
+    // TopKAgg's (sim DESC, id) ordering replays as a row_number QUALIFY —
+    // ranks cannot flip. 4dp via the engine-identical floor fold. ----
     QueryDef("sim2_topk_exact",
       (s, d) => {
         val emb = t(s, d, "embeddings")
         val q = emb.filter(col("vec_id") < 3)
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
         Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, "qid", "qvec", k = 10)
-          .withColumn("sim", round(col("sim"), 4))
+          .withColumn("sim", floor(col("sim") * 10000 + 0.5) / 10000.0)
           .orderBy("query_id", "rank")
       },
-      None),
+      Some("""WITH base AS MATERIALIZED (
+             |  SELECT vec_id::BIGINT AS pid, embedding::DOUBLE[] AS pv FROM embeddings),
+             |q AS (SELECT pid AS qid, pv AS qv FROM base WHERE pid < 3),
+             |scored AS (
+             |  SELECT q.qid AS query_id, b.pid AS id,
+             |         (list_sum(list_transform(range(1, 65), i -> b.pv[i] * q.qv[i]))
+             |          / (sqrt(list_sum(list_transform(range(1, 65), i -> b.pv[i] * b.pv[i])))
+             |             * sqrt(list_sum(list_transform(range(1, 65), i -> q.qv[i] * q.qv[i]))))) AS s
+             |  FROM base b CROSS JOIN q)
+             |SELECT query_id, id,
+             |       row_number() OVER (PARTITION BY query_id ORDER BY s DESC, id) AS rank,
+             |       floor(s * 10000 + 0.5) / 10000.0 AS sim
+             |FROM scored QUALIFY rank <= 10
+             |ORDER BY query_id, rank""".stripMargin)),
 
     // ---- similarity: exact top-k, oracle-green form — ranking on the
     // 4dp-ROUNDED similarity with id tiebreak, so rank order is robust to
