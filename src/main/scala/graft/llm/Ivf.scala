@@ -105,6 +105,52 @@ object Ivf {
     (cent, assign(cent).localCheckpoint())
   }
 
+  /** SQL fragments shared by the portable-quantizer oracles (sim5b's IVF,
+    * sim6b's per-subspace PQ codebooks): left-to-right list folds ≡
+    * Spark's aggregate fold. */
+  private[llm] def d2Sql(dim: Int)(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, ${dim + 1}), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
+  private[llm] def dotSql(dim: Int)(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, ${dim + 1}), i -> $a[i] * $b[i]))"
+  private[llm] def cosSql(dim: Int)(a: String, b: String): String =
+    s"(${dotSql(dim)(a, b)} / (sqrt(${dotSql(dim)(a, a)}) * sqrt(${dotSql(dim)(b, b)})))"
+
+  /** The unrolled Lloyd's CTE chain over a base CTE `$base`(pid, pv):
+    * seeds `${p}c0` (k smallest md5(pid)), then per round an assign CTE
+    * `${p}aN` and a centroid CTE `${p}cN` with the engine-identical 6dp
+    * floor-rounded means and empty-cell carry — the exact arithmetic of
+    * [[portableQuantizer]]. Returns the chain; the final centroids live
+    * in `${p}c$rounds`. */
+  private[llm] def lloydCtesSql(base: String, p: String, k: Int, rounds: Int,
+                                dim: Int): String = {
+    val d2 = d2Sql(dim) _
+    val seed =
+      s"""${p}c0 AS MATERIALIZED (
+         |  SELECT cell, cv FROM (
+         |    SELECT (row_number() OVER (ORDER BY md5(pid::VARCHAR), pid) - 1)::INT AS cell,
+         |           pv AS cv
+         |    FROM $base) WHERE cell < $k)""".stripMargin
+    val roundCtes = (1 to rounds).map { rd =>
+      val prev = s"${p}c${rd - 1}"
+      s"""${p}a$rd AS MATERIALIZED (
+         |  SELECT pid, pv, cell FROM (
+         |    SELECT b.pid, b.pv, c.cell,
+         |           row_number() OVER (PARTITION BY b.pid
+         |             ORDER BY ${d2("b.pv", "c.cv")}, c.cell) AS rn
+         |    FROM $base b CROSS JOIN $prev c) WHERE rn = 1),
+         |${p}c$rd AS MATERIALIZED (
+         |  SELECT p.cell, coalesce(m.nv, p.cv) AS cv
+         |  FROM $prev p LEFT JOIN (
+         |    SELECT cell, list(mean ORDER BY i) AS nv FROM (
+         |      SELECT cell, dims.i,
+         |             floor(sum(pv[dims.i]) / count(*) * 1000000 + 0.5) / 1000000.0 AS mean
+         |      FROM ${p}a$rd CROSS JOIN (SELECT unnest(range(1, ${dim + 1})) AS i) dims
+         |      GROUP BY cell, dims.i)
+         |    GROUP BY cell) m ON p.cell = m.cell)""".stripMargin
+    }.mkString(",\n")
+    seed + ",\n" + roundCtes
+  }
+
   /** DuckDB twin of [[portableQuantizer]] + the probe/rerank tail: seeds,
     * every Lloyd's round (assign CTE + centroid CTE), the nProbes cell
     * probe and the in-cell cosine rerank unrolled as MATERIALIZED CTEs —
@@ -114,39 +160,11 @@ object Ivf {
   def portableOracleSql(table: String, id: String, vec: String,
                         k: Int, rounds: Int, dim: Int,
                         querySql: String, nProbes: Int, kTop: Int): String = {
-    val r = s"range(1, ${dim + 1})"
-    def d2(a: String, b: String) =
-      s"list_sum(list_transform($r, i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
-    def dot(a: String, b: String) =
-      s"list_sum(list_transform($r, i -> $a[i] * $b[i]))"
-    def cos(a: String, b: String) =
-      s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
-    val roundCtes = (1 to rounds).map { rd =>
-      val prev = if (rd == 1) "c0" else s"c${rd - 1}"
-      s"""a$rd AS MATERIALIZED (
-         |  SELECT pid, pv, cell FROM (
-         |    SELECT b.pid, b.pv, c.cell,
-         |           row_number() OVER (PARTITION BY b.pid
-         |             ORDER BY ${d2("b.pv", "c.cv")}, c.cell) AS rn
-         |    FROM base b CROSS JOIN $prev c) WHERE rn = 1),
-         |c$rd AS MATERIALIZED (
-         |  SELECT p.cell, coalesce(m.nv, p.cv) AS cv
-         |  FROM $prev p LEFT JOIN (
-         |    SELECT cell, list(mean ORDER BY i) AS nv FROM (
-         |      SELECT cell, dims.i,
-         |             floor(sum(pv[dims.i]) / count(*) * 1000000 + 0.5) / 1000000.0 AS mean
-         |      FROM a$rd CROSS JOIN (SELECT unnest($r) AS i) dims
-         |      GROUP BY cell, dims.i)
-         |    GROUP BY cell) m ON p.cell = m.cell)""".stripMargin
-    }.mkString(",\n")
+    val d2 = d2Sql(dim) _
+    def cos(a: String, b: String) = cosSql(dim)(a, b)
     s"""WITH base AS MATERIALIZED (
        |  SELECT $id::BIGINT AS pid, $vec::DOUBLE[] AS pv FROM $table),
-       |c0 AS MATERIALIZED (
-       |  SELECT cell, cv FROM (
-       |    SELECT (row_number() OVER (ORDER BY md5(pid::VARCHAR), pid) - 1)::INT AS cell,
-       |           pv AS cv
-       |    FROM base) WHERE cell < $k),
-       |$roundCtes,
+       |${lloydCtesSql("base", "", k, rounds, dim)},
        |fin AS MATERIALIZED (
        |  SELECT pid, pv, cell FROM (
        |    SELECT b.pid, b.pv, c.cell,

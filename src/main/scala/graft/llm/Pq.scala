@@ -110,4 +110,111 @@ object Pq {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= kTop)
   }
+
+  /** Portable PQ twin (sim6b): per-subspace md5-seeded fixed-round
+    * Lloyd's codebooks ([[Ivf.portableQuantizer]] over each slice),
+    * squared-L2 ADC shortlist, exact cosine rerank. The codes ride WIDE
+    * (c0..c{m-1} columns), so the ADC distance is an explicit
+    * left-to-right `+` chain of per-subspace d² terms — no aggregation
+    * whose fold order could differ between engines — and every stage
+    * replays in DuckDB ([[portableOracleSql]]). MLlib [[build]]/[[topK]]
+    * stay the production path. */
+  def portableTopK(corpus: DataFrame, id: String, vec: String,
+                   m: Int, k: Int, rounds: Int, dim: Int,
+                   nQueries: Int, rerank: Int, kTop: Int): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val subDim = dim / m
+    val base = corpus.select(col(id).cast("long").as("pid"),
+      transform(col(vec), _.cast("double")).as("pv")).localCheckpoint()
+    val cents = new Array[DataFrame](m)
+    var codes = base.select("pid")
+    (0 until m).foreach { s0 =>
+      val sliced = base.select(col("pid"),
+        slice(col("pv"), s0 * subDim + 1, subDim).as("sv"))
+      val (cent, assigned) = Ivf.portableQuantizer(sliced, "pid", "sv", k, rounds)
+      cents(s0) = cent.select(col("cell").as(s"cell$s0"), col("cv").as(s"cv$s0"))
+      codes = codes.join(assigned.select(col("pid"), col("cell").as(s"c$s0")), "pid")
+    }
+    val q = base.filter(col("pid") < nQueries)
+      .select(col("pid").as("qid"), col("pv").as("qv"))
+    def d2(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, c) => (x - c) * (x - c)),
+        lit(0.0), (acc, t) => acc + t)
+    var withCb = codes.crossJoin(broadcast(q))
+    (0 until m).foreach { s0 =>
+      withCb = withCb.join(broadcast(cents(s0)), col(s"c$s0") === col(s"cell$s0"))
+    }
+    val adc = (0 until m).map(s0 =>
+      d2(slice(col("qv"), s0 * subDim + 1, subDim), col(s"cv$s0"))).reduce(_ + _)
+    val w = org.apache.spark.sql.expressions.Window
+    val short = withCb.withColumn("adc", adc)
+      .withColumn("rn", row_number().over(
+        w.partitionBy("qid").orderBy(col("adc"), col("pid"))))
+      .filter(col("rn") <= rerank)
+      .select(col("qid"), col("pid"))
+    short.join(base, "pid")
+      .join(broadcast(q), "qid")
+      .withColumn("sc", Similarity.cosine(col("pv"), col("qv")))
+      .withColumn("rank", row_number().over(
+        w.partitionBy("qid").orderBy(desc("sc"), asc("pid"))))
+      .filter(col("rank") <= kTop)
+      .select(col("qid").as("query_id"), col("pid").as("id"), col("rank"),
+        (floor(col("sc") * 10000 + 0.5) / 10000.0).as("sim"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** DuckDB twin of [[portableTopK]]: m unrolled per-subspace Lloyd's
+    * chains ([[Ivf.lloydCtesSql]]), the wide codes join, the explicit
+    * left-associative ADC chain, shortlist and cosine rerank — the whole
+    * PQ search replayed as one CTE pipeline. */
+  def portableOracleSql(table: String, id: String, vec: String,
+                        m: Int, k: Int, rounds: Int, dim: Int,
+                        nQueries: Int, rerank: Int, kTop: Int): String = {
+    val subDim = dim / m
+    val subCtes = (0 until m).map { s0 =>
+      val lo = s0 * subDim + 1; val hi = (s0 + 1) * subDim
+      s"""base$s0 AS MATERIALIZED (SELECT pid, pv[$lo:$hi] AS pv FROM base),
+         |${Ivf.lloydCtesSql(s"base$s0", s"s$s0", k, rounds, subDim)},
+         |fin$s0 AS MATERIALIZED (
+         |  SELECT pid, cell FROM (
+         |    SELECT b.pid, c.cell,
+         |           row_number() OVER (PARTITION BY b.pid
+         |             ORDER BY ${Ivf.d2Sql(subDim)("b.pv", "c.cv")}, c.cell) AS rn
+         |    FROM base$s0 b CROSS JOIN s${s0}c$rounds c) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val codeCols = (0 until m).map(s0 => s"f$s0.cell AS c$s0").mkString(", ")
+    val codeJoins = (1 until m).map(s0 => s"JOIN fin$s0 f$s0 USING (pid)").mkString(" ")
+    val qSubs = (0 until m).map { s0 =>
+      s"pv[${s0 * subDim + 1}:${(s0 + 1) * subDim}] AS qs$s0"
+    }.mkString(", ")
+    val cbJoins = (0 until m)
+      .map(s0 => s"JOIN s${s0}c$rounds cb$s0 ON c.c$s0 = cb$s0.cell").mkString("\n  ")
+    val adcChain = (0 until m)
+      .map(s0 => Ivf.d2Sql(subDim)(s"q.qs$s0", s"cb$s0.cv")).mkString("\n     + ")
+    s"""WITH base AS MATERIALIZED (
+       |  SELECT $id::BIGINT AS pid, $vec::DOUBLE[] AS pv FROM $table),
+       |$subCtes,
+       |codes AS MATERIALIZED (
+       |  SELECT pid, $codeCols FROM fin0 f0 $codeJoins),
+       |q AS MATERIALIZED (
+       |  SELECT pid AS qid, pv AS qv, $qSubs FROM base WHERE pid < $nQueries),
+       |scored AS MATERIALIZED (
+       |  SELECT q.qid, c.pid,
+       |    (${adcChain.linesIterator.mkString(" ")}) AS adc
+       |  FROM codes c CROSS JOIN q
+       |  $cbJoins),
+       |short AS MATERIALIZED (
+       |  SELECT qid, pid FROM (
+       |    SELECT qid, pid,
+       |           row_number() OVER (PARTITION BY qid ORDER BY adc, pid) AS rn
+       |    FROM scored) WHERE rn <= $rerank),
+       |rer AS (
+       |  SELECT s.qid AS query_id, s.pid AS id, ${Ivf.cosSql(dim)("b.pv", "q.qv")} AS sc
+       |  FROM short s JOIN base b ON s.pid = b.pid JOIN q ON s.qid = q.qid)
+       |SELECT query_id, id,
+       |       row_number() OVER (PARTITION BY query_id ORDER BY sc DESC, id) AS rank,
+       |       floor(sc * 10000 + 0.5) / 10000.0 AS sim
+       |FROM rer QUALIFY rank <= $kTop
+       |ORDER BY query_id, rank""".stripMargin
+  }
 }

@@ -841,6 +841,17 @@ object LlmQueries {
       },
       None),
 
+    // ---- portable PQ ANN: per-subspace md5-seeded Lloyd's codebooks,
+    // wide-code ADC (explicit left-associative d² chain — no fold-order
+    // leakage), exact cosine rerank; EVERY stage replayed in DuckDB —
+    // with sim3 (LSH) and sim5b (IVF), all three ANN families now have
+    // an end-to-end oracle. sim6 keeps the MLlib production path. ----
+    QueryDef("sim6b_pq_portable",
+      (s, d) => Pq.portableTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+        m = 4, k = 16, rounds = 3, dim = 64, nQueries = 3, rerank = 50, kTop = 10),
+      Some(Pq.portableOracleSql("embeddings", "vec_id", "embedding",
+        m = 4, k = 16, rounds = 3, dim = 64, nQueries = 3, rerank = 50, kTop = 10))),
+
     // ---- similarity: embedding cosine near-dup pairs (rows-only).
     // Threshold 0.4: this corpus's max pairwise cosine is ~0.51, so higher
     // thresholds are vacuously empty. Planes/tables are auto-sized from the

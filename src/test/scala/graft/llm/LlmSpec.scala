@@ -182,6 +182,20 @@ class LlmSpec extends SparkSpecBase {
     assert(recall >= 0.4, s"portable IVF recall $recall too low")
   }
 
+  test("portable PQ: self found, usable recall vs exact through the ADC shortlist") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, "qid", "qvec", 5)
+      .select("query_id", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Pq.portableTopK(emb, "vec_id", "embedding",
+        m = 4, k = 16, rounds = 3, dim = 64, nQueries = 3, rerank = 50, kTop = 5)
+      .select("query_id", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((0L until 3L).forall(i => approx.contains((i, i))), "query must find itself")
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"portable PQ recall $recall too low")
+  }
+
   test("PQ ANN: ADC shortlist + exact rerank recovers most exact neighbors; self found") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = emb.filter(col("vec_id") < 5).select(col("vec_id").as("qid"), col("embedding").as("qvec"))
