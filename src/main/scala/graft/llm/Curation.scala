@@ -145,6 +145,7 @@ object Curation {
     // rows) — the +1 seats go to the largest remainders, ties by name
     val ranked = frac.withColumn("rk",
       row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(lit(1)) // source-dim bounded; silences the warning
         .orderBy(col("rem").desc, col(source))))
     // `picked` clamps the allocation to what the source can actually
     // supply: a source whose mass exceeds its doc count (one huge doc)

@@ -59,7 +59,10 @@ object Relevance {
       .groupBy("term").agg(count(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), asc("term")).limit(topN)
       .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(desc("cnt"), asc("term"))))
+        // partitionBy(lit) = the same single (topN-bounded) partition,
+        // minus the scary WindowExec no-partition warning in every log
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(lit(1)).orderBy(desc("cnt"), asc("term"))))
       .select(log(col("rank").cast("double")).as("x"),
         log(col("cnt").cast("double")).as("y"))
     ranked.agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
