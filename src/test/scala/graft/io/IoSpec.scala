@@ -161,4 +161,35 @@ class IoSpec extends SparkSpecBase {
     assert(krow.getString(0) === "in")
     assert(krow.getAs[Map[String, _]]("jumps").keySet === Set("Weta Digital", "Framestore"))
   }
+
+  test("canonicalJson escaping matches json.dumps on hostile strings") {
+    // The e2e fixture's corpus is ASCII-clean, so the escape branches of
+    // Envelope.canonicalJson never fire there; this pins them against an
+    // expected literal generated with Python's
+    // json.dumps(sort_keys=True, separators=(',',':'), ensure_ascii=False)
+    // — the exact oracle-side renderer: quotes, backslashes, non-ASCII
+    // passthrough, and null realOnly fields.
+    val s = spark; import s.implicits._
+    import graft.analytics.Envelope
+    val docs = Seq((
+      "p\"1", "A\\li\"cé",
+      Seq(
+        (0L, "m1", "Art\\ist", 123L, false, "St\"u", "l\\o", Option("1,2")),
+        (1L, "m1", "Art\\ist", 456L, true, "St\"u", "l\\o", Option.empty[String]))
+    )).toDF("id", "name", "raw")
+      .select(col("id"), col("name"), transform(col("raw"), r => struct(
+        r.getField("_1").as("seq"), r.getField("_2").as("imdbMovieId"),
+        r.getField("_3").as("personMappedRole"),
+        r.getField("_4").as("movieReleaseYear"), r.getField("_5").as("dummy"),
+        r.getField("_6").as("matchedCompanyName"), r.getField("_7").as("region"),
+        r.getField("_8").as("location"))).as("rels"))
+    val env = Envelope.unfiltered(
+      docs,
+      Seq(("St\"u", "1,2")).toDF("company", "geoLoc"),
+      Seq(("l\\o", "1,2", "ré")).toDF("location", "geoLoc", "globalRegion"),
+      Seq(("ré", "9,9")).toDF("region", "coords"))
+    val got = Envelope.canonicalJson(env).head.getString(0)
+    val expected = "{\"globalRegions\":{\"ré\":\"9,9\"},\"jumps\":[{\"id\":\"p\\\"1\",\"name\":\"A\\\\li\\\"cé\",\"rels\":[{\"dummy\":false,\"imdbMovieId\":\"m1\",\"location\":\"1,2\",\"matchedCompanyName\":\"St\\\"u\",\"movieReleaseYear\":123,\"personMappedRole\":\"Art\\\\ist\",\"region\":\"l\\\\o\",\"seq\":0},{\"dummy\":true,\"imdbMovieId\":\"m1\",\"location\":null,\"matchedCompanyName\":\"St\\\"u\",\"movieReleaseYear\":456,\"personMappedRole\":\"Art\\\\ist\",\"region\":\"l\\\\o\",\"seq\":1}]}],\"locations\":{\"St\\\"u\":\"1,2\"},\"regions\":{\"l\\\\o\":{\"geoLoc\":\"1,2\",\"globalRegion\":\"ré\"}}}"
+    assert(got === expected)
+  }
 }
