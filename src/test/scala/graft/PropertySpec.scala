@@ -178,4 +178,23 @@ object PropertySpec extends Properties("graft") {
       }
     }
   }
+  // The GeoJoin recall lemma (operators/GeoJoin.scala): with the ring
+  // sized FLOOR(360/cellDeg) every cell is ≥ cellDeg wide, so two
+  // longitudes within one required cell width of each other — including
+  // across ±180° — sit at most ONE ring index apart, which is exactly
+  // what the 3×3 probe needs. (A ceil-sized ring leaves a narrower last
+  // cell and this property FAILS across it — the bug the round-8 spec
+  // caught.)
+  property("geo ring cells: wrapped-close lon pairs are ring-adjacent") =
+    forAll(Gen.choose(1.0, 5000.0), Gen.choose(-180.0, 180.0),
+           Gen.choose(-1.0, 1.0)) { (radiusKm, lon1, frac) =>
+      val lonCellDeg = radiusKm / (111.0 * 0.5)
+      val ringSize = math.floor(360.0 / lonCellDeg).toLong
+      val ringCellDeg = 360.0 / ringSize
+      def norm(l: Double) = ((l + 540.0) % 360.0) - 180.0
+      def cell(l: Double) = math.floor((norm(l) + 180.0) / ringCellDeg).toLong
+      val lon2 = lon1 + frac * lonCellDeg
+      val d = math.abs(cell(lon1) - cell(lon2))
+      ringSize < 3 || math.min(d, ringSize - d) <= 1
+    }
 }
