@@ -128,7 +128,10 @@ object Bench {
       s""""unit":"sec","n_queries":${results.size},"repeats":$repeats,"wall_sec":${fmt(wallSec)},"failed":$failed,"sf":"$sfDir""""
     val full =
       s"""{"metric":"total","value":${fmt(total)},$meta,"queries":${toJson(mins)},"spread":${toJson(spreads)}}"""
-    Files.write(Paths.get("bench_full.json"),
+    // targeted (name-filtered) runs go to a scratch file: a 2-query A/B
+    // must never clobber the committed full-registry artifact
+    val outFile = if (args.isEmpty) "bench_full.json" else "bench_partial.json"
+    Files.write(Paths.get(outFile),
       (full + "\n").getBytes(StandardCharsets.UTF_8))
     // compact line: headline subset only, so it survives the tail capture
     val head = mins.filter { case (k, _) => headline.contains(k) || args.nonEmpty }

@@ -149,6 +149,14 @@ object Bpe {
     wordFreq(docs, text)
       .withColumn("toks",
         merges.foldLeft(charToks(col("word")))((c, m) => applyMerge(c, m.a, m.b)))
+      // vocab-sized checkpoint between the merge fold and the explode:
+      // the k nested higher-order applyMerge folds are interpreted (no
+      // codegen for aggregate/transform lambdas), and feeding them into a
+      // generator re-evaluates the whole chain per OUTPUT TOKEN instead
+      // of per word — measured 8.2 s vs 0.9 s for the same fold behind
+      // size() in tok2. Materializing (word, freq, toks) once makes the
+      // explode read plain arrays.
+      .localCheckpoint()
       .select(explode(col("toks")).as("token"), col("freq"))
       .groupBy("token").agg(sum("freq").as("freq"))
 

@@ -290,7 +290,7 @@ class ScaleSpec extends SparkSpecBase {
       // tok1/tok3 ride the memoized merge list (audit disables the memo
       // but the plans are checkpoint-truncated per merge round anyway)
       "tok1_bpe_merges" -> "1/0/0/0/-",
-      "tok3_bpe_vocab" -> "3/0/0/0/-",
+      "tok3_bpe_vocab" -> "2/0/0/0/-",
       // sim5b: portable Lloyd's tail — the BNLJ is the k-row centroid
       // broadcast, the BHJ the probed-cell join; quantizer rounds are
       // checkpoint-truncated
