@@ -319,6 +319,13 @@ object Similarity {
     val sigs = corpus
       .select(col(id).as("doc"), posexplode(tableBuckets(col(vec), t, b, dim, seed)))
       .select(col("doc"), col("pos").as("tbl"), col("col").as("bucket"))
+      // materialized once: the t·b-plane signature lambda chain is
+      // interpreted (higher-order), and the self-join below references it
+      // on BOTH sides — without this the whole projection runs twice (and
+      // rides a generator, the tok3 re-evaluation class). (doc, tbl,
+      // bucket) triples are corpus×t SMALL rows — the same volume the
+      // join shuffle moves anyway.
+      .localCheckpoint()
     val a = sigs.as("a"); val bb = sigs.as("b")
     val pairs = a.join(bb,
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
