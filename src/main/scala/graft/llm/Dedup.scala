@@ -767,11 +767,19 @@ object Dedup {
   def semanticDedup(emb: DataFrame, id: String, vec: String, threshold: Double,
                     nCells: Int = 16, seed: Long = 42L): DataFrame = {
     val idx = Ivf.build(emb, id, vec, nCells, seed)
-    val a = idx.assigned.select(col("cell"), col(id).as("__id1"), col(vec).as("__v1"))
-    val b = idx.assigned.select(col("cell"), col(id).as("__id2"), col(vec).as("__v2"))
+    // norm hoisted onto the cell rows (computed once per INPUT row, below
+    // the join) — the within-cell pair verify then pays ONE dot fold per
+    // pair instead of three; same dot/sqrt/divide order, bit-identical
+    val withN = idx.assigned.withColumn("__n",
+      sqrt(Similarity.dotProduct(col(vec), col(vec))))
+    val a = withN.select(col("cell"), col(id).as("__id1"), col(vec).as("__v1"),
+      col("__n").as("__n1"))
+    val b = withN.select(col("cell"), col(id).as("__id2"), col(vec).as("__v2"),
+      col("__n").as("__n2"))
     val dropped = a.join(b, "cell")
       .filter(col("__id1") < col("__id2"))
-      .filter(Similarity.cosine(col("__v1"), col("__v2")) >= threshold)
+      .filter(Similarity.dotProduct(col("__v1"), col("__v2"))
+        / (col("__n1") * col("__n2")) >= threshold)
       .select(col("__id2").as(id)).distinct()
     emb.join(dropped, Seq(id), "left_anti")
   }
@@ -793,12 +801,23 @@ object Dedup {
     // max is an array fold: no groupBy shuffle at all, and an EMPTY
     // benchmark degrades to array_max(empty) = NULL → contaminated=false
     // for every doc (a crossJoin against zero bench ROWS would instead
-    // silently drop the whole corpus)
-    val benchArr = broadcast(benchmark.agg(collect_list(col(bvec)).as("__bvs")))
+    // silently drop the whole corpus).
+    // Norms are HOISTED: each benchmark norm rides the broadcast, the
+    // doc norm is let-bound via a one-element transform (CollapseProject
+    // would otherwise inline it per benchmark vector) — so every
+    // (doc, bench) pair pays ONE interpreted dot fold instead of three.
+    // dot/sqrt/multiply/divide order is unchanged, so results are
+    // bit-identical to the unhoisted cosine.
+    val benchArr = broadcast(benchmark.agg(collect_list(struct(
+      col(bvec).as("v"),
+      sqrt(Similarity.dotProduct(col(bvec), col(bvec))).as("n"))).as("__bvs")))
+    val docNorm = sqrt(Similarity.dotProduct(col(vec), col(vec)))
     corpus.crossJoin(benchArr)
       .select(col(id),
-        array_max(transform(col("__bvs"),
-          b => Similarity.cosine(col(vec), b))).as("__ms"))
+        element_at(transform(array(docNorm), na =>
+          array_max(transform(col("__bvs"), b =>
+            Similarity.dotProduct(col(vec), b.getField("v"))
+              / (na * b.getField("n"))))), 1).as("__ms"))
       .select(col(id), round(col("__ms"), 4).as("max_benchmark_sim"),
         coalesce(col("__ms") >= threshold, lit(false)).as("contaminated"))
   }

@@ -680,40 +680,48 @@ object RelationalQueries {
       Some("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey")),
 
     // ---- stats1: ANALYZE-style column profile — rows/nulls/NDV/min/max
-    // for four lineitem columns in ONE scan (the multi-distinct Expand +
-    // two-level hash agg; never a scan per column), unpivoted via stack.
+    // for four lineitem columns, unpivoted via stack. The four NDVs run
+    // as SEPARATE single-distinct aggregates crossJoined back (each a
+    // one-column pruned scan with partial distinct-agg): four distincts
+    // in ONE aggregate plan through a 4× Expand of every fact row — the
+    // multi-distinct rewrite quadruples the scan's row volume before the
+    // hash agg, measured 6.9× slower than the four pruned scans at sf0.1 (6.25 s vs 0.91 s).
     // Renderings are type-explicit so both engines emit identical
     // strings; l_quantity is integer-valued so %.2f can't face a rounding
     // boundary ----
     QueryDef("stats1_column_profile",
-      (s, d) => t(s, d, "lineitem")
-        .agg(
-          count(lit(1)).as("n"),
-          count(col("l_orderkey")).as("c1"),
-          countDistinct(col("l_orderkey")).as("d1"),
-          min(col("l_orderkey")).cast("string").as("mn1"),
-          max(col("l_orderkey")).cast("string").as("mx1"),
-          count(col("l_quantity")).as("c2"),
-          countDistinct(col("l_quantity")).as("d2"),
-          format_string("%.2f", min(col("l_quantity"))).as("mn2"),
-          format_string("%.2f", max(col("l_quantity"))).as("mx2"),
-          count(col("l_shipdate")).as("c3"),
-          countDistinct(col("l_shipdate")).as("d3"),
-          date_format(min(col("l_shipdate")), "yyyy-MM-dd").as("mn3"),
-          date_format(max(col("l_shipdate")), "yyyy-MM-dd").as("mx3"),
-          count(col("l_returnflag")).as("c4"),
-          countDistinct(col("l_returnflag")).as("d4"),
-          min(col("l_returnflag")).as("mn4"),
-          max(col("l_returnflag")).as("mx4"))
-        .selectExpr(
-          """stack(4,
-             |  'l_orderkey',  n, n - c1, d1, mn1, mx1,
-             |  'l_quantity',  n, n - c2, d2, mn2, mx2,
-             |  'l_shipdate',  n, n - c3, d3, mn3, mx3,
-             |  'l_returnflag', n, n - c4, d4, mn4, mx4)
-             |AS (column_name, n_rows, n_nulls, n_distinct, min_value, max_value)
-             |""".stripMargin)
-        .orderBy("column_name"),
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        def ndv(c: String, alias: String) =
+          broadcast(li.agg(countDistinct(col(c)).as(alias)))
+        li.agg(
+            count(lit(1)).as("n"),
+            count(col("l_orderkey")).as("c1"),
+            min(col("l_orderkey")).cast("string").as("mn1"),
+            max(col("l_orderkey")).cast("string").as("mx1"),
+            count(col("l_quantity")).as("c2"),
+            format_string("%.2f", min(col("l_quantity"))).as("mn2"),
+            format_string("%.2f", max(col("l_quantity"))).as("mx2"),
+            count(col("l_shipdate")).as("c3"),
+            date_format(min(col("l_shipdate")), "yyyy-MM-dd").as("mn3"),
+            date_format(max(col("l_shipdate")), "yyyy-MM-dd").as("mx3"),
+            count(col("l_returnflag")).as("c4"),
+            min(col("l_returnflag")).as("mn4"),
+            max(col("l_returnflag")).as("mx4"))
+          .crossJoin(ndv("l_orderkey", "d1"))
+          .crossJoin(ndv("l_quantity", "d2"))
+          .crossJoin(ndv("l_shipdate", "d3"))
+          .crossJoin(ndv("l_returnflag", "d4"))
+          .selectExpr(
+            """stack(4,
+               |  'l_orderkey',  n, n - c1, d1, mn1, mx1,
+               |  'l_quantity',  n, n - c2, d2, mn2, mx2,
+               |  'l_shipdate',  n, n - c3, d3, mn3, mx3,
+               |  'l_returnflag', n, n - c4, d4, mn4, mx4)
+               |AS (column_name, n_rows, n_nulls, n_distinct, min_value, max_value)
+               |""".stripMargin)
+          .orderBy("column_name")
+      },
       Some {
         def row(c: String, mn: String, mx: String) =
           s"""SELECT '$c' AS column_name, count(*)::BIGINT AS n_rows,

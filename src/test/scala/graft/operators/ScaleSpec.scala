@@ -240,9 +240,11 @@ class ScaleSpec extends SparkSpecBase {
       // g10's audited plan starts at the checkpointed label vector (like
       // g2); the tail is one aggregate + the output sort
       "g10_label_propagation" -> "1/0/0/0/-",
-      // stats1: multi-distinct Expand = two-level agg, one scan, no
-      // filter → no pushdown entry; stats2's BNLJ is the 1-row bounds
-      "stats1_column_profile" -> "2/0/0/0/-",
+      // stats2's BNLJ is the 1-row bounds broadcast.
+      // stats1's four BNLJs are the 1-row NDV side-aggregates crossJoined
+      // back — the deliberate alternative to a 4x multi-distinct Expand
+      // of every fact row (measured 6.9x slower)
+      "stats1_column_profile" -> "9/0/0/4/-",
       "stats2_histogram" -> "3/0/0/1/-",
       // g11's audited plan is the final node-spine join (copartitioned:
       // shuffled-hash lifts instead of vector broadcasts — node-sized
