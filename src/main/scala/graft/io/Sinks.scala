@@ -104,4 +104,33 @@ object Sinks {
     newDim.write.mode("overwrite").parquet(live)
     backup
   }
+
+  /** OPTIMIZE-style small-file compaction — the table-maintenance pass a
+    * long-lived 100 TB lakehouse needs: streaming/incremental ingest
+    * (S2/dd9/dd18) accumulates thousands of small part-files per
+    * partition, and every later scan pays task-scheduling + footer
+    * overhead per file. Rewrites `inDir`'s parquet fragments into
+    * `outDir` as ⌈totalBytes / targetBytes⌉ files via `coalesce` — a
+    * NARROW dependency (split merging at read time), deliberately not
+    * `repartition`: compaction must never shuffle the data, only re-pack
+    * it. Writes to a NEW directory (snapshot semantics — the caller
+    * swaps pointers like [[upsertWithBackup]]); an in-place rewrite that
+    * dies mid-job would destroy the table.
+    *
+    * Returns (filesBefore, filesAfter, bytesTotal). */
+  def compact(spark: SparkSession, inDir: String, outDir: String,
+              targetBytes: Long): (Int, Int, Long) = {
+    def dataFiles(dir: String): Seq[org.apache.hadoop.fs.FileStatus] = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).toSeq
+        .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+    }
+    val before = dataFiles(inDir)
+    val totalBytes = before.map(_.getLen).sum
+    val n = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    spark.read.parquet(inDir).coalesce(n)
+      .write.mode("overwrite").parquet(outDir)
+    (before.size, dataFiles(outDir).size, totalBytes)
+  }
 }

@@ -581,6 +581,38 @@ object RelationalQueries {
              |         AS good_total
              |FROM orders WHERE o_orderkey % 10 = 0""".stripMargin)),
 
+    // ---- s18: OPTIMIZE-style small-file compaction (Sinks.compact) —
+    // the maintenance pass incremental ingest needs at scale. A 64-way
+    // fragmented copy of orders is re-packed toward 256 MB files (the
+    // tiny test table lands in exactly ONE), and the compacted snapshot
+    // must carry identical data: the oracle replays the aggregate from
+    // the source table, and the file counts ride the output as
+    // literal-checkable columns (coalesce = narrow merge, zero shuffle,
+    // so 64 → 1 is deterministic). ----
+    QueryDef("s18_compaction",
+      (s, d) => {
+        import s.implicits._
+        val src = scratchDir("graft-compact-src")
+        val dst = scratchDir("graft-compact-dst")
+        t(s, d, "orders").repartition(64)
+          .write.mode("overwrite").parquet(s"$src/t")
+        val (nb, na, bytes) = Sinks.compact(s, s"$src/t", s"$dst/t",
+          targetBytes = 256L * 1024 * 1024)
+        require(bytes > 0 && na < nb,
+          s"compaction must shrink the file count ($nb -> $na, $bytes bytes)")
+        s.read.parquet(s"$dst/t")
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct(col("o_custkey")).as("n_cust"),
+            (floor(sum(col("o_totalprice")) * 100 + 0.5) / 100.0).as("total_price"))
+          .select(lit(nb).as("files_before"), lit(na).as("files_after"),
+            col("n_rows"), col("n_cust"), col("total_price"))
+      },
+      Some("""SELECT 64 AS files_before, 1 AS files_after,
+             |       count(*) AS n_rows,
+             |       count(DISTINCT o_custkey) AS n_cust,
+             |       floor(sum(o_totalprice) * 100 + 0.5) / 100.0 AS total_price
+             |FROM orders""".stripMargin)),
+
     QueryDef("s3b_partitioned_roundtrip",
       (s, d) => {
         val tmp = scratchDir("graft-part-rt")

@@ -162,6 +162,26 @@ class IoSpec extends SparkSpecBase {
     assert(krow.getAs[Map[String, _]]("jumps").keySet === Set("Weta Digital", "Framestore"))
   }
 
+  test("compact repacks fragments toward the target size, zero shuffle, data intact") {
+    val s = spark; import s.implicits._
+    val dir = tmpDir()
+    val df = (1L to 5000L).map(i => (i, s"row_$i")).toDF("k", "v")
+    df.repartition(10).write.mode("overwrite").parquet(s"$dir/frag")
+    // target a third of the total: ceil division must land on 3-4 files
+    val probe = Sinks.compact(s, s"$dir/frag", s"$dir/probe", Long.MaxValue)
+    val total = probe._3
+    val (nb, na, _) = Sinks.compact(s, s"$dir/frag", s"$dir/packed", total / 3 + 1)
+    assert(nb === 10)
+    assert(na === math.ceil(total.toDouble / (total / 3 + 1)).toInt && na < nb)
+    // data equality after the rewrite
+    val back = s.read.parquet(s"$dir/packed")
+    assert(back.exceptAll(df).count() === 0 && df.exceptAll(back).count() === 0)
+    // narrow re-pack: the compaction plan must contain no Exchange
+    val plan = s.read.parquet(s"$dir/frag").coalesce(3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("canonicalJson escaping matches json.dumps on hostile strings") {
     // The e2e fixture's corpus is ASCII-clean, so the escape branches of
     // Envelope.canonicalJson never fire there; this pins them against an
