@@ -12,7 +12,8 @@ import org.apache.spark.sql.SparkSession
   *
   * Each query runs SPARK_GRAFT_REPEATS times (default 3) and reports the
   * MINIMUM, with the relative spread (max−min)/min committed alongside in
-  * bench_full.json. Rationale: on a shared box identical code measured 2×
+  * bench_full.json (−1 = single sample: sub-floor fast query or crash —
+  * never a fake-perfect 0). Rationale: on a shared box identical code measured 2×
   * apart run-to-run (g2 9.9↔21.8 s, w6d 9.5↔20.8 s across two committed
   * full runs) — noisy-neighbor interference, GC debt, and first-run Janino
   * codegen all land on single-shot numbers at random, which makes a
@@ -94,7 +95,13 @@ object Bench {
           ok = false
         }
         val dt = (System.nanoTime() - t0) / 1e9
-        times += dt
+        // only SUCCESSFUL runs feed the minimum: a crash aborts fast, and
+        // folding its duration in would report a crashed query 30x faster
+        // than its one real run — the exact hazard the `failed` list
+        // exists to prevent. A query with zero successes reports the
+        // failed attempt's raw duration (still a positive number, and
+        // it's in `failed`).
+        if (ok) times += dt else if (r == 0) times += dt
         if (r == 0 && dt < repeatFloorSec) fastFirst = true
         // release the finished run's checkpoint blocks (outside its
         // timing; accumulated dead blocks measured the suite tail 5-7x
@@ -108,7 +115,12 @@ object Bench {
       System.gc()
       val ts = times.result()
       val best = ts.min
-      val spread = if (best > 0) (ts.max - best) / best else 0.0
+      // spread is "how trustworthy is this minimum": single-sample rows
+      // (fastFirst skip / crash) report the SENTINEL -1, not a
+      // fake-perfect 0.0 — nothing was measured twice
+      val spread =
+        if (ts.size < 2) -1.0
+        else if (best > 0) (ts.max - best) / best else 0.0
       (q.name, best, spread, ok)
     }
     val wallSec = (System.nanoTime() - wall0) / 1e9

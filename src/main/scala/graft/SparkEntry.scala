@@ -46,7 +46,10 @@ object SparkEntry {
   /** Data-dependent oracles (see [[graft.queries.QueryDef.oracleFn]]):
     * SQL text built against a specific scale directory, e.g. with pinned
     * model literals from a deterministic fit. Merged into
-    * oracle_sql.json by Verify. */
-  def dynamicOracleSql(spark: SparkSession, sfDir: String): Map[String, String] =
-    all.flatMap(q => q.oracleFn.map(f => q.name -> f(spark, sfDir))).toMap
+    * oracle_sql.json by Verify; `only` restricts evaluation to the
+    * queries actually run (targeted local iteration skips the fits). */
+  def dynamicOracleSql(spark: SparkSession, sfDir: String,
+                       only: Set[String] = Set.empty): Map[String, String] =
+    all.filter(q => only.isEmpty || only.contains(q.name))
+      .flatMap(q => q.oracleFn.map(f => q.name -> f(spark, sfDir))).toMap
 }

@@ -45,10 +45,8 @@ object Verify {
     // static oracles + data-dependent ones (model-literal SQL built
     // against THIS sfDir); dynamic oracles are only evaluated for queries
     // included in this run so targeted local iteration stays fast
-    val dynamic = SparkEntry.all
-      .filter(qd => only.isEmpty || only.contains(qd.name))
-      .flatMap(qd => qd.oracleFn.map(f => qd.name -> f(spark, sfDir))).toMap
-    val json = (SparkEntry.oracleSql ++ dynamic)
+    val json = (SparkEntry.oracleSql ++
+        SparkEntry.dynamicOracleSql(spark, sfDir, only))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -56,8 +56,9 @@ object Envelope {
     * column (`envelope_json`), fully deterministic and engine-portable:
     * keys emitted in sorted order ("dummy" < "imdbMovieId" < … inside
     * rels; "globalRegions" < "jumps" < "locations" < "regions" at the
-    * top), compact separators, JSON string escaping for `\` and `"`,
-    * null realOnly fields rendered as JSON null. `to_json` is NOT
+    * top), compact separators, json.dumps' full escape repertoire
+    * (backslash, quote, short escapes, \u00XX control chars), every
+    * field null-tolerant (rendered as JSON null). `to_json` is NOT
     * canonical (field order follows struct layout and map internals), so
     * an independent oracle building the same document with
     * `json.dumps(sort_keys=True, separators=(",",":"))` can hash-match
@@ -65,34 +66,52 @@ object Envelope {
     * Map entries are re-sorted defensively; the jumps array is already
     * sort_array'd by (id, name, rels). */
   def canonicalJson(env: DataFrame): DataFrame = {
-    def esc(c: Column): Column =
-      regexp_replace(regexp_replace(c, "\\\\", "\\\\\\\\"), "\"", "\\\\\"")
+    // Full JSON string escaping, exactly json.dumps' default repertoire:
+    // backslash, quote, the five short escapes, and \u00XX for every
+    // remaining control char < 0x20 — raw control chars would make the
+    // output invalid JSON and break the character-for-character oracle.
+    def esc(c: Column): Column = {
+      val base = regexp_replace(regexp_replace(c, "\\\\", "\\\\\\\\"), "\"", "\\\\\"")
+      val shorts = Seq('\b' -> "\\\\b", '\f' -> "\\\\f", '\n' -> "\\\\n",
+        '\r' -> "\\\\r", '\t' -> "\\\\t")
+      val withShorts = shorts.foldLeft(base) { case (col0, (ch, rep)) =>
+        regexp_replace(col0, java.util.regex.Pattern.quote(ch.toString), rep)
+      }
+      (0 until 32).filterNot(i => "\b\f\n\r\t".contains(i.toChar))
+        .foldLeft(withShorts) { case (col0, i) =>
+          regexp_replace(col0, f"\\x$i%02x", f"\\\\u$i%04x")
+        }
+    }
     def str(c: Column): Column = concat(lit("\""), esc(c), lit("\""))
+    // every field is null-tolerant (rendered as JSON null, matching
+    // json.dumps) — a bare concat would NULL the whole rel string and
+    // array_join would then drop the rel SILENTLY
     def strOrNull(c: Column): Column =
       when(c.isNull, lit("null")).otherwise(str(c))
+    def rawOrNull(c: Column): Column = coalesce(c.cast("string"), lit("null"))
     def relJson(r: Column): Column = concat(
-      lit("{\"dummy\":"), r.getField("dummy").cast("string"),
-      lit(",\"imdbMovieId\":"), str(r.getField("imdbMovieId")),
+      lit("{\"dummy\":"), rawOrNull(r.getField("dummy")),
+      lit(",\"imdbMovieId\":"), strOrNull(r.getField("imdbMovieId")),
       lit(",\"location\":"), strOrNull(r.getField("location")),
-      lit(",\"matchedCompanyName\":"), str(r.getField("matchedCompanyName")),
-      lit(",\"movieReleaseYear\":"), r.getField("movieReleaseYear").cast("string"),
-      lit(",\"personMappedRole\":"), str(r.getField("personMappedRole")),
-      lit(",\"region\":"), str(r.getField("region")),
-      lit(",\"seq\":"), r.getField("seq").cast("string"), lit("}"))
+      lit(",\"matchedCompanyName\":"), strOrNull(r.getField("matchedCompanyName")),
+      lit(",\"movieReleaseYear\":"), rawOrNull(r.getField("movieReleaseYear")),
+      lit(",\"personMappedRole\":"), strOrNull(r.getField("personMappedRole")),
+      lit(",\"region\":"), strOrNull(r.getField("region")),
+      lit(",\"seq\":"), rawOrNull(r.getField("seq")), lit("}"))
     def docJson(d: Column): Column = concat(
-      lit("{\"id\":"), str(d.getField("id")),
-      lit(",\"name\":"), str(d.getField("name")),
+      lit("{\"id\":"), strOrNull(d.getField("id")),
+      lit(",\"name\":"), strOrNull(d.getField("name")),
       lit(",\"rels\":["),
       array_join(transform(d.getField("rels"), relJson(_)), ","), lit("]}"))
     def strMapJson(m: Column): Column = concat(lit("{"),
       array_join(transform(array_sort(map_entries(m)), e =>
-        concat(str(e.getField("key")), lit(":"), str(e.getField("value")))), ","),
+        concat(str(e.getField("key")), lit(":"), strOrNull(e.getField("value")))), ","),
       lit("}"))
     val regionsJson = concat(lit("{"),
       array_join(transform(array_sort(map_entries(col("regions"))), e =>
         concat(str(e.getField("key")),
-          lit(":{\"geoLoc\":"), str(e.getField("value").getField("geoLoc")),
-          lit(",\"globalRegion\":"), str(e.getField("value").getField("globalRegion")),
+          lit(":{\"geoLoc\":"), strOrNull(e.getField("value").getField("geoLoc")),
+          lit(",\"globalRegion\":"), strOrNull(e.getField("value").getField("globalRegion")),
           lit("}"))), ","),
       lit("}"))
     env.select(concat(

@@ -365,7 +365,9 @@ object Graph {
       .localCheckpoint()
     val e0 = edges.select(col("src"), col("dst"), col("w"))
     val e = (if (copartition) e0.repartition(col("src")) else e0).persist()
-    val eDst = if (copartition) e0.repartition(col("dst")).persist() else e
+    // derived from the PERSISTED e, not e0: building the dst copy from
+    // the raw plan would re-run the whole upstream edge derivation
+    val eDst = if (copartition) e.repartition(col("dst")).persist() else e
     // rank-vector delivery per strategy (see scaladoc)
     def side(v: DataFrame): DataFrame =
       if (copartition) v.hint("shuffle_hash") else broadcast(v)

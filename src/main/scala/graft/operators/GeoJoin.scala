@@ -52,7 +52,12 @@ object GeoJoin {
     val ringCellDeg = 360.0 / ringSize
     val lonNorm = (col(lon) + 540.0) % 360.0 - 180.0 // [-180, 180)
     val cellLat = floor(col(lat) / latCellDeg).cast("long")
-    val cellLon = floor((lonNorm + 180.0) / ringCellDeg).cast("long")
+    // least-clamp: ringCellDeg = 360/ringSize can round DOWN a few ulps,
+    // so a lon a hair under +180 can compute floor(...) == ringSize — an
+    // out-of-ring home cell no pmod'd probe could reach (its pairs would
+    // silently vanish). The true cell of such a point is the LAST one.
+    val cellLon = least(floor((lonNorm + 180.0) / ringCellDeg).cast("long"),
+      lit(ringSize - 1))
     val cells = points.select(col(id), col(lat), col(lon),
       cellLat.as("cy"), cellLon.as("cx"))
     // left side probes its 3×3 neighborhood (lon wrapping around the

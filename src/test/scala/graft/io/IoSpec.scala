@@ -187,15 +187,17 @@ class IoSpec extends SparkSpecBase {
     // Envelope.canonicalJson never fire there; this pins them against an
     // expected literal generated with Python's
     // json.dumps(sort_keys=True, separators=(',',':'), ensure_ascii=False)
-    // — the exact oracle-side renderer: quotes, backslashes, non-ASCII
-    // passthrough, and null realOnly fields.
+    // — the exact oracle-side renderer: quotes, backslashes, short-escape
+    // control chars (\n, \t), \u00XX control chars (), non-ASCII
+    // passthrough, and null fields (incl. a null STRING field in a rel —
+    // a bare concat would silently drop the whole rel).
     val s = spark; import s.implicits._
     import graft.analytics.Envelope
     val docs = Seq((
-      "p\"1", "A\\li\"cé",
+      "p\"1", "A\\li\"cé",
       Seq(
-        (0L, "m1", "Art\\ist", 123L, false, "St\"u", "l\\o", Option("1,2")),
-        (1L, "m1", "Art\\ist", 456L, true, "St\"u", "l\\o", Option.empty[String]))
+        (0L, Option.empty[String], "Art\\ist", 123L, false, "St\"u\nX", "l\\o\tz", Option("1,2")),
+        (1L, Option("m1"), "Art\\ist", 456L, true, "St\"u\nX", "l\\o\tz", Option.empty[String]))
     )).toDF("id", "name", "raw")
       .select(col("id"), col("name"), transform(col("raw"), r => struct(
         r.getField("_1").as("seq"), r.getField("_2").as("imdbMovieId"),
@@ -205,11 +207,11 @@ class IoSpec extends SparkSpecBase {
         r.getField("_8").as("location"))).as("rels"))
     val env = Envelope.unfiltered(
       docs,
-      Seq(("St\"u", "1,2")).toDF("company", "geoLoc"),
-      Seq(("l\\o", "1,2", "ré")).toDF("location", "geoLoc", "globalRegion"),
+      Seq(("St\"u\nX", "1,2")).toDF("company", "geoLoc"),
+      Seq(("l\\o\tz", "1,2", "ré")).toDF("location", "geoLoc", "globalRegion"),
       Seq(("ré", "9,9")).toDF("region", "coords"))
     val got = Envelope.canonicalJson(env).head.getString(0)
-    val expected = "{\"globalRegions\":{\"ré\":\"9,9\"},\"jumps\":[{\"id\":\"p\\\"1\",\"name\":\"A\\\\li\\\"cé\",\"rels\":[{\"dummy\":false,\"imdbMovieId\":\"m1\",\"location\":\"1,2\",\"matchedCompanyName\":\"St\\\"u\",\"movieReleaseYear\":123,\"personMappedRole\":\"Art\\\\ist\",\"region\":\"l\\\\o\",\"seq\":0},{\"dummy\":true,\"imdbMovieId\":\"m1\",\"location\":null,\"matchedCompanyName\":\"St\\\"u\",\"movieReleaseYear\":456,\"personMappedRole\":\"Art\\\\ist\",\"region\":\"l\\\\o\",\"seq\":1}]}],\"locations\":{\"St\\\"u\":\"1,2\"},\"regions\":{\"l\\\\o\":{\"geoLoc\":\"1,2\",\"globalRegion\":\"ré\"}}}"
+    val expected = "{\"globalRegions\":{\"ré\":\"9,9\"},\"jumps\":[{\"id\":\"p\\\"1\",\"name\":\"A\\\\li\\\"c\\u0001é\",\"rels\":[{\"dummy\":false,\"imdbMovieId\":null,\"location\":\"1,2\",\"matchedCompanyName\":\"St\\\"u\\nX\",\"movieReleaseYear\":123,\"personMappedRole\":\"Art\\\\ist\",\"region\":\"l\\\\o\\tz\",\"seq\":0},{\"dummy\":true,\"imdbMovieId\":\"m1\",\"location\":null,\"matchedCompanyName\":\"St\\\"u\\nX\",\"movieReleaseYear\":456,\"personMappedRole\":\"Art\\\\ist\",\"region\":\"l\\\\o\\tz\",\"seq\":1}]}],\"locations\":{\"St\\\"u\\nX\":\"1,2\"},\"regions\":{\"l\\\\o\\tz\":{\"geoLoc\":\"1,2\",\"globalRegion\":\"ré\"}}}"
     assert(got === expected)
   }
 }
