@@ -172,7 +172,11 @@ class IoSpec extends SparkSpecBase {
     val total = probe._3
     val (nb, na, _) = Sinks.compact(s, s"$dir/frag", s"$dir/packed", total / 3 + 1)
     assert(nb === 10)
-    assert(na === math.ceil(total.toDouble / (total / 3 + 1)).toInt && na < nb)
+    // coalesce(n) writes AT MOST n files (fewer when the read-side split
+    // packing already merged the fragments below n — that packing depends
+    // on session history, so pin the contract, not the split count)
+    val nTarget = math.ceil(total.toDouble / (total / 3 + 1)).toInt
+    assert(na <= nTarget && na >= 1 && na < nb, s"nb=$nb na=$na target=$nTarget")
     // data equality after the rewrite
     val back = s.read.parquet(s"$dir/packed")
     assert(back.exceptAll(df).count() === 0 && df.exceptAll(back).count() === 0)
