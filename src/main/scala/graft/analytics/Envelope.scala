@@ -77,10 +77,18 @@ object Envelope {
       val withShorts = shorts.foldLeft(base) { case (col0, (ch, rep)) =>
         regexp_replace(col0, java.util.regex.Pattern.quote(ch.toString), rep)
       }
-      (0 until 32).filterNot(i => "\b\f\n\r\t".contains(i.toChar))
+      // Control chars are vanishingly rare in real text, but their
+      // replace chains are NOT free: unguarded, the full chain made the
+      // envelope render 5× slower. Two cheap rlike scans gate the
+      // branches — a clean string (the overwhelming case) pays only the
+      // two backslash/quote replaces it always needed.
+      val rare = (0 until 32).filterNot(i => "\b\f\n\r\t".contains(i.toChar))
         .foldLeft(withShorts) { case (col0, i) =>
           regexp_replace(col0, f"\\x$i%02x", f"\\\\u$i%04x")
         }
+      when(c.rlike("[\\x00-\\x07\\x0b\\x0e-\\x1f]"), rare)
+        .when(c.rlike("[\\x08-\\x0d]"), withShorts)
+        .otherwise(base)
     }
     def str(c: Column): Column = concat(lit("\""), esc(c), lit("\""))
     // every field is null-tolerant (rendered as JSON null, matching
