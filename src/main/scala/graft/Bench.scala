@@ -10,23 +10,28 @@ import org.apache.spark.sql.SparkSession
   * (not count()) so scans/projections can't be short-circuited by parquet
   * metadata — the number measures the real plan.
   *
-  * Each query runs SPARK_GRAFT_REPEATS times (default 3) and reports the
-  * MINIMUM, with the relative spread (max−min)/min committed alongside in
-  * bench_full.json (−1 = single sample: sub-floor fast query or crash —
-  * never a fake-perfect 0). Rationale: on a shared box identical code measured 2×
-  * apart run-to-run (g2 9.9↔21.8 s, w6d 9.5↔20.8 s across two committed
-  * full runs) — noisy-neighbor interference, GC debt, and first-run Janino
+  * The suite runs as SPARK_GRAFT_REPEATS whole-registry PASSES (default
+  * 3); each query reports the MINIMUM across passes, with the relative
+  * spread (max−min)/min committed alongside in bench_full.json (−1 =
+  * single sample: sub-floor fast query or crash — never a fake-perfect
+  * 0). Rationale: on a shared box identical code measured 2× apart
+  * run-to-run (g2 9.9↔21.8 s, w6d 9.5↔20.8 s across two committed full
+  * runs) — noisy-neighbor interference, GC debt, and first-run Janino
   * codegen all land on single-shot numbers at random, which makes a
   * 2×-of-baseline gate unmeasurable. The min over a few runs is the
   * standard estimator of the code's actual cost under load (what LOWER
   * bound the plan can hit); the spread column says how trustworthy each
-  * number is. A full GC runs between queries (not between repeats) so one
-  * query's garbage doesn't bill the next query's collection.
+  * number is.
   *
-  * Honesty note: session-memoized builds (graph edges, components, the
-  * covariance checkpoint) are warm on repeats 2..n, so per-query minima
-  * price the STEADY-STATE cost; the one-time builds are still inside
-  * `wall_sec` (whole-suite wall clock, all repeats + builds included).
+  * Memo honesty (the round-8 "flattered min-sum" finding): session memos
+  * (graph edges, components, the covariance checkpoint) are EVICTED at
+  * every pass boundary, so each pass rebuilds every shared stage exactly
+  * once, charged to the first query that needs it — per-query minima can
+  * no longer ride a warm memo built in an earlier repeat. Within a pass
+  * the memo sharing is the production semantics (one build, many
+  * riders). bench_full.json additionally records `cold` = each query's
+  * PASS-1 duration, so consumers can separate steady-state minima from
+  * first-touch cost.
   *
   * The printed line carries only the HEADLINE query subset: the harness that
   * consumes stdout keeps a bounded tail, and a per-query map over the full
@@ -82,46 +87,62 @@ object Bench {
     val repeatFloorSec =
       sys.env.getOrElse("SPARK_GRAFT_MIN_REPEAT_SEC", "0.4").toDouble
     val wall0 = System.nanoTime()
-    val results = selected.map { q =>
-      var ok = true
-      val times = Seq.newBuilder[Double]
-      var r = 0
-      var fastFirst = false
-      while (r < repeats && ok && !fastFirst) {
-        val t0 = System.nanoTime()
-        try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
-          ok = false
+    val n = selected.size
+    val times = Array.fill(n)(List.empty[Double])
+    val okArr = Array.fill(n)(true)
+    // sub-floor-fast and crashed queries run in pass 1 only: their
+    // absolute noise is immaterial to any gate, and skipping the ~90
+    // sub-0.4s queries saves the suite ~1-2 min of wall per pass
+    val settled = Array.fill(n)(false)
+    var pass = 0
+    while (pass < repeats) {
+      // pass boundary: evict every memoized shared stage so THIS pass
+      // rebuilds each one exactly once (charged to its first rider) —
+      // minima can't ride a memo built during an earlier pass
+      graft.queries.QueryMemo.clear()
+      var i = 0
+      while (i < n) {
+        if (!settled(i)) {
+          val q = selected(i)
+          val t0 = System.nanoTime()
+          try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+            okArr(i) = false
+            settled(i) = true
+          }
+          val dt = (System.nanoTime() - t0) / 1e9
+          // only SUCCESSFUL runs feed the minimum: a crash aborts fast,
+          // and folding its duration in would report a crashed query 30x
+          // faster than its one real run — the exact hazard the `failed`
+          // list exists to prevent. A query with zero successes reports
+          // the failed attempt's raw duration (still a positive number,
+          // and it's in `failed`).
+          if (okArr(i) || times(i).isEmpty) times(i) :+= dt
+          if (pass == 0 && dt < repeatFloorSec) settled(i) = true
+          // release the finished run's checkpoint blocks (outside its
+          // timing; accumulated dead blocks measured the suite tail 5-7x
+          // slower). Memoized frames are protected — later riders in
+          // THIS pass read them warm.
+          SessionHygiene.release(spark, graft.queries.QueryMemo.frames)
+          // pay collection debt between QUERIES so query A's garbage
+          // never bills query B's timing
+          System.gc()
         }
-        val dt = (System.nanoTime() - t0) / 1e9
-        // only SUCCESSFUL runs feed the minimum: a crash aborts fast, and
-        // folding its duration in would report a crashed query 30x faster
-        // than its one real run — the exact hazard the `failed` list
-        // exists to prevent. A query with zero successes reports the
-        // failed attempt's raw duration (still a positive number, and
-        // it's in `failed`).
-        if (ok) times += dt else if (r == 0) times += dt
-        if (r == 0 && dt < repeatFloorSec) fastFirst = true
-        // release the finished run's checkpoint blocks (outside its
-        // timing; accumulated dead blocks measured the suite tail 5-7x
-        // slower). Memoized frames are protected — repeats read them warm.
-        SessionHygiene.release(spark, graft.queries.QueryMemo.frames)
-        r += 1
+        i += 1
       }
-      // pay collection debt between QUERIES so query A's garbage never
-      // bills query B's timing (per-repeat GC would add minutes of
-      // stop-the-world across 600+ runs for no extra isolation)
-      System.gc()
-      val ts = times.result()
+      pass += 1
+    }
+    val results = selected.zipWithIndex.map { case (q, i) =>
+      val ts = times(i)
       val best = ts.min
       // spread is "how trustworthy is this minimum": single-sample rows
-      // (fastFirst skip / crash) report the SENTINEL -1, not a
+      // (sub-floor skip / crash) report the SENTINEL -1, not a
       // fake-perfect 0.0 — nothing was measured twice
       val spread =
         if (ts.size < 2) -1.0
         else if (best > 0) (ts.max - best) / best else 0.0
-      (q.name, best, spread, ok)
+      (q.name, best, spread, okArr(i), ts.head)
     }
     val wallSec = (System.nanoTime() - wall0) / 1e9
     // a crashed query must not look like a fast success: its name is listed
@@ -131,15 +152,16 @@ object Bench {
     def toJson(vs: Seq[(String, Double)]): String =
       vs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, _, false) => "\"" + k + "\"" }
+    val failed = results.collect { case (k, _, _, false, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, _, true) => v }.sum
-    val mins = results.map { case (k, v, _, _) => k -> v }
-    val spreads = results.map { case (k, _, s, _) => k -> s }
+    val total = results.collect { case (_, v, _, true, _) => v }.sum
+    val mins = results.map { case (k, v, _, _, _) => k -> v }
+    val spreads = results.map { case (k, _, s, _, _) => k -> s }
+    val colds = results.map { case (k, _, _, _, c) => k -> c }
     val meta =
       s""""unit":"sec","n_queries":${results.size},"repeats":$repeats,"wall_sec":${fmt(wallSec)},"failed":$failed,"sf":"$sfDir""""
     val full =
-      s"""{"metric":"total","value":${fmt(total)},$meta,"queries":${toJson(mins)},"spread":${toJson(spreads)}}"""
+      s"""{"metric":"total","value":${fmt(total)},$meta,"queries":${toJson(mins)},"spread":${toJson(spreads)},"cold":${toJson(colds)}}"""
     // targeted (name-filtered) runs go to a scratch file: a 2-query A/B
     // must never clobber the committed full-registry artifact
     val outFile = if (args.isEmpty) "bench_full.json" else "bench_partial.json"

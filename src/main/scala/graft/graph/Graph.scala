@@ -110,7 +110,8 @@ object Graph {
   def pagerank(nodes: DataFrame, edges: DataFrame,
                iters: Int = 15, damping: Double = 0.85,
                teleportTo: Option[Long] = None,
-               copartition: Boolean = false): DataFrame = {
+               copartition: Boolean = false,
+               shareAllPre: Option[DataFrame] = None): DataFrame = {
     // checkpointed: the loop re-reads the node list every round (left
     // join spine) — one materialization instead of 15 source scans.
     // In copartition mode the spine is hash(node)-partitioned first, so
@@ -125,30 +126,12 @@ object Graph {
     def tCol = teleportTo
       .map(sd => when(col("node") === sd, lit(1.0)).otherwise(lit(0.0)))
       .getOrElse(lit(1.0 / n))
-    val wout = edges.groupBy("src").agg(sum("w").as("wout"))
-    // persisted BEFORE the dangling derivation below references it a
-    // second time — otherwise the whole upstream edge pipeline (scan +
-    // join + window at the call sites) is derived twice in the first
-    // materialization
-    val share = edges.join(wout, "src")
-      .select(col("src"), col("dst"), (col("w") / col("wout")).as("share"))
-      .persist()
-    // Dangling nodes emit their whole rank to a NULL-dst sink row, so ONE
-    // join + aggregate per round yields BOTH the per-dst contribs and the
-    // dangling mass (the NULL-dst group) — the previous separate
-    // semi-join + scalar-aggregate branch doubled the per-round plan (a
-    // second reference to the rank vector, a second broadcast, its own
-    // job) for a value the contrib pass already has in hand.
-    val danglingSink = nd
-      .join(share.select(col("src").as("node")).distinct(), Seq("node"), "left_anti")
-      .select(col("node").as("src"), lit(null).cast("long").as("dst"),
-        lit(1.0).as("share"))
-    // copartition: the edge-sized table pays its ONE hash(src) exchange
-    // here, before the persist — every round's contrib join then reads
-    // it co-located.
-    val shareAllPlan = share.unionByName(danglingSink)
-    val shareAll = (if (copartition) shareAllPlan.repartition(col("src"))
-                    else shareAllPlan).persist()
+    // shareAllPre: g2/g7 iterate the SAME normalized share table with
+    // different teleports — the caller memoizes one build
+    // (localCheckpoint preserves the hash(src) layout) and both queries
+    // ride it; ownership stays with the caller (no unpersist here).
+    val shareAll = shareAllPre.getOrElse(
+      shareTable(nd, edges, copartition).persist())
     var ranks = nd.withColumn("r", tCol).localCheckpoint()
     // Broadcast mode: the rank vector is node-count sized
     // (dimension-scale for this tier's company graphs) and
@@ -193,8 +176,54 @@ object Graph {
       graft.SessionHygiene.freeCheckpoint(contrib)
       ranks = cp
     }
-    shareAll.unpersist(); share.unpersist()
+    if (shareAllPre.isEmpty) shareAll.unpersist()
     ranks
+  }
+
+  /** Deployment gate for the iterative loops' rank-delivery mode
+    * (pagerank/HITS/label propagation): below the threshold the
+    * node-sized rank vector broadcasts cheaply every round and measured
+    * 1.5-2× faster than co-partitioned delivery (round-9 A/B: g11 5.5 s
+    * broadcast vs 10.8 s co-partitioned, g2+g7 9.0 s vs 14.0 s); above
+    * it the per-round broadcast (nodeCount × ~24 B, re-shipped to every
+    * executor every iteration) becomes the scale ceiling and the
+    * hash(src)/hash(node) co-partitioned shuffled-hash path — zero
+    * per-round exchanges, nothing node-sized on one executor — takes
+    * over. 10M nodes ≈ 240 MB per broadcast round: well past where
+    * re-broadcasting beats one co-located layout. GraphSpec pins the two
+    * modes result-equal and the copartition plan exchange-free, so the
+    * gate only ever changes cost, never output. */
+  def copartitionFor(nodeCount: Long, threshold: Long = 10_000_000L): Boolean =
+    nodeCount > threshold
+
+  /** The rank-delivery table pagerank iterates over: per-edge normalized
+    * share (w / out-weight) plus one NULL-dst sink row per dangling node
+    * (a dangling node emits its whole rank to the sink, so ONE join +
+    * aggregate per round yields both the per-dst contribs and the
+    * dangling mass — the NULL-dst group). With `copartition` the table
+    * pays its ONE hash(src) exchange here; every round's contrib join
+    * then reads it co-located. A pure function of (nodes, edges,
+    * copartition), so g2/g7 (same edges, different teleport) memoize ONE
+    * build and pass it via `shareAllPre`. */
+  def shareTable(nodes: DataFrame, edges: DataFrame,
+                 copartition: Boolean = false): DataFrame = {
+    val nd = nodes.select(col("node"))
+    val wout = edges.groupBy("src").agg(sum("w").as("wout"))
+    // checkpointed BEFORE the dangling derivation below references it a
+    // second time — otherwise the whole upstream edge pipeline (scan +
+    // join + window at the call sites) is derived twice in the first
+    // materialization. The eager inner checkpoint's blocks go dead once
+    // the caller materializes the returned plan; SessionHygiene.release
+    // frees them between queries.
+    val share = edges.join(wout, "src")
+      .select(col("src"), col("dst"), (col("w") / col("wout")).as("share"))
+      .localCheckpoint()
+    val danglingSink = nd
+      .join(share.select(col("src").as("node")).distinct(), Seq("node"), "left_anti")
+      .select(col("node").as("src"), lit(null).cast("long").as("dst"),
+        lit(1.0).as("share"))
+    val plan = share.unionByName(danglingSink)
+    if (copartition) plan.repartition(col("src")) else plan
   }
 
   /** Company similarity by shared workforce: Jaccard overlap of the

@@ -52,4 +52,20 @@ private[graft] object QueryMemo {
     import scala.jdk.CollectionConverters._
     frameMemo.values.asScala.toSeq
   }
+
+  /** Evicts every memoized frame (freeing its checkpoint blocks NOW) and
+    * every memoized value. The bench calls this at PASS boundaries so each
+    * repeat pass rebuilds shared stages exactly once — charging every
+    * memo build to the first query that needs it, in every pass, instead
+    * of letting warm memos turn the per-query minima into
+    * steady-state-only numbers (the round-8 "flattered min-sum" finding).
+    * Frames are checkpoint-rooted by construction ([[frame]] stores
+    * `build.localCheckpoint()`), so [[graft.SessionHygiene.freeCheckpoint]]
+    * applies directly. */
+  def clear(): Unit = {
+    import scala.jdk.CollectionConverters._
+    frameMemo.values.asScala.foreach(graft.SessionHygiene.freeCheckpoint)
+    frameMemo.clear()
+    valueMemo.clear()
+  }
 }
