@@ -784,6 +784,70 @@ object Dedup {
     emb.join(dropped, Seq(id), "left_anti")
   }
 
+  /** Portable SemDeDup — [[semanticDedup]] with the deterministic
+    * md5-seeded fixed-round Lloyd's coarse quantizer
+    * ([[Ivf.portableQuantizer]], the sim5b/sim6b pattern) in place of
+    * MLlib KMeans, so the WHOLE pipeline (cell seeding, every Lloyd's
+    * round, the within-cell cosine verify, the larger-id drop) replays
+    * bit-for-bit in DuckDB via [[semanticDedupPortableOracleSql]]:
+    * 6dp-floor-rounded centroid updates keep assignments
+    * engine-identical, and the cosine is the same
+    * hoisted-norm dot/sqrt/divide chain on both engines. Same scale
+    * shape as [[semanticDedup]] (candidate volume Σ cell², nCells grown
+    * with the corpus); the MLlib path keeps the sampling-init/early-exit
+    * production quantizer and its LlmSpec precision/recall pins.
+    * Returns the surviving (id) rows (cast to long, ascending). */
+  def semanticDedupPortable(emb: DataFrame, id: String, vec: String,
+                            threshold: Double, nCells: Int,
+                            rounds: Int): DataFrame = {
+    val (_, assigned) = Ivf.portableQuantizer(emb, id, vec, nCells, rounds)
+    // norm hoisted onto the cell rows (the dd12 pattern): one dot fold
+    // per PAIR instead of three
+    val withN = assigned.withColumn("__n",
+      sqrt(Similarity.dotProduct(col("pv"), col("pv"))))
+    val a = withN.select(col("cell"), col("pid").as("__id1"),
+      col("pv").as("__v1"), col("__n").as("__n1"))
+    val b = withN.select(col("cell"), col("pid").as("__id2"),
+      col("pv").as("__v2"), col("__n").as("__n2"))
+    val dropped = a.join(b, "cell")
+      .filter(col("__id1") < col("__id2"))
+      .filter(Similarity.dotProduct(col("__v1"), col("__v2"))
+        / (col("__n1") * col("__n2")) >= threshold)
+      .select(col("__id2").as("pid")).distinct()
+    assigned.join(dropped, Seq("pid"), "left_anti")
+      .select(col("pid").as(id))
+  }
+
+  /** DuckDB twin of [[semanticDedupPortable]] over a base CTE built from
+    * `fromSql` (must yield columns pid BIGINT, pv DOUBLE[]): the unrolled
+    * Lloyd's chain ([[Ivf.lloydCtesSql]]), the final assignment, hoisted
+    * norms, the within-cell pair verify and the larger-id anti-join —
+    * all dot folds left-to-right list_sum chains ≡ Spark's aggregate
+    * fold, the threshold literal forced ::DOUBLE so both engines compare
+    * the identical IEEE chain. */
+  def semanticDedupPortableOracleSql(fromSql: String, idOut: String,
+                                     threshold: Double, nCells: Int,
+                                     rounds: Int, dim: Int): String = {
+    val dot = Ivf.dotSql(dim) _
+    val d2 = Ivf.d2Sql(dim) _
+    s"""WITH base AS MATERIALIZED ($fromSql),
+       |${Ivf.lloydCtesSql("base", "", nCells, rounds, dim)},
+       |fin AS MATERIALIZED (
+       |  SELECT pid, pv, cell FROM (
+       |    SELECT b.pid, b.pv, c.cell,
+       |           row_number() OVER (PARTITION BY b.pid
+       |             ORDER BY ${d2("b.pv", "c.cv")}, c.cell) AS rn
+       |    FROM base b CROSS JOIN c$rounds c) WHERE rn = 1),
+       |nrm AS MATERIALIZED (
+       |  SELECT pid, pv, cell, sqrt(${dot("pv", "pv")}) AS n FROM fin),
+       |dropped AS (
+       |  SELECT DISTINCT b.pid FROM nrm a JOIN nrm b
+       |    ON a.cell = b.cell AND a.pid < b.pid
+       |  WHERE ${dot("a.pv", "b.pv")} / (a.n * b.n) >= ${threshold}::DOUBLE)
+       |SELECT f.pid AS $idOut FROM fin f ANTI JOIN dropped d ON f.pid = d.pid
+       |ORDER BY $idOut""".stripMargin
+  }
+
   /** Semantic decontamination: dd7's benchmark screen lifted from n-gram
     * overlap to EMBEDDING similarity — flags training docs whose vector
     * sits within `threshold` cosine of ANY benchmark vector (catches

@@ -416,18 +416,46 @@ object AnalyticsQueries {
 
     // ---- emb3: SemDeDup in PCA space — dimension-reduce (16 of 64 dims)
     // before the k-means cells + within-cell cosine verify, the standard
-    // cost cut for semantic dedup at scale. Model-dependent (k-means +
-    // eigenvectors) → rows-only; PcaSpec pins agreement with full-space
-    // SemDeDup on planted duplicates ----
+    // cost cut for semantic dedup at scale. Hash-green via TWO pinned-
+    // determinism layers: the PCA projection rides the emb2 pattern
+    // (deterministic Jacobi model → literals in a data-dependent oracle,
+    // 5dp-floor-rounded on both engines so the quantizer's INPUT vectors
+    // are bit-identical), then the portable md5-Lloyd quantizer + cosine
+    // verify replay exactly like dd10's (sim5b pattern). PcaSpec keeps
+    // the agreement pin with full-space SemDeDup on planted duplicates ----
     QueryDef("emb3_pca_semdedup",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
         val model = pcaModel(s, d)
         val proj = Pca.project(emb, "vec_id", "embedding", model, k = 16)
-        graft.llm.Dedup.semanticDedup(proj, "vec_id", "pc", threshold = 0.9, nCells = 16)
+          .select(col("vec_id"),
+            transform(col("pc"), x => floor(x * 100000 + 0.5) / 100000.0).as("pc"))
+        graft.llm.Dedup.semanticDedupPortable(proj, "vec_id", "pc",
+            threshold = 0.9, nCells = 16, rounds = 4)
           .select(col("vec_id")).orderBy("vec_id")
       },
-      None),
+      None,
+      oracleFn = Some((s, d) => {
+        val model = pcaModel(s, d)
+        def dl(x: Double) = s"CAST('$x' AS DOUBLE)"
+        val dim = model.means.length
+        val centered = (0 until dim)
+          .map(i => s"(embedding[${i + 1}]::DOUBLE - ${dl(model.means(i))}) AS x$i")
+          .mkString(",\n       ")
+        // 16 projected coordinates as one DOUBLE[] literal list; each an
+        // explicit left-associative + chain ≡ Spark's aggregate fold,
+        // floor-rounded at 5dp exactly like the Spark side
+        val pcs = (0 until 16).map { k =>
+          val dot = (0 until dim)
+            .map(i => s"x$i * ${dl(model.components(k)(i))}").mkString(" + ")
+          s"floor(($dot) * 100000 + 0.5) / 100000.0"
+        }.mkString(",\n         ")
+        val fromSql =
+          s"SELECT vec_id::BIGINT AS pid,\n       [$pcs] AS pv\n" +
+            s"FROM (SELECT vec_id,\n       $centered\n  FROM embeddings)"
+        graft.llm.Dedup.semanticDedupPortableOracleSql(fromSql, "vec_id",
+          threshold = 0.9, nCells = 16, rounds = 4, dim = 16)
+      })),
 
     // ---- emb5: embedding-norm hygiene per label — L2-norm distribution
     // (count / mean / min / max + near-zero detector). Norm collapse or

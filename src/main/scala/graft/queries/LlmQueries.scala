@@ -1119,13 +1119,20 @@ object LlmQueries {
              |ORDER BY doc_id""".stripMargin)),
 
     // ---- SemDeDup: semantic (embedding-space) dedup via k-means cells +
-    // exact cosine verify (rows-only: k-means model state; precision and
-    // recall vs the exact pair set pinned in LlmSpec) ----
+    // exact cosine verify. The registry entry runs the PORTABLE
+    // deterministic quantizer (md5-seeded fixed-round Lloyd's — the
+    // sim5b pattern), so cell seeding, every Lloyd's round, the
+    // within-cell cosine verify and the larger-id drop ALL replay in
+    // DuckDB and the query hash-checks end-to-end; the MLlib sampling-
+    // init quantizer stays the production alternative
+    // (Dedup.semanticDedup) with its LlmSpec precision/recall pins ----
     QueryDef("dd10_semantic_dedup",
-      (s, d) => Dedup.semanticDedup(t(s, d, "embeddings"), "vec_id", "embedding",
-          threshold = 0.4, nCells = 16)
+      (s, d) => Dedup.semanticDedupPortable(t(s, d, "embeddings"), "vec_id", "embedding",
+          threshold = 0.4, nCells = 16, rounds = 4)
         .select("vec_id").orderBy("vec_id"),
-      None),
+      Some(Dedup.semanticDedupPortableOracleSql(
+        "SELECT vec_id::BIGINT AS pid, embedding::DOUBLE[] AS pv FROM embeddings",
+        "vec_id", threshold = 0.4, nCells = 16, rounds = 4, dim = 64))),
 
     // ---- deterministic content-addressed sampling ----
     QueryDef("cur2_deterministic_sample",
