@@ -8,13 +8,19 @@ import org.apache.spark.sql.types._
   * with typed metadata, plus decode / feature-extract / resize / frame-sample
   * stages.
   *
-  * The Spark-side plumbing (schemas, batching, partition-wise execution) is
-  * real and tested; the actual media decoding is STUBBED with a deterministic
-  * fake (media codecs are not available in this environment — marked
-  * `decodeStub`). In production the stub body is the only thing that changes:
-  * each stage is a `mapPartitions` over an iterator of rows so a real decoder
-  * amortizes per-partition init (model load, codec context) exactly like an
-  * Arrow-batched pandas UDF would.
+  * Two tiers:
+  *   1. the generic binary-payload tier (`asMediaTable` …) whose decode is a
+  *      deterministic STUB (`decodeStub`) — the shape a video/audio codec
+  *      (not in the JDK) would slot into;
+  *   2. the REAL image tier (`imageTable`/`decodeChecksums`/
+  *      `imageBlockFeatures`/`imageResizeNN`/`imageAHash`) built on
+  *      `javax.imageio` — actual PNG encode/decode in `mapPartitions`, with
+  *      per-partition codec init, verified end-to-end against a codec-free
+  *      oracle (the synthetic pixel formula, exact through PNG's lossless
+  *      round trip).
+  * Each stage is a `mapPartitions` over an iterator of rows so decoder init
+  * (model load, codec context) amortizes exactly like an Arrow-batched
+  * pandas UDF would.
   */
 object Multimodal {
 
@@ -127,5 +133,249 @@ object Multimodal {
       .withColumn("frame_idx", explode(sequence(lit(0), greatest(nChunks - 1, lit(0)), lit(stride))))
       .select(col("media_id"), col("frame_idx"),
         col("content").substr(col("frame_idx") * chunk + 1, lit(chunk)).as("frame_bytes"))
+  }
+
+  // -------------------------------------------------------------------------
+  // REAL codec tier — javax.imageio (PNG ships in every standard JDK, no
+  // native libs). The synthetic-image generator below is a pure integer
+  // formula of (pattern, x, y, brightness), so after the REAL
+  // ImageIO.write → ImageIO.read round trip (PNG is lossless RGB) every
+  // decoded pixel is bit-identical to the formula and all post-decode math
+  // (checksums, block-mean features, nearest-neighbor resize, aHash bits)
+  // replays exactly in a codec-free DuckDB oracle. That makes the codec
+  // path hash-checkable end-to-end, not fixture-pinned.
+  // -------------------------------------------------------------------------
+
+  import java.awt.image.BufferedImage
+  import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+  import javax.imageio.ImageIO
+
+  /** Deterministic synthetic pixel: `id` yields a base pattern (`id % 16`)
+    * plus a flat brightness offset (`(id / 16) % 48`). The offset shifts
+    * integer luma by EXACTLY the offset (299+587+114 = 1000 divides the
+    * shift), so images sharing a pattern are aHash-identical while being
+    * byte-distinct — planted near-duplicates for the perceptual dedup. */
+  @inline def synthRgb(id: Long, x: Int, y: Int): (Int, Int, Int) = {
+    val p = (id % 16).toInt
+    val o = ((id / 16) % 48).toInt
+    val r = (p * 7 + x * 13 + y * 17) % 200 + o
+    val g = (p * 11 + x * 3 + y * 29) % 200 + o
+    val b = (p * 5 + x * 23 + y * 7) % 200 + o
+    (r, g, b)
+  }
+
+  /** Render the synthetic image for `id` and encode through the REAL PNG
+    * codec (`javax.imageio`). */
+  def synthPng(id: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val (r, g, b) = synthRgb(id, x, y)
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Decode a PNG payload back to the packed-RGB pixel grid (row-major).
+    * Null-safe: null/undecodable content yields null (caller filters). */
+  def decodePixels(content: Array[Byte]): Array[Int] = {
+    if (content == null) return null
+    val img = ImageIO.read(new ByteArrayInputStream(content))
+    if (img == null) return null
+    val (w, h) = (img.getWidth, img.getHeight)
+    val out = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { out(y * w + x) = img.getRGB(x, y) & 0xffffff; x += 1 }
+      y += 1
+    }
+    out
+  }
+
+  /** Integer luma of a packed-RGB pixel — same floor-division formula the
+    * oracle uses: `(299 r + 587 g + 114 b) / 1000`. */
+  @inline def luma(rgb: Int): Int =
+    (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)) / 1000
+
+  /** Synthesize the image table: one REAL PNG per input id. ImageIO's disk
+    * cache is disabled once per partition (encoder init amortized exactly
+    * where a production codec context would live). */
+  def imageTable(ids: DataFrame, id: String, w: Int = 32, h: Int = 32): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(id).cast("long")).as[Long]
+      .mapPartitions { it =>
+        ImageIO.setUseCache(false) // per-partition codec init
+        it.map { mid =>
+          val png = synthPng(mid, w, h)
+          (mid, png, "image/png", png.length.toLong, w, h)
+        }
+      }
+      .toDF("media_id", "content", "mime", "n_bytes", "width", "height")
+      .select(col("media_id"), col("content"),
+        struct(col("mime"), col("n_bytes"), col("width"), col("height")).as("meta"))
+  }
+
+  /** Position-weighted BIGINT checksum of a decoded pixel grid — the
+    * per-image fingerprint both engines aggregate: Σ (r + 256 g + 65536 b)
+    * · (1 + x + w·y). Exact integer math, no float drift. */
+  private def checksum(px: Array[Int], w: Int): Long = {
+    var s = 0L
+    var i = 0
+    while (i < px.length) {
+      val rgb = px(i)
+      val v = ((rgb >> 16) & 0xff) + 256L * ((rgb >> 8) & 0xff) + 65536L * (rgb & 0xff)
+      s += v * (1 + (i % w) + w.toLong * (i / w))
+      i += 1
+    }
+    s
+  }
+
+  /** REAL decode round-trip: decode each PNG and emit the pixel checksum +
+    * total luma — proves the codec path (encode → decode → pixels) against
+    * the codec-free formula oracle. */
+  def decodeChecksums(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("content"), col("meta.width"))
+      .as[(Long, Array[Byte], Int)]
+      .mapPartitions { it =>
+        ImageIO.setUseCache(false)
+        it.flatMap { case (mid, bytes, w) =>
+          val px = decodePixels(bytes)
+          if (px == null) None
+          else {
+            var sl = 0L; var i = 0
+            while (i < px.length) { sl += luma(px(i)); i += 1 }
+            Some((mid, w, px.length / w, checksum(px, w), sl))
+          }
+        }
+      }
+      .toDF("media_id", "width", "height", "pix_checksum", "sum_luma")
+  }
+
+  /** REAL feature extraction: decode → integer luma → `block`×`block`
+    * block-mean grid, flattened row-major as (media_id, block_id, mean).
+    * Block size divides a power of two, so `sum / count` is IEEE-exact and
+    * replays in SQL. */
+  def imageBlockFeatures(media: DataFrame, block: Int = 8): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("content"), col("meta.width"))
+      .as[(Long, Array[Byte], Int)]
+      .mapPartitions { it =>
+        ImageIO.setUseCache(false)
+        it.flatMap { case (mid, bytes, w) =>
+          val px = decodePixels(bytes)
+          if (px == null) Iterator.empty
+          else {
+            val h = px.length / w
+            val (bx, by) = (w / block, h / block)
+            val sums = new Array[Long](bx * by)
+            var i = 0
+            while (i < px.length) {
+              val (x, y) = (i % w, i / w)
+              sums((y / block) * bx + (x / block)) += luma(px(i))
+              i += 1
+            }
+            (0 until bx * by).iterator
+              .map(b => (mid, b, sums(b).toDouble / (block.toLong * block)))
+          }
+        }
+      }
+      .toDF("media_id", "block_id", "mean_luma")
+  }
+
+  /** REAL resize: decode → nearest-neighbor resample (src = dst·srcW/dstW,
+    * floor — the formula the oracle replays) → re-encode through the PNG
+    * codec → new meta. Content is genuinely rewritten, unlike [[resize]]. */
+  def imageResizeNN(media: DataFrame, dw: Int, dh: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("content"), col("meta.width"))
+      .as[(Long, Array[Byte], Int)]
+      .mapPartitions { it =>
+        ImageIO.setUseCache(false)
+        it.flatMap { case (mid, bytes, sw) =>
+          val px = decodePixels(bytes)
+          if (px == null) None
+          else {
+            val sh = px.length / sw
+            val out = new BufferedImage(dw, dh, BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < dh) {
+              var x = 0
+              while (x < dw) {
+                out.setRGB(x, y, px((y * sh / dh) * sw + (x * sw / dw)))
+                x += 1
+              }
+              y += 1
+            }
+            val bos = new ByteArrayOutputStream()
+            ImageIO.write(out, "png", bos)
+            val png = bos.toByteArray
+            Some((mid, png, "image/png", png.length.toLong, dw, dh))
+          }
+        }
+      }
+      .toDF("media_id", "content", "mime", "n_bytes", "width", "height")
+      .select(col("media_id"), col("content"),
+        struct(col("mime"), col("n_bytes"), col("width"), col("height")).as("meta"))
+  }
+
+  /** REAL perceptual aHash: decode → nearest-neighbor 8×8 luma thumbnail →
+    * threshold against the (IEEE-exact, /64) thumbnail mean → pack MSB-first
+    * into two 32-bit halves (BIGINT-safe on both engines; a single 64-bit
+    * pack would need the sign bit). Images sharing a synth pattern differ
+    * only by a flat luma offset, so they collide here while their PNG bytes
+    * differ — real planted near-duplicates. */
+  def imageAHash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("content"), col("meta.width"))
+      .as[(Long, Array[Byte], Int)]
+      .mapPartitions { it =>
+        ImageIO.setUseCache(false)
+        it.flatMap { case (mid, bytes, sw) =>
+          val px = decodePixels(bytes)
+          if (px == null) None
+          else {
+            val sh = px.length / sw
+            val thumb = new Array[Int](64)
+            var i = 0
+            while (i < 64) {
+              thumb(i) = luma(px(((i / 8) * sh / 8) * sw + ((i % 8) * sw / 8)))
+              i += 1
+            }
+            val mean = thumb.map(_.toLong).sum.toDouble / 64
+            var (hi, lo) = (0L, 0L)
+            i = 0
+            while (i < 64) {
+              if (thumb(i) > mean) {
+                if (i < 32) hi += 1L << (31 - i) else lo += 1L << (63 - i)
+              }
+              i += 1
+            }
+            Some((mid, hi, lo))
+          }
+        }
+      }
+      .toDF("media_id", "phash_hi", "phash_lo")
+  }
+
+  /** Perceptual dedup over the REAL aHash: exact-collision groups on the
+    * (hi, lo) fingerprint, min-id survivor. */
+  def imagePerceptualDedup(media: DataFrame): DataFrame = {
+    val h = imageAHash(media)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("phash_hi", "phash_lo")
+    h.withColumn("survivor", col("media_id") === min("media_id").over(w))
   }
 }

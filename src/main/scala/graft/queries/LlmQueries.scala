@@ -29,6 +29,18 @@ object LlmQueries {
       Bpe.learnMerges(t(s, d, "documents"), "text", bpeRounds)
     }
 
+  /** DuckDB replay of [[Multimodal.synthRgb]] over every (doc, x, y) —
+    * the codec-free pixel oracle for the real-PNG tier (mm6…mm9): PNG is
+    * lossless, so the decoded pixels equal this formula exactly. */
+  private val mmRgbSql: String =
+    """SELECT d.doc_id AS media_id, x.x, y.y,
+      |       ((d.doc_id % 16) * 7  + x.x * 13 + y.y * 17) % 200 + (d.doc_id // 16) % 48 AS r,
+      |       ((d.doc_id % 16) * 11 + x.x * 3  + y.y * 29) % 200 + (d.doc_id // 16) % 48 AS g,
+      |       ((d.doc_id % 16) * 5  + x.x * 23 + y.y * 7)  % 200 + (d.doc_id // 16) % 48 AS b
+      |FROM documents d,
+      |     (SELECT unnest(generate_series(0, 31)) AS x) x,
+      |     (SELECT unnest(generate_series(0, 31)) AS y) y""".stripMargin
+
   private def portableComponents(s: SparkSession, d: String): DataFrame =
     QueryMemo.frame(s, d, "dd6_components") {
       val docs = t(s, d, "documents").filter(col("doc_id") % 5 === 0)
@@ -944,6 +956,77 @@ object LlmQueries {
              |SELECT media_id, phash,
              |       media_id = min(media_id) OVER (PARTITION BY phash) AS survivor
              |FROM p ORDER BY media_id""".stripMargin)),
+
+    // ---- REAL codec tier (javax.imageio PNG): the synthetic pixel
+    // formula is pure integer math of (id, x, y), and PNG is lossless, so
+    // after the real ImageIO encode→decode round trip every decoded pixel
+    // equals the formula — the oracles below replay all post-decode math
+    // codec-free in DuckDB and the codec path hash-checks end-to-end ----
+
+    // mm6: encode 32×32 PNGs, REALLY decode them, emit pixel checksum +
+    // total integer luma per image
+    QueryDef("mm6_png_roundtrip",
+      (s, d) => Multimodal.decodeChecksums(
+          Multimodal.imageTable(t(s, d, "documents"), "doc_id"))
+        .orderBy("media_id"),
+      Some(s"""WITH rgb AS ($mmRgbSql)
+              |SELECT media_id, 32 AS width, 32 AS height,
+              |       sum((r + 256*g + 65536*b) * (1 + x + 32*y))::BIGINT AS pix_checksum,
+              |       sum((299*r + 587*g + 114*b) // 1000)::BIGINT AS sum_luma
+              |FROM rgb GROUP BY media_id ORDER BY media_id""".stripMargin)),
+
+    // mm7: real decode → 8×8 block-mean luma features (sum/64 is
+    // IEEE-exact, so the doubles match bit-for-bit)
+    QueryDef("mm7_image_features",
+      (s, d) => Multimodal.imageBlockFeatures(
+          Multimodal.imageTable(t(s, d, "documents"), "doc_id"), block = 8)
+        .orderBy("media_id", "block_id"),
+      Some(s"""WITH rgb AS ($mmRgbSql)
+              |SELECT media_id, ((y // 8) * 4 + (x // 8))::INT AS block_id,
+              |       sum((299*r + 587*g + 114*b) // 1000)::BIGINT / 64.0 AS mean_luma
+              |FROM rgb GROUP BY media_id, block_id
+              |ORDER BY media_id, block_id""".stripMargin)),
+
+    // mm8: real decode → nearest-neighbor resize to 8×8 → re-encode → real
+    // decode AGAIN → checksum (the codec runs twice per image); oracle is
+    // the NN index formula src = dst·4 over the pixel generator
+    QueryDef("mm8_image_resize",
+      (s, d) => Multimodal.decodeChecksums(
+          Multimodal.imageResizeNN(
+            Multimodal.imageTable(t(s, d, "documents"), "doc_id"), 8, 8))
+        .orderBy("media_id"),
+      Some(s"""WITH rgb AS ($mmRgbSql),
+              |th AS (SELECT media_id, (x // 4)::BIGINT AS dx, (y // 4)::BIGINT AS dy, r, g, b
+              |       FROM rgb WHERE x % 4 = 0 AND y % 4 = 0)
+              |SELECT media_id, 8 AS width, 8 AS height,
+              |       sum((r + 256*g + 65536*b) * (1 + dx + 8*dy))::BIGINT AS pix_checksum,
+              |       sum((299*r + 587*g + 114*b) // 1000)::BIGINT AS sum_luma
+              |FROM th GROUP BY media_id ORDER BY media_id""".stripMargin)),
+
+    // mm9: real perceptual aHash dedup — 8×8 NN luma thumbnail vs its
+    // /64-exact mean, MSB-first packed into two 32-bit halves. Images
+    // sharing a synth pattern differ by a flat luma offset only (the
+    // planted near-duplicates), so they collide here while their PNG
+    // bytes differ
+    QueryDef("mm9_phash_dedup",
+      (s, d) => Multimodal.imagePerceptualDedup(
+          Multimodal.imageTable(t(s, d, "documents"), "doc_id"))
+        .orderBy("media_id"),
+      Some(s"""WITH rgb AS ($mmRgbSql),
+              |tl AS (SELECT media_id, ((y // 4) * 8 + (x // 4))::BIGINT AS i,
+              |              (299*r + 587*g + 114*b) // 1000 AS l
+              |       FROM rgb WHERE x % 4 = 0 AND y % 4 = 0),
+              |m AS (SELECT media_id, sum(l)::BIGINT / 64.0 AS mean
+              |      FROM tl GROUP BY media_id),
+              |ph AS (SELECT tl.media_id,
+              |              sum(CASE WHEN l > mean AND i < 32
+              |                  THEN (1::BIGINT << (31 - i)::INT) ELSE 0 END)::BIGINT AS phash_hi,
+              |              sum(CASE WHEN l > mean AND i >= 32
+              |                  THEN (1::BIGINT << (63 - i)::INT) ELSE 0 END)::BIGINT AS phash_lo
+              |       FROM tl JOIN m USING (media_id) GROUP BY tl.media_id)
+              |SELECT media_id, phash_hi, phash_lo,
+              |       media_id = min(media_id) OVER (PARTITION BY phash_hi, phash_lo) AS survivor
+              |FROM ph ORDER BY media_id""".stripMargin)),
 
     // ---- document chunking: fixed windows with overlap ----
     QueryDef("ts5_chunking",

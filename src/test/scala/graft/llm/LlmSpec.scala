@@ -610,6 +610,45 @@ class LlmSpec extends SparkSpecBase {
     assert(frames(2L) === 1L)
   }
 
+  test("multimodal real codec: PNG round-trip is lossless vs the formula, " +
+       "resize + aHash replay, pattern-sharing images collide") {
+    val s = spark; import s.implicits._
+    // 32 ids = 16 patterns × 2 brightness offsets (ids i and i+16 share a
+    // pattern, differ by a flat +1 luma offset)
+    val ids = (0L until 32L).toDF("doc_id")
+    val media = Multimodal.imageTable(ids, "doc_id")
+    // the PNG payloads really are PNGs (magic bytes) and byte-distinct
+    val payloads = media.select("media_id", "content").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(payloads.values.forall(b =>
+      (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G'))
+    assert(payloads.values.map(_.toSeq).toSet.size === 32)
+    // decode round-trip: every decoded pixel equals the generator formula
+    val px = Multimodal.decodePixels(payloads(7L))
+    assert(px.length === 32 * 32)
+    for (y <- 0 until 32; x <- 0 until 32) {
+      val (r, g, b) = Multimodal.synthRgb(7L, x, y)
+      assert(px(y * 32 + x) === ((r << 16) | (g << 8) | b))
+    }
+    // real NN resize rewrites content to a decodable 8×8 PNG whose pixels
+    // are the stride-4 samples of the source
+    val rs = Multimodal.imageResizeNN(media, 8, 8)
+      .filter(col("media_id") === 7L).head()
+    val rpx = Multimodal.decodePixels(rs.getAs[Array[Byte]]("content"))
+    assert(rpx.length === 64)
+    for (dy <- 0 until 8; dx <- 0 until 8)
+      assert(rpx(dy * 8 + dx) === px(dy * 4 * 32 + dx * 4))
+    // aHash: ids sharing a pattern (i, i+16) collide; distinct patterns
+    // get distinct fingerprints → exactly 16 groups of 2, min-id survivor
+    val groups = Multimodal.imagePerceptualDedup(media).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)), r.getBoolean(3)))
+    val byHash = groups.groupBy(_._2)
+    assert(byHash.size === 16)
+    assert(byHash.values.forall(g => g.length == 2 &&
+      g.map(_._1).toSet == Set(g.map(_._1).min, g.map(_._1).min + 16)))
+    assert(groups.forall { case (id, _, surv) => surv == (id < 16) })
+  }
+
   test("gopherRules: each rule trips on its designed pathology") {
     val s = spark; import s.implicits._
     val docs = Seq(
