@@ -87,10 +87,17 @@ object Ivf {
       .agg(min(struct(col("d2"), col("cell"))).as("m"), first("pv").as("pv"))
       .select(col("pid"), col("pv"), col("m.cell").as("cell"))
     for (_ <- 1 to rounds) {
+      // order-canonical mean: fold the cell's values SORTED, so the double
+      // sum is bit-identical across partitionings AND engines (DuckDB twin:
+      // list_sum(list_sort(list(x))), the same L2R fold) — without this the
+      // 6dp floor below could flip on a sum landing within ulps of a
+      // boundary under a different partition order
+      val sortedSum = aggregate(array_sort(collect_list(col("x"))),
+        lit(0.0), (acc, t) => acc + t)
       val means = assign(cent)
         .select(col("cell"), posexplode(col("pv")).as(Seq("i", "x")))
         .groupBy("cell", "i")
-        .agg((floor(sum("x") / count(lit(1)) * 1000000 + 0.5) / 1000000.0).as("mean"))
+        .agg((floor(sortedSum / count(lit(1)) * 1000000 + 0.5) / 1000000.0).as("mean"))
         .groupBy("cell")
         .agg(transform(array_sort(collect_list(struct(col("i"), col("mean")))),
           s => s.getField("mean")).as("nv"))
@@ -143,7 +150,7 @@ object Ivf {
          |  FROM $prev p LEFT JOIN (
          |    SELECT cell, list(mean ORDER BY i) AS nv FROM (
          |      SELECT cell, dims.i,
-         |             floor(sum(pv[dims.i]) / count(*) * 1000000 + 0.5) / 1000000.0 AS mean
+         |             floor(list_sum(list_sort(list(pv[dims.i]))) / count(*) * 1000000 + 0.5) / 1000000.0 AS mean
          |      FROM ${p}a$rd CROSS JOIN (SELECT unnest(range(1, ${dim + 1})) AS i) dims
          |      GROUP BY cell, dims.i)
          |    GROUP BY cell) m ON p.cell = m.cell)""".stripMargin
