@@ -596,19 +596,22 @@ object RelationalQueries {
         val dst = scratchDir("graft-compact-dst")
         t(s, d, "orders").repartition(64)
           .write.mode("overwrite").parquet(s"$src/t")
+        val target = 256L * 1024 * 1024
         val (nb, na, bytes) = Sinks.compact(s, s"$src/t", s"$dst/t",
-          targetBytes = 256L * 1024 * 1024)
-        require(bytes > 0 && na < nb,
-          s"compaction must shrink the file count ($nb -> $na, $bytes bytes)")
+          targetBytes = target)
+        // the file-count contract is asserted HERE, scale-independently
+        // (the oracle sees only data aggregates): coalesce must hit
+        // exactly ceil(bytes/target) outputs, and the 64-way source copy
+        // at most 64 (an empty input split writes no part file)
+        val want = math.max(1, math.ceil(bytes.toDouble / target).toInt)
+        require(bytes > 0 && na == want && nb <= 64 && na <= nb,
+          s"compaction contract: $nb files / $bytes bytes -> $na (want $want)")
         s.read.parquet(s"$dst/t")
           .agg(count(lit(1)).as("n_rows"),
             countDistinct(col("o_custkey")).as("n_cust"),
             (floor(sum(col("o_totalprice")) * 100 + 0.5) / 100.0).as("total_price"))
-          .select(lit(nb).as("files_before"), lit(na).as("files_after"),
-            col("n_rows"), col("n_cust"), col("total_price"))
       },
-      Some("""SELECT 64 AS files_before, 1 AS files_after,
-             |       count(*) AS n_rows,
+      Some("""SELECT count(*) AS n_rows,
              |       count(DISTINCT o_custkey) AS n_cust,
              |       floor(sum(o_totalprice) * 100 + 0.5) / 100.0 AS total_price
              |FROM orders""".stripMargin)),
