@@ -553,6 +553,42 @@ class LlmSpec extends SparkSpecBase {
     assert(comps(0L) == 0L && comps(1L) == 0L && comps(2L) == 0L && comps(5L) == 5L)
   }
 
+  test("dd6c fast components: labels == union-find closure of its own " +
+       "verified pairs on the real corpus, and are id-relabel-equivariant") {
+    val s = spark
+    val docs = s.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val args = (5, 8, 4, 0.5) // k, bands, rows, threshold — dd6c's exact call
+    val pairs = Dedup.minhashDedup(docs, "doc_id", "text",
+        args._1, args._2, args._3, args._4)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val got = Dedup.neardupComponents(docs, "doc_id", "text",
+        args._1, args._2, args._3, args._4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // reference: driver-side union-find over the SAME verified pair set,
+    // min-id label per class — the semantics large-star/small-star must
+    // converge to regardless of hash family or iteration order
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val ids = docs.select("doc_id").collect().map(_.getLong(0))
+    val want = ids.map(i => i -> find(i)).toMap
+    assert(got === want)
+    assert(got.values.toSet.size < ids.length, "corpus has real near-dup clusters")
+    // id-relabel equivariance: edges depend on text only and f(x)=2x+11 is
+    // monotone, so labels (class minima) must map through f exactly
+    val relabeled = docs.select((col("doc_id") * 2 + 11).as("doc_id"), col("text"))
+    val got2 = Dedup.neardupComponents(relabeled, "doc_id", "text",
+        args._1, args._2, args._3, args._4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got2 === got.map { case (k, v) => (2 * k + 11, 2 * v + 11) })
+  }
+
   test("charShingles signatures equal byte signatures on ASCII, diverge on CJK") {
     val s = spark; import s.implicits._
     val ascii = Seq((1L, "the quick brown fox jumps"), (2L, "pack my box with five dozen"))
