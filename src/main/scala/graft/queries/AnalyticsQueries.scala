@@ -414,6 +414,33 @@ object AnalyticsQueries {
       },
       None),
 
+    // ---- cls1b: the PORTABLE distillation twin — same train/apply split
+    // and label rule as cls1, but fixed-round full-batch GD over
+    // md5-bucketed features with the rational fast sigmoid, every sum a
+    // canonical-order fold → weights, probs and preds replay bit-for-bit
+    // in DuckDB (the sim5b pattern applied to classifier FITTING). cls1
+    // keeps the MLlib production path + ClassifierSpec accuracy pins ----
+    QueryDef("cls1b_classifier_portable",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val q = graft.llm.TextAnalysis.qualityFeatures(docs, "text")
+        val w = graft.llm.Classifier.trainPortable(
+          q.filter(col("doc_id") % 5 === 0), "doc_id", "text",
+          col("quality_score") >= 0.95)
+        graft.llm.Classifier.scorePortable(
+            docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text", w)
+          .orderBy("doc_id")
+      },
+      Some(graft.llm.Classifier.portableOracleSql(
+        "documents", "doc_id", "text",
+        labelSql =
+          """round(greatest(0.0, least(1.0,
+            |    1.0 - abs(length(regexp_replace(text, '[ \t\n\r\f]', '', 'g'))
+            |              / (len(regexp_extract_all(text, '[^ \t\n\r\f]+')) * 1.0) - 5.0) / 10.0
+            |        - (length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))) / (length(text) * 1.0)
+            |        - (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) / (length(text) * 1.0))), 6) >= 0.95""".stripMargin,
+        trainWhere = "doc_id % 5 = 0", scoreWhere = "doc_id % 5 <> 0"))),
+
     // ---- emb3: SemDeDup in PCA space — dimension-reduce (16 of 64 dims)
     // before the k-means cells + within-cell cosine verify, the standard
     // cost cut for semantic dedup at scale. Hash-green via TWO pinned-

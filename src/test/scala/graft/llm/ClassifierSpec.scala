@@ -36,6 +36,39 @@ class ClassifierSpec extends SparkSpecBase {
     assert(scored.forall(p => p._1 == p._2), "disjoint vocabularies must separate perfectly")
   }
 
+  test("portable fit separates the planted corpus and beats the base rate " +
+       "on the real quality gate") {
+    // disjoint vocabularies: the fixed-round GD twin must also separate
+    // perfectly (the planted signal is linearly separable in any hashed
+    // bag-of-words with no bucket collisions between the 8 tokens)
+    val rnd = new scala.util.Random(5)
+    val good = Seq("alpha", "beta", "gamma", "delta")
+    val bad = Seq("zip", "zap", "zork", "quux")
+    val planted = (0 until 200).map { i =>
+      val vocab = if (i % 2 == 0) good else bad
+      (i.toLong, Seq.fill(12)(vocab(rnd.nextInt(vocab.size))).mkString(" "), i % 2 == 0)
+    }.toDF("id", "text", "label")
+    val wp = Classifier.trainPortable(planted.filter($"id" < 100), "id", "text", col("label"))
+    val sp = Classifier.scorePortable(planted.filter($"id" >= 100), "id", "text", wp)
+      .join(planted.select($"id", $"label"), "id")
+      .select(col("pred"), col("label")).as[(Boolean, Boolean)].collect()
+    assert(sp.forall(p => p._1 == p._2), "portable twin must separate disjoint vocabularies")
+    // real corpus, cls1b's exact setup: holdout accuracy must clear the
+    // base rate by a real margin (prototyped 0.78 vs 0.51 base)
+    val docs = graft.llm.TextAnalysis.qualityFeatures(
+      graft.model.Tables.documents(spark, "/root/testdata/sf0.001"), "text")
+    val w = Classifier.trainPortable(
+      docs.filter(col("doc_id") % 5 === 0), "doc_id", "text",
+      col("quality_score") >= 0.95)
+    val scored = Classifier.scorePortable(
+        docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text", w)
+      .join(docs.select(col("doc_id"), (col("quality_score") >= 0.95).as("truth")), "doc_id")
+      .select(col("pred"), col("truth")).as[(Boolean, Boolean)].collect()
+    val acc = scored.count(p => p._1 == p._2).toDouble / scored.length
+    val base = math.max(scored.count(_._2), scored.count(!_._2)).toDouble / scored.length
+    assert(acc > base + 0.15, s"portable holdout accuracy $acc vs base rate $base")
+  }
+
   test("importanceScore: target-looking docs score positive, others negative") {
     val docs = Seq(
       (1L, "alpha beta alpha gamma", "en"),
