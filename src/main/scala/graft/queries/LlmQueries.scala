@@ -1028,6 +1028,32 @@ object LlmQueries {
               |       media_id = min(media_id) OVER (PARTITION BY phash_hi, phash_lo) AS survivor
               |FROM ph ORDER BY media_id""".stripMargin)),
 
+    // mm10: REAL audio codec (javax.sound.sampled WAV/PCM) — synthesize
+    // 1024-sample clips from an integer formula, encode through the real
+    // WAV writer, decode through the real parser (header walk, format
+    // negotiation), then per-256-sample frame: energy, zero crossings,
+    // peak. 16-bit PCM is lossless, so the oracle replays the framing
+    // over the sample formula codec-free
+    QueryDef("mm10_wav_frames",
+      (s, d) => Multimodal.audioFrameFeatures(
+          Multimodal.audioTable(t(s, d, "documents"), "doc_id"), frame = 256)
+        .orderBy("media_id", "frame_idx"),
+      Some("""WITH smp AS (
+             |  SELECT d.doc_id AS media_id, i.i,
+             |         (((d.doc_id % 64) * 131 + i.i * (7 + d.doc_id % 16)) % 4096 - 2048) AS s
+             |  FROM documents d, (SELECT unnest(generate_series(0, 1023)) AS i) i),
+             |fr AS (
+             |  SELECT media_id, (i // 256)::INT AS frame_idx, i, s,
+             |         lag(s) OVER (PARTITION BY media_id ORDER BY i) AS prev
+             |  FROM smp)
+             |SELECT media_id, frame_idx,
+             |       sum(s * s)::BIGINT AS energy,
+             |       sum(CASE WHEN i % 256 <> 0 AND (s < 0) <> (prev < 0)
+             |           THEN 1 ELSE 0 END)::BIGINT AS zero_crossings,
+             |       max(abs(s))::INT AS peak
+             |FROM fr GROUP BY media_id, frame_idx
+             |ORDER BY media_id, frame_idx""".stripMargin)),
+
     // ---- document chunking: fixed windows with overlap ----
     QueryDef("ts5_chunking",
       (s, d) => TextAnalysis.chunk(t(s, d, "documents"), "doc_id", "text", size = 200, overlap = 20)

@@ -685,6 +685,34 @@ class LlmSpec extends SparkSpecBase {
     assert(groups.forall { case (id, _, surv) => surv == (id < 16) })
   }
 
+  test("multimodal real audio: WAV round-trip is lossless vs the formula, " +
+       "frame features replay") {
+    val s = spark; import s.implicits._
+    val ids = (0L until 8L).toDF("doc_id")
+    val audio = Multimodal.audioTable(ids, "doc_id", n = 1024)
+    val payloads = audio.select("media_id", "content").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    // payloads are real RIFF/WAVE containers
+    assert(payloads.values.forall(b =>
+      new String(b, 0, 4, "US-ASCII") == "RIFF" &&
+        new String(b, 8, 4, "US-ASCII") == "WAVE"))
+    // decode round-trip through the real parser: every sample == formula
+    val smp = Multimodal.decodeSamples(payloads(5L))
+    assert(smp.length === 1024)
+    for (i <- 0 until 1024) assert(smp(i) === Multimodal.synthSample(5L, i))
+    // frame features vs a direct recomputation from the formula
+    val feats = Multimodal.audioFrameFeatures(audio, frame = 256)
+      .filter(col("media_id") === 5L).orderBy("frame_idx")
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+    assert(feats.length === 4)
+    for ((fi, energy, zc, peak) <- feats) {
+      val w = (fi * 256 until (fi + 1) * 256).map(Multimodal.synthSample(5L, _))
+      assert(energy === w.map(v => v.toLong * v).sum)
+      assert(zc === w.sliding(2).count(p => (p(1) < 0) != (p(0) < 0)))
+      assert(peak === w.map(math.abs).max)
+    }
+  }
+
   test("gopherRules: each rule trips on its designed pathology") {
     val s = spark; import s.implicits._
     val docs = Seq(

@@ -156,7 +156,10 @@ class ScaleSpec extends SparkSpecBase {
       "ts10_bm25" -> "2/0/0/1/-",
       "ts11_bigram_lm" -> "7/2/0/1/p",
       "cur10_temperature_mix" -> "4/1/0/1/p",
-      "dd10_semantic_dedup" -> "4/2/0/0/-",
+      // dd10: the portable md5-Lloyd quantizer tail (round-9) — one more
+      // exchange than the MLlib form: the within-cell pair shuffle plus
+      // the larger-id anti-join's distinct; BHJs are the cell joins
+      "dd10_semantic_dedup" -> "5/2/0/0/-",
       "wf3_frames" -> "2/0/0/0/-",
       "so8_grouping_sets" -> "2/0/0/0/-",
       "dd11_incremental_neardup" -> "2/4/0/0/-",
@@ -246,11 +249,14 @@ class ScaleSpec extends SparkSpecBase {
       // of every fact row (measured 6.9x slower)
       "stats1_column_profile" -> "9/0/0/4/-",
       "stats2_histogram" -> "3/0/0/1/-",
-      // g11's audited plan is the final node-spine join (copartitioned:
-      // shuffled-hash lifts instead of vector broadcasts — node-sized
-      // exchanges, no broadcast ceiling); the two BNLJs are the lazy
-      // 1-row L1-normalizer broadcasts of the last round
-      "g11_hits" -> "6/0/0/2/-",
+      // g11's audited plan is the final node-spine join. The query tier
+      // delivers ranks by BROADCAST (measured ~2x faster below the
+      // ceiling; the round-8 close) so the lifts are BHJs, not
+      // shuffled-hash exchanges; the two BNLJs are the lazy 1-row
+      // L1-normalizer broadcasts of the last round. GraphSpec pins the
+      // copartitioned 100x-scale path ≡ broadcast with zero per-round
+      // exchanges
+      "g11_hits" -> "3/2/0/2/-",
       // g12 is a 1-row summary: its exchanges are the per-aggregate
       // finals over the checkpointed node/edge-scale frames, its BNLJs
       // the 1-row stat crossJoins
