@@ -110,8 +110,13 @@ object Classifier {
     * BPE's merge table or IVF's centroids. */
   def trainPortable(train: DataFrame, id: String, text: String, label: Column,
                     numFeatures: Int = 256, rounds: Int = 8, lr: Double = 4.0): Array[Double] = {
+    // pre-partitioned by pid and checkpointed (checkpoints preserve
+    // partitioning): every round's groupBy(pid) AND join(pid) then run
+    // exchange-free — one shuffle per round (the per-feature gradient)
+    // instead of three
     val feats = featsPortable(train, id, text, numFeatures,
-      Seq("y" -> label.cast("double"))).localCheckpoint()
+      Seq("y" -> label.cast("double")))
+      .repartition(col("pid")).localCheckpoint()
     val n = train.count()
     val w = Array.fill(numFeatures + 1)(0.0)
     for (_ <- 1 to rounds) {

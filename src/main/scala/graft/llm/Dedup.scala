@@ -586,27 +586,63 @@ object Dedup {
     * `hashGrams = true` (default) joins on 64-bit gram hashes (8 bytes a
     * gram through the explode); `false` keeps raw string grams,
     * reproducible by any engine (the oracle-green registry form). */
+  /** The distinct word-`n`-gram array of a text column. The token array
+    * is let-bound via a one-element transform: a lambda variable is
+    * evaluated once per row, whereas referencing the split expression
+    * directly from the gram lambda would inline (and re-run) the regex
+    * tokenizer once PER GRAM — O(tokens²) regex work. */
+  private def wordGrams(t: Column, n: Int, hashGrams: Boolean): Column = {
+    val mk = (tk: Column) => {
+      val g = (i: Column) => concat_ws(" ", slice(tk, i, lit(n)))
+      array_distinct(transform(
+        sequence(lit(1), greatest(size(tk) - (n - 1), lit(1))),
+        i => if (hashGrams) xxhash64(g(i)) else g(i)))
+    }
+    element_at(transform(array(split(lower(t), "\\s+")), mk), 1)
+  }
+
   def contaminatedIds(docs: DataFrame, id: String, text: String,
                       bench: DataFrame, btext: String,
                       n: Int = 8, hashGrams: Boolean = true): DataFrame = {
-    // The token array is let-bound via a one-element transform: a lambda
-    // variable is evaluated once per row, whereas referencing the split
-    // expression directly from the gram lambda would inline (and re-run)
-    // the regex tokenizer once PER GRAM — O(tokens²) regex work. No
-    // barrier needed, so the corpus side stays a single scan.
-    def gramsOf(t: Column): Column = {
-      val mk = (tk: Column) => {
-        val g = (i: Column) => concat_ws(" ", slice(tk, i, lit(n)))
-        array_distinct(transform(
-          sequence(lit(1), greatest(size(tk) - (n - 1), lit(1))),
-          i => if (hashGrams) xxhash64(g(i)) else g(i)))
-      }
-      element_at(transform(array(split(lower(t), "\\s+")), mk), 1)
-    }
-    val dg = docs.select(col(id), explode(gramsOf(col(text))).as("g"))
-    val bg = bench.select(explode(gramsOf(col(btext))).as("g")).distinct()
+    val dg = docs.select(col(id), explode(wordGrams(col(text), n, hashGrams)).as("g"))
+    val bg = bench.select(explode(wordGrams(col(btext), n, hashGrams)).as("g")).distinct()
     dg.join(broadcast(bg), "g").select(col(id)).distinct()
   }
+
+  /** [[contaminatedIds]]'s 100 TB shape: when the benchmark gram set
+    * outgrows the broadcast ceiling (a full eval suite n-grammed is
+    * easily tens of GB), build a BLOOM FILTER of the grams instead
+    * (~1.2 GB per 10⁹ grams at 1% fpp — driver-merged, task-broadcast),
+    * prune the corpus gram stream MAP-SIDE, and let the exact semi-join
+    * run over the pruned stream only — the exchange now carries true
+    * contamination volume + fpp, not the whole corpus's grams. The
+    * composition is exact (the Bloom only prunes; the semi-join removes
+    * false positives), so the output is identical to [[contaminatedIds]]
+    * and shares its oracle. */
+  def contaminatedIdsBloom(docs: DataFrame, id: String, text: String,
+                           bench: DataFrame, btext: String,
+                           n: Int = 8, hashGrams: Boolean = true,
+                           fpp: Double = 0.01): DataFrame = {
+    val dg = docs.select(col(id), explode(wordGrams(col(text), n, hashGrams)).as("g"))
+    // checkpointed: the gram explode otherwise re-runs for the Bloom
+    // build AND the exact semi-join probe side
+    val bg = bench.select(explode(wordGrams(col(btext), n, hashGrams)).as("g"))
+      .distinct().localCheckpoint()
+    val expected = math.max(bg.count(), 1L)
+    val pruned =
+      if (hashGrams) graft.operators.Bloom.semiJoin(dg, bg, "g", "g", expected, fpp)
+      else graft.operators.Bloom.semiJoinString(dg, bg, "g", "g", expected, fpp)
+    pruned.select(col(id)).distinct()
+  }
+
+  /** Decontamination via the Bloom-pruned screen — output ≡
+    * [[decontaminate]] exactly. */
+  def decontaminateBloom(docs: DataFrame, id: String, text: String,
+                         bench: DataFrame, btext: String,
+                         n: Int = 8, hashGrams: Boolean = true,
+                         fpp: Double = 0.01): DataFrame =
+    docs.join(contaminatedIdsBloom(docs, id, text, bench, btext, n, hashGrams, fpp),
+      Seq(id), "left_anti")
 
   /** Training docs that survive decontamination (anti-join on the
     * contaminated id set). */

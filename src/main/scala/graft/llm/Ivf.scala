@@ -67,18 +67,24 @@ object Ivf {
     * Returns (centroids (cell, cv), assignments (pid, pv, cell)). */
   def portableQuantizer(corpus: DataFrame, id: String, vec: String,
                         k: Int, rounds: Int): (DataFrame, DataFrame) = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val base = corpus.select(col(id).cast("long").as("pid"),
         transform(col(vec), _.cast("double")).as("pv"))
       .localCheckpoint()
-    // k rows — the limit runs first, so the single-partition window is
-    // k-sized (partitionBy(lit) keeps the unpartitioned-window warning
-    // out of the logs)
-    val wSeed = Window.partitionBy(lit(1)).orderBy("h", "pid")
-    var cent = base
+    // Centroids are MODEL state (k×dim doubles — the Bpe-merge pattern):
+    // collected per round and re-injected as a broadcast literal frame.
+    // Each Lloyd round is then ONE distributed job (assign + per-dim
+    // sorted-fold means) with no inter-round lineage — the previous
+    // DataFrame-resident loop needed a localCheckpoint per round because
+    // each round references its centroids twice (assign + empty-cell
+    // carry), which would otherwise re-evaluate exponentially.
+    var cent: IndexedSeq[(Int, Seq[Double])] = base
       .withColumn("h", md5(col("pid").cast("string")))
       .orderBy("h", "pid").limit(k)
-      .select((row_number().over(wSeed) - 1).as("cell"), col("pv").as("cv"))
-      .localCheckpoint()
+      .select("pv").collect()
+      .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](0)) }.toIndexedSeq
+    def centDf(c: IndexedSeq[(Int, Seq[Double])]): DataFrame = c.toDF("cell", "cv")
     val d2 = aggregate(zip_with(col("pv"), col("cv"), (x, c) => (x - c) * (x - c)),
       lit(0.0), (acc, t) => acc + t)
     def assign(c: DataFrame): DataFrame = base.crossJoin(broadcast(c))
@@ -86,30 +92,29 @@ object Ivf {
       .groupBy("pid")
       .agg(min(struct(col("d2"), col("cell"))).as("m"), first("pv").as("pv"))
       .select(col("pid"), col("pv"), col("m.cell").as("cell"))
+    // order-canonical mean: fold the cell's values SORTED, so the double
+    // sum is bit-identical across partitionings AND engines (DuckDB twin:
+    // list_sum(list_sort(list(x))), the same L2R fold) — without this the
+    // 6dp floor below could flip on a sum landing within ulps of a
+    // boundary under a different partition order
+    val sortedSum = aggregate(array_sort(collect_list(col("x"))),
+      lit(0.0), (acc, t) => acc + t)
     for (_ <- 1 to rounds) {
-      // order-canonical mean: fold the cell's values SORTED, so the double
-      // sum is bit-identical across partitionings AND engines (DuckDB twin:
-      // list_sum(list_sort(list(x))), the same L2R fold) — without this the
-      // 6dp floor below could flip on a sum landing within ulps of a
-      // boundary under a different partition order
-      val sortedSum = aggregate(array_sort(collect_list(col("x"))),
-        lit(0.0), (acc, t) => acc + t)
-      val means = assign(cent)
+      val means = assign(centDf(cent))
         .select(col("cell"), posexplode(col("pv")).as(Seq("i", "x")))
         .groupBy("cell", "i")
         .agg((floor(sortedSum / count(lit(1)) * 1000000 + 0.5) / 1000000.0).as("mean"))
-        .groupBy("cell")
-        .agg(transform(array_sort(collect_list(struct(col("i"), col("mean")))),
-          s => s.getField("mean")).as("nv"))
-      val next = cent.join(means, Seq("cell"), "left")
-        .select(col("cell"), coalesce(col("nv"), col("cv")).as("cv"))
-        .localCheckpoint()
-      graft.SessionHygiene.freeCheckpoint(cent)
-      cent = next
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+        .groupBy(_._1)
+      cent = cent.map { case (cell, cv) =>
+        // empty-cell carry ≡ the SQL twin's coalesce(nv, cv)
+        means.get(cell).fold((cell, cv))(ms => (cell, ms.sortBy(_._2).map(_._3).toSeq))
+      }
     }
+    val cdf = centDf(cent)
     // checkpointed: callers reference the assignment table at least twice
     // (query slice + candidate cells)
-    (cent, assign(cent).localCheckpoint())
+    (cdf, assign(cdf).localCheckpoint())
   }
 
   /** SQL fragments shared by the portable-quantizer oracles (sim5b's IVF,

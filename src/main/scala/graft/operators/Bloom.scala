@@ -38,4 +38,17 @@ object Bloom {
     fact.filter(mightContain(col(factKey)))
       .join(keys.select(col(keyCol).as(factKey)), Seq(factKey), "left_semi")
   }
+
+  /** String-keyed variant of [[semiJoin]] (raw token grams, URLs): same
+    * exact-composition contract, keyed through `mightContainString`. */
+  def semiJoinString(fact: DataFrame, keys: DataFrame,
+                     factKey: String, keyCol: String,
+                     expected: Long = 1000000L, fpp: Double = 0.03): DataFrame = {
+    val bf = keys.stat.bloomFilter(keyCol, expected, fpp)
+    val bfB = fact.sparkSession.sparkContext.broadcast(bf)
+    val mightContain = udf((k: String) =>
+      k != null && bfB.value.mightContainString(k))
+    fact.filter(mightContain(col(factKey)))
+      .join(keys.select(col(keyCol).as(factKey)), Seq(factKey), "left_semi")
+  }
 }

@@ -41,6 +41,13 @@ object LlmQueries {
       |     (SELECT unnest(generate_series(0, 31)) AS x) x,
       |     (SELECT unnest(generate_series(0, 31)) AS y) y""".stripMargin
 
+  /** mm6…mm9 all decode the SAME synthetic PNG corpus: one memoized
+    * encode pass (5000 images through the real codec) serves all four. */
+  private def imageMemo(s: SparkSession, d: String): DataFrame =
+    QueryMemo.frame(s, d, "mm_images") {
+      Multimodal.imageTable(t(s, d, "documents"), "doc_id")
+    }
+
   private def portableComponents(s: SparkSession, d: String): DataFrame =
     QueryMemo.frame(s, d, "dd6_components") {
       val docs = t(s, d, "documents").filter(col("doc_id") % 5 === 0)
@@ -491,6 +498,38 @@ object LlmQueries {
       (s, d) => {
         val docs = t(s, d, "documents")
         Dedup.decontaminate(
+            docs.filter(col("doc_id") % 17 =!= 0),
+            "doc_id", "text",
+            docs.filter(col("doc_id") % 17 === 0), "text",
+            n = 8, hashGrams = false)
+          .select("doc_id")
+          .orderBy("doc_id")
+      },
+      Some("""WITH grams AS (
+             |  SELECT doc_id,
+             |         [array_to_string(t[i:i+7], ' ')
+             |          FOR i IN generate_series(1, greatest(len(t) - 7, 1))] AS g
+             |  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+             |        FROM documents)),
+             |bg AS (SELECT DISTINCT unnest(g) AS gram FROM grams WHERE doc_id % 17 = 0),
+             |dirty AS (
+             |  SELECT DISTINCT d.doc_id
+             |  FROM (SELECT doc_id, unnest(g) AS gram FROM grams WHERE doc_id % 17 <> 0) d
+             |  JOIN bg USING (gram))
+             |SELECT doc_id FROM documents
+             |WHERE doc_id % 17 <> 0 AND doc_id NOT IN (SELECT doc_id FROM dirty)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---- dd7b: the SAME decontamination through the Bloom-pruned scale
+    // path — benchmark grams too large to broadcast at 100 TB, so a
+    // Bloom filter prunes the corpus gram stream map-side before the
+    // exact semi-join. The composition is exact (Bloom only prunes), so
+    // the output and oracle are dd7's, and the hash gate proves the
+    // pruning changed nothing ----
+    QueryDef("dd7b_decontaminate_bloom",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Dedup.decontaminateBloom(
             docs.filter(col("doc_id") % 17 =!= 0),
             "doc_id", "text",
             docs.filter(col("doc_id") % 17 === 0), "text",
@@ -967,7 +1006,7 @@ object LlmQueries {
     // total integer luma per image
     QueryDef("mm6_png_roundtrip",
       (s, d) => Multimodal.decodeChecksums(
-          Multimodal.imageTable(t(s, d, "documents"), "doc_id"))
+          imageMemo(s, d))
         .orderBy("media_id"),
       Some(s"""WITH rgb AS ($mmRgbSql)
               |SELECT media_id, 32 AS width, 32 AS height,
@@ -979,7 +1018,7 @@ object LlmQueries {
     // IEEE-exact, so the doubles match bit-for-bit)
     QueryDef("mm7_image_features",
       (s, d) => Multimodal.imageBlockFeatures(
-          Multimodal.imageTable(t(s, d, "documents"), "doc_id"), block = 8)
+          imageMemo(s, d), block = 8)
         .orderBy("media_id", "block_id"),
       Some(s"""WITH rgb AS ($mmRgbSql)
               |SELECT media_id, ((y // 8) * 4 + (x // 8))::INT AS block_id,
@@ -993,7 +1032,7 @@ object LlmQueries {
     QueryDef("mm8_image_resize",
       (s, d) => Multimodal.decodeChecksums(
           Multimodal.imageResizeNN(
-            Multimodal.imageTable(t(s, d, "documents"), "doc_id"), 8, 8))
+            imageMemo(s, d), 8, 8))
         .orderBy("media_id"),
       Some(s"""WITH rgb AS ($mmRgbSql),
               |th AS (SELECT media_id, (x // 4)::BIGINT AS dx, (y // 4)::BIGINT AS dy, r, g, b
@@ -1010,7 +1049,7 @@ object LlmQueries {
     // bytes differ
     QueryDef("mm9_phash_dedup",
       (s, d) => Multimodal.imagePerceptualDedup(
-          Multimodal.imageTable(t(s, d, "documents"), "doc_id"))
+          imageMemo(s, d))
         .orderBy("media_id"),
       Some(s"""WITH rgb AS ($mmRgbSql),
               |tl AS (SELECT media_id, ((y // 4) * 8 + (x // 4))::BIGINT AS i,

@@ -589,6 +589,21 @@ class LlmSpec extends SparkSpecBase {
     assert(got2 === got.map { case (k, v) => (2 * k + 11, 2 * v + 11) })
   }
 
+  test("bloom-pruned decontamination ≡ broadcast decontamination on the " +
+       "production hashed grams (the Bloom only prunes)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val train = docs.filter(col("doc_id") % 17 =!= 0)
+    val bench = docs.filter(col("doc_id") % 17 === 0)
+    val exact = Dedup.decontaminate(train, "doc_id", "text", bench, "text",
+        n = 8, hashGrams = true)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val bloom = Dedup.decontaminateBloom(train, "doc_id", "text", bench, "text",
+        n = 8, hashGrams = true, fpp = 0.05) // high fpp: the exact verify must absorb it
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(bloom === exact)
+    assert(exact.size < train.count(), "the screen actually drops contaminated docs")
+  }
+
   test("charShingles signatures equal byte signatures on ASCII, diverge on CJK") {
     val s = spark; import s.implicits._
     val ascii = Seq((1L, "the quick brown fox jumps"), (2L, "pack my box with five dozen"))
