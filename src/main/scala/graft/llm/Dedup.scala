@@ -954,8 +954,10 @@ object Dedup {
     *
     * Per doc: total gram positions, shared positions, their ratio, and the
     * longest shared span. No pair join anywhere — cost is linear in the
-    * corpus token count (one explode, one gram-frequency aggregate, one
-    * semi-join back, a per-doc window over shared positions only).
+    * corpus token count (one explode, a constant-state gram-frequency
+    * aggregate over distinct (gram, doc) pairs, one semi-join back, a
+    * per-doc window over shared positions only). Skew-safe by
+    * construction: no per-gram occurrence list is ever buffered.
     *
     * `hashGrams = true` shuffles 8-byte xxhash64 gram keys instead of the
     * L-token strings (the production path; identical up to 64-bit
@@ -974,17 +976,24 @@ object Dedup {
         if (hashGrams) xxhash64(g).cast("string") else g
       })), 1)
     val positions = df.select(col(id), posexplode(gramArr).as(Seq("pos", "gram")))
-    // inverted index in ONE shuffle: group every (doc, pos) occurrence
-    // under its gram, keep grams seen in >= minDf distinct docs, re-emit
-    // their occurrences. (The groupBy-df-then-semi-join form shuffles the
-    // full position table twice; carrying the occurrence list through the
-    // single aggregate halves the shuffled volume.) A gram repeated only
-    // inside one doc is not shared.
-    val marked = positions.groupBy(col("gram"))
-      .agg(collect_list(struct(col(id), col("pos"))).as("occs"))
-      .filter(size(array_distinct(transform(col("occs"), o => o(id)))) >= minDf)
-      .select(explode(col("occs")).as("occ"))
-      .select(col(s"occ.$id").as(id), col("occ.pos").as("pos"))
+    // SKEW-SAFE inverted index: the document frequency is a plain
+    // count over distinct (gram, doc) pairs — the distinct's partial
+    // aggregate dedups map-side and its shuffle keys on the PAIR, so a
+    // boilerplate gram present in every doc spreads over the cluster
+    // instead of landing in one task; the final per-gram state is one
+    // counter. Shared positions come back via a semi-join on the gram
+    // key (a JOIN, not an aggregate: no per-key buffer, and AQE's
+    // skew-join split applies). The earlier one-shuffle form carried a
+    // collect_list(struct(id,pos)) occurrence list per gram — half the
+    // shuffled volume at sf0.1, but an unbounded single-task buffer on a
+    // hot gram at corpus scale. A gram repeated only inside one doc is
+    // not shared.
+    val shared = positions.select(col("gram"), col(id)).distinct()
+      .groupBy(col("gram")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDf)
+      .select(col("gram"))
+    val marked = positions.join(shared, Seq("gram"), "left_semi")
+      .select(col(id), col("pos"))
     // gaps-and-islands: pos - row_number is constant within a consecutive
     // run of shared positions
     val w = Window.partitionBy(col(id)).orderBy(col("pos"))
@@ -1011,12 +1020,13 @@ object Dedup {
     * corpus. Token t of doc D is removed iff some gram position p with
     * p <= t <= p+l-1 carries a gram whose minimum-occurrence doc is < D.
     *
-    * Scale shape: the same inverted gram index as dd8 (one explode, one
-    * gram aggregate carrying its occurrence list — a single shuffle of
-    * the position table), then removable positions expand to their l
-    * covered token indices (a bounded generator, volume <= l x positions),
-    * one distinct, one anti-join against the token table, and a per-doc
-    * reassembly aggregate. No pair join, nothing driver-side.
+    * Scale shape: the same inverted gram index as dd8 (one explode, a
+    * constant-state min() per gram, positions joined back on the gram
+    * key — skew-safe: no per-gram occurrence list is ever buffered),
+    * then removable positions expand to their l covered token indices
+    * (a bounded generator, volume <= l x positions), one distinct, one
+    * anti-join against the token table, and a per-doc reassembly
+    * aggregate. No pair join, nothing driver-side.
     *
     * Gram matching is case-insensitive; surviving tokens keep their
     * original case and order.
@@ -1035,20 +1045,21 @@ object Dedup {
     })
     val positions = df.select(col(id), posexplode(gramArr).as(Seq("pos0", "gram")))
       .select(col(id), (col("pos0") + 1).as("pos"), col("gram"))
-    // one aggregate: each gram's occurrence list; re-emit occurrences in
-    // docs AFTER the gram's first doc (those spans are the duplicates).
-    // first_doc is computed BEFORE the explode — in the same projection
-    // as the Generate it would be re-evaluated per generated row, making
-    // a gram with m occurrences cost O(m²)
-    val removable = positions.groupBy(col("gram"))
-      .agg(collect_list(struct(col(id), col("pos"))).as("occs"))
-      .select(col("occs"),
-        // min over the RAW id type: a long cast would NULL out string
-        // ids (UUIDs) and silently remove nothing
-        array_min(transform(col("occs"), o => o(id))).as("first_doc"))
-      .select(explode(col("occs")).as("occ"), col("first_doc"))
-      .filter(col(s"occ.$id") > col("first_doc"))
-      .select(col(s"occ.$id").as(id), col("occ.pos").as("pos"))
+    // SKEW-SAFE duplicate-span marking: per-gram first_doc is a plain
+    // min() — constant aggregation state per gram no matter how many
+    // occurrences it has — and occurrences rejoin it on the gram key (a
+    // JOIN, so no per-key buffer and AQE's skew-join split applies; a
+    // boilerplate gram in 10^8 docs costs task TIME, never task MEMORY).
+    // The earlier one-shuffle form carried a collect_list(struct(id,pos))
+    // per gram: half the shuffled volume at sf0.1 but an unbounded
+    // single-task buffer on a hot gram at corpus scale.
+    // min over the RAW id type: a long cast would NULL out string ids
+    // (UUIDs) and silently remove nothing.
+    val firstDoc = positions.groupBy(col("gram"))
+      .agg(min(col(id)).as("__first_doc"))
+    val removable = positions.join(firstDoc, Seq("gram"))
+      .filter(col(id) > col("__first_doc"))
+      .select(col(id), col("pos"))
     val covered = removable
       .select(col(id), explode(sequence(col("pos"), col("pos") + (l - 1))).as("t"))
       .distinct()

@@ -375,6 +375,45 @@ class LlmSpec extends SparkSpecBase {
     assert(shared(4) === 0L)   // bar above corpus-wide frequency
   }
 
+  test("span family is skew-safe: a gram in EVERY doc never buffers a per-gram occurrence list") {
+    val s = spark; import s.implicits._
+    // worst-case skew: one boilerplate 8-gram present in all 200 docs.
+    // The scale contract (VERDICT r9 item 1): no Aggregate keyed by the
+    // gram may hold a collect_list — per-gram state must be constant
+    // (min / count), with occurrences delivered back via a JOIN, so a
+    // gram in 10^8 docs costs task time, never unbounded task memory.
+    val common = "alpha bravo charlie delta echo foxtrot golf hotel"
+    val df = (0L until 200L).map(i => (i, s"$common uniq$i")).toDF("doc_id", "text")
+
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    def gramKeyedListAggs(q: org.apache.spark.sql.DataFrame): Seq[Aggregate] =
+      q.queryExecution.optimizedPlan.collect {
+        case a: Aggregate
+          if a.aggregateExpressions.exists(_.toString.contains("collect_list")) &&
+             !a.groupingExpressions.forall(_.toString.contains("doc_id")) => a
+      }
+
+    val cov = Dedup.spanCoverage(df, "doc_id", "text", l = 8)
+    assert(gramKeyedListAggs(cov).isEmpty,
+      "spanCoverage must not collect per-gram occurrence lists")
+    // every doc: 2 gram positions (common prefix + unique tail), exactly
+    // the prefix position shared -> run 1 -> span 8 tokens
+    val covRows = cov.orderBy("doc_id").collect()
+    assert(covRows.length === 200)
+    assert(covRows.forall(r => r.getLong(1) === 2L && r.getLong(2) === 1L
+      && r.getLong(4) === 8L))
+
+    val rem = Dedup.spanRemoval(df, "doc_id", "text", l = 8)
+    assert(gramKeyedListAggs(rem).isEmpty,
+      "spanRemoval's only collect_list must be the per-doc reassembly")
+    // doc 0 keeps all 9 tokens; every later doc loses the 8-token prefix
+    val remRows = rem.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+    assert(remRows(0) === ((0L, 9L, s"$common uniq0")))
+    assert(remRows.drop(1).zipWithIndex.forall { case ((i, k, t), j) =>
+      i === j + 1L && k === 1L && t === s"uniq${j + 1}" })
+  }
+
   test("incremental dedup is idempotent against the grown corpus") {
     val s = spark; import s.implicits._
     val corpus = Seq((1L, "old text a"), (2L, "old text b")).toDF("doc_id", "text")

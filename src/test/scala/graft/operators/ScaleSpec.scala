@@ -143,7 +143,11 @@ class ScaleSpec extends SparkSpecBase {
       "dd7_decontaminate" -> "3/2/0/0/p",
       "ts7_repetition" -> "1/0/0/0/-",
       "st4_streaming_neardup" -> "2/1/0/0/-",
-      "dd8_span_coverage" -> "3/1/0/0/-",
+      // dd8 (skew-safe r10 shape): (gram,doc)-distinct shuffle + count
+      // agg + semi-join back (BHJ at audit scale; shuffled-hash with AQE
+      // skew split at corpus scale) + per-doc window — ONE more exchange
+      // than the r9 collect_list form bought constant per-gram state
+      "dd8_span_coverage" -> "4/2/0/0/p",
       "cur6_source_cap" -> "3/0/0/0/-",
       "dd9_incremental_dedup" -> "3/3/0/0/p",
       "cur8_corpus_shuffle" -> "4/0/0/1/-",
@@ -229,9 +233,11 @@ class ScaleSpec extends SparkSpecBase {
       // (diag + the two normalization joins) — audit-only recompute at
       // sf0.001, never the production shape
       "emb4_correlation" -> "6/8/0/1/-",
-      // dd14: gram-index agg, covered-distinct, token anti-join (BHJ at
-      // audit scale), reassembly agg
-      "dd14_span_removal" -> "4/2/0/0/p",
+      // dd14 (skew-safe r10 shape): per-gram min() agg + positions JOINED
+      // back (the extra BHJ vs r9; shuffled-hash with AQE skew split at
+      // corpus scale — no per-gram occurrence list anywhere),
+      // covered-distinct, token anti-join, reassembly agg
+      "dd14_span_removal" -> "4/3/0/0/p",
       // tok2: word explode+distinct, vocab fold, broadcast (word,n_toks)
       // join back to the text — the corpus side never shuffles before the
       // per-doc aggregate (fn also re-trains the merges here: the memo is
