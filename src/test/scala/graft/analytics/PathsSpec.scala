@@ -58,6 +58,51 @@ class PathsSpec extends SparkSpecBase {
     assert(whens(25) === 25000L)
   }
 
+  test("production xxhash64 jitter ≡ md5 twin: same tracks, same [50,100) jitter distribution") {
+    // The machine-checked link from rows-only w6_paths_full to hash-green
+    // w6b_paths_portable (VERDICT r9 item 3): the two jitter sources must
+    // agree on EVERYTHING except the jitter value itself, and both jitters
+    // must land in [50,100) with matching first two moments on a fixed
+    // corpus — so the production path's only divergence from the oracle'd
+    // twin is a re-seeded draw from the same distribution.
+    val base = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .withColumn("time_ms", unix_millis(col("o_orderdate").cast("timestamp")))
+      .withColumn("lat", ((col("o_custkey") % 120) - 60).cast("double"))
+      .withColumn("lon", (((col("o_custkey") * 13) % 360) - 180).cast("double"))
+    val K2 = Paths.Keys("o_custkey", Seq("o_orderdate", "o_orderkey"),
+      "o_orderstatus", "lat", "lon", "time_ms")
+
+    // identical tracks: every column except the jitter-bearing ones
+    def tracks(portable: Boolean) =
+      Paths.expand(base, K2, portableJitter = portable)
+        .drop("path_id", "alt")
+        .orderBy("person_id", "from_company", "to_company", "when_ms", "seq")
+        .collect().map(_.toSeq)
+    assert(tracks(false) === tracks(true),
+      "jitter choice must not touch lat/lon/when/pair identity")
+
+    // jitter populations: height = pmod(path_id, 5000)/100 + 50
+    def heights(portable: Boolean): Array[Double] =
+      Paths.pairs(base, K2, portableJitter = portable)
+        .select((pmod(col("path_id"), lit(5000L)).cast("double") / 100.0 + 50.0)
+          .as("h")).collect().map(_.getDouble(0))
+    val fast = heights(false); val port = heights(true)
+    assert(fast.length === port.length && fast.length > 500)
+    assert(fast.forall(h => h >= 50.0 && h < 100.0))
+    assert(port.forall(h => h >= 50.0 && h < 100.0))
+    def mean(xs: Array[Double]) = xs.sum / xs.length
+    def sd(xs: Array[Double]) = {
+      val m = mean(xs); math.sqrt(xs.map(x => (x - m) * (x - m)).sum / xs.length)
+    }
+    // uniform[50,100): mean 75, sd 14.43; n>500 ⇒ se(mean) < 0.65 — a 2.0
+    // band is >3σ for the deterministic (non-flaky) fixed-corpus draw
+    assert(math.abs(mean(fast) - mean(port)) < 2.0,
+      s"jitter means diverge: ${mean(fast)} vs ${mean(port)}")
+    assert(math.abs(sd(fast) - sd(port)) < 2.0,
+      s"jitter sds diverge: ${sd(fast)} vs ${sd(port)}")
+    assert(math.abs(mean(fast) - 75.0) < 2.5 && math.abs(sd(fast) - 14.43) < 2.5)
+  }
+
   test("toKml renders one placemark per path") {
     val kml = Paths.toKml(Paths.expand(fixture, K)).collect()
     assert(kml.length === 1)
