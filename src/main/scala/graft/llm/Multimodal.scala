@@ -380,6 +380,147 @@ object Multimodal {
   }
 
   // -------------------------------------------------------------------------
+  // LOSSY tier — the JDK's real JPEG codec at a FIXED quality. Unlike the
+  // PNG/PCM families there is no codec-free oracle (JPEG output is
+  // implementation-defined), so the contract is a TOLERANCE BAND instead
+  // of a hash: decoded block features may drift by a bounded number of
+  // luma levels, and the perceptual-dedup partition must survive the
+  // re-encode. This is the codec real corpora actually arrive in; the
+  // lossless tiers prove the plumbing bit-for-bit, this tier proves the
+  // pipeline's behavior is stable under the lossy one.
+  // -------------------------------------------------------------------------
+
+  /** Encode a pixel grid through the REAL JPEG writer at an explicit
+    * quality (MODE_EXPLICIT — never the writer's default, which could
+    * drift across JDKs). One writer per image: creation is trivial next
+    * to the DCT work at these sizes, and disposal stays exception-safe
+    * inside a lazy partition iterator. */
+  private def encodeJpeg(px: Array[Int], w: Int, quality: Float): Array[Byte] = {
+    val h = px.length / w
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var i = 0
+    while (i < px.length) { img.setRGB(i % w, i / w, px(i)); i += 1 }
+    val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
+    try {
+      val param = writer.getDefaultWriteParam
+      param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      param.setCompressionQuality(quality)
+      val bos = new ByteArrayOutputStream()
+      val ios = ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+      ios.close()
+      bos.toByteArray
+    } finally writer.dispose()
+  }
+
+  /** REAL lossy re-encode: decode whatever `media` holds → JPEG at the
+    * given quality → new content + meta (mime flips to image/jpeg). The
+    * downstream decode path ([[decodePixels]], features, aHash) is
+    * format-agnostic, so the whole image family runs unchanged on the
+    * lossy corpus. */
+  def jpegRecode(media: DataFrame, quality: Float = 0.85f): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("content"), col("meta.width"))
+      .as[(Long, Array[Byte], Int)]
+      .mapPartitions { it =>
+        ImageIO.setUseCache(false)
+        it.flatMap { case (mid, bytes, w) =>
+          val px = decodePixels(bytes)
+          if (px == null) None
+          else {
+            val jpg = encodeJpeg(px, w, quality)
+            Some((mid, jpg, "image/jpeg", jpg.length.toLong, w, px.length / w))
+          }
+        }
+      }
+      .toDF("media_id", "content", "mime", "n_bytes", "width", "height")
+      .select(col("media_id"), col("content"),
+        struct(col("mime"), col("n_bytes"), col("width"), col("height")).as("meta"))
+  }
+
+  /** Tolerance-banded lossy-codec stability report (mm11): per image, ONE
+    * mapPartitions pass decodes the original, re-encodes it through the
+    * real JPEG codec, decodes THAT, and computes both representations'
+    * 8×8 block-mean lumas and aHashes — no second corpus scan, no join
+    * for the per-image deltas. The only shuffle is the tiny per-hash
+    * group-representative window needed to compare the dedup PARTITIONS:
+    * `group_stable` for every image ⟺ the aHash partition is identical
+    * before and after the lossy round trip (reps equal pointwise iff the
+    * equivalence classes coincide). */
+  def jpegStability(media: DataFrame, quality: Float = 0.85f,
+                    block: Int = 8): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val per = media.select(col("media_id"), col("content"), col("meta.width"))
+      .as[(Long, Array[Byte], Int)]
+      .mapPartitions { it =>
+        ImageIO.setUseCache(false)
+        it.flatMap { case (mid, bytes, w) =>
+          val px0 = decodePixels(bytes)
+          if (px0 == null) None
+          else {
+            val px1 = decodePixels(encodeJpeg(px0, w, quality))
+            val h = px0.length / w
+            val (bx, by) = (w / block, h / block)
+            def blockMeans(px: Array[Int]): Array[Double] = {
+              val sums = new Array[Long](bx * by)
+              var i = 0
+              while (i < px.length) {
+                sums(((i / w) / block) * bx + ((i % w) / block)) += luma(px(i))
+                i += 1
+              }
+              sums.map(_.toDouble / (block.toLong * block))
+            }
+            def ahash(px: Array[Int]): (Long, Long) = {
+              val sh = px.length / w
+              val thumb = new Array[Int](64)
+              var i = 0
+              while (i < 64) {
+                thumb(i) = luma(px(((i / 8) * sh / 8) * w + ((i % 8) * w / 8)))
+                i += 1
+              }
+              val mean = thumb.map(_.toLong).sum.toDouble / 64
+              var (hi, lo) = (0L, 0L)
+              i = 0
+              while (i < 64) {
+                if (thumb(i) > mean) {
+                  if (i < 32) hi += 1L << (31 - i) else lo += 1L << (63 - i)
+                }
+                i += 1
+              }
+              (hi, lo)
+            }
+            val (m0, m1) = (blockMeans(px0), blockMeans(px1))
+            val deltas = m0.indices.map(i => math.abs(m1(i) - m0(i)))
+            val ((hi0, lo0), (hi1, lo1)) = (ahash(px0), ahash(px1))
+            // fingerprint wobble: how many of the 64 aHash bits flipped —
+            // the quantity a Hamming-tolerant near-dup index absorbs and
+            // an exact-collision one does not
+            val hamming = java.lang.Long.bitCount(hi0 ^ hi1) +
+              java.lang.Long.bitCount(lo0 ^ lo1)
+            Some((mid, deltas.max, deltas.sum / deltas.length,
+              hamming, hi0, lo0, hi1, lo1))
+          }
+        }
+      }
+      .toDF("media_id", "max_block_delta", "mean_block_delta", "hamming_bits",
+        "phash_hi0", "phash_lo0", "phash_hi1", "phash_lo1")
+    val w0 = org.apache.spark.sql.expressions.Window.partitionBy("phash_hi0", "phash_lo0")
+    val w1 = org.apache.spark.sql.expressions.Window.partitionBy("phash_hi1", "phash_lo1")
+    per
+      .withColumn("rep_orig", min("media_id").over(w0))
+      .withColumn("rep_jpeg", min("media_id").over(w1))
+      .select(col("media_id"),
+        round(col("max_block_delta"), 4).as("max_block_delta"),
+        round(col("mean_block_delta"), 4).as("mean_block_delta"),
+        col("hamming_bits"),
+        col("rep_orig"), col("rep_jpeg"),
+        (col("rep_orig") === col("rep_jpeg")).as("group_stable"))
+  }
+
+  // -------------------------------------------------------------------------
   // REAL audio tier — javax.sound.sampled (WAV/PCM ships in the JDK).
   // Same proof shape as the PNG tier: a pure integer sample formula,
   // encoded through the REAL WAV writer and decoded back with the real

@@ -1093,6 +1093,21 @@ object LlmQueries {
              |FROM fr GROUP BY media_id, frame_idx
              |ORDER BY media_id, frame_idx""".stripMargin)),
 
+    // mm11: LOSSY tier — the JDK's real JPEG codec at fixed quality 0.85.
+    // No codec-free oracle exists (JPEG output is implementation-defined),
+    // so this is a documented rows-only entry whose contract is the
+    // tolerance band pinned in LlmSpec: block-mean luma drift <= 2 levels,
+    // aHash wobble <= 8 of 64 bits, >= 75% of the mm9 exact-collision
+    // groups stable at q=0.85 AND the partition fully identical at
+    // q=0.95. The honest finding the report carries: features survive the
+    // codec essentially unchanged, EXACT-collision fingerprint dedup does
+    // not at moderate quality (borderline bits flip) — at 100 TB you run
+    // the q=0.85 corpus through a Hamming-tolerant index, not exact groups
+    QueryDef("mm11_jpeg_stability",
+      (s, d) => Multimodal.jpegStability(imageMemo(s, d), quality = 0.85f)
+        .orderBy("media_id"),
+      None),
+
     // ---- document chunking: fixed windows with overlap ----
     QueryDef("ts5_chunking",
       (s, d) => TextAnalysis.chunk(t(s, d, "documents"), "doc_id", "text", size = 200, overlap = 20)

@@ -739,6 +739,42 @@ class LlmSpec extends SparkSpecBase {
     assert(groups.forall { case (id, _, surv) => surv == (id < 16) })
   }
 
+  test("multimodal lossy codec: JPEG round trip stays inside the tolerance band " +
+       "and the perceptual-dedup partition survives") {
+    val s = spark; import s.implicits._
+    // the mm6-mm9 corpus shape: 64 ids = 16 patterns x 4 brightness
+    // offsets — the planted near-dup groups the lossy gate must preserve
+    val media = Multimodal.imageTable((0L until 64L).toDF("doc_id"), "doc_id")
+    val rows = Multimodal.jpegStability(media, quality = 0.85f).collect()
+    assert(rows.length === 64)
+    val maxDelta = rows.map(_.getDouble(1)).max
+    val meanDelta = rows.map(_.getDouble(2)).max
+    val hams = rows.map(_.getInt(3))
+    val stable = rows.count(_.getBoolean(6))
+    info(f"q=0.85: max block delta $maxDelta%.3f, worst mean $meanDelta%.3f, " +
+      f"max hamming ${hams.max}, stable $stable/64")
+    // the q=0.85 band (observed: delta ~0.58, hamming <= 5, 51/64 stable):
+    // features barely move, the 64-bit fingerprint wobbles only on
+    // borderline bits — the regime a Hamming-tolerant near-dup index
+    // absorbs — but EXACT-collision groups are honestly not fully stable
+    assert(maxDelta <= 2.0, s"block-mean luma drifted $maxDelta levels under JPEG")
+    assert(meanDelta <= 1.0, s"mean block drift $meanDelta under JPEG")
+    assert(hams.max <= 8, s"aHash flipped ${hams.max} bits under q=0.85 JPEG")
+    assert(stable >= 48, s"only $stable/64 exact-collision groups survived q=0.85")
+    // at archival quality the EXACT partition must be identical: rep_orig
+    // == rep_jpeg pointwise <=> the aHash dedup groups coincide
+    val hi = Multimodal.jpegStability(media, quality = 0.95f).collect()
+    assert(hi.forall(_.getBoolean(6)), "aHash dedup partition changed under q=0.95 JPEG")
+    assert(hi.map(_.getInt(3)).max <= 2)
+    // the recoded payloads really are JPEGs (SOI marker) and still decode
+    val jp = Multimodal.jpegRecode(media, quality = 0.85f)
+      .filter(col("media_id") === 3L).head()
+    val bytes = jp.getAs[Array[Byte]]("content")
+    assert((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8)
+    assert(jp.getStruct(2).getString(0) === "image/jpeg")
+    assert(Multimodal.decodePixels(bytes).length === 32 * 32)
+  }
+
   test("multimodal real audio: WAV round-trip is lossless vs the formula, " +
        "frame features replay") {
     val s = spark; import s.implicits._
