@@ -154,7 +154,11 @@ object Multimodal {
     * plus a flat brightness offset (`(id / 16) % 48`). The offset shifts
     * integer luma by EXACTLY the offset (299+587+114 = 1000 divides the
     * shift), so images sharing a pattern are aHash-identical while being
-    * byte-distinct — planted near-duplicates for the perceptual dedup. */
+    * byte-distinct — planted near-duplicates for the perceptual dedup.
+    * Both components repeat with period 16×48 = 768, so ids 768 apart
+    * render byte-IDENTICAL images (harmless to the 16-group dedup result
+    * and its oracle; only a "5000 distinct payloads" claim would be
+    * wrong). */
   @inline def synthRgb(id: Long, x: Int, y: Int): (Int, Int, Int) = {
     val p = (id % 16).toInt
     val o = ((id / 16) % 48).toInt

@@ -21,34 +21,43 @@ import org.apache.spark.sql.functions._
   */
 object Bloom {
 
+  /** The shared composition: build the filter over the dim keys, broadcast
+    * it, prune the fact side map-side through `probe`, then the exact
+    * left_semi. No distinct on the keys side: left_semi keeps a fact row
+    * if ANY match exists, so duplicate keys cannot duplicate output, and
+    * a distinct would cost a full extra exchange on the dim. */
+  private def pruned(fact: DataFrame, keys: DataFrame,
+                     factKey: String, keyCol: String,
+                     expected: Long, fpp: Double)
+                    (probe: org.apache.spark.broadcast.Broadcast[
+                       org.apache.spark.util.sketch.BloomFilter]
+                       => org.apache.spark.sql.expressions.UserDefinedFunction): DataFrame = {
+    val bf = keys.stat.bloomFilter(keyCol, expected, fpp)
+    // the probe UDF must capture the BROADCAST handle, not the filter:
+    // a captured filter rides every task closure instead of the
+    // once-per-executor broadcast block
+    val bfB = fact.sparkSession.sparkContext.broadcast(bf)
+    fact.filter(probe(bfB)(col(factKey)))
+      .join(keys.select(col(keyCol).as(factKey)), Seq(factKey), "left_semi")
+  }
+
   /** Exact semi-join of `fact` on `factKey` against `keys.keyCol`,
     * pre-pruned map-side by a Bloom filter of the key set.
     *
     * `expected`/`fpp` size the filter: bits ≈ -n·ln(fpp)/ln2². */
   def semiJoin(fact: DataFrame, keys: DataFrame,
                factKey: String, keyCol: String,
-               expected: Long = 1000000L, fpp: Double = 0.03): DataFrame = {
-    val bf = keys.stat.bloomFilter(keyCol, expected, fpp)
-    val bfB = fact.sparkSession.sparkContext.broadcast(bf)
-    val mightContain = udf((k: java.lang.Long) =>
-      k != null && bfB.value.mightContainLong(k))
-    // no distinct on the keys side: left_semi keeps a fact row if ANY
-    // match exists, so duplicate keys cannot duplicate output, and a
-    // distinct would cost a full extra exchange on the dim
-    fact.filter(mightContain(col(factKey)))
-      .join(keys.select(col(keyCol).as(factKey)), Seq(factKey), "left_semi")
-  }
+               expected: Long = 1000000L, fpp: Double = 0.03): DataFrame =
+    pruned(fact, keys, factKey, keyCol, expected, fpp) { bfB =>
+      udf((k: java.lang.Long) => k != null && bfB.value.mightContainLong(k))
+    }
 
   /** String-keyed variant of [[semiJoin]] (raw token grams, URLs): same
     * exact-composition contract, keyed through `mightContainString`. */
   def semiJoinString(fact: DataFrame, keys: DataFrame,
                      factKey: String, keyCol: String,
-                     expected: Long = 1000000L, fpp: Double = 0.03): DataFrame = {
-    val bf = keys.stat.bloomFilter(keyCol, expected, fpp)
-    val bfB = fact.sparkSession.sparkContext.broadcast(bf)
-    val mightContain = udf((k: String) =>
-      k != null && bfB.value.mightContainString(k))
-    fact.filter(mightContain(col(factKey)))
-      .join(keys.select(col(keyCol).as(factKey)), Seq(factKey), "left_semi")
-  }
+                     expected: Long = 1000000L, fpp: Double = 0.03): DataFrame =
+    pruned(fact, keys, factKey, keyCol, expected, fpp) { bfB =>
+      udf((k: String) => k != null && bfB.value.mightContainString(k))
+    }
 }

@@ -600,12 +600,15 @@ object RelationalQueries {
         val (nb, na, bytes) = Sinks.compact(s, s"$src/t", s"$dst/t",
           targetBytes = target)
         // the file-count contract is asserted HERE, scale-independently
-        // (the oracle sees only data aggregates): coalesce must hit
-        // exactly ceil(bytes/target) outputs, and the 64-way source copy
-        // at most 64 (an empty input split writes no part file)
+        // (the oracle sees only data aggregates): coalesce can only MERGE,
+        // so outputs land in [1, ceil(bytes/target)] — the exact-equality
+        // check lives in SinksSpec under a pinned maxPartitionBytes
+        // (coalesce cannot RAISE the partition count, so a reader config
+        // that packs the 64 source files into fewer splits than `want`
+        // must not crash a correct compaction here)
         val want = math.max(1, math.ceil(bytes.toDouble / target).toInt)
-        require(bytes > 0 && na == want && nb <= 64 && na <= nb,
-          s"compaction contract: $nb files / $bytes bytes -> $na (want $want)")
+        require(bytes > 0 && na >= 1 && na <= want && nb <= 64 && na <= nb,
+          s"compaction contract: $nb files / $bytes bytes -> $na (want <= $want)")
         s.read.parquet(s"$dst/t")
           .agg(count(lit(1)).as("n_rows"),
             countDistinct(col("o_custkey")).as("n_cust"),

@@ -186,6 +186,27 @@ class IoSpec extends SparkSpecBase {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("compact hits exactly ceil(bytes/target) files under a pinned reader split config") {
+    // the exact-equality contract lives HERE, not in the s18 query: it
+    // holds only when the parquet scan keeps at least `want` input splits
+    // (coalesce can merge but never raise the partition count), which
+    // depends on spark.sql.files.maxPartitionBytes — so pin it low enough
+    // that the 10 fragments can't pack below `want` splits
+    val s = spark; import s.implicits._
+    val dir = tmpDir()
+    (1L to 5000L).map(i => (i, s"row_$i")).toDF("k", "v")
+      .repartition(10).write.mode("overwrite").parquet(s"$dir/frag")
+    val before = s.conf.get("spark.sql.files.maxPartitionBytes")
+    s.conf.set("spark.sql.files.maxPartitionBytes", (8L * 1024 * 1024).toString)
+    try {
+      val total = Sinks.compact(s, s"$dir/frag", s"$dir/probe2", Long.MaxValue)._3
+      val target = total / 3 + 1
+      val want = math.ceil(total.toDouble / target).toInt
+      val (_, na, _) = Sinks.compact(s, s"$dir/frag", s"$dir/exact", target)
+      assert(na === want, s"na=$na want=$want under pinned 8MB splits")
+    } finally s.conf.set("spark.sql.files.maxPartitionBytes", before)
+  }
+
   test("canonicalJson escaping matches json.dumps on hostile strings") {
     // The e2e fixture's corpus is ASCII-clean, so the escape branches of
     // Envelope.canonicalJson never fire there; this pins them against an
