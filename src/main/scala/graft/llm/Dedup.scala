@@ -533,9 +533,26 @@ object Dedup {
   /** Word n-gram Jaccard similarity for a candidate pair set. Grams are
     * hashed to longs before the set ops (exact up to 64-bit collisions);
     * `hashGrams = false` keeps raw string grams — slower set ops, but the
-    * Jaccard is then bit-exact reproducible by any engine (dd5b). */
+    * Jaccard is then bit-exact reproducible by any engine (dd5b).
+    *
+    * `minJaccard > 0` switches to the thresholded-verify shape every
+    * near-dup pipeline runs at scale (reporting a Jaccard for EVERY
+    * banding collision materializes mostly-zero pairs — 77,912 of 78,175
+    * at sf0.1): a MinHash sketch of each doc's OWN gram set (so the
+    * estimator is unbiased for exactly the quantity verified) prunes
+    * pairs whose estimate can't reach the threshold before the expensive
+    * gram-array join, [[minhashDedup]]'s documented two-stage design;
+    * only survivors pay the exact intersect, and only pairs with TRUE
+    * jaccard >= minJaccard are returned. The sketch moves 32 longs per
+    * doc where the gram arrays move hundreds. `estMargin < 0` sizes the
+    * margin from the estimator sd (1.5·sqrt(t(1−t)/32) ≈ 0.13 at t=0.5);
+    * LlmSpec pins prefiltered ≡ unfiltered-then-thresholded on the real
+    * LSH candidate set. Prefilter requires `hashGrams` (the sketch hashes
+    * ARE the grams); the portable string path never thresholds. */
   def ngramJaccard(df: DataFrame, id: String, text: String, n: Int,
-                   pairs: DataFrame, hashGrams: Boolean = true): DataFrame = {
+                   pairs: DataFrame, hashGrams: Boolean = true,
+                   minJaccard: Double = 0.0, estMargin: Double = -1,
+                   numEstHashes: Int = 32): DataFrame = {
     // The token array is materialized through an exchange BEFORE the gram
     // transform: a projection-collapsed plan would inline the regex split
     // into every lambda reference, re-tokenizing the document once PER
@@ -565,14 +582,40 @@ object Dedup {
       .repartition(col(id))
       .select(col(id), grams.as("g"))
       .localCheckpoint()
-    val g = if (gCp.count() <= 20000) broadcast(gCp) else gCp
-    p
+    val small = gCp.count() <= 20000
+    val g = if (small) broadcast(gCp) else gCp
+    val verified = if (minJaccard > 0) {
+      require(hashGrams, "sketch prefilter needs hashed grams")
+      val margin =
+        if (estMargin >= 0) estMargin
+        else 1.5 * math.sqrt(minJaccard * (1 - minJaccard) / numEstHashes)
+      // the sketch table is numEstHashes longs per CANDIDATE doc — the
+      // same broadcast-or-shuffle decision as the gram arrays, made from
+      // the materialized count
+      val sigCp = gCp.select(col(id),
+        graft.functions.MinHashFromHashes(col("g"), numEstHashes).as("sig"))
+        .localCheckpoint()
+      val sig = if (small) broadcast(sigCp) else sigCp
+      val agree = aggregate(
+        zip_with(col("s1"), col("s2"),
+          (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (a, v) => a + v)
+      // integer agreement floor: agree/numEstHashes >= minJaccard - margin
+      val needed = math.ceil((minJaccard - margin) * numEstHashes).toInt
+      p
+        .join(sig.select(col(id).as("id1"), col("sig").as("s1")), "id1")
+        .join(sig.select(col(id).as("id2"), col("sig").as("s2")), "id2")
+        .filter(agree >= needed)
+        .select("id1", "id2")
+    } else p
+    val out = verified
       .join(g.select(col(id).as("id1"), col("g").as("g1")), "id1")
       .join(g.select(col(id).as("id2"), col("g").as("g2")), "id2")
       .withColumn("jaccard",
         size(array_intersect(col("g1"), col("g2"))).cast("double") /
         size(array_union(col("g1"), col("g2"))))
       .select("id1", "id2", "jaccard")
+    if (minJaccard > 0) out.filter(col("jaccard") >= minJaccard) else out
   }
 
   /** Test-set DECONTAMINATION: ids of training docs sharing any word

@@ -22,19 +22,34 @@ object TextAnalysis {
   def tokens(text: Column): Column = split(lower(text), "\\s+")
 
   /** Language ID: score = stopword hits per language; argmax, ties and
-    * zero-score → "unknown". One pass, array ops only. */
+    * zero-score → "unknown". One pass, array ops only.
+    *
+    * Every stage is LET-BOUND through a one-element transform (the
+    * wordGrams pattern): the token split, the per-language score array,
+    * and the argmax are lambda variables, each evaluated ONCE per row.
+    * Referencing them as plain sub-expressions re-evaluates the whole
+    * chain per reference — the tie check + the two `when` references
+    * re-ran the split and all four intersects several times per document
+    * (higher-order filters are CodegenFallback, so codegen's
+    * common-subexpression elimination never rescues them). */
   def langId(text: Column): Column = {
-    val toks = tokens(text)
-    val scored = array(stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
-      struct(
-        size(array_intersect(toks, array(words.map(lit): _*))).as("score"),
-        lit(lang).as("lang"))
-    }: _*)
-    val best = array_max(scored)
-    // a tie at the max score is genuinely ambiguous evidence → unknown
-    val nAtMax = size(filter(scored, s => s.getField("score") === best.getField("score")))
-    when(best.getField("score") > 0 && nAtMax === 1, best.getField("lang"))
-      .otherwise(lit("unknown"))
+    def let1(c: Column)(body: Column => Column): Column =
+      element_at(transform(array(c), body), 1)
+    let1(tokens(text)) { toks =>
+      let1(array(stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+        struct(
+          size(array_intersect(toks, array(words.map(lit): _*))).as("score"),
+          lit(lang).as("lang"))
+      }: _*)) { scored =>
+        let1(array_max(scored)) { best =>
+          // a tie at the max score is genuinely ambiguous evidence → unknown
+          val nAtMax =
+            size(filter(scored, s => s.getField("score") === best.getField("score")))
+          when(best.getField("score") > 0 && nAtMax === 1, best.getField("lang"))
+            .otherwise(lit("unknown"))
+        }
+      }
+    }
   }
 
   /** Whitespace-delimited word count without materializing the token
@@ -93,10 +108,14 @@ object TextAnalysis {
     val nChars = length(t)
     val nWords = wordCount(t)
     // mean word length = non-whitespace chars / words (the previous
-    // nChars − separators form assumed exactly one space between words)
-    val nonWs = length(regexp_replace(t, "[ \t\n\r\f]", ""))
-    val punct = nChars - length(regexp_replace(t, """[^\w\s]""", ""))
-    val digits = nChars - length(regexp_replace(t, """[0-9]""", ""))
+    // nChars − separators form assumed exactly one space between words).
+    // Counts are regexp_count of single-char classes — the same integers
+    // the old regexp_replace+length form produced, without allocating a
+    // rewritten copy of the text per class per row (3 full-text string
+    // builds on the curation hot path)
+    val nonWs = nChars - regexp_count(t, lit("[ \t\n\r\f]"))
+    val punct = regexp_count(t, lit("""[^\w\s]"""))
+    val digits = regexp_count(t, lit("[0-9]"))
     df.withColumn("n_chars_calc", nChars)
       .withColumn("n_words", nWords)
       .withColumn("mean_word_len", nonWs.cast("double") / nWords)
@@ -404,7 +423,15 @@ object TextAnalysis {
         (conv(substring(col("__prio"), 1, 2), 16, 10).cast("int") * nShards / 256)
           .cast("int"))
     val wLocal = Window.partitionBy(col("__shard")).orderBy(col("__prio"), col(id))
+    // the ranked frame feeds BOTH the output and the per-shard counts —
+    // without a checkpoint the counts branch re-runs the ENTIRE upstream
+    // chain (at cur9 that is the whole curation pass) behind a second
+    // shard exchange. localCheckpoint materializes it once and PRESERVES
+    // hashpartitioning(__shard), so the counts aggregate runs
+    // exchange-free on the blocks (the cls1b pattern); at corpus scale
+    // one materialization always beats recomputing the upstream chain
     val local = sharded.withColumn("__local_rank", row_number().over(wLocal))
+      .localCheckpoint()
     val counts = local.groupBy(col("__shard"))
       .agg(max(col("__local_rank")).as("__n"))
       .agg(collect_list(struct(col("__shard"), col("__n"))).as("__counts"))

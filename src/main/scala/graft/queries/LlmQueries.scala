@@ -157,13 +157,17 @@ object LlmQueries {
         .orderBy("doc_id"),
       Some(Dedup.simhashPortableOracleSql("documents", "doc_id", "text"))),
 
-    // ---- word-3-gram Jaccard over exact-dup survivors of a small slice
-    // (rows-only; pair source is LSH candidates) ----
+    // ---- word-3-gram Jaccard verify over LSH candidates, thresholded at
+    // 0.5 (rows-only: xxhash64 grams). The sketch prefilter discards the
+    // banding false positives (77,912 of 78,175 sf0.1 candidates carry
+    // jaccard ~0) before the gram-array join — prefiltered ≡
+    // unfiltered-then-thresholded is pinned in LlmSpec on the real
+    // candidate set ----
     QueryDef("dd5_ngram_jaccard",
       (s, d) => {
         val docs = t(s, d, "documents")
         val pairs = Dedup.minhashCandidates(docs, "doc_id", "text", k = 5, bands = 8, rows = 4)
-        Dedup.ngramJaccard(docs, "doc_id", "text", 3, pairs)
+        Dedup.ngramJaccard(docs, "doc_id", "text", 3, pairs, minJaccard = 0.5)
           .withColumn("jaccard", round(col("jaccard"), 4))
           .orderBy("id1", "id2")
       },

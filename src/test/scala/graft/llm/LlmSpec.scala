@@ -363,6 +363,25 @@ class LlmSpec extends SparkSpecBase {
     }
   }
 
+  test("ngram-jaccard sketch prefilter ≡ no prefilter on the real LSH candidate set") {
+    // dd5's two-stage verify (VERDICT r9 item 7): pruning pairs by the
+    // 32-hash estimate before the exact gram intersect must return
+    // EXACTLY the pairs the unfiltered verify finds at/above the
+    // threshold — on the deterministic sf0.001 corpus and its real
+    // banding candidates, so the margin's adequacy is machine-checked,
+    // not assumed
+    val docs = graft.model.Tables.documents(spark, "/root/testdata/sf0.001")
+    val pairs = Dedup.minhashCandidates(docs, "doc_id", "text", k = 5, bands = 8, rows = 4)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("id1", "id2").collect()
+        .map(r => (r.getLong(0), r.getLong(1), math.rint(r.getDouble(2) * 1e6)))
+    val pre = rows(Dedup.ngramJaccard(docs, "doc_id", "text", 3, pairs, minJaccard = 0.5))
+    val brute = rows(Dedup.ngramJaccard(docs, "doc_id", "text", 3, pairs)
+      .filter(col("jaccard") >= 0.5))
+    assert(pre.nonEmpty, "threshold 0.5 must keep the planted near-dups")
+    assert(pre === brute, s"prefilter dropped/added pairs: ${pre.length} vs ${brute.length}")
+  }
+
   test("span coverage: minDf raises the sharing bar") {
     val s = spark; import s.implicits._
     val common = "alpha bravo charlie delta echo foxtrot golf hotel"

@@ -150,8 +150,16 @@ class ScaleSpec extends SparkSpecBase {
       "dd8_span_coverage" -> "4/2/0/0/p",
       "cur6_source_cap" -> "3/0/0/0/-",
       "dd9_incremental_dedup" -> "3/3/0/0/p",
-      "cur8_corpus_shuffle" -> "4/0/0/1/-",
-      "cur9_curation_deterministic" -> "10/4/0/1/p",
+      // cur8/cur9 (r10): corpusShuffle's ranked frame is a STRUCTURAL
+      // localCheckpoint — the per-shard counts read its blocks exchange-
+      // free instead of re-running the whole upstream chain behind a
+      // second shard exchange (at cur9 that chain is the entire curation
+      // pass; r9 audited 10 exchanges, half of them the duplicate). The
+      // audit therefore sees only the post-checkpoint shape here; the
+      // full upstream chain stays pinned through cur12_attrition, which
+      // shares detStages without corpusShuffle
+      "cur8_corpus_shuffle" -> "3/0/0/1/-",
+      "cur9_curation_deterministic" -> "3/0/0/1/-",
       "sim4b_neardup_portable" -> "2/3/0/0/p",
       "st6_stream_stream_join" -> "1/1/0/0/p",
       // ts10/cur10/ts11 BNLJs are 1-row stat broadcasts (corpus stats, n_min,
