@@ -1086,21 +1086,36 @@ object Dedup {
       val g = lower(concat_ws(" ", slice(toks, i, lit(l))))
       if (hashGrams) xxhash64(g).cast("string") else g
     })
+    // the position table feeds TWO consumers (the first-doc aggregate and
+    // the removable probe) — materialize it once: gram construction
+    // (slice + concat_ws per position, or the raw strings the oracle
+    // path keeps) is the dominant CPU and would otherwise run twice, and
+    // the materialized volume is the same order as the single shuffle
+    // the aggregate already pays
     val positions = df.select(col(id), posexplode(gramArr).as(Seq("pos0", "gram")))
       .select(col(id), (col("pos0") + 1).as("pos"), col("gram"))
+      .localCheckpoint()
     // SKEW-SAFE duplicate-span marking: per-gram first_doc is a plain
-    // min() — constant aggregation state per gram no matter how many
-    // occurrences it has — and occurrences rejoin it on the gram key (a
-    // JOIN, so no per-key buffer and AQE's skew-join split applies; a
-    // boilerplate gram in 10^8 docs costs task TIME, never task MEMORY).
-    // The earlier one-shuffle form carried a collect_list(struct(id,pos))
-    // per gram: half the shuffled volume at sf0.1 but an unbounded
-    // single-task buffer on a hot gram at corpus scale.
-    // min over the RAW id type: a long cast would NULL out string ids
-    // (UUIDs) and silently remove nothing.
+    // min()/max() pair — constant aggregation state per gram no matter
+    // how many occurrences it has (the earlier one-shuffle form carried a
+    // collect_list(struct(id,pos)) per gram: half the shuffled volume at
+    // sf0.1 but an unbounded single-task buffer on a hot gram at corpus
+    // scale). Only grams whose occurrences span >1 doc id can remove
+    // anything (max > min), and that REMOVER set is duplication-sized,
+    // not corpus-sized — so it is materialized, counted, and delivered
+    // as a broadcast probe when dim-sized (zero shuffle of the position
+    // table; a hot gram costs probe time, never task memory). Corpora
+    // whose remover set outgrows a broadcast fall back to the shuffled
+    // join, where AQE's skew-join split applies.
+    // min/max over the RAW id type: a long cast would NULL out string
+    // ids (UUIDs) and silently remove nothing.
     val firstDoc = positions.groupBy(col("gram"))
-      .agg(min(col(id)).as("__first_doc"))
-    val removable = positions.join(firstDoc, Seq("gram"))
+      .agg(min(col(id)).as("__first_doc"), max(col(id)).as("__max_doc"))
+      .filter(col("__max_doc") > col("__first_doc"))
+      .select(col("gram"), col("__first_doc"))
+      .localCheckpoint()
+    val fd = if (firstDoc.count() <= 2000000) broadcast(firstDoc) else firstDoc
+    val removable = positions.join(fd, Seq("gram"))
       .filter(col(id) > col("__first_doc"))
       .select(col(id), col("pos"))
     val covered = removable

@@ -241,10 +241,12 @@ class ScaleSpec extends SparkSpecBase {
       // (diag + the two normalization joins) — audit-only recompute at
       // sf0.001, never the production shape
       "emb4_correlation" -> "6/8/0/1/-",
-      // dd14 (skew-safe r10 shape): per-gram min() agg + positions JOINED
-      // back (the extra BHJ vs r9; shuffled-hash with AQE skew split at
-      // corpus scale — no per-gram occurrence list anywhere),
-      // covered-distinct, token anti-join, reassembly agg
+      // dd14 (skew-safe r10 shape): positions checkpointed once (gram
+      // construction feeds both consumers), per-gram min/max agg filtered
+      // to the duplication-sized remover set and probed via broadcast
+      // (shuffled join with AQE skew split when it outgrows one) — no
+      // per-gram occurrence list anywhere; covered-distinct, token
+      // anti-join, reassembly agg
       "dd14_span_removal" -> "4/3/0/0/p",
       // tok2: word explode+distinct, vocab fold, broadcast (word,n_toks)
       // join back to the text — the corpus side never shuffles before the
