@@ -1,0 +1,132 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Runtime kernel for the embedding dot product: one tight loop, each
+  * element cast to double THEN multiplied, accumulated left-to-right —
+  * the IDENTICAL IEEE operation sequence of the Column algebra it
+  * replaces,
+  * `aggregate(zip_with(a, b, (p, q) => p.cast(double) * q.cast(double)),
+  *  0.0, _ + _)`,
+  * so every hash-green oracle replaying that fold as a canonical-order
+  * SQL sum stays bit-identical. The algebra's higher-order lambdas never
+  * codegen (CodegenFallback), which made each pair verify allocate a
+  * zipped array and interpret two lambda trees per element; this is a
+  * static call with zero allocation — the ANN verify loops (sim1-sim6,
+  * dd10/dd12, PCA projections) sit on it.
+  *
+  * Null semantics mirror the algebra exactly: mismatched lengths
+  * null-pad a zip_with slot and any null element nulls the running sum,
+  * so both cases return SQL NULL. Empty arrays return 0.0 (the fold's
+  * init). */
+object DotKernel {
+  def dotFF(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  def dotDD(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  def dotFD(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += a.getFloat(i).toDouble * b.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  def dotDF(a: ArrayData, b: ArrayData): java.lang.Double = dotFD(b, a)
+}
+
+/** array<float/double> × array<float/double> → double dot product (see
+  * [[DotKernel]] for the exact-parity contract with the zip_with fold). */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  // non-null inputs can still yield NULL (length mismatch / null element)
+  override def nullable: Boolean = true
+
+  private def elemIsFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType | DoubleType, _), ArrayType(FloatType | DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(
+          s"dot_product expects array<float|double> on both sides, got $other")
+    }
+
+  private def kernel: String = (elemIsFloat(left), elemIsFloat(right)) match {
+    case (true, true) => "dotFF"
+    case (false, false) => "dotDD"
+    case (true, false) => "dotFD"
+    case (false, true) => "dotDF"
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val r = kernel match {
+      case "dotFF" => DotKernel.dotFF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+      case "dotDD" => DotKernel.dotDD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+      case "dotFD" => DotKernel.dotFD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+      case _ => DotKernel.dotDF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    }
+    if (r == null) null else r.doubleValue()
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("dot")
+      s"""
+         |java.lang.Double $r = graft.functions.DotKernel.$kernel($a, $b);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.doubleValue(); }
+       """.stripMargin
+    })
+
+  override def prettyName: String = "dot_product"
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+object DotProduct {
+  /** Column-API wrapper. */
+  def apply(a: Column, b: Column): Column =
+    ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

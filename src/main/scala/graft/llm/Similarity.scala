@@ -45,22 +45,23 @@ class TopKAgg(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
   *    the 100 TB path: candidate generation is an equi-join on the signature,
   *    so cost scales with bucket sizes, never n².
   *
-  * Dot products use `zip_with` + `aggregate` — pure Catalyst expressions,
-  * deterministic left-to-right accumulation in double precision.
+  * Dot products use a native codegen kernel ([[graft.functions.DotKernel]])
+  * with the deterministic left-to-right double accumulation the original
+  * `zip_with` + `aggregate` algebra performed — bit-identical results,
+  * none of the per-element lambda interpretation.
   */
 object Similarity {
 
   /** Cosine similarity of two array<float/double> columns as a Column. */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-                lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+  def cosine(a: Column, b: Column): Column =
+    dotProduct(a, b) / (sqrt(dotProduct(a, a)) * sqrt(dotProduct(b, b)))
 
+  /** Native codegen kernel with the IDENTICAL cast-then-multiply L2R
+    * accumulation of the old zip_with/aggregate algebra (bit-for-bit —
+    * see [[graft.functions.DotKernel]]); the lambdas it replaces were
+    * CodegenFallback and dominated every pair-verify loop. */
   def dotProduct(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (p, q) => p.cast("double") * q.cast("double")),
-              lit(0.0), (acc, v) => acc + v)
+    graft.functions.DotProduct(a, b)
 
   /** Exact cosine top-k for each query row. `queries` must be small
     * (broadcast). Output: (query_id, id, sim, rank). Requires a numeric id
