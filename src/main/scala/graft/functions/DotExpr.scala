@@ -66,6 +66,39 @@ object DotKernel {
   }
 
   def dotDF(a: ArrayData, b: ArrayData): java.lang.Double = dotFD(b, a)
+
+  /** Squared L2 distance — the Lloyd-assignment / ADC inner loop:
+    * acc += (x − c)·(x − c) left-to-right, the identical op sequence of
+    * `aggregate(zip_with(a, b, (x, c) => (x-c)*(x-c)), 0.0, _ + _)` over
+    * double arrays. Same null contract as the dot. */
+  def sqDistDD(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val d = a.getDouble(i) - b.getDouble(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  /** Left-to-right sum of a double array: the canonical-order fold
+    * `aggregate(arr, 0.0, _ + _)` (callers pre-sort when they need the
+    * order-canonical sum). Null element → null, like the algebra. */
+  def foldSumD(a: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      acc += a.getDouble(i)
+      i += 1
+    }
+    acc
+  }
 }
 
 /** array<float/double> × array<float/double> → double dot product (see
@@ -129,4 +162,88 @@ object DotProduct {
   /** Column-API wrapper. */
   def apply(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}
+
+/** array<double> × array<double> → double squared L2 distance (see
+  * [[DotKernel.sqDistDD]] for the exact-parity contract). */
+case class SqDist(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(
+          s"sq_dist expects array<double> on both sides, got $other")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val r = DotKernel.sqDistDD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (r == null) null else r.doubleValue()
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("d2")
+      s"""
+         |java.lang.Double $r = graft.functions.DotKernel.sqDistDD($a, $b);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.doubleValue(); }
+       """.stripMargin
+    })
+
+  override def prettyName: String = "sq_dist"
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SqDist =
+    copy(left = newLeft, right = newRight)
+}
+
+object SqDist {
+  /** Column-API wrapper. */
+  def apply(a: Column, b: Column): Column =
+    ColumnBridge.column(SqDist(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}
+
+/** array<double> → double left-to-right sum (see [[DotKernel.foldSumD]]). */
+case class FoldSum(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(s"fold_sum expects array<double>, got $other")
+    }
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val r = DotKernel.foldSumD(a.asInstanceOf[ArrayData])
+    if (r == null) null else r.doubleValue()
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val r = ctx.freshName("fs")
+      s"""
+         |java.lang.Double $r = graft.functions.DotKernel.foldSumD($a);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.doubleValue(); }
+       """.stripMargin
+    })
+
+  override def prettyName: String = "fold_sum"
+
+  override protected def withNewChildInternal(newChild: Expression): FoldSum =
+    copy(child = newChild)
+}
+
+object FoldSum {
+  /** Column-API wrapper. */
+  def apply(a: Column): Column =
+    ColumnBridge.column(FoldSum(ColumnBridge.expression(a)))
 }

@@ -85,8 +85,10 @@ object Ivf {
       .select("pv").collect()
       .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](0)) }.toIndexedSeq
     def centDf(c: IndexedSeq[(Int, Seq[Double])]): DataFrame = c.toDF("cell", "cv")
-    val d2 = aggregate(zip_with(col("pv"), col("cv"), (x, c) => (x - c) * (x - c)),
-      lit(0.0), (acc, t) => acc + t)
+    // native kernel, identical (x−c)² L2R accumulation to the zip_with
+    // fold it replaces — the per-point×per-centroid inner loop of every
+    // Lloyd round
+    val d2 = graft.functions.SqDist(col("pv"), col("cv"))
     def assign(c: DataFrame): DataFrame = base.crossJoin(broadcast(c))
       .withColumn("d2", d2)
       .groupBy("pid")
@@ -97,8 +99,7 @@ object Ivf {
     // list_sum(list_sort(list(x))), the same L2R fold) — without this the
     // 6dp floor below could flip on a sum landing within ulps of a
     // boundary under a different partition order
-    val sortedSum = aggregate(array_sort(collect_list(col("x"))),
-      lit(0.0), (acc, t) => acc + t)
+    val sortedSum = graft.functions.FoldSum(array_sort(collect_list(col("x"))))
     for (_ <- 1 to rounds) {
       val means = assign(centDf(cent))
         .select(col("cell"), posexplode(col("pv")).as(Seq("i", "x")))

@@ -138,8 +138,7 @@ object Pq {
     val q = base.filter(col("pid") < nQueries)
       .select(col("pid").as("qid"), col("pv").as("qv"))
     def d2(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, c) => (x - c) * (x - c)),
-        lit(0.0), (acc, t) => acc + t)
+      graft.functions.SqDist(a, b)
     var withCb = codes.crossJoin(broadcast(q))
     (0 until m).foreach { s0 =>
       withCb = withCb.join(broadcast(cents(s0)), col(s"c$s0") === col(s"cell$s0"))
