@@ -98,12 +98,15 @@ object Classifier {
 
   /** Canonical-order dot product of a doc's features with the weight
     * literal: fold `c·w(f)` sorted by feature index (DuckDB twin:
-    * `list_sum(list(c*w ORDER BY f))`, the same L2R fold). */
+    * `list_sum(list(c*w ORDER BY f))`, the same L2R fold). Sort on the
+    * (f, t) struct, extract t in that order, then the native FoldSum —
+    * identical additions in the identical order to the old interpreted
+    * struct-field fold, one lambda per element instead of two. */
   private def zFold(w: Array[Double]): Column =
-    aggregate(
+    graft.functions.FoldSum(transform(
       array_sort(collect_list(struct(col("f"),
         (col("c") * element_at(array(w.map(lit): _*), (col("f") + 1).cast("int"))).as("t")))),
-      lit(0.0), (a, s) => a + s.getField("t"))
+      s => s.getField("t")))
 
   /** Fixed-round portable fit. Returns the weight vector (numFeatures
     * term weights + trailing bias) — model-sized driver state, like
@@ -125,9 +128,9 @@ object Classifier {
         .select(col("pid"), (col("y") - fastSigmoid(col("z"))).as("err"))
       val grads = feats.join(errs, "pid")
         .groupBy("f")
-        .agg(aggregate(
+        .agg(graft.functions.FoldSum(transform(
           array_sort(collect_list(struct(col("pid"), (col("c") * col("err")).as("t")))),
-          lit(0.0), (a, s) => a + s.getField("t")).as("g"))
+          s => s.getField("t"))).as("g"))
         .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
       for (f <- 0 to numFeatures) w(f) = w(f) + lr * grads.getOrElse(f.toLong, 0.0) / n
     }
