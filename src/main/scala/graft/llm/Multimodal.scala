@@ -383,6 +383,56 @@ object Multimodal {
     h.withColumn("survivor", col("media_id") === min("media_id").over(w))
   }
 
+  /** Hamming-TOLERANT perceptual dedup — the index the lossy tier's
+    * finding demands (mm11: a quality-0.85 JPEG round trip flips a few
+    * borderline aHash bits, so [[imagePerceptualDedup]]'s exact-collision
+    * groups are not codec-stable; a tolerance absorbs the wobble).
+    * SimHash-style pigeonhole banding over the 64-bit fingerprint: the
+    * two 32-bit halves split into 2 chunks each (4 × 16-bit keys), and
+    * any pair within Hamming distance <= 3 must agree on at least one
+    * chunk — candidate generation is four equi-joins on 16-bit keys,
+    * never an all-pairs join, then the exact xor/bit_count verify runs
+    * only on bucket collisions. Survivor = no in-tolerance neighbor with
+    * a smaller id (the pairwise form; feed the pairs to the dd6
+    * components machinery when full transitive clusters are needed).
+    * Every step — thumbnail, threshold, packing, banding, xor popcount —
+    * replays codec-free in DuckDB on a lossless corpus, so the operator
+    * itself is hash-checked (mm12) and the JPEG stability claim is
+    * pinned in LlmSpec: tolerant groups over the q=0.85 corpus equal
+    * the groups over the originals. */
+  def imageHammingDedup(media: DataFrame, maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 3,
+      "4 x 16-bit pigeonhole chunks guarantee recall only for maxDist <= 3")
+    val h = imageAHash(media).localCheckpoint() // banding + verify + output all read it
+    def chunks(c: org.apache.spark.sql.Column, off: Int) = (0 until 2).map { i =>
+      struct(lit(off + i).as("chunk"),
+        shiftright(c, i * 16).bitwiseAND(lit(0xFFFFL)).as("ckey"))
+    }
+    val banded = h.select(col("media_id").as("doc"), col("phash_hi"), col("phash_lo"),
+        explode(array(chunks(col("phash_hi"), 0) ++ chunks(col("phash_lo"), 2): _*)).as("cc"))
+      .select(col("doc"), col("phash_hi"), col("phash_lo"),
+        col("cc.chunk").as("chunk"), col("cc.ckey").as("ckey"))
+    val a = banded.as("a"); val b = banded.as("b")
+    val pairs = a.join(b,
+        col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") &&
+        col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("id1"), col("b.doc").as("id2"),
+        (bit_count(col("a.phash_hi").bitwiseXOR(col("b.phash_hi"))) +
+         bit_count(col("a.phash_lo").bitwiseXOR(col("b.phash_lo")))).as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
+    val minNb = pairs
+      .select(col("id2").as("media_id"), col("id1").as("nb"))
+      .groupBy("media_id").agg(min(col("nb")).as("min_neighbor"))
+    // survivors carry -1, not NULL: a nullable BIGINT round-trips through
+    // pandas as float NaN on the oracle side, where NaN != NaN breaks
+    // value comparison
+    h.join(minNb, Seq("media_id"), "left")
+      .select(col("media_id"), col("phash_hi"), col("phash_lo"),
+        coalesce(col("min_neighbor"), lit(-1L)).as("min_neighbor"),
+        col("min_neighbor").isNull.as("survivor"))
+  }
+
   // -------------------------------------------------------------------------
   // LOSSY tier — the JDK's real JPEG codec at a FIXED quality. Unlike the
   // PNG/PCM families there is no codec-free oracle (JPEG output is

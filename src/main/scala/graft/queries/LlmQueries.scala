@@ -1112,6 +1112,51 @@ object LlmQueries {
         .orderBy("media_id"),
       None),
 
+    // mm12: the Hamming-TOLERANT perceptual dedup mm11's finding demands
+    // (exact-collision groups don't survive a q=0.85 JPEG round trip; a
+    // distance-3 tolerance absorbs the borderline-bit wobble). 4 x 16-bit
+    // pigeonhole banding over the real aHash — any pair within distance 3
+    // shares a chunk, so candidates come from four equi-joins, never an
+    // all-pairs join. On the lossless PNG corpus every step (thumbnail,
+    // packing, banding, xor popcount, survivor rule) replays codec-free
+    // in DuckDB — the tolerant index itself is hash-checked; its
+    // codec-stability at q=0.85 is pinned in LlmSpec
+    QueryDef("mm12_hamming_dedup",
+      (s, d) => Multimodal.imageHammingDedup(imageMemo(s, d), maxDist = 3)
+        .orderBy("media_id"),
+      Some(s"""WITH rgb AS ($mmRgbSql),
+              |tl AS (SELECT media_id, ((y // 4) * 8 + (x // 4))::BIGINT AS i,
+              |              (299*r + 587*g + 114*b) // 1000 AS l
+              |       FROM rgb WHERE x % 4 = 0 AND y % 4 = 0),
+              |m AS (SELECT media_id, sum(l)::BIGINT / 64.0 AS mean
+              |      FROM tl GROUP BY media_id),
+              |ph AS (SELECT tl.media_id,
+              |              sum(CASE WHEN l > mean AND i < 32
+              |                  THEN (1::BIGINT << (31 - i)::INT) ELSE 0 END)::BIGINT AS phash_hi,
+              |              sum(CASE WHEN l > mean AND i >= 32
+              |                  THEN (1::BIGINT << (63 - i)::INT) ELSE 0 END)::BIGINT AS phash_lo
+              |       FROM tl JOIN m USING (media_id) GROUP BY tl.media_id),
+              |banded AS (
+              |  SELECT media_id, phash_hi, phash_lo, chunk,
+              |         CASE chunk WHEN 0 THEN phash_hi & 65535
+              |                    WHEN 1 THEN (phash_hi >> 16) & 65535
+              |                    WHEN 2 THEN phash_lo & 65535
+              |                    ELSE (phash_lo >> 16) & 65535 END AS ckey
+              |  FROM ph, (SELECT unnest(generate_series(0, 3)) AS chunk)),
+              |pairs AS (
+              |  SELECT DISTINCT a.media_id AS id1, b.media_id AS id2,
+              |         bit_count(xor(a.phash_hi, b.phash_hi)) +
+              |         bit_count(xor(a.phash_lo, b.phash_lo)) AS dist
+              |  FROM banded a JOIN banded b
+              |    ON a.chunk = b.chunk AND a.ckey = b.ckey AND a.media_id < b.media_id),
+              |nb AS (SELECT id2 AS media_id, min(id1) AS min_neighbor
+              |       FROM pairs WHERE dist <= 3 GROUP BY id2)
+              |SELECT p.media_id, p.phash_hi, p.phash_lo,
+              |       coalesce(nb.min_neighbor, -1) AS min_neighbor,
+              |       nb.min_neighbor IS NULL AS survivor
+              |FROM ph p LEFT JOIN nb USING (media_id)
+              |ORDER BY p.media_id""".stripMargin)),
+
     // ---- document chunking: fixed windows with overlap ----
     QueryDef("ts5_chunking",
       (s, d) => TextAnalysis.chunk(t(s, d, "documents"), "doc_id", "text", size = 200, overlap = 20)

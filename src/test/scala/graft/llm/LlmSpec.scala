@@ -785,6 +785,25 @@ class LlmSpec extends SparkSpecBase {
     val hi = Multimodal.jpegStability(media, quality = 0.95f).collect()
     assert(hi.forall(_.getBoolean(6)), "aHash dedup partition changed under q=0.95 JPEG")
     assert(hi.map(_.getInt(3)).max <= 2)
+    // the Hamming-TOLERANT index (mm12) IS codec-stable where the exact
+    // one is not: distance-3 groups over the q=0.85 corpus equal the
+    // groups over the lossless originals (probe: JPEG pattern-mates sit
+    // <= 2 bits apart, unrelated patterns >= 6 — comfortable margins on
+    // the deterministic corpus)
+    def tolerantGroups(m: org.apache.spark.sql.DataFrame) =
+      Multimodal.imageHammingDedup(m, maxDist = 3)
+        .select("media_id", "min_neighbor", "survivor").orderBy("media_id")
+        .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1),
+          r.getBoolean(2))).toSeq
+    val gPng = tolerantGroups(media)
+    assert(gPng === tolerantGroups(Multimodal.jpegRecode(media, quality = 0.85f)),
+      "distance-3 dedup groups must survive the q=0.85 JPEG round trip")
+    // and on the lossless corpus the tolerant index reproduces mm9's 16
+    // pattern groups exactly (mates collide at distance 0)
+    assert(gPng.count(_._3) === 16)
+    assert(gPng.forall { case (id, nb, surv) =>
+      if (id < 16) surv && nb == -1L else !surv && nb == id % 16 })
+
     // the recoded payloads really are JPEGs (SOI marker) and still decode
     val jp = Multimodal.jpegRecode(media, quality = 0.85f)
       .filter(col("media_id") === 3L).head()
