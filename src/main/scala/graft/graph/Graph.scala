@@ -240,7 +240,11 @@ object Graph {
     * would be capped or MinHashed first — same knob as dd3. */
   def coEmploymentSimilarity(membership: DataFrame, person: String, company: String,
                              minShared: Long = 2): DataFrame = {
+    // materialized once: three consumers (company sizes + both sides of
+    // the co-membership self-join) would each re-derive the upstream
+    // membership chain — at corpus scale that chain is a fact-table join
     val m = membership.select(col(person).as("p"), col(company).as("c")).distinct()
+      .localCheckpoint()
     val sizes = m.groupBy(col("c")).agg(count(lit(1)).as("n"))
     val shared = m.join(m.withColumnRenamed("c", "c2"), "p")
       .filter(col("c") < col("c2"))

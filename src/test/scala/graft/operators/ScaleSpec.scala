@@ -201,7 +201,10 @@ class ScaleSpec extends SparkSpecBase {
       "st7_streaming_funnel" -> "2/0/0/0/-",
       "ev5_anomaly" -> "3/0/0/0/-",
       "scd2_dim_history" -> "2/0/0/0/-",
-      "g6_coemployment_similarity" -> "6/5/0/0/p",
+      // g6 (r10): the distinct membership is a structural checkpoint
+      // (three consumers each re-derived the fact join); the audit sees
+      // the post-checkpoint pair/size shape
+      "g6_coemployment_similarity" -> "5/3/0/0/-",
       // ds1's two BNLJs are the 1-row smoothing-stats broadcasts
       "ds1_importance_score" -> "8/2/0/2/p",
       "g7_personalized_pagerank" -> "1/0/0/0/-",
