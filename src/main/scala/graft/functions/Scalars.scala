@@ -43,12 +43,20 @@ object Scalars {
       b2j.filterInPlace((_, idxs) => idxs.length <= ntest)
     }
 
+    // j2len as flat int arrays, +1-offset so index jj reads the run
+    // ending at jj-1 without a branch — same recurrence as difflib's
+    // dict (j2len[j] = j2len[j-1] + 1), none of the per-(i,j) HashMap
+    // boxing that dominated the profile on short company names
+    val j2lenA = new Array[Int](b.length + 1)
+    val j2lenB = new Array[Int](b.length + 1)
     def findLongestMatch(alo: Int, ahi: Int, blo: Int, bhi: Int): (Int, Int, Int) = {
       var besti = alo; var bestj = blo; var bestsize = 0
-      var j2len = mutable.HashMap.empty[Int, Int]
+      var j2len = j2lenA
+      var newj2len = j2lenB
+      java.util.Arrays.fill(j2len, 0)
       var i = alo
       while (i < ahi) {
-        val newj2len = mutable.HashMap.empty[Int, Int]
+        java.util.Arrays.fill(newj2len, 0)
         b2j.get(a.charAt(i)) match {
           case Some(idxs) =>
             var p = 0
@@ -58,8 +66,8 @@ object Scalars {
               if (jj >= blo) {
                 if (jj >= bhi) done = true
                 else {
-                  val k = j2len.getOrElse(jj - 1, 0) + 1
-                  newj2len(jj) = k
+                  val k = j2len(jj) + 1
+                  newj2len(jj + 1) = k
                   if (k > bestsize) { besti = i - k + 1; bestj = jj - k + 1; bestsize = k }
                 }
               }
@@ -67,7 +75,7 @@ object Scalars {
             }
           case None =>
         }
-        j2len = newj2len
+        val tmp = j2len; j2len = newj2len; newj2len = tmp
         i += 1
       }
       // difflib's extension phases: autojunk-popular chars are dropped from
