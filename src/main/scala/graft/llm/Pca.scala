@@ -244,15 +244,19 @@ object Pca {
   }
 
   /** Project onto the top-k components: one scan, eigenvectors broadcast
-    * as literals, centered dot products as left-to-right aggregate folds
-    * (the Similarity.dot shape). Output (id, pc array). */
+    * as literals, centered dot products in the native kernel (identical
+    * left-to-right accumulation to the aggregate folds it replaces).
+    * The centered array is LET-BOUND through a one-element transform so
+    * it evaluates once per row — as a plain sub-expression each of the k
+    * component dots re-ran the cast+subtract chain (the langId trap).
+    * Output (id, pc array). */
   def project(emb: DataFrame, id: String, vec: String, model: Model, k: Int): DataFrame = {
     val meanLit = array(model.means.map(lit): _*)
-    val centered = zip_with(transform(col(vec), _.cast("double")), meanLit, (x, m) => x - m)
-    val pcs = (0 until k).map { c =>
-      val comp = array(model.components(c).map(lit): _*)
-      aggregate(zip_with(centered, comp, (x, w) => x * w), lit(0.0), (acc, t) => acc + t)
-    }
-    emb.select(col(id), array(pcs: _*).as("pc"))
+    val pc = element_at(transform(
+      array(zip_with(transform(col(vec), _.cast("double")), meanLit, (x, m) => x - m)),
+      centered => array((0 until k).map { c =>
+        graft.functions.DotProduct(centered, array(model.components(c).map(lit): _*))
+      }: _*)), 1)
+    emb.select(col(id), pc.as("pc"))
   }
 }
