@@ -85,6 +85,23 @@ object DotKernel {
     acc
   }
 
+  /** MinHash signature agreement: the number of positions where two
+    * long arrays hold equal non-null values — exactly
+    * `aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+    *  0, _ + _)` (a null or padded slot compares to null → otherwise-0,
+    * so the fold never returns null and slots beyond the shorter array
+    * contribute nothing). Integer-exact, order-free. */
+  def agreeLL(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var cnt = 0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i) && a.getLong(i) == b.getLong(i)) cnt += 1
+      i += 1
+    }
+    cnt
+  }
+
   /** Left-to-right sum of a double array: the canonical-order fold
     * `aggregate(arr, 0.0, _ + _)` (callers pre-sort when they need the
     * order-canonical sum). Null element → null, like the algebra. */
@@ -246,4 +263,40 @@ object FoldSum {
   /** Column-API wrapper. */
   def apply(a: Column): Column =
     ColumnBridge.column(FoldSum(ColumnBridge.expression(a)))
+}
+
+/** array<bigint> × array<bigint> → int signature-agreement count (see
+  * [[DotKernel.agreeLL]]). */
+case class AgreeCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(org.apache.spark.sql.types.LongType, _),
+            ArrayType(org.apache.spark.sql.types.LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(
+          s"agree_count expects array<bigint> on both sides, got $other")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    DotKernel.agreeLL(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.DotKernel.agreeLL($a, $b)")
+
+  override def prettyName: String = "agree_count"
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): AgreeCount =
+    copy(left = newLeft, right = newRight)
+}
+
+object AgreeCount {
+  /** Column-API wrapper. */
+  def apply(a: Column, b: Column): Column =
+    ColumnBridge.column(AgreeCount(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

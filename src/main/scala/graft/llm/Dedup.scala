@@ -135,8 +135,7 @@ object Dedup {
       .join(sig.select(col("doc").as("id1"), col("sig").as("sig1")), "id1")
       .join(sig.select(col("doc").as("id2"), col("sig").as("sig2")), "id2")
       .withColumn("est",
-        aggregate(zip_with(col("sig1"), col("sig2"), (a, b) => when(a === b, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v).cast("double") / numHashes)
+        graft.functions.AgreeCount(col("sig1"), col("sig2")).cast("double") / numHashes)
       .filter(col("est") >= threshold - margin)
       .select("id1", "id2")
     // exact verify over HASHED shingles: long-array intersect/union is
@@ -596,10 +595,7 @@ object Dedup {
         graft.functions.MinHashFromHashes(col("g"), numEstHashes).as("sig"))
         .localCheckpoint()
       val sig = if (small) broadcast(sigCp) else sigCp
-      val agree = aggregate(
-        zip_with(col("s1"), col("s2"),
-          (x, y) => when(x === y, 1).otherwise(0)),
-        lit(0), (a, v) => a + v)
+      val agree = graft.functions.AgreeCount(col("s1"), col("s2"))
       // integer agreement floor: agree/numEstHashes >= minJaccard - margin
       val needed = math.ceil((minJaccard - margin) * numEstHashes).toInt
       p

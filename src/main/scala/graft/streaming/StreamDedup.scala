@@ -103,9 +103,7 @@ object StreamDedup {
         col("a.band") === col("b.band") && col("a.k1") === col("b.k1") &&
         col("a.k2") === col("b.k2") && col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("id1"), col("b.doc").as("id2"),
-        (aggregate(zip_with(col("a.sig"), col("b.sig"),
-            (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v).cast("double") / 8.0).as("est"))
+        (graft.functions.AgreeCount(col("a.sig"), col("b.sig")).cast("double") / 8.0).as("est"))
       .where(col("est") >= threshold)
       .groupBy(col("id2").as("doc"))
       .agg(min(col("id1")).as("dup_of"))

@@ -65,6 +65,22 @@ class DotExprSpec extends SparkSpecBase {
       assert(java.lang.Double.doubleToLongBits(r.getDouble(2)) ===
              java.lang.Double.doubleToLongBits(r.getDouble(3)))
     }
+    // AgreeCount ≡ the when-equal fold, including the padded/mismatch
+    // slots that fold to 0 (never null)
+    val sig = (0 until 200).map { i =>
+      val n = 1 + rnd.nextInt(40)
+      (Seq.fill(n)(rnd.nextInt(4).toLong), Seq.fill(n)(rnd.nextInt(4).toLong))
+    }.toDF("x", "y")
+    sig.select(AgreeCount(col("x"), col("y")).as("k"),
+        aggregate(zip_with(col("x"), col("y"), (a, b) => when(a === b, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).as("alg"))
+      .collect().foreach(r => assert(r.getInt(0) === r.getInt(1)))
+    val mism = Seq((Seq(1L, 2L, 3L), Seq(1L, 9L))).toDF("x", "y")
+      .select(AgreeCount(col("x"), col("y")),
+        aggregate(zip_with(col("x"), col("y"), (a, b) => when(a === b, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v)).head()
+    assert(mism.getInt(0) === 1 && mism.getInt(1) === 1)
+
     // length mismatch and null element → NULL, exactly like the algebra;
     // empty arrays → the fold's 0.0 init
     val edge = Seq(
