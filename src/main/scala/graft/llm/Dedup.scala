@@ -1102,7 +1102,11 @@ object Dedup {
     // as a broadcast probe when dim-sized (zero shuffle of the position
     // table; a hot gram costs probe time, never task memory). Corpora
     // whose remover set outgrows a broadcast fall back to the shuffled
-    // join, where AQE's skew-join split applies.
+    // join, where AQE's skew-join split applies — and the checkpoints
+    // are what MAKE it apply: OptimizeSkewedJoin only matches a join
+    // whose children are bare shuffle stages, so an aggregate fused into
+    // the join stage would block the split (pinned in LlmSpec's
+    // skew-splittable test).
     // min/max over the RAW id type: a long cast would NULL out string
     // ids (UUIDs) and silently remove nothing.
     val firstDoc = positions.groupBy(col("gram"))

@@ -433,6 +433,47 @@ class LlmSpec extends SparkSpecBase {
       i === j + 1L && k === 1L && t === s"uniq${j + 1}" })
   }
 
+  test("span removal's shuffled-join fallback is AQE-skew-splittable (the 100x contract)") {
+    // the skew-safe rewrite's fallback story: when the remover set
+    // outgrows a broadcast, positions join it SHUFFLED on the gram key,
+    // and a hot gram must be split by AQE's skew-join handling — a JOIN
+    // can be split, the old per-gram collect_list aggregate could not.
+    // Pin that OptimizeSkewedJoin actually fires on this shape: one key
+    // carrying 200k rows against flat keys, thresholds lowered so the
+    // tiny corpus triggers the optimizer, broadcast disabled to force
+    // the shuffled join (exactly the fallback regime).
+    val s = spark; import s.implicits._
+    val conf = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "100000",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "50000",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2")
+    val saved = conf.map { case (k, _) => k -> s.conf.getOption(k) }
+    conf.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      // checkpoints mirror spanRemoval's production shape (positions and
+      // the remover set are both materialized) — AND they are what makes
+      // the split possible: OptimizeSkewedJoin only matches a join whose
+      // children are bare shuffle stages, so an aggregate fused into the
+      // join stage would block it (verified: without the checkpoint the
+      // rule bails and the hot partition runs unsplit)
+      val positions = (0L until 220000L).map { i =>
+        (if (i < 200000L) "hot" else s"g${i % 997}", i)
+      }.toDF("gram", "id").localCheckpoint()
+      val firstDoc = positions.groupBy("gram").agg(min(col("id")).as("fd"))
+        .localCheckpoint()
+      val joined = positions.join(firstDoc, Seq("gram")).filter(col("id") > col("fd"))
+      // collect THIS frame (count() would execute a different
+      // QueryExecution and leave this one's adaptive plan unfinalized)
+      assert(joined.collect().length === 219002) // all but one row per gram (998 grams)
+      val plan = joined.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(plan.contains("isSkew=true") || plan.contains("skew=true"),
+        s"AQE did not split the hot gram:\n${plan.take(2000)}")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(s.conf.unset(k))(s.conf.set(k, _)) }
+  }
+
   test("incremental dedup is idempotent against the grown corpus") {
     val s = spark; import s.implicits._
     val corpus = Seq((1L, "old text a"), (2L, "old text b")).toDF("doc_id", "text")
