@@ -1014,7 +1014,12 @@ object Dedup {
         val g = concat_ws(" ", slice(tk, i, lit(l)))
         if (hashGrams) xxhash64(g).cast("string") else g
       })), 1)
+    // materialized once for its two consumers (the df-count chain and
+    // the semi-join probe) — gram construction is the dominant CPU and
+    // would otherwise run twice, and bare shuffle inputs are what keep
+    // the fallback join AQE-skew-splittable (see spanRemoval)
     val positions = df.select(col(id), posexplode(gramArr).as(Seq("pos", "gram")))
+      .localCheckpoint()
     // SKEW-SAFE inverted index: the document frequency is a plain
     // count over distinct (gram, doc) pairs — the distinct's partial
     // aggregate dedups map-side and its shuffle keys on the PAIR, so a

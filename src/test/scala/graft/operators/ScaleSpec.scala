@@ -143,11 +143,14 @@ class ScaleSpec extends SparkSpecBase {
       "dd7_decontaminate" -> "3/2/0/0/p",
       "ts7_repetition" -> "1/0/0/0/-",
       "st4_streaming_neardup" -> "2/1/0/0/-",
-      // dd8 (skew-safe r10 shape): (gram,doc)-distinct shuffle + count
-      // agg + semi-join back (BHJ at audit scale; shuffled-hash with AQE
-      // skew split at corpus scale) + per-doc window — ONE more exchange
-      // than the r9 collect_list form bought constant per-gram state
-      "dd8_span_coverage" -> "4/2/0/0/p",
+      // dd8 (skew-safe r10 shape): positions checkpointed once (gram
+      // construction feeds the df-count chain AND the semi-join probe),
+      // (gram,doc)-distinct shuffle + count agg + semi-join back (BHJ at
+      // audit scale; AQE-skew-splittable shuffled join at corpus scale)
+      // + per-doc window — the extra exchange vs the r9 collect_list
+      // form bought constant per-gram state; pushdown flag sits behind
+      // the checkpoint scan
+      "dd8_span_coverage" -> "4/2/0/0/-",
       "cur6_source_cap" -> "3/0/0/0/-",
       "dd9_incremental_dedup" -> "3/3/0/0/p",
       // cur8/cur9 (r10): corpusShuffle's ranked frame is a STRUCTURAL
