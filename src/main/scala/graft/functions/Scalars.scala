@@ -53,10 +53,13 @@ object Scalars {
       var besti = alo; var bestj = blo; var bestsize = 0
       var j2len = j2lenA
       var newj2len = j2lenB
-      java.util.Arrays.fill(j2len, 0)
+      // only indices [blo, bhi] are ever read (jj) or written (jj+1) in
+      // this window — a full-array fill would charge O(|b|) per row of a
+      // to every recursive subrange
+      java.util.Arrays.fill(j2len, blo, bhi + 1, 0)
       var i = alo
       while (i < ahi) {
-        java.util.Arrays.fill(newj2len, 0)
+        java.util.Arrays.fill(newj2len, blo, bhi + 1, 0)
         b2j.get(a.charAt(i)) match {
           case Some(idxs) =>
             var p = 0

@@ -539,15 +539,24 @@ object Dedup {
     * banding collision materializes mostly-zero pairs — 77,912 of 78,175
     * at sf0.1): a MinHash sketch of each doc's OWN gram set (so the
     * estimator is unbiased for exactly the quantity verified) prunes
-    * pairs whose estimate can't reach the threshold before the expensive
-    * gram-array join, [[minhashDedup]]'s documented two-stage design;
-    * only survivors pay the exact intersect, and only pairs with TRUE
-    * jaccard >= minJaccard are returned. The sketch moves 32 longs per
-    * doc where the gram arrays move hundreds. `estMargin < 0` sizes the
-    * margin from the estimator sd (1.5·sqrt(t(1−t)/32) ≈ 0.13 at t=0.5);
-    * LlmSpec pins prefiltered ≡ unfiltered-then-thresholded on the real
-    * LSH candidate set. Prefilter requires `hashGrams` (the sketch hashes
-    * ARE the grams); the portable string path never thresholds. */
+    * pairs whose estimate falls below `minJaccard - margin` before the
+    * expensive gram-array join, [[minhashDedup]]'s documented two-stage
+    * design; only survivors pay the exact intersect, and only pairs with
+    * TRUE jaccard >= minJaccard are returned. The sketch moves 32 longs
+    * per doc where the gram arrays move hundreds.
+    *
+    * The prune is PROBABILISTIC — the same recall posture as
+    * [[minhashDedup]]: at the default ~1.5-sigma margin (`estMargin < 0`
+    * → 1.5·sqrt(t(1−t)/32) ≈ 0.13 at t=0.5) a pair whose true jaccard
+    * sits EXACTLY at the threshold is missed with P ≈ Φ(−1.5) ≈ 7%;
+    * anything meaningfully above passes essentially always. Corpora with
+    * real mass at the threshold should widen `estMargin` (or pass
+    * `minJaccard = 0` for the exhaustive verify). LlmSpec machine-checks
+    * prefiltered ≡ unfiltered-then-thresholded on the deterministic
+    * sf0.001 AND sf0.01 candidate sets — evidence the margin clears this
+    * corpus's jaccard gap, not a universal guarantee. Prefilter requires
+    * `hashGrams` (the sketch hashes ARE the grams); the portable string
+    * path never thresholds. */
   def ngramJaccard(df: DataFrame, id: String, text: String, n: Int,
                    pairs: DataFrame, hashGrams: Boolean = true,
                    minJaccard: Double = 0.0, estMargin: Double = -1,
@@ -1119,7 +1128,12 @@ object Dedup {
       .filter(col("__max_doc") > col("__first_doc"))
       .select(col("gram"), col("__first_doc"))
       .localCheckpoint()
-    val fd = if (firstDoc.count() <= 2000000) broadcast(firstDoc) else firstDoc
+    // the broadcast cutoff is sized by ROW WIDTH, not just count: hashed
+    // grams are ~30-byte rows (hash string + id) where raw l-token string
+    // grams run 100+ bytes — a count-only cutoff would let a just-under
+    // raw-gram remover set collect 200MB+ on the driver
+    val bcastRows = if (hashGrams) 2000000L else 200000L
+    val fd = if (firstDoc.count() <= bcastRows) broadcast(firstDoc) else firstDoc
     val removable = positions.join(fd, Seq("gram"))
       .filter(col(id) > col("__first_doc"))
       .select(col(id), col("pos"))

@@ -270,6 +270,50 @@ object Multimodal {
     * block-mean grid, flattened row-major as (media_id, block_id, mean).
     * Block size divides a power of two, so `sum / count` is IEEE-exact and
     * replays in SQL. */
+  /** Block-mean lumas of a decoded pixel grid — the ONE kernel
+    * [[imageBlockFeatures]] and [[jpegStability]] both compute (shared so
+    * the stability gate can never drift from the feature it gates).
+    * Non-aligned dimensions CROP to full blocks (pixels past the last
+    * block boundary are skipped, never indexed out of bounds); an image
+    * smaller than one block yields an empty array — callers skip it. */
+  private[llm] def blockMeansOf(px: Array[Int], w: Int, block: Int): Array[Double] = {
+    val h = px.length / w
+    val (bx, by) = (w / block, h / block)
+    val sums = new Array[Long](bx * by)
+    var i = 0
+    while (i < px.length) {
+      val (x, y) = (i % w, i / w)
+      if (x < bx * block && y < by * block)
+        sums((y / block) * bx + (x / block)) += luma(px(i))
+      i += 1
+    }
+    sums.map(_.toDouble / (block.toLong * block))
+  }
+
+  /** MSB-first packed 8×8 aHash of a decoded pixel grid — the ONE kernel
+    * behind [[imageAHash]], [[imagePerceptualDedup]], [[imageHammingDedup]]
+    * and [[jpegStability]] (any change to the sampling or threshold rule
+    * reaches every consumer at once). */
+  private[llm] def aHashOf(px: Array[Int], w: Int): (Long, Long) = {
+    val sh = px.length / w
+    val thumb = new Array[Int](64)
+    var i = 0
+    while (i < 64) {
+      thumb(i) = luma(px(((i / 8) * sh / 8) * w + ((i % 8) * w / 8)))
+      i += 1
+    }
+    val mean = thumb.map(_.toLong).sum.toDouble / 64
+    var (hi, lo) = (0L, 0L)
+    i = 0
+    while (i < 64) {
+      if (thumb(i) > mean) {
+        if (i < 32) hi += 1L << (31 - i) else lo += 1L << (63 - i)
+      }
+      i += 1
+    }
+    (hi, lo)
+  }
+
   def imageBlockFeatures(media: DataFrame, block: Int = 8): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -281,17 +325,8 @@ object Multimodal {
           val px = decodePixels(bytes)
           if (px == null) Iterator.empty
           else {
-            val h = px.length / w
-            val (bx, by) = (w / block, h / block)
-            val sums = new Array[Long](bx * by)
-            var i = 0
-            while (i < px.length) {
-              val (x, y) = (i % w, i / w)
-              sums((y / block) * bx + (x / block)) += luma(px(i))
-              i += 1
-            }
-            (0 until bx * by).iterator
-              .map(b => (mid, b, sums(b).toDouble / (block.toLong * block)))
+            val means = blockMeansOf(px, w, block)
+            means.indices.iterator.map(b => (mid, b, means(b)))
           }
         }
       }
@@ -352,22 +387,7 @@ object Multimodal {
           val px = decodePixels(bytes)
           if (px == null) None
           else {
-            val sh = px.length / sw
-            val thumb = new Array[Int](64)
-            var i = 0
-            while (i < 64) {
-              thumb(i) = luma(px(((i / 8) * sh / 8) * sw + ((i % 8) * sw / 8)))
-              i += 1
-            }
-            val mean = thumb.map(_.toLong).sum.toDouble / 64
-            var (hi, lo) = (0L, 0L)
-            i = 0
-            while (i < 64) {
-              if (thumb(i) > mean) {
-                if (i < 32) hi += 1L << (31 - i) else lo += 1L << (63 - i)
-              }
-              i += 1
-            }
+            val (hi, lo) = aHashOf(px, sw)
             Some((mid, hi, lo))
           }
         }
@@ -513,42 +533,13 @@ object Multimodal {
         ImageIO.setUseCache(false)
         it.flatMap { case (mid, bytes, w) =>
           val px0 = decodePixels(bytes)
-          if (px0 == null) None
+          // images smaller than one block have no block features to band
+          if (px0 == null || px0.length / w < block || w < block) None
           else {
             val px1 = decodePixels(encodeJpeg(px0, w, quality))
-            val h = px0.length / w
-            val (bx, by) = (w / block, h / block)
-            def blockMeans(px: Array[Int]): Array[Double] = {
-              val sums = new Array[Long](bx * by)
-              var i = 0
-              while (i < px.length) {
-                sums(((i / w) / block) * bx + ((i % w) / block)) += luma(px(i))
-                i += 1
-              }
-              sums.map(_.toDouble / (block.toLong * block))
-            }
-            def ahash(px: Array[Int]): (Long, Long) = {
-              val sh = px.length / w
-              val thumb = new Array[Int](64)
-              var i = 0
-              while (i < 64) {
-                thumb(i) = luma(px(((i / 8) * sh / 8) * w + ((i % 8) * w / 8)))
-                i += 1
-              }
-              val mean = thumb.map(_.toLong).sum.toDouble / 64
-              var (hi, lo) = (0L, 0L)
-              i = 0
-              while (i < 64) {
-                if (thumb(i) > mean) {
-                  if (i < 32) hi += 1L << (31 - i) else lo += 1L << (63 - i)
-                }
-                i += 1
-              }
-              (hi, lo)
-            }
-            val (m0, m1) = (blockMeans(px0), blockMeans(px1))
+            val (m0, m1) = (blockMeansOf(px0, w, block), blockMeansOf(px1, w, block))
             val deltas = m0.indices.map(i => math.abs(m1(i) - m0(i)))
-            val ((hi0, lo0), (hi1, lo1)) = (ahash(px0), ahash(px1))
+            val ((hi0, lo0), (hi1, lo1)) = (aHashOf(px0, w), aHashOf(px1, w))
             // fingerprint wobble: how many of the 64 aHash bits flipped —
             // the quantity a Hamming-tolerant near-dup index absorbs and
             // an exact-collision one does not

@@ -370,16 +370,21 @@ class LlmSpec extends SparkSpecBase {
     // threshold — on the deterministic sf0.001 corpus and its real
     // banding candidates, so the margin's adequacy is machine-checked,
     // not assumed
-    val docs = graft.model.Tables.documents(spark, "/root/testdata/sf0.001")
-    val pairs = Dedup.minhashCandidates(docs, "doc_id", "text", k = 5, bands = 8, rows = 4)
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.orderBy("id1", "id2").collect()
         .map(r => (r.getLong(0), r.getLong(1), math.rint(r.getDouble(2) * 1e6)))
-    val pre = rows(Dedup.ngramJaccard(docs, "doc_id", "text", 3, pairs, minJaccard = 0.5))
-    val brute = rows(Dedup.ngramJaccard(docs, "doc_id", "text", 3, pairs)
-      .filter(col("jaccard") >= 0.5))
-    assert(pre.nonEmpty, "threshold 0.5 must keep the planted near-dups")
-    assert(pre === brute, s"prefilter dropped/added pairs: ${pre.length} vs ${brute.length}")
+    // both driver scales: the prune is probabilistic by design (~7% miss
+    // for a pair EXACTLY at the threshold), so the equivalence is pinned
+    // on the actual corpora the correctness gate runs, not assumed
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val docs = graft.model.Tables.documents(spark, s"/root/testdata/$sf")
+      val pairs = Dedup.minhashCandidates(docs, "doc_id", "text", k = 5, bands = 8, rows = 4)
+      val pre = rows(Dedup.ngramJaccard(docs, "doc_id", "text", 3, pairs, minJaccard = 0.5))
+      val brute = rows(Dedup.ngramJaccard(docs, "doc_id", "text", 3, pairs)
+        .filter(col("jaccard") >= 0.5))
+      assert(pre.nonEmpty, s"$sf: threshold 0.5 must keep the planted near-dups")
+      assert(pre === brute, s"$sf: prefilter dropped/added pairs: ${pre.length} vs ${brute.length}")
+    }
   }
 
   test("span coverage: minDf raises the sharing bar") {
@@ -813,7 +818,11 @@ class LlmSpec extends SparkSpecBase {
     val stable = rows.count(_.getBoolean(6))
     info(f"q=0.85: max block delta $maxDelta%.3f, worst mean $meanDelta%.3f, " +
       f"max hamming ${hams.max}, stable $stable/64")
-    // the q=0.85 band (observed: delta ~0.58, hamming <= 5, 51/64 stable):
+    // the q=0.85 band (observed: delta ~0.58, hamming <= 5, 51/64 stable).
+    // NOTE: JPEG output is implementation-defined — these bounds encode
+    // the container's JDK 17 ImageIO writer (with headroom) and should be
+    // re-measured if the JDK or an ImageIO plugin changes; the claim
+    // under test is the PIPELINE's tolerance behavior, not codec bytes:
     // features barely move, the 64-bit fingerprint wobbles only on
     // borderline bits — the regime a Hamming-tolerant near-dup index
     // absorbs — but EXACT-collision groups are honestly not fully stable
