@@ -344,4 +344,55 @@ object Similarity {
         (dotProduct(col("v1"), col("v2")) / (col("n1") * col("n2"))).as("sim"))
       .filter(col("sim") >= threshold)
   }
+
+  /** INT8 scalar quantization of an embedding column — the standard 4×
+    * storage cut for a corpus-scale vector store (Faiss SQ8 / vector-DB
+    * default): per-DIMENSION affine codes
+    * `q_i = floor((x_i − min_i) / (max_i − min_i) · 255 + 0.5)`,
+    * constant dimensions code to 0.
+    *
+    * Scale shape: the (min, max) model is one posexplode + per-dimension
+    * min/max aggregate (partial aggregation reduces each task to 2·d
+    * values before the shuffle) collected as 2·d doubles of driver model
+    * state — the Lloyd/PCA precedent — and re-broadcast as literals, so
+    * encoding is one scan with zero joins. Codes are exact integers and
+    * the whole formula replays in SQL, so the operator is
+    * oracle-checkable end-to-end; the per-vector `recon_max_err` column
+    * reports the quantization band (≤ span/510 + float noise per
+    * dimension, pinned in LlmSpec).
+    *
+    * Output: (id, codes array<int>, q_sum, recon_max_err 6dp). */
+  def scalarQuantize(emb: DataFrame, id: String, vec: String): DataFrame = {
+    val stats = emb.select(posexplode(col(vec)).as(Seq("i", "x")))
+      .groupBy(col("i")).agg(min(col("x").cast("double")).as("mn"),
+        max(col("x").cast("double")).as("mx"))
+      .orderBy("i").collect()
+    val d = stats.length
+    val mns = stats.map(_.getDouble(1))
+    val mxs = stats.map(_.getDouble(2))
+    val mnLit = array(mns.map(lit): _*)
+    val mxLit = array(mxs.map(lit): _*)
+    def dim(i: Column, a: Column): Column = element_at(a, (i + 1).cast("int"))
+    val codes = transform(sequence(lit(0), lit(d - 1)), i => {
+      val x = dim(i, col(vec)).cast("double")
+      val (mn, mx) = (dim(i, mnLit), dim(i, mxLit))
+      when(mx > mn,
+        greatest(lit(0.0), least(lit(255.0),
+          floor((x - mn) / (mx - mn) * 255 + 0.5))))
+        .otherwise(0.0).cast("int")
+    })
+    // two projections: the code array materializes in the first and the
+    // sum/error derive from the COLUMN in the second — a multi-consumer
+    // non-cheap producer is never collapsed (SPARK-36718), so the
+    // quantizer chain runs once per row, not once per output column
+    val err = array_max(transform(sequence(lit(0), lit(d - 1)), i => {
+      val x = dim(i, col("__v")).cast("double")
+      val (mn, mx) = (dim(i, mnLit), dim(i, mxLit))
+      abs(x - (mn + dim(i, col("codes")).cast("double") / 255.0 * (mx - mn)))
+    }))
+    emb.select(col(id), col(vec).as("__v"), codes.as("codes"))
+      .select(col(id), col("codes"),
+        aggregate(col("codes"), lit(0L), (acc, v) => acc + v).as("q_sum"),
+        (floor(err * 1000000 + 0.5) / 1000000.0).as("recon_max_err"))
+  }
 }

@@ -521,6 +521,40 @@ object AnalyticsQueries {
              |       sum(CASE WHEN nrm < 1e-6 THEN 1 ELSE 0 END)::BIGINT AS near_zero
              |FROM n GROUP BY label ORDER BY label""".stripMargin)),
 
+    // ---- emb6: INT8 scalar quantization (Faiss-SQ8 shape) — per-dim
+    // min/max model (2·d doubles of driver state, the Lloyd/PCA
+    // precedent) re-broadcast as literals; codes are exact integers and
+    // the affine formula replays in SQL, so the whole operator —
+    // including the reconstruction-error band — is hash-checked ----
+    QueryDef("emb6_scalar_quant",
+      (s, d) => graft.llm.Similarity.scalarQuantize(
+          Tables.embeddings(s, d), "vec_id", "embedding")
+        .orderBy("vec_id"),
+      Some("""WITH dims AS (
+             |  SELECT i.i AS i, min(e.embedding[i.i]::DOUBLE) AS mn,
+             |         max(e.embedding[i.i]::DOUBLE) AS mx
+             |  FROM embeddings e, (SELECT unnest(generate_series(1, 64)) AS i) i
+             |  GROUP BY i.i),
+             |model AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs
+             |          FROM dims),
+             |coded AS (
+             |  SELECT e.vec_id,
+             |    [CASE WHEN m.mxs[i] > m.mns[i]
+             |          THEN greatest(0.0, least(255.0,
+             |               floor((e.embedding[i]::DOUBLE - m.mns[i])
+             |                     / (m.mxs[i] - m.mns[i]) * 255 + 0.5)))
+             |          ELSE 0.0 END::INT
+             |     FOR i IN generate_series(1, 64)] AS codes,
+             |    e.embedding AS emb
+             |  FROM embeddings e, model m)
+             |SELECT vec_id, codes, list_sum(codes)::BIGINT AS q_sum,
+             |  floor(list_max([abs(emb[i]::DOUBLE - (m.mns[i] + codes[i]::DOUBLE / 255.0
+             |                      * (m.mxs[i] - m.mns[i])))
+             |                  FOR i IN generate_series(1, 64)]) * 1000000 + 0.5)
+             |    / 1000000.0 AS recon_max_err
+             |FROM coded, model m
+             |ORDER BY vec_id""".stripMargin)),
+
     // ---- emb1: embedding covariance — all d² second moments in one scan
     // (flattened outer product + partial/final hash agg; only d² sums per
     // partition cross the wire); the scan is shared with emb4 and the

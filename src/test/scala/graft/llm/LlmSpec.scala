@@ -387,6 +387,30 @@ class LlmSpec extends SparkSpecBase {
     }
   }
 
+  test("scalar quantization: int8 codes in range, error within the half-step band, constant dims code 0") {
+    val s = spark; import s.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val out = Similarity.scalarQuantize(emb, "vec_id", "embedding").collect()
+    assert(out.length === emb.count().toInt)
+    // per-dim spans bound the reconstruction error: |x - x̂| <= span/510
+    // (half an int8 step) + float noise
+    val spans = emb.select(posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy("i").agg((max(col("x").cast("double")) - min(col("x").cast("double"))).as("s"))
+      .collect().map(_.getDouble(1))
+    val bound = spans.max / 510.0 + 1e-9
+    out.foreach { r =>
+      val codes = r.getSeq[Int](1)
+      assert(codes.forall(c => c >= 0 && c <= 255))
+      assert(r.getDouble(3) <= bound, s"err ${r.getDouble(3)} > half-step $bound")
+    }
+    // a constant dimension codes to 0 everywhere and reconstructs exactly
+    val const = Seq((1L, Seq(1.5f, 7.0f)), (2L, Seq(1.5f, 3.0f))).toDF("vec_id", "embedding")
+    val c = Similarity.scalarQuantize(const, "vec_id", "embedding")
+      .orderBy("vec_id").collect()
+    assert(c(0).getSeq[Int](1).head === 0 && c(1).getSeq[Int](1).head === 0)
+    assert(c(0).getSeq[Int](1)(1) === 255 && c(1).getSeq[Int](1)(1) === 0)
+  }
+
   test("span coverage: minDf raises the sharing bar") {
     val s = spark; import s.implicits._
     val common = "alpha bravo charlie delta echo foxtrot golf hotel"
