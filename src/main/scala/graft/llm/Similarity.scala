@@ -362,25 +362,52 @@ object Similarity {
     * dimension, pinned in LlmSpec).
     *
     * Output: (id, codes array<int>, q_sum, recon_max_err 6dp). */
-  def scalarQuantize(emb: DataFrame, id: String, vec: String): DataFrame = {
+  /** Per-dimension (min, max) of an embedding column — the SQ8 model:
+    * one posexplode + min/max aggregate (partial agg reduces each task to
+    * 2·d values before the shuffle), collected as 2·d doubles of driver
+    * model state (the Lloyd/PCA precedent). */
+  def sqFit(emb: DataFrame, vec: String): (Array[Double], Array[Double]) = {
     val stats = emb.select(posexplode(col(vec)).as(Seq("i", "x")))
       .groupBy(col("i")).agg(min(col("x").cast("double")).as("mn"),
         max(col("x").cast("double")).as("mx"))
       .orderBy("i").collect()
-    val d = stats.length
-    val mns = stats.map(_.getDouble(1))
-    val mxs = stats.map(_.getDouble(2))
+    (stats.map(_.getDouble(1)), stats.map(_.getDouble(2)))
+  }
+
+  private def dimAt(i: Column, a: Column): Column = element_at(a, (i + 1).cast("int"))
+
+  /** The affine int8 code array of `vecCol` under a fitted model —
+    * `floor((x−mn)/(mx−mn)·255 + 0.5)`, constant dims → 0. */
+  def sqCodes(vecCol: Column, mns: Array[Double], mxs: Array[Double]): Column = {
     val mnLit = array(mns.map(lit): _*)
     val mxLit = array(mxs.map(lit): _*)
-    def dim(i: Column, a: Column): Column = element_at(a, (i + 1).cast("int"))
-    val codes = transform(sequence(lit(0), lit(d - 1)), i => {
-      val x = dim(i, col(vec)).cast("double")
-      val (mn, mx) = (dim(i, mnLit), dim(i, mxLit))
+    transform(sequence(lit(0), lit(mns.length - 1)), i => {
+      val x = dimAt(i, vecCol).cast("double")
+      val (mn, mx) = (dimAt(i, mnLit), dimAt(i, mxLit))
       when(mx > mn,
         greatest(lit(0.0), least(lit(255.0),
           floor((x - mn) / (mx - mn) * 255 + 0.5))))
         .otherwise(0.0).cast("int")
     })
+  }
+
+  /** Dequantized double array of a code column under the model —
+    * `mn + q/255·(mx−mn)`, the exact values any engine reconstructs. */
+  def sqDequant(codesCol: Column, mns: Array[Double], mxs: Array[Double]): Column = {
+    val mnLit = array(mns.map(lit): _*)
+    val mxLit = array(mxs.map(lit): _*)
+    transform(sequence(lit(0), lit(mns.length - 1)), i =>
+      dimAt(i, mnLit) + dimAt(i, codesCol).cast("double") / 255.0 *
+        (dimAt(i, mxLit) - dimAt(i, mnLit)))
+  }
+
+  def scalarQuantize(emb: DataFrame, id: String, vec: String): DataFrame = {
+    val (mns, mxs) = sqFit(emb, vec)
+    val d = mns.length
+    val mnLit = array(mns.map(lit): _*)
+    val mxLit = array(mxs.map(lit): _*)
+    def dim(i: Column, a: Column): Column = dimAt(i, a)
+    val codes = sqCodes(col(vec), mns, mxs)
     // two projections: the code array materializes in the first and the
     // sum/error derive from the COLUMN in the second — a multi-consumer
     // non-cheap producer is never collapsed (SPARK-36718), so the
@@ -394,5 +421,55 @@ object Similarity {
       .select(col(id), col("codes"),
         aggregate(col("codes"), lit(0L), (acc, v) => acc + v).as("q_sum"),
         (floor(err * 1000000 + 0.5) / 1000000.0).as("recon_max_err"))
+  }
+
+  /** Approximate top-k over the INT8-quantized store + exact rerank —
+    * the search path that makes [[scalarQuantize]] a serving format, not
+    * just a storage report (Faiss SQ8 flat): the scan reads the 4×-smaller
+    * code table, dequantizes on the fly against the broadcast model, and
+    * scores approximate cosine; only the top-`rerank` candidates per
+    * query touch the original float vectors for the exact rerank.
+    *
+    * Scale shape: fit (one stats pass) + encode (one scan) + a
+    * broadcast-query scan over codes with a bounded [[TopKAgg]] (partial
+    * top-k per partition — only `rerank` rows per query per partition
+    * shuffle), then an id-join back to the full vectors for `rerank`
+    * rows per query. At 100 TB the codes table is the resident index and
+    * the float vectors stay in cold storage, touched `rerank·|Q|` rows
+    * per batch. Every value replays in SQL (integer codes, literal
+    * model, canonical-order folds), so the whole path is
+    * oracle-checkable with corpus-member queries. */
+  def sqTopK(corpus: DataFrame, id: String, vec: String,
+             queries: DataFrame, qid: String, qvec: String,
+             kTop: Int, rerank: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (mns, mxs) = sqFit(corpus, vec)
+    // codes materialize in their own projection; the dequant + norm pass
+    // reads the COLUMN (a multi-consumer non-cheap producer never
+    // collapses), so the quantizer runs once per row
+    val dqT = corpus
+      .select(col(id).cast("long").as("pid"), sqCodes(col(vec), mns, mxs).as("codes"))
+      .select(col("pid"), sqDequant(col("codes"), mns, mxs).as("dqv"))
+      .select(col("pid"), col("dqv"),
+        sqrt(dotProduct(col("dqv"), col("dqv"))).as("nrm"))
+    val qB = broadcast(queries
+      .select(col(qid).cast("long").as("query_id"), col(qvec).as("qv"))
+      .withColumn("qnrm", sqrt(dotProduct(col("qv"), col("qv")))))
+    val scored = dqT.crossJoin(qB)
+      .select(col("query_id"), col("pid"),
+        (dotProduct(col("dqv"), col("qv")) / (col("nrm") * col("qnrm"))).as("s"))
+    val topkAgg = udaf(new TopKAgg(rerank))
+    val cands = scored.groupBy("query_id")
+      .agg(topkAgg(col("s"), col("pid")).as("tk"))
+      .select(col("query_id"), explode(col("tk")).as("c"))
+      .select(col("query_id"), col("c.id").as("pid"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("pid"))
+    cands
+      .join(corpus.select(col(id).cast("long").as("pid"), col(vec).as("pv")), "pid")
+      .join(qB.select(col("query_id"), col("qv")), "query_id")
+      .withColumn("sim", cosine(col("pv"), col("qv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= kTop)
+      .select(col("query_id"), col("pid").as("id"), col("rank"), col("sim"))
   }
 }

@@ -882,6 +882,60 @@ object LlmQueries {
     // codebooks, ADC scoring over the compact codes table, exact rerank;
     // rows-only: k-means codebooks are model-dependent; recall vs exact is
     // asserted in LlmSpec) ----
+    // ---- sim7: SQ8 ANN — approximate top-k over the int8-quantized
+    // store (emb6's codes, dequantized on the fly against the broadcast
+    // model) + exact rerank of the top-50. The FIFTH ANN family (brute /
+    // sign-LSH / IVF / PQ / SQ), and fully hash-green: integer codes,
+    // literal model, canonical-order folds, corpus-member queries ⇒ the
+    // whole search path replays bit-for-bit in DuckDB ----
+    QueryDef("sim7_sq_ann",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val q = emb.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        Similarity.sqTopK(emb, "vec_id", "embedding", q, "qid", "qvec",
+            kTop = 10, rerank = 50)
+          .withColumn("sim", floor(col("sim") * 10000 + 0.5) / 10000.0)
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH base AS MATERIALIZED (
+             |  SELECT vec_id::BIGINT AS pid, embedding::DOUBLE[] AS pv FROM embeddings),
+             |dims AS (
+             |  SELECT i.i AS i, min(b.pv[i.i]) AS mn, max(b.pv[i.i]) AS mx
+             |  FROM base b, (SELECT unnest(generate_series(1, 64)) AS i) i
+             |  GROUP BY i.i),
+             |model AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs
+             |          FROM dims),
+             |dq AS MATERIALIZED (
+             |  SELECT b.pid,
+             |    [m.mns[i] + (CASE WHEN m.mxs[i] > m.mns[i]
+             |          THEN greatest(0.0, least(255.0,
+             |               floor((b.pv[i] - m.mns[i]) / (m.mxs[i] - m.mns[i]) * 255 + 0.5)))
+             |          ELSE 0.0 END::INT)::DOUBLE / 255.0 * (m.mxs[i] - m.mns[i])
+             |     FOR i IN generate_series(1, 64)] AS dqv
+             |  FROM base b, model m),
+             |q AS (SELECT pid AS query_id, pv AS qv FROM base WHERE pid < 3),
+             |approx AS (
+             |  SELECT q.query_id, d.pid,
+             |         list_sum([d.dqv[i] * q.qv[i] FOR i IN generate_series(1, 64)])
+             |         / (sqrt(list_sum([d.dqv[i] * d.dqv[i] FOR i IN generate_series(1, 64)]))
+             |            * sqrt(list_sum([q.qv[i] * q.qv[i] FOR i IN generate_series(1, 64)]))) AS s
+             |  FROM dq d CROSS JOIN q),
+             |cands AS (
+             |  SELECT query_id, pid FROM approx
+             |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY s DESC, pid) <= 50),
+             |rer AS (
+             |  SELECT c.query_id, c.pid AS id,
+             |         list_sum([b.pv[i] * q.qv[i] FOR i IN generate_series(1, 64)])
+             |         / (sqrt(list_sum([b.pv[i] * b.pv[i] FOR i IN generate_series(1, 64)]))
+             |            * sqrt(list_sum([q.qv[i] * q.qv[i] FOR i IN generate_series(1, 64)]))) AS sim
+             |  FROM cands c JOIN base b ON b.pid = c.pid JOIN q ON q.query_id = c.query_id)
+             |SELECT query_id, id,
+             |       row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, id) AS rank,
+             |       floor(sim * 10000 + 0.5) / 10000.0 AS sim
+             |FROM rer QUALIFY rank <= 10
+             |ORDER BY query_id, rank""".stripMargin)),
+
     QueryDef("sim6_pq_ann",
       (s, d) => {
         val emb = t(s, d, "embeddings")
