@@ -145,7 +145,11 @@ object Curation {
     // rows) — the +1 seats go to the largest remainders, ties by name
     val ranked = frac.withColumn("rk",
       row_number().over(org.apache.spark.sql.expressions.Window
-        .partitionBy(lit(1)) // source-dim bounded; silences the warning
+        // Spark 4 folds a constant partition key away, so the
+        // no-partition WindowExec warning still fires — deliberately
+        // accepted: the window's input is the SOURCE DIM (one row per
+        // source, bounded cardinality pinned in LlmSpec), never corpus rows
+        .partitionBy(lit(1))
         .orderBy(col("rem").desc, col(source))))
     // `picked` clamps the allocation to what the source can actually
     // supply: a source whose mass exceeds its doc count (one huge doc)

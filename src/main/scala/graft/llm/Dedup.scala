@@ -545,13 +545,17 @@ object Dedup {
     * TRUE jaccard >= minJaccard are returned. The sketch moves 32 longs
     * per doc where the gram arrays move hundreds.
     *
-    * The prune is PROBABILISTIC — the same recall posture as
-    * [[minhashDedup]]: at the default ~1.5-sigma margin (`estMargin < 0`
-    * → 1.5·sqrt(t(1−t)/32) ≈ 0.13 at t=0.5) a pair whose true jaccard
-    * sits EXACTLY at the threshold is missed with P ≈ Φ(−1.5) ≈ 7%;
-    * anything meaningfully above passes essentially always. Corpora with
-    * real mass at the threshold should widen `estMargin` (or pass
-    * `minJaccard = 0` for the exhaustive verify). LlmSpec machine-checks
+    * The prune is PROBABILISTIC — a conservative ~2.5-sigma margin
+    * (`estMargin < 0` → 2.5·sqrt(t(1−t)/32) ≈ 0.22 at t=0.5): a pair
+    * whose true jaccard sits EXACTLY at the threshold is missed with
+    * P ≈ Φ(−2.5) ≈ 0.6%; anything meaningfully above passes essentially
+    * always. The margin is deliberately wider than [[minhashDedup]]'s
+    * 1.5σ because the prefilter's saving is insensitive to it — the bulk
+    * of banding collisions sit FAR below the threshold, so admitting a
+    * wider borderline band costs a handful of extra exact verifies while
+    * cutting the miss tail ~12×. Corpora with real mass at the threshold
+    * can still widen `estMargin` further (or pass `minJaccard = 0` for
+    * the exhaustive verify). LlmSpec machine-checks
     * prefiltered ≡ unfiltered-then-thresholded on the deterministic
     * sf0.001 AND sf0.01 candidate sets — evidence the margin clears this
     * corpus's jaccard gap, not a universal guarantee. Prefilter requires
@@ -596,7 +600,7 @@ object Dedup {
       require(hashGrams, "sketch prefilter needs hashed grams")
       val margin =
         if (estMargin >= 0) estMargin
-        else 1.5 * math.sqrt(minJaccard * (1 - minJaccard) / numEstHashes)
+        else 2.5 * math.sqrt(minJaccard * (1 - minJaccard) / numEstHashes)
       // the sketch table is numEstHashes longs per CANDIDATE doc — the
       // same broadcast-or-shuffle decision as the gram arrays, made from
       // the materialized count

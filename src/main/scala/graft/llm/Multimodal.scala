@@ -475,17 +475,20 @@ object Multimodal {
     var i = 0
     while (i < px.length) { img.setRGB(i % w, i / w, px(i)); i += 1 }
     val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
+    val bos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
     try {
       val param = writer.getDefaultWriteParam
       param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
       param.setCompressionQuality(quality)
-      val bos = new ByteArrayOutputStream()
-      val ios = ImageIO.createImageOutputStream(bos)
       writer.setOutput(ios)
       writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
-      ios.close()
-      bos.toByteArray
-    } finally writer.dispose()
+    } finally {
+      // both on the failure path too — a throwing write inside a
+      // long-running partition iterator must not accumulate open streams
+      try writer.dispose() finally ios.close()
+    }
+    bos.toByteArray
   }
 
   /** REAL lossy re-encode: decode whatever `media` holds → JPEG at the

@@ -59,8 +59,10 @@ object Relevance {
       .groupBy("term").agg(count(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), asc("term")).limit(topN)
       .withColumn("rank", row_number().over(
-        // partitionBy(lit) = the same single (topN-bounded) partition,
-        // minus the scary WindowExec no-partition warning in every log
+        // Spark 4 folds the constant partition key away, so the
+        // no-partition WindowExec warning still fires — deliberately
+        // accepted: the window runs AFTER .limit(topN), so its input is
+        // ≤ topN rows (pinned in RelevanceSpec), never corpus-sized
         org.apache.spark.sql.expressions.Window
           .partitionBy(lit(1)).orderBy(desc("cnt"), asc("term"))))
       .select(log(col("rank").cast("double")).as("x"),

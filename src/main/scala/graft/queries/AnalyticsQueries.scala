@@ -525,11 +525,19 @@ object AnalyticsQueries {
     // min/max model (2·d doubles of driver state, the Lloyd/PCA
     // precedent) re-broadcast as literals; codes are exact integers and
     // the affine formula replays in SQL, so the whole operator —
-    // including the reconstruction-error band — is hash-checked ----
+    // including the reconstruction-error band — is hash-checked.
+    // Emitted LONG form (vec_id, dim_idx, code) like emb2: the harness's
+    // comparator sorts/hashes scalar cells and an array column is
+    // unhashable on the pandas side (the r10 red row). scalarQuantize's
+    // wide frame stays the internal API for sim7. ----
     QueryDef("emb6_scalar_quant",
       (s, d) => graft.llm.Similarity.scalarQuantize(
           Tables.embeddings(s, d), "vec_id", "embedding")
-        .orderBy("vec_id"),
+        .select(col("vec_id"), col("q_sum"), col("recon_max_err"),
+          posexplode(col("codes")).as(Seq("dim_idx", "code")))
+        .select(col("vec_id"), col("dim_idx"), col("code"),
+          col("q_sum"), col("recon_max_err"))
+        .orderBy("vec_id", "dim_idx"),
       Some("""WITH dims AS (
              |  SELECT i.i AS i, min(e.embedding[i.i]::DOUBLE) AS mn,
              |         max(e.embedding[i.i]::DOUBLE) AS mx
@@ -546,14 +554,18 @@ object AnalyticsQueries {
              |          ELSE 0.0 END::INT
              |     FOR i IN generate_series(1, 64)] AS codes,
              |    e.embedding AS emb
-             |  FROM embeddings e, model m)
-             |SELECT vec_id, codes, list_sum(codes)::BIGINT AS q_sum,
-             |  floor(list_max([abs(emb[i]::DOUBLE - (m.mns[i] + codes[i]::DOUBLE / 255.0
-             |                      * (m.mxs[i] - m.mns[i])))
-             |                  FOR i IN generate_series(1, 64)]) * 1000000 + 0.5)
-             |    / 1000000.0 AS recon_max_err
-             |FROM coded, model m
-             |ORDER BY vec_id""".stripMargin)),
+             |  FROM embeddings e, model m),
+             |wide AS (
+             |  SELECT vec_id, codes, list_sum(codes)::BIGINT AS q_sum,
+             |    floor(list_max([abs(emb[i]::DOUBLE - (m.mns[i] + codes[i]::DOUBLE / 255.0
+             |                        * (m.mxs[i] - m.mns[i])))
+             |                    FOR i IN generate_series(1, 64)]) * 1000000 + 0.5)
+             |      / 1000000.0 AS recon_max_err
+             |  FROM coded, model m)
+             |SELECT vec_id, (i.i - 1)::INT AS dim_idx, codes[i.i]::INT AS code,
+             |       q_sum, recon_max_err
+             |FROM wide, (SELECT unnest(generate_series(1, 64)) AS i) i
+             |ORDER BY vec_id, dim_idx""".stripMargin)),
 
     // ---- emb1: embedding covariance — all d² second moments in one scan
     // (flattened outer product + partial/final hash agg; only d² sums per

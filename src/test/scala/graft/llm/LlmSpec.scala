@@ -843,22 +843,32 @@ class LlmSpec extends SparkSpecBase {
     info(f"q=0.85: max block delta $maxDelta%.3f, worst mean $meanDelta%.3f, " +
       f"max hamming ${hams.max}, stable $stable/64")
     // the q=0.85 band (observed: delta ~0.58, hamming <= 5, 51/64 stable).
-    // NOTE: JPEG output is implementation-defined — these bounds encode
-    // the container's JDK 17 ImageIO writer (with headroom) and should be
-    // re-measured if the JDK or an ImageIO plugin changes; the claim
-    // under test is the PIPELINE's tolerance behavior, not codec bytes:
-    // features barely move, the 64-bit fingerprint wobbles only on
-    // borderline bits — the regime a Hamming-tolerant near-dup index
-    // absorbs — but EXACT-collision groups are honestly not fully stable
-    assert(maxDelta <= 2.0, s"block-mean luma drifted $maxDelta levels under JPEG")
-    assert(meanDelta <= 1.0, s"mean block drift $meanDelta under JPEG")
-    assert(hams.max <= 8, s"aHash flipped ${hams.max} bits under q=0.85 JPEG")
-    assert(stable >= 48, s"only $stable/64 exact-collision groups survived q=0.85")
+    // NOTE: JPEG output is implementation-defined — the TIGHT bounds
+    // below encode the pinned JDK 17 ImageIO writer (with headroom), so
+    // they gate only when the runtime matches the pin; on any other
+    // JDK/ImageIO plugin the suite keeps loose any-sane-codec bounds and
+    // the structural claims (tolerant groups stable, q=0.95 partition
+    // identical) which are the PIPELINE's actual contract, not codec bytes
+    val pinnedJdk = System.getProperty("java.specification.version") == "17"
+    if (pinnedJdk) {
+      assert(maxDelta <= 2.0, s"block-mean luma drifted $maxDelta levels under JPEG")
+      assert(meanDelta <= 1.0, s"mean block drift $meanDelta under JPEG")
+      assert(hams.max <= 8, s"aHash flipped ${hams.max} bits under q=0.85 JPEG")
+      assert(stable >= 48, s"only $stable/64 exact-collision groups survived q=0.85")
+    } else {
+      info(s"JDK ${System.getProperty("java.specification.version")} != pinned 17: " +
+        "tight JPEG bounds skipped, loose bounds + structural claims still gate")
+    }
+    // any-codec sanity: a remotely standards-conforming JPEG writer at
+    // q=0.85 cannot drift a 4x4-block mean by 16 luma levels or flip a
+    // third of the fingerprint — this catches broken plumbing everywhere
+    assert(maxDelta <= 16.0, s"block-mean luma drifted $maxDelta levels under JPEG")
+    assert(hams.max <= 24, s"aHash flipped ${hams.max} bits under q=0.85 JPEG")
     // at archival quality the EXACT partition must be identical: rep_orig
     // == rep_jpeg pointwise <=> the aHash dedup groups coincide
     val hi = Multimodal.jpegStability(media, quality = 0.95f).collect()
     assert(hi.forall(_.getBoolean(6)), "aHash dedup partition changed under q=0.95 JPEG")
-    assert(hi.map(_.getInt(3)).max <= 2)
+    assert(hi.map(_.getInt(3)).max <= (if (pinnedJdk) 2 else 8))
     // the Hamming-TOLERANT index (mm12) IS codec-stable where the exact
     // one is not: distance-3 groups over the q=0.85 corpus equal the
     // groups over the lossless originals (probe: JPEG pattern-mates sit
