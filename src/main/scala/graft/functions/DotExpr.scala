@@ -67,6 +67,56 @@ object DotKernel {
 
   def dotDF(a: ArrayData, b: ArrayData): java.lang.Double = dotFD(b, a)
 
+  /** Integer-array variants — the ADC inner loop of the SQ8/PQ tiers:
+    * quantization CODES score directly against a double weight vector,
+    * so the scan never materializes a per-row dequantized array. Each
+    * int is cast to double THEN multiplied, accumulated left-to-right —
+    * the identical IEEE sequence of `c[i]::DOUBLE * w[i]` in any SQL
+    * replay (a swapped-operand call is bit-identical too: IEEE-754
+    * multiplication is commutative). */
+  def dotID(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += a.getInt(i).toDouble * b.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  def dotDI(a: ArrayData, b: ArrayData): java.lang.Double = dotID(b, a)
+
+  def dotIF(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += a.getInt(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  def dotFI(a: ArrayData, b: ArrayData): java.lang.Double = dotIF(b, a)
+
+  def dotII(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += a.getInt(i).toDouble * b.getInt(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
   /** Squared L2 distance — the Lloyd-assignment / ADC inner loop:
     * acc += (x − c)·(x − c) left-to-right, the identical op sequence of
     * `aggregate(zip_with(a, b, (x, c) => (x-c)*(x-c)), 0.0, _ + _)` over
@@ -118,8 +168,9 @@ object DotKernel {
   }
 }
 
-/** array<float/double> × array<float/double> → double dot product (see
-  * [[DotKernel]] for the exact-parity contract with the zip_with fold). */
+/** array<float/double/int> × array<float/double/int> → double dot product
+  * (see [[DotKernel]] for the exact-parity contract with the zip_with
+  * fold; the int variants are the ADC inner loop over quantization codes). */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -128,33 +179,36 @@ case class DotProduct(left: Expression, right: Expression)
   // non-null inputs can still yield NULL (length mismatch / null element)
   override def nullable: Boolean = true
 
-  private def elemIsFloat(e: Expression): Boolean = e.dataType match {
-    case ArrayType(FloatType, _) => true
-    case _ => false
+  private def elemTag(e: Expression): Char = e.dataType match {
+    case ArrayType(FloatType, _)                          => 'F'
+    case ArrayType(org.apache.spark.sql.types.IntegerType, _) => 'I'
+    case _                                                => 'D'
   }
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
-      case (ArrayType(FloatType | DoubleType, _), ArrayType(FloatType | DoubleType, _)) =>
+      case (ArrayType(FloatType | DoubleType | org.apache.spark.sql.types.IntegerType, _),
+            ArrayType(FloatType | DoubleType | org.apache.spark.sql.types.IntegerType, _)) =>
         TypeCheckResult.TypeCheckSuccess
       case other =>
         TypeCheckResult.TypeCheckFailure(
-          s"dot_product expects array<float|double> on both sides, got $other")
+          s"dot_product expects array<float|double|int> on both sides, got $other")
     }
 
-  private def kernel: String = (elemIsFloat(left), elemIsFloat(right)) match {
-    case (true, true) => "dotFF"
-    case (false, false) => "dotDD"
-    case (true, false) => "dotFD"
-    case (false, true) => "dotDF"
-  }
+  private def kernel: String = s"dot${elemTag(left)}${elemTag(right)}"
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
     val r = kernel match {
-      case "dotFF" => DotKernel.dotFF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
-      case "dotDD" => DotKernel.dotDD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
-      case "dotFD" => DotKernel.dotFD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
-      case _ => DotKernel.dotDF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+      case "dotFF" => DotKernel.dotFF(x, y)
+      case "dotDD" => DotKernel.dotDD(x, y)
+      case "dotFD" => DotKernel.dotFD(x, y)
+      case "dotDF" => DotKernel.dotDF(x, y)
+      case "dotID" => DotKernel.dotID(x, y)
+      case "dotDI" => DotKernel.dotDI(x, y)
+      case "dotIF" => DotKernel.dotIF(x, y)
+      case "dotFI" => DotKernel.dotFI(x, y)
+      case _       => DotKernel.dotII(x, y)
     }
     if (r == null) null else r.doubleValue()
   }

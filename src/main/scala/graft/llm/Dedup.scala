@@ -627,6 +627,73 @@ object Dedup {
     if (minJaccard > 0) out.filter(col("jaccard") >= minJaccard) else out
   }
 
+  /** Directional CONTAINMENT near-dup pairs (Broder's containment — the
+    * LSH-Ensemble use case, Zhu et al. 2016): c(A→B) = |A∩B| / |A| over
+    * distinct word n-grams. Jaccard structurally MISSES the
+    * page-plus-boilerplate superset case every crawl produces (|A∩B|/|A∪B|
+    * is diluted by the larger doc: a page fully embedded in a 5× wrapper
+    * scores jaccard ≈ 0.2 but containment 1.0), so a containment pass is
+    * what actually catches re-hosted/wrapped copies. Emits both
+    * directions (c1 = shared/|g1|, c2 = shared/|g2|) for pairs where
+    * either clears `minContainment`, id1 < id2.
+    *
+    * Scale shape (the dd8 lesson applied): document frequency per gram is
+    * a constant-state count — never an occurrence list — and grams with
+    * df > maxDf (boilerplate: candidates grow QUADRATICALLY in df while
+    * discriminating nothing) or df < 2 (nothing to pair) are dropped by a
+    * gram-keyed semi-join BEFORE any pairing. Only then does the bounded
+    * bucket expansion run: per-gram doc sets are ≤ maxDf by construction,
+    * so collect_set state and the pair fan-out (≤ maxDf²/2 per gram) are
+    * both constant-bounded per key at ANY corpus size. The exact verify
+    * touches full gram ARRAYS only for candidate docs (semi-join +
+    * checkpoint, the ngramJaccard machinery) — recall guard: a pair
+    * sharing ONLY above-cap boilerplate grams is not generated, the
+    * standard inverted-index posture. String grams keep every stage
+    * replayable by any engine (the oracle-green form). */
+  def containmentPairs(df: DataFrame, id: String, text: String, n: Int,
+                       minContainment: Double, maxDf: Int): DataFrame = {
+    val toks = split(lower(col(text)), "\\s+")
+    val gram = (i: Column) => concat_ws(" ", slice(col("tk"), i, lit(n)))
+    val grams = array_distinct(transform(
+      sequence(lit(1), greatest(size(col("tk")) - (n - 1), lit(1))), i => gram(i)))
+    // tokens materialize through an exchange so the regex split runs once
+    // per doc (the ngramJaccard lesson); the gram table is read three
+    // times below (inverted index + both verify sides)
+    val g = df.select(col(id).cast("long").as("doc"), toks.as("tk"))
+      .repartition(col("doc"))
+      .select(col("doc"), grams.as("g"))
+      .localCheckpoint()
+    // (doc, gram) is distinct by construction (array_distinct per doc),
+    // so count(*) per gram IS the document frequency — constant state
+    val inv = g.select(col("doc"), explode(col("g")).as("gram"))
+    val pairable = inv.groupBy("gram").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDf)
+      .select("gram")
+    // per-gram doc sets are ≤ maxDf rows — bounded aggregate state; the
+    // in-bucket pair expansion is a bounded generator, never a self-join
+    val pairExpr = flatten(transform(
+      sequence(lit(0), size(col("ds")) - 2),
+      i => transform(sequence(i + 1, size(col("ds")) - 1),
+        j => struct(element_at(col("ds"), i + 1).as("id1"),
+                    element_at(col("ds"), j + 1).as("id2")))))
+    val cands = inv.join(pairable, "gram")
+      .groupBy("gram").agg(sort_array(collect_set(col("doc"))).as("ds"))
+      .select(explode(pairExpr).as("p"))
+      .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
+      .distinct()
+    cands
+      .join(g.select(col("doc").as("id1"), col("g").as("g1")), "id1")
+      .join(g.select(col("doc").as("id2"), col("g").as("g2")), "id2")
+      .select(col("id1"), col("id2"),
+        size(col("g1")).as("n1"), size(col("g2")).as("n2"),
+        size(array_intersect(col("g1"), col("g2"))).as("shared"))
+      .withColumn("c1", col("shared").cast("double") / col("n1"))
+      .withColumn("c2", col("shared").cast("double") / col("n2"))
+      .filter(greatest(col("c1"), col("c2")) >= minContainment)
+      .select(col("id1"), col("id2"), col("n1"), col("n2"), col("shared"),
+        round(col("c1"), 4).as("c1"), round(col("c2"), 4).as("c2"))
+  }
+
   /** Test-set DECONTAMINATION: ids of training docs sharing any word
     * n-gram with a benchmark corpus (the GPT-3/LLaMA-style n-gram overlap
     * rule — training data containing eval text inflates benchmarks, so

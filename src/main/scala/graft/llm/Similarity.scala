@@ -426,9 +426,11 @@ object Similarity {
   /** Approximate top-k over the INT8-quantized store + exact rerank —
     * the search path that makes [[scalarQuantize]] a serving format, not
     * just a storage report (Faiss SQ8 flat): the scan reads the 4×-smaller
-    * code table, dequantizes on the fly against the broadcast model, and
-    * scores approximate cosine; only the top-`rerank` candidates per
-    * query touch the original float vectors for the exact rerank.
+    * code table and scores ADC-style — the affine dequantization folds
+    * into a per-query constant plus an int-codes × per-query-weights dot
+    * (the native dotID kernel), so no per-row dequantized array ever
+    * materializes in the scoring loop; only the top-`rerank` candidates
+    * per query touch the original float vectors for the exact rerank.
     *
     * Scale shape: fit (one stats pass) + encode (one scan) + a
     * broadcast-query scan over codes with a bounded [[TopKAgg]] (partial
@@ -437,27 +439,46 @@ object Similarity {
     * rows per query. At 100 TB the codes table is the resident index and
     * the float vectors stay in cold storage, touched `rerank·|Q|` rows
     * per batch. Every value replays in SQL (integer codes, literal
-    * model, canonical-order folds), so the whole path is
-    * oracle-checkable with corpus-member queries. */
+    * model, canonical-order folds — the oracle replays the REGROUPED
+    * ADC algebra), so the whole path is oracle-checkable with
+    * corpus-member queries. */
   def sqTopK(corpus: DataFrame, id: String, vec: String,
              queries: DataFrame, qid: String, qvec: String,
              kTop: Int, rerank: Int = 50): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val (mns, mxs) = sqFit(corpus, vec)
-    // codes materialize in their own projection; the dequant + norm pass
-    // reads the COLUMN (a multi-consumer non-cheap producer never
-    // collapses), so the quantizer runs once per row
-    val dqT = corpus
+    val d = mns.length
+    // ADC scoring straight off the INT codes (Faiss-style asymmetric
+    // distance): dot(dequant(c), q) regroups as
+    //   Σ mn_i·q_i            — a per-QUERY constant (cq), plus
+    //   Σ c_i·(q_i·s_i)       — the codes against a per-query weight
+    // with s_i = (mx_i−mn_i)/255, so the scan never materializes a
+    // per-row dequantized array and the pair loop is one int×double
+    // kernel dot. The row norm is per-ROW constant, computed once in the
+    // encode pass from the dequantized values (the storage contract:
+    // what any engine reconstructs). Every fold is left-to-right over
+    // the same IEEE ops, so the oracle replays the REGROUPED algebra
+    // bit-for-bit.
+    val mnLit = array(mns.map(lit): _*)
+    val sLit = array(mns.indices.map(i => lit((mxs(i) - mns(i)) / 255.0)): _*)
+    // codes materialize in their own projection; each downstream select
+    // reads the COLUMN twice (a multi-consumer non-cheap producer never
+    // collapses), so the quantizer and dequant chains run once per row
+    val codesT = corpus
       .select(col(id).cast("long").as("pid"), sqCodes(col(vec), mns, mxs).as("codes"))
-      .select(col("pid"), sqDequant(col("codes"), mns, mxs).as("dqv"))
-      .select(col("pid"), col("dqv"),
+      .select(col("pid"), col("codes"), sqDequant(col("codes"), mns, mxs).as("dqv"))
+      .select(col("pid"), col("codes"),
         sqrt(dotProduct(col("dqv"), col("dqv"))).as("nrm"))
     val qB = broadcast(queries
       .select(col(qid).cast("long").as("query_id"), col(qvec).as("qv"))
-      .withColumn("qnrm", sqrt(dotProduct(col("qv"), col("qv")))))
-    val scored = dqT.crossJoin(qB)
+      .withColumn("qnrm", sqrt(dotProduct(col("qv"), col("qv"))))
+      .withColumn("cq", dotProduct(col("qv"), mnLit))
+      .withColumn("wv", transform(sequence(lit(0), lit(d - 1)),
+        i => dimAt(i, col("qv")).cast("double") * dimAt(i, sLit))))
+    val scored = codesT.crossJoin(qB)
       .select(col("query_id"), col("pid"),
-        (dotProduct(col("dqv"), col("qv")) / (col("nrm") * col("qnrm"))).as("s"))
+        ((col("cq") + dotProduct(col("codes"), col("wv")))
+          / (col("nrm") * col("qnrm"))).as("s"))
     val topkAgg = udaf(new TopKAgg(rerank))
     val cands = scored.groupBy("query_id")
       .agg(topkAgg(col("s"), col("pid")).as("tk"))

@@ -206,6 +206,43 @@ object LlmQueries {
            |ORDER BY id1, id2""".stripMargin
       }),
 
+    // ---- directional containment near-dups (Broder containment / the
+    // LSH-Ensemble use case): catches the page-in-a-5×-wrapper superset
+    // copies jaccard structurally misses. Candidate generation rides a
+    // df-capped inverted gram index (constant state per gram — the dd8
+    // posture; boilerplate grams with df>20 excluded, documented recall
+    // guard), exact |A∩B|/|A| verify on full string-gram sets; every
+    // stage replays in DuckDB ----
+    QueryDef("dd19_containment",
+      (s, d) => Dedup.containmentPairs(t(s, d, "documents"), "doc_id", "text",
+          n = 3, minContainment = 0.5, maxDf = 20)
+        .orderBy("id1", "id2"),
+      Some("""WITH grams AS (
+             |  SELECT doc_id,
+             |         list_distinct([array_to_string(tk[i:i+2], ' ')
+             |                        FOR i IN generate_series(1, greatest(len(tk) - 2, 1))]) AS g
+             |  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS tk
+             |        FROM documents)),
+             |inv AS (SELECT doc_id, unnest(g) AS gram FROM grams),
+             |pairable AS (
+             |  SELECT gram FROM inv GROUP BY gram HAVING count(*) BETWEEN 2 AND 20),
+             |cold AS (SELECT i.doc_id, i.gram FROM inv i JOIN pairable USING (gram)),
+             |cands AS (
+             |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+             |  FROM cold a JOIN cold b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+             |v AS (
+             |  SELECT c.id1, c.id2,
+             |         len(ga.g)::INT AS n1, len(gb.g)::INT AS n2,
+             |         len(list_intersect(ga.g, gb.g))::INT AS shared
+             |  FROM cands c
+             |  JOIN grams ga ON ga.doc_id = c.id1
+             |  JOIN grams gb ON gb.doc_id = c.id2)
+             |SELECT id1, id2, n1, n2, shared,
+             |       round(shared / n1, 4) AS c1, round(shared / n2, 4) AS c2
+             |FROM v
+             |WHERE greatest(shared / n1, shared / n2) >= 0.5
+             |ORDER BY id1, id2""".stripMargin)),
+
     // ---- near-dup CONNECTED COMPONENTS (large-star/small-star): pairwise
     // near-dup under-deletes transitive groups (A~B, B~C, A!~C); clusters
     // are what a dedup pass actually keys on. Edges are the PORTABLE
@@ -883,11 +920,14 @@ object LlmQueries {
     // rows-only: k-means codebooks are model-dependent; recall vs exact is
     // asserted in LlmSpec) ----
     // ---- sim7: SQ8 ANN — approximate top-k over the int8-quantized
-    // store (emb6's codes, dequantized on the fly against the broadcast
-    // model) + exact rerank of the top-50. The FIFTH ANN family (brute /
+    // store (emb6's codes, scored ADC-style: the affine dequantization
+    // folds into a per-query constant + an int-codes dot against
+    // per-query weights, so the scan never materializes a dequantized
+    // array) + exact rerank of the top-50. The FIFTH ANN family (brute /
     // sign-LSH / IVF / PQ / SQ), and fully hash-green: integer codes,
     // literal model, canonical-order folds, corpus-member queries ⇒ the
-    // whole search path replays bit-for-bit in DuckDB ----
+    // whole search path (with the same ADC regrouping) replays
+    // bit-for-bit in DuckDB ----
     QueryDef("sim7_sq_ann",
       (s, d) => {
         val emb = t(s, d, "embeddings")
@@ -906,21 +946,38 @@ object LlmQueries {
              |  GROUP BY i.i),
              |model AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs
              |          FROM dims),
-             |dq AS MATERIALIZED (
+             |coded AS MATERIALIZED (
              |  SELECT b.pid,
-             |    [m.mns[i] + (CASE WHEN m.mxs[i] > m.mns[i]
+             |    [CASE WHEN m.mxs[i] > m.mns[i]
              |          THEN greatest(0.0, least(255.0,
              |               floor((b.pv[i] - m.mns[i]) / (m.mxs[i] - m.mns[i]) * 255 + 0.5)))
-             |          ELSE 0.0 END::INT)::DOUBLE / 255.0 * (m.mxs[i] - m.mns[i])
-             |     FOR i IN generate_series(1, 64)] AS dqv
+             |          ELSE 0.0 END::INT
+             |     FOR i IN generate_series(1, 64)] AS codes
              |  FROM base b, model m),
+             |dq AS MATERIALIZED (
+             |  SELECT c.pid, c.codes,
+             |    sqrt(list_sum([
+             |      (m.mns[i] + c.codes[i]::DOUBLE / 255.0 * (m.mxs[i] - m.mns[i]))
+             |      * (m.mns[i] + c.codes[i]::DOUBLE / 255.0 * (m.mxs[i] - m.mns[i]))
+             |      FOR i IN generate_series(1, 64)])) AS nrm
+             |  FROM coded c, model m),
              |q AS (SELECT pid AS query_id, pv AS qv FROM base WHERE pid < 3),
+             |qx AS (
+             |  -- the ADC regrouping the Spark scan performs:
+             |  -- dot(dequant(c), q) = cq + SUM c_i * w_i,
+             |  -- cq = SUM q_i*mn_i, w_i = q_i * ((mx_i - mn_i)/255)
+             |  SELECT q.query_id, q.qv,
+             |         sqrt(list_sum([q.qv[i] * q.qv[i] FOR i IN generate_series(1, 64)])) AS qnrm,
+             |         list_sum([q.qv[i] * m.mns[i] FOR i IN generate_series(1, 64)]) AS cq,
+             |         [q.qv[i] * ((m.mxs[i] - m.mns[i]) / 255.0)
+             |          FOR i IN generate_series(1, 64)] AS wv
+             |  FROM q, model m),
              |approx AS (
-             |  SELECT q.query_id, d.pid,
-             |         list_sum([d.dqv[i] * q.qv[i] FOR i IN generate_series(1, 64)])
-             |         / (sqrt(list_sum([d.dqv[i] * d.dqv[i] FOR i IN generate_series(1, 64)]))
-             |            * sqrt(list_sum([q.qv[i] * q.qv[i] FOR i IN generate_series(1, 64)]))) AS s
-             |  FROM dq d CROSS JOIN q),
+             |  SELECT qx.query_id, d.pid,
+             |         (qx.cq + list_sum([d.codes[i]::DOUBLE * qx.wv[i]
+             |                            FOR i IN generate_series(1, 64)]))
+             |         / (d.nrm * qx.qnrm) AS s
+             |  FROM dq d CROSS JOIN qx),
              |cands AS (
              |  SELECT query_id, pid FROM approx
              |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY s DESC, pid) <= 50),

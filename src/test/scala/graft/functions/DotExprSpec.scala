@@ -46,6 +46,37 @@ class DotExprSpec extends SparkSpecBase {
     }
   }
 
+  test("DotProduct int variants ≡ the cast-then-multiply fold (ADC inner loop)") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(13)
+    val rows = (0 until 300).map { i =>
+      val n = 1 + rnd.nextInt(64)
+      (i.toLong,
+        Seq.fill(n)(rnd.nextInt(256)),                                    // int codes
+        Seq.fill(n)(rnd.nextGaussian() * math.pow(10, rnd.nextInt(5) - 2)),// double weights
+        Seq.fill(n)(rnd.nextGaussian().toFloat))                           // float side
+    }.toDF("id", "c", "w", "f")
+    val out = rows.select(
+        DotProduct(col("c"), col("w")).as("id_k"),
+        algebraDot(col("c"), col("w")).as("id_alg"),
+        DotProduct(col("w"), col("c")).as("di_k"),     // commutativity path
+        DotProduct(col("c"), col("f")).as("if_k"),
+        algebraDot(col("c"), col("f")).as("if_alg"),
+        DotProduct(col("c"), col("c")).as("ii_k"),
+        algebraDot(col("c"), col("c")).as("ii_alg"))
+      .collect()
+    out.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+             java.lang.Double.doubleToLongBits(r.getDouble(1)))
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(2)) ===
+             java.lang.Double.doubleToLongBits(r.getDouble(0)))
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(3)) ===
+             java.lang.Double.doubleToLongBits(r.getDouble(4)))
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(5)) ===
+             java.lang.Double.doubleToLongBits(r.getDouble(6)))
+    }
+  }
+
   test("SqDist / FoldSum ≡ their folds; null contracts match the algebra") {
     val s = spark; import s.implicits._
     val rnd = new scala.util.Random(11)

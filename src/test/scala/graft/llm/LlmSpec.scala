@@ -411,6 +411,64 @@ class LlmSpec extends SparkSpecBase {
     assert(c(0).getSeq[Int](1)(1) === 255 && c(1).getSeq[Int](1)(1) === 0)
   }
 
+  test("SQ8 ANN: ADC-scored top-k matches brute force, rerank sims exact") {
+    val s = spark; import s.implicits._
+    val emb = graft.model.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val sq = Similarity.sqTopK(emb, "vec_id", "embedding", q, "qid", "qvec",
+        kTop = 10, rerank = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, "qid", "qvec", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .map { case (qid, id, sim) => (qid, id) -> sim }.toMap
+    assert(sq.length === 30)
+    // corpus-member query: itself at rank 1 with cosine exactly 1-ish
+    sq.filter(_._3 == 1).foreach { case (qid, id, _, sim) =>
+      assert(id === qid); assert(sim > 0.999999)
+    }
+    // with a 50-candidate rerank over a 50-row corpus the recall is
+    // structurally 1.0: every (qid,id) must appear in brute's top-10 and
+    // the rerank sim must BIT-match the exact cosine (the rerank path
+    // reads original floats, not dequantized values)
+    sq.foreach { case (qid, id, _, sim) =>
+      assert(brute.contains((qid, id)), s"($qid,$id) missing from exact top-10")
+      assert(java.lang.Double.doubleToLongBits(sim) ===
+             java.lang.Double.doubleToLongBits(brute((qid, id))))
+    }
+  }
+
+  test("containment: catches the wrapped-superset copy jaccard misses; df cap guards boilerplate") {
+    val s = spark; import s.implicits._
+    val core = (1 to 20).map(i => s"tok$i").mkString(" ")       // the embedded page
+    val wrapper = core + " " + (1 to 80).map(i => s"pad$i").mkString(" ")
+    val other = (100 to 130).map(i => s"body$i").mkString(" ")
+    val docs = Seq((1L, core), (2L, wrapper), (3L, other)).toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(docs, "doc_id", "text",
+      n = 3, minContainment = 0.5, maxDf = 20).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert((r.getLong(0), r.getLong(1)) === (1L, 2L))
+    // every core gram appears in the wrapper: c(core→wrapper) = 1.0,
+    // while jaccard = 18/98 ≈ 0.18 — the case this operator exists for
+    assert(r.getDouble(5) === 1.0)
+    assert(r.getDouble(6) < 0.25)
+    assert(r.getInt(4) === r.getInt(2)) // shared == |core grams|
+
+    // a gram present in MORE than maxDf docs generates no candidates on
+    // its own (boilerplate guard): 25 docs sharing only one hot line
+    val boiler = "same same same boilerplate line"
+    val many = (1L to 25L).map(i => (i, s"$boiler unique${i}a unique${i}b unique${i}c"))
+      .toDF("doc_id", "text")
+    assert(Dedup.containmentPairs(many, "doc_id", "text",
+      n = 3, minContainment = 0.1, maxDf = 20).count() === 0L)
+    // ...but under the cap the same sharing pairs normally
+    val few = (1L to 5L).map(i => (i, s"$boiler unique${i}a unique${i}b unique${i}c"))
+      .toDF("doc_id", "text")
+    assert(Dedup.containmentPairs(few, "doc_id", "text",
+      n = 3, minContainment = 0.1, maxDf = 20).count() === 10L)
+  }
+
   test("span coverage: minDf raises the sharing bar") {
     val s = spark; import s.implicits._
     val common = "alpha bravo charlie delta echo foxtrot golf hotel"

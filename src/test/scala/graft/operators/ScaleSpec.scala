@@ -324,7 +324,17 @@ class ScaleSpec extends SparkSpecBase {
       // sim5b: portable Lloyd's tail — the BNLJ is the k-row centroid
       // broadcast, the BHJ the probed-cell join; quantizer rounds are
       // checkpoint-truncated
-      "sim5b_ivf_portable" -> "3/1/0/1/-")
+      "sim5b_ivf_portable" -> "3/1/0/1/-",
+      // sim7 (ADC, r11): codes-table scan + the 3-row broadcast query
+      // BNLJ; the BHJs are the rerank id-joins back to the float vectors
+      "sim7_sq_ann" -> "2/2/0/1/p",
+      // emb6: one quantize scan + posexplode to the driver-safe LONG
+      // form, output sort
+      "emb6_scalar_quant" -> "1/0/0/0/-",
+      // dd19: gram-df agg (constant state) + pairable semi-join +
+      // in-bucket pair expansion + distinct, then the two verify joins
+      // (broadcast at audit scale) — never a gram self-join
+      "dd19_containment" -> "3/3/0/0/-")
     try {
       val drift = graft.SparkEntry.all
         .filter(q => snapshot.contains(q.name))
@@ -334,7 +344,7 @@ class ScaleSpec extends SparkSpecBase {
           else Some(s"${q.name}: expected ${snapshot(q.name)}, got $live")
         }
       assert(drift.isEmpty, s"plan drift:\n${drift.mkString("\n")}")
-      assert(snapshot.size === 94)
+      assert(snapshot.size === 97)
     } finally sys.props.remove("graft.querymemo.disable")
   }
 
