@@ -40,16 +40,31 @@ object Pq {
             maxIter: Int = 10): Index = {
     require(dim % m == 0, s"dim $dim not divisible by m $m")
     val subDim = dim / m
-    var df = corpus.select(col(id).cast("long").as("id"), col(vec).as("__vec"))
-    val books = (0 until m).map { s =>
-      val slicEd = df.withColumn("__sub",
-        array_to_vector(slice(col("__vec"), s * subDim + 1, subDim).cast("array<double>")))
-      val model = new KMeans().setK(k).setSeed(seed + s).setMaxIter(maxIter)
-        .setFeaturesCol("__sub").setPredictionCol(s"__c$s")
-        .fit(slicEd)
-      df = model.transform(slicEd).drop("__sub")
-      model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }.toArray
-    }.toArray
+    val base = corpus.select(col(id).cast("long").as("id"), col(vec).as("__vec"))
+    def subCol(s: Int): Column =
+      array_to_vector(slice(col("__vec"), s * subDim + 1, subDim).cast("array<double>"))
+    // the m fits are INDEPENDENT (each owns its subspace slice and its
+    // own seed), so they run concurrently — an MLlib fit is dozens of
+    // tiny scheduler-latency-bound jobs at index-build cardinalities and
+    // the sequential chain measured ~m× the wall of one fit. Same
+    // models bit-for-bit: concurrency changes job interleaving, never
+    // the per-fit arithmetic.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val models = Await.result(
+      Future.sequence((0 until m).map { s => Future {
+        new KMeans().setK(k).setSeed(seed + s).setMaxIter(maxIter)
+          .setFeaturesCol("__sub").setPredictionCol(s"__c$s")
+          .fit(base.withColumn("__sub", subCol(s)))
+      }}),
+      Duration.Inf)
+    // encoding: stack the m transforms lazily over one corpus pass
+    val df = (0 until m).foldLeft(base) { (d, s) =>
+      models(s).transform(d.withColumn("__sub", subCol(s))).drop("__sub")
+    }
+    val books = models.map(_.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }.toArray).toArray
     val codes = df
       .select(col("id"), array((0 until m).map(s => col(s"__c$s")): _*).as("codes"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -126,12 +141,25 @@ object Pq {
     val subDim = dim / m
     val base = corpus.select(col(id).cast("long").as("pid"),
       transform(col(vec), _.cast("double")).as("pv")).localCheckpoint()
+    // the m per-subspace Lloyd's fits are independent round-collect
+    // chains (md5-seeded picks, order-canonical sorted-fold means — a
+    // pure function of the slice, however the jobs interleave), so they
+    // run concurrently: sequential they cost m× the scheduler latency of
+    // one fit's rounds. Join order below stays 0..m-1 for a stable plan.
+    val fits = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Await.result(Future.sequence((0 until m).map { s0 => Future {
+        val sliced = base.select(col("pid"),
+          slice(col("pv"), s0 * subDim + 1, subDim).as("sv"))
+        Ivf.portableQuantizer(sliced, "pid", "sv", k, rounds)
+      }}), Duration.Inf)
+    }
     val cents = new Array[DataFrame](m)
     var codes = base.select("pid")
     (0 until m).foreach { s0 =>
-      val sliced = base.select(col("pid"),
-        slice(col("pv"), s0 * subDim + 1, subDim).as("sv"))
-      val (cent, assigned) = Ivf.portableQuantizer(sliced, "pid", "sv", k, rounds)
+      val (cent, assigned) = fits(s0)
       cents(s0) = cent.select(col("cell").as(s"cell$s0"), col("cv").as(s"cv$s0"))
       codes = codes.join(assigned.select(col("pid"), col("cell").as(s"c$s0")), "pid")
     }
