@@ -70,11 +70,11 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // the whole-stage-codegen class cache defaults to 100 entries — a
-      // 228-query registry generates far more, so with the default every
-      // pass re-pays Janino compilation for every query (the same setting
-      // any production deployment running hundreds of distinct plans per
-      // executor lifetime would raise). Static conf: must be set before
-      // the session exists.
+      // registry of 200+ plans generates far more, so with the default
+      // every pass re-pays Janino compilation for every query (the same
+      // setting any production deployment running hundreds of distinct
+      // plans per executor lifetime would raise). Static conf: must be
+      // set before the session exists.
       .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -561,6 +561,19 @@ object Dedup {
     * corpus's jaccard gap, not a universal guarantee. Prefilter requires
     * `hashGrams` (the sketch hashes ARE the grams); the portable string
     * path never thresholds. */
+  /** The distinct word-n-gram array over the let-bound token column
+    * `tk` — THE tokenize/gram definition shared by [[ngramJaccard]] and
+    * [[containmentPairs]] (and mirrored verbatim by their DuckDB
+    * oracles' `array_to_string(tk[i:i+n-1])` comprehension): one copy,
+    * so a tokenization fix can never desynchronize the two operators
+    * from each other or from their twins. */
+  private def wordGramsOfTk(n: Int, hashGrams: Boolean): Column = {
+    val gram = (i: Column) => concat_ws(" ", slice(col("tk"), i, lit(n)))
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(col("tk")) - (n - 1), lit(1))),
+      i => if (hashGrams) xxhash64(gram(i)) else gram(i)))
+  }
+
   def ngramJaccard(df: DataFrame, id: String, text: String, n: Int,
                    pairs: DataFrame, hashGrams: Boolean = true,
                    minJaccard: Double = 0.0, estMargin: Double = -1,
@@ -573,10 +586,7 @@ object Dedup {
     // breaks both: split runs once per doc, gram building fans across the
     // cluster.
     val toks = split(lower(col(text)), "\\s+")
-    val gram = (i: Column) => concat_ws(" ", slice(col("tk"), i, lit(n)))
-    val grams = array_distinct(transform(
-      sequence(lit(1), greatest(size(col("tk")) - (n - 1), lit(1))),
-      i => if (hashGrams) xxhash64(gram(i)) else gram(i)))
+    val grams = wordGramsOfTk(n, hashGrams)
     // Verify cost must scale with the CANDIDATE volume, not the corpus:
     // gram arrays are built only for docs that appear in a pair (semi-join
     // on the distinct candidate ids), then checkpointed ONCE so both join
@@ -649,13 +659,17 @@ object Dedup {
     * checkpoint, the ngramJaccard machinery) — recall guard: a pair
     * sharing ONLY above-cap boilerplate grams is not generated, the
     * standard inverted-index posture. String grams keep every stage
-    * replayable by any engine (the oracle-green form). */
+    * replayable by any engine (the oracle-green form).
+    *
+    * Precondition: `id` values are unique (the contract of every dedup
+    * operator here — dedup exact copies first). Duplicate ids would make
+    * the per-gram row count over-state document frequency; the bucket
+    * stage still guards itself (`size(ds) >= 2` below) so a duplicated
+    * id degrades to df-miscounting, never a crash. */
   def containmentPairs(df: DataFrame, id: String, text: String, n: Int,
                        minContainment: Double, maxDf: Int): DataFrame = {
     val toks = split(lower(col(text)), "\\s+")
-    val gram = (i: Column) => concat_ws(" ", slice(col("tk"), i, lit(n)))
-    val grams = array_distinct(transform(
-      sequence(lit(1), greatest(size(col("tk")) - (n - 1), lit(1))), i => gram(i)))
+    val grams = wordGramsOfTk(n, hashGrams = false)
     // tokens materialize through an exchange so the regex split runs once
     // per doc (the ngramJaccard lesson); the gram table is read three
     // times below (inverted index + both verify sides)
@@ -678,6 +692,11 @@ object Dedup {
                     element_at(col("ds"), j + 1).as("id2")))))
     val cands = inv.join(pairable, "gram")
       .groupBy("gram").agg(sort_array(collect_set(col("doc"))).as("ds"))
+      // defensive re-check on DISTINCT docs: under a duplicate-id input
+      // the row-count df can be >= 2 with a single distinct doc, and a
+      // 1-element ds would drive sequence(0, -1) into illegal
+      // element_at(ds, 0) calls inside the pair generator
+      .filter(size(col("ds")) >= 2)
       .select(explode(pairExpr).as("p"))
       .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
       .distinct()
@@ -690,8 +709,12 @@ object Dedup {
       .withColumn("c1", col("shared").cast("double") / col("n1"))
       .withColumn("c2", col("shared").cast("double") / col("n2"))
       .filter(greatest(col("c1"), col("c2")) >= minContainment)
+      // floor(x·10⁴+0.5)/10⁴, NEVER round(): Spark's round() rounds the
+      // decimal expansion HALF_UP while DuckDB rounds the scaled double,
+      // so half-tie integer ratios flip between engines (the dd18 lesson)
       .select(col("id1"), col("id2"), col("n1"), col("n2"), col("shared"),
-        round(col("c1"), 4).as("c1"), round(col("c2"), 4).as("c2"))
+        (floor(col("c1") * 10000 + 0.5) / 10000.0).as("c1"),
+        (floor(col("c2") * 10000 + 0.5) / 10000.0).as("c2"))
   }
 
   /** Test-set DECONTAMINATION: ids of training docs sharing any word

@@ -474,21 +474,22 @@ object Multimodal {
     val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
     var i = 0
     while (i < px.length) { img.setRGB(i % w, i / w, px(i)); i += 1 }
+    // every acquisition sits inside the try/finally that releases it — a
+    // throw anywhere (including createImageOutputStream itself) inside a
+    // long-running partition iterator must not accumulate writers/streams
     val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
-    val bos = new ByteArrayOutputStream()
-    val ios = ImageIO.createImageOutputStream(bos)
     try {
-      val param = writer.getDefaultWriteParam
-      param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
-      param.setCompressionQuality(quality)
-      writer.setOutput(ios)
-      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
-    } finally {
-      // both on the failure path too — a throwing write inside a
-      // long-running partition iterator must not accumulate open streams
-      try writer.dispose() finally ios.close()
-    }
-    bos.toByteArray
+      val bos = new ByteArrayOutputStream()
+      val ios = ImageIO.createImageOutputStream(bos)
+      try {
+        val param = writer.getDefaultWriteParam
+        param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        param.setCompressionQuality(quality)
+        writer.setOutput(ios)
+        writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+      } finally ios.close()
+      bos.toByteArray
+    } finally writer.dispose()
   }
 
   /** REAL lossy re-encode: decode whatever `media` holds → JPEG at the

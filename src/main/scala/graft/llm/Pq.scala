@@ -23,6 +23,19 @@ import org.apache.spark.sql.functions._
   */
 object Pq {
 
+  /** Run the m independent per-subspace fits concurrently — an index
+    * build is dozens of tiny scheduler-latency-bound jobs per fit, so
+    * the sequential chain costs m× the wall of one. Shared by the MLlib
+    * and portable paths so a concurrency tweak lands once. Each fit is a
+    * pure function of its slice + seed: interleaving never changes the
+    * models. */
+  private def fitConcurrently[T](m: Int)(fit: Int => T): IndexedSeq[T] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Await.result(Future.sequence((0 until m).map(s => Future(fit(s)))), Duration.Inf)
+  }
+
   /** Per-subspace codebooks + the encoded corpus (id, codes array<int>).
     * `codes` is persisted: it is an index, built once and probed many
     * times. Call release() when done. */
@@ -43,22 +56,11 @@ object Pq {
     val base = corpus.select(col(id).cast("long").as("id"), col(vec).as("__vec"))
     def subCol(s: Int): Column =
       array_to_vector(slice(col("__vec"), s * subDim + 1, subDim).cast("array<double>"))
-    // the m fits are INDEPENDENT (each owns its subspace slice and its
-    // own seed), so they run concurrently — an MLlib fit is dozens of
-    // tiny scheduler-latency-bound jobs at index-build cardinalities and
-    // the sequential chain measured ~m× the wall of one fit. Same
-    // models bit-for-bit: concurrency changes job interleaving, never
-    // the per-fit arithmetic.
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val models = Await.result(
-      Future.sequence((0 until m).map { s => Future {
-        new KMeans().setK(k).setSeed(seed + s).setMaxIter(maxIter)
-          .setFeaturesCol("__sub").setPredictionCol(s"__c$s")
-          .fit(base.withColumn("__sub", subCol(s)))
-      }}),
-      Duration.Inf)
+    val models = fitConcurrently(m) { s =>
+      new KMeans().setK(k).setSeed(seed + s).setMaxIter(maxIter)
+        .setFeaturesCol("__sub").setPredictionCol(s"__c$s")
+        .fit(base.withColumn("__sub", subCol(s)))
+    }
     // encoding: stack the m transforms lazily over one corpus pass
     val df = (0 until m).foldLeft(base) { (d, s) =>
       models(s).transform(d.withColumn("__sub", subCol(s))).drop("__sub")
@@ -141,20 +143,12 @@ object Pq {
     val subDim = dim / m
     val base = corpus.select(col(id).cast("long").as("pid"),
       transform(col(vec), _.cast("double")).as("pv")).localCheckpoint()
-    // the m per-subspace Lloyd's fits are independent round-collect
-    // chains (md5-seeded picks, order-canonical sorted-fold means — a
-    // pure function of the slice, however the jobs interleave), so they
-    // run concurrently: sequential they cost m× the scheduler latency of
-    // one fit's rounds. Join order below stays 0..m-1 for a stable plan.
-    val fits = {
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration.Duration
-      import scala.concurrent.ExecutionContext.Implicits.global
-      Await.result(Future.sequence((0 until m).map { s0 => Future {
-        val sliced = base.select(col("pid"),
-          slice(col("pv"), s0 * subDim + 1, subDim).as("sv"))
-        Ivf.portableQuantizer(sliced, "pid", "sv", k, rounds)
-      }}), Duration.Inf)
+    // join order below stays 0..m-1 for a stable plan regardless of
+    // which concurrent fit finishes first
+    val fits = fitConcurrently(m) { s0 =>
+      val sliced = base.select(col("pid"),
+        slice(col("pv"), s0 * subDim + 1, subDim).as("sv"))
+      Ivf.portableQuantizer(sliced, "pid", "sv", k, rounds)
     }
     val cents = new Array[DataFrame](m)
     var codes = base.select("pid")

@@ -238,7 +238,8 @@ object LlmQueries {
              |  JOIN grams ga ON ga.doc_id = c.id1
              |  JOIN grams gb ON gb.doc_id = c.id2)
              |SELECT id1, id2, n1, n2, shared,
-             |       round(shared / n1, 4) AS c1, round(shared / n2, 4) AS c2
+             |       floor(shared / n1 * 10000 + 0.5) / 10000.0 AS c1,
+             |       floor(shared / n2 * 10000 + 0.5) / 10000.0 AS c2
              |FROM v
              |WHERE greatest(shared / n1, shared / n2) >= 0.5
              |ORDER BY id1, id2""".stripMargin)),

@@ -467,6 +467,14 @@ class LlmSpec extends SparkSpecBase {
       .toDF("doc_id", "text")
     assert(Dedup.containmentPairs(few, "doc_id", "text",
       n = 3, minContainment = 0.1, maxDf = 20).count() === 10L)
+
+    // duplicate-id input violates the operator's precondition but must
+    // degrade (df over-count), never crash: a row-count df >= 2 with ONE
+    // distinct doc would otherwise drive the pair generator's
+    // sequence(0, -1) into illegal element_at(ds, 0) calls
+    val dup = Seq((7L, core), (7L, core), (9L, other)).toDF("doc_id", "text")
+    assert(Dedup.containmentPairs(dup, "doc_id", "text",
+      n = 3, minContainment = 0.1, maxDf = 20).count() === 0L)
   }
 
   test("span coverage: minDf raises the sharing bar") {
