@@ -658,8 +658,14 @@ object Dedup {
     * touches full gram ARRAYS only for candidate docs (semi-join +
     * checkpoint, the ngramJaccard machinery) — recall guard: a pair
     * sharing ONLY above-cap boilerplate grams is not generated, the
-    * standard inverted-index posture. String grams keep every stage
-    * replayable by any engine (the oracle-green form).
+    * standard inverted-index posture. `hashGrams = true` (the default,
+    * ngramJaccard's convention) runs the whole pipeline over 64-bit
+    * gram hashes — 8 bytes a posting through the index and long-array
+    * set ops in the verify, the production path at corpus scale;
+    * `false` keeps raw string grams, replayable by any engine (the
+    * oracle-green registry form). Outputs are identical up to
+    * negligible 64-bit collisions (a spurious collision-candidate is
+    * killed by the exact verify).
     *
     * Precondition: `id` values are unique (the contract of every dedup
     * operator here — dedup exact copies first). Duplicate ids would make
@@ -667,9 +673,10 @@ object Dedup {
     * stage still guards itself (`size(ds) >= 2` below) so a duplicated
     * id degrades to df-miscounting, never a crash. */
   def containmentPairs(df: DataFrame, id: String, text: String, n: Int,
-                       minContainment: Double, maxDf: Int): DataFrame = {
+                       minContainment: Double, maxDf: Int,
+                       hashGrams: Boolean = true): DataFrame = {
     val toks = split(lower(col(text)), "\\s+")
-    val grams = wordGramsOfTk(n, hashGrams = false)
+    val grams = wordGramsOfTk(n, hashGrams)
     // tokens materialize through an exchange so the regex split runs once
     // per doc (the ngramJaccard lesson); the gram table is read three
     // times below (inverted index + both verify sides)

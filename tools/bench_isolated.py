@@ -32,9 +32,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 RATIO_MAX = float(sys.argv[2]) if len(sys.argv) > 2 else 1.2
 # the historically-spready trio (w6d 5.6x, p1 4.1x, j9 3.0x in r9) plus
-# three heavies covering graph / composed-pipeline / span-index families
+# three heavies covering graph / composed-pipeline / span-index families,
+# plus sim6 (concurrent per-subspace fits since r11 — the one query whose
+# cost model depends on free scheduler slots, exactly what a loaded suite
+# might not have)
 DEFAULT = ["w6d_kml", "p1_quality_filter", "j9_case_insensitive_join",
-           "g2_pagerank", "cur9_curation_deterministic", "dd14_span_removal"]
+           "g2_pagerank", "cur9_curation_deterministic", "dd14_span_removal",
+           "sim6_pq_ann"]
 NAMES = sys.argv[3:] or DEFAULT
 
 full_path = os.path.join(REPO, "bench_full.json")
