@@ -481,6 +481,49 @@ class LlmSpec extends SparkSpecBase {
       n = 3, minContainment = 0.1, maxDf = 20).count() === 0L)
   }
 
+  test("containment ≡ brute force on seeded random corpora (full rule replica)") {
+    val s = spark; import s.implicits._
+    val n = 3; val maxDf = 6; val minC = 0.3
+    // the EXACT operator rules in plain Scala: same tokenize (split keeps
+    // trailing empties like Spark's split), same short-tail gram (slice
+    // past the end truncates), same df-capped candidate gen, same
+    // floor-rounding
+    def gramsOf(text: String): Set[String] = {
+      val tk = text.toLowerCase.split("\\s+", -1).toSeq
+      val upper = math.max(tk.length - (n - 1), 1)
+      (1 to upper).map(i => tk.slice(i - 1, i - 1 + n).mkString(" ")).toSet
+    }
+    def brute(docs: Seq[(Long, String)]): Set[(Long, Long, Int, Int, Int, Double, Double)] = {
+      val g = docs.map { case (id, t) => id -> gramsOf(t) }.toMap
+      val df = g.values.flatten.groupBy(identity).map { case (k, v) => k -> v.size }
+      val pairable = df.collect { case (k, c) if c >= 2 && c <= maxDf => k }.toSet
+      def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000.0
+      (for {
+        Seq(a, b) <- docs.map(_._1).sorted.combinations(2).toSeq
+        if (g(a) & g(b)).exists(pairable.contains)
+        shared = (g(a) & g(b)).size
+        c1 = shared.toDouble / g(a).size; c2 = shared.toDouble / g(b).size
+        if math.max(c1, c2) >= minC
+      } yield (a, b, g(a).size, g(b).size, shared, r4(c1), r4(c2))).toSet
+    }
+    val rnd = new scala.util.Random(31)
+    val vocab = (0 until 25).map(i => s"w$i")
+    for (trial <- 0 until 3) {
+      val bases = (0L until 10L).map { id =>
+        id -> Seq.fill(6 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }
+      // plant two supersets so the containment-specific path is exercised
+      val docs = bases ++ Seq(
+        20L -> (bases(0)._2 + " " + Seq.fill(15)(vocab(rnd.nextInt(vocab.size))).mkString(" ")),
+        21L -> bases(1)._2)
+      val got = Dedup.containmentPairs(docs.toDF("doc_id", "text"),
+          "doc_id", "text", n, minC, maxDf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3),
+          r.getInt(4), r.getDouble(5), r.getDouble(6))).toSet
+      assert(got === brute(docs), s"trial $trial diverged from the brute-force rule")
+    }
+  }
+
   test("span coverage: minDf raises the sharing bar") {
     val s = spark; import s.implicits._
     val common = "alpha bravo charlie delta echo foxtrot golf hotel"

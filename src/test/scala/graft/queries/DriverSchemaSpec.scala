@@ -39,6 +39,14 @@ class DriverSchemaSpec extends SparkSpecBase {
     assert(DriverCompat.violations(registered.fn(spark, dir).schema).isEmpty)
   }
 
+  test("the driver's flagship entry returns rows with a driver-safe schema") {
+    // the driver smoke-checks rows > 0 on sf0.001; a local regression
+    // here must not first surface in the round harness
+    val df = graft.SparkEntry.entry(spark)
+    assert(DriverCompat.violations(df.schema).isEmpty)
+    assert(df.count() > 0)
+  }
+
   test("exemption list stays justified: every entry names a live query") {
     val names = graft.SparkEntry.all.map(_.name).toSet
     val dead = DriverCompat.exemptions.keys.filterNot(names.contains)
