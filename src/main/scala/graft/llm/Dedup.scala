@@ -663,9 +663,12 @@ object Dedup {
     * gram hashes — 8 bytes a posting through the index and long-array
     * set ops in the verify, the production path at corpus scale;
     * `false` keeps raw string grams, replayable by any engine (the
-    * oracle-green registry form). Outputs are identical up to
-    * negligible 64-bit collisions (a spurious collision-candidate is
-    * killed by the exact verify).
+    * oracle-green registry form). Outputs are identical up to 64-bit
+    * collisions, which the hashed path CANNOT detect (the verify
+    * intersects the same hash arrays, so a collision inflates shared
+    * and can merge two in-doc grams in n1/n2) — at ~10⁻¹⁹ per gram
+    * pair this is the standard accepted risk of every hashed-shingle
+    * pipeline here (dd1/dd5's posture), not an exactness guarantee.
     *
     * Precondition: `id` values are unique (the contract of every dedup
     * operator here — dedup exact copies first). Duplicate ids would make

@@ -446,10 +446,11 @@ class LlmSpec extends SparkSpecBase {
     val docs = Seq((1L, core), (2L, wrapper), (3L, other)).toDF("doc_id", "text")
     val out = Dedup.containmentPairs(docs, "doc_id", "text",
       n = 3, minContainment = 0.5, maxDf = 20).collect()
-    // hashed production path ≡ string oracle-green path, row for row
+    // hashed production path ≡ string oracle-green path (set compare:
+    // containmentPairs has no terminal orderBy, so row order is free)
     val str = Dedup.containmentPairs(docs, "doc_id", "text",
       n = 3, minContainment = 0.5, maxDf = 20, hashGrams = false).collect()
-    assert(out.map(_.toSeq).toSeq === str.map(_.toSeq).toSeq)
+    assert(out.map(_.toSeq).toSet === str.map(_.toSeq).toSet)
     assert(out.length === 1)
     val r = out.head
     assert((r.getLong(0), r.getLong(1)) === (1L, 2L))

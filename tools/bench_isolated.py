@@ -23,7 +23,7 @@ gate breach. Usage:
 
     python3 tools/bench_isolated.py [sfDir] [ratio] [names...]
 
-Defaults: sfDir=/root/testdata/sf0.1, ratio=1.2, the 6 queries below.
+Defaults: sfDir=/root/testdata/sf0.1, ratio=1.2, the 7 queries below.
 Requires a current bench_full.json (run `runMain graft.Bench` first).
 """
 import json, os, subprocess, sys
