@@ -727,6 +727,57 @@ object Dedup {
         (floor(col("c2") * 10000 + 0.5) / 10000.0).as("c2"))
   }
 
+  /** [[containmentPairs]] in the steady-state ingest shape (the
+    * dd9/dd11/dd18 posture): each NEW doc is checked for containment
+    * against the EXISTING corpus — "is this crawl fetch a wrapped or
+    * trimmed copy of something we already hold", the question an
+    * ingest gate actually asks, where in-batch pairing is dd19's job.
+    *
+    * Scale shape: the corpus gram index carries the df cap (constant
+    * count state per gram; floor is 1 not 2 — a df=1 corpus gram still
+    * pairs with batch docs), so per-gram fan-out into the candidate
+    * join is ≤ maxDf corpus docs per batch posting; the batch is small
+    * by definition. At 100 TB the capped corpus index is the persisted
+    * artifact and each ingest batch probes it — exactly dd11's
+    * signature-index pattern at the gram level. Verify reads full gram
+    * arrays for candidate docs only. Same hashGrams contract as
+    * [[containmentPairs]]. */
+  def containmentIncremental(df: DataFrame, id: String, text: String,
+                             isNew: Column, n: Int, minContainment: Double,
+                             maxDf: Int, hashGrams: Boolean = true): DataFrame = {
+    val toks = split(lower(col(text)), "\\s+")
+    val grams = wordGramsOfTk(n, hashGrams)
+    // one tokenize/gram pass, read three times (corpus index, batch
+    // index, both verify sides)
+    val g = df.select(col(id).cast("long").as("doc"), isNew.as("is_new"), toks.as("tk"))
+      .repartition(col("doc"))
+      .select(col("doc"), col("is_new"), grams.as("g"))
+      .localCheckpoint()
+    val invC = g.filter(!col("is_new"))
+      .select(col("doc").as("corpus_id"), explode(col("g")).as("gram"))
+    val pairable = invC.groupBy("gram").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("gram")
+    val invB = g.filter(col("is_new"))
+      .select(col("doc").as("new_id"), explode(col("g")).as("gram"))
+    val cands = invB
+      .join(invC.join(pairable, "gram"), "gram")
+      .select("new_id", "corpus_id").distinct()
+    cands
+      .join(g.select(col("doc").as("new_id"), col("g").as("gn")), "new_id")
+      .join(g.select(col("doc").as("corpus_id"), col("g").as("gc")), "corpus_id")
+      .select(col("new_id"), col("corpus_id"),
+        size(col("gn")).as("n_new"), size(col("gc")).as("n_corpus"),
+        size(array_intersect(col("gn"), col("gc"))).as("shared"))
+      .withColumn("c_new", col("shared").cast("double") / col("n_new"))
+      .withColumn("c_corpus", col("shared").cast("double") / col("n_corpus"))
+      .filter(greatest(col("c_new"), col("c_corpus")) >= minContainment)
+      // floor-fold rounding, never round() (the dd18/dd19 rule)
+      .select(col("new_id"), col("corpus_id"), col("n_new"), col("n_corpus"),
+        col("shared"),
+        (floor(col("c_new") * 10000 + 0.5) / 10000.0).as("c_new"),
+        (floor(col("c_corpus") * 10000 + 0.5) / 10000.0).as("c_corpus"))
+  }
+
   /** Test-set DECONTAMINATION: ids of training docs sharing any word
     * n-gram with a benchmark corpus (the GPT-3/LLaMA-style n-gram overlap
     * rule — training data containing eval text inflates benchmarks, so

@@ -212,18 +212,21 @@ object LlmQueries {
     // df-capped inverted gram index (constant state per gram — the dd8
     // posture; boilerplate grams with df>20 excluded, documented recall
     // guard), exact |A∩B|/|A| verify on full string-gram sets; every
-    // stage replays in DuckDB. PROOF query on the deterministic 1-in-5
-    // slice, the dd5b/dd6 convention: string-gram set ops over the full
-    // corpus's candidate volume measured 13 s at sf0.1 while proving
-    // nothing the slice doesn't (the operator itself is corpus-generic,
-    // and the hashed-gram candidate machinery is dd3/dd5's). ----
+    // stage replays in DuckDB. PROOF query on the doc_id < 1000 PREFIX,
+    // not the 1-in-5 modulo slice: containment partners are uniformly
+    // random in id, so a modulo slice keeps only 1/25 of pairs (ZERO at
+    // sf0.01 — a hollow query), while the prefix IS the full corpus at
+    // the correctness scales (≤500 docs → the 25 real pairs) and caps
+    // the bench scale's string-set cost (full 5000-doc corpus measured
+    // 13 s while proving nothing extra; the operator is corpus-generic
+    // and the hashed production path covers scale). ----
     QueryDef("dd19_containment",
       (s, d) => Dedup.containmentPairs(
-          t(s, d, "documents").filter(col("doc_id") % 5 === 0),
+          t(s, d, "documents").filter(col("doc_id") < 1000),
           "doc_id", "text", n = 3, minContainment = 0.5, maxDf = 20,
           hashGrams = false)
         .orderBy("id1", "id2"),
-      Some("""WITH docs5 AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+      Some("""WITH docs5 AS (SELECT * FROM documents WHERE doc_id < 1000),
              |grams AS (
              |  SELECT doc_id,
              |         list_distinct([array_to_string(tk[i:i+2], ' ')
@@ -250,6 +253,49 @@ object LlmQueries {
              |FROM v
              |WHERE greatest(shared / n1, shared / n2) >= 0.5
              |ORDER BY id1, id2""".stripMargin)),
+
+    // ---- incremental containment (the dd9/dd11/dd18 steady-state shape
+    // for dd19): each NEW doc probed against the EXISTING corpus's
+    // df-capped gram index — the "is this fetch a wrapped/trimmed copy
+    // of something we already hold" ingest gate. Same doc_id < 1000
+    // proof prefix + string grams for the oracle (see dd19's comment);
+    // the operator defaults to the hashed production path ----
+    QueryDef("dd20_incremental_containment",
+      (s, d) => Dedup.containmentIncremental(
+          t(s, d, "documents").filter(col("doc_id") < 1000),
+          "doc_id", "text", col("doc_id") % 3 === 1,
+          n = 3, minContainment = 0.5, maxDf = 20, hashGrams = false)
+        .orderBy("new_id", "corpus_id"),
+      Some("""WITH docs5 AS (
+             |  SELECT doc_id, (doc_id % 3 = 1) AS is_new, text
+             |  FROM documents WHERE doc_id < 1000),
+             |grams AS (
+             |  SELECT doc_id, is_new,
+             |         list_distinct([array_to_string(tk[i:i+2], ' ')
+             |                        FOR i IN generate_series(1, greatest(len(tk) - 2, 1))]) AS g
+             |  FROM (SELECT doc_id, is_new, string_split_regex(lower(text), '\s+') AS tk
+             |        FROM docs5)),
+             |invc AS (SELECT doc_id AS corpus_id, unnest(g) AS gram
+             |         FROM grams WHERE NOT is_new),
+             |pairable AS (SELECT gram FROM invc GROUP BY gram HAVING count(*) <= 20),
+             |invb AS (SELECT doc_id AS new_id, unnest(g) AS gram
+             |         FROM grams WHERE is_new),
+             |cands AS (
+             |  SELECT DISTINCT b.new_id, c.corpus_id
+             |  FROM invb b JOIN invc c USING (gram) JOIN pairable USING (gram)),
+             |v AS (
+             |  SELECT ca.new_id, ca.corpus_id,
+             |         len(gn.g)::INT AS n_new, len(gc.g)::INT AS n_corpus,
+             |         len(list_intersect(gn.g, gc.g))::INT AS shared
+             |  FROM cands ca
+             |  JOIN grams gn ON gn.doc_id = ca.new_id
+             |  JOIN grams gc ON gc.doc_id = ca.corpus_id)
+             |SELECT new_id, corpus_id, n_new, n_corpus, shared,
+             |       floor(shared / n_new * 10000 + 0.5) / 10000.0 AS c_new,
+             |       floor(shared / n_corpus * 10000 + 0.5) / 10000.0 AS c_corpus
+             |FROM v
+             |WHERE greatest(shared / n_new, shared / n_corpus) >= 0.5
+             |ORDER BY new_id, corpus_id""".stripMargin)),
 
     // ---- near-dup CONNECTED COMPONENTS (large-star/small-star): pairwise
     // near-dup under-deletes transitive groups (A~B, B~C, A!~C); clusters

@@ -482,6 +482,39 @@ class LlmSpec extends SparkSpecBase {
       n = 3, minContainment = 0.1, maxDf = 20).count() === 0L)
   }
 
+  test("incremental containment: ingest gate flags wrapped/trimmed re-fetches only") {
+    val s = spark; import s.implicits._
+    val core = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val wrapper = core + " " + (1 to 80).map(i => s"pad$i").mkString(" ")
+    val fresh = (50 to 90).map(i => s"new$i").mkString(" ")
+    // corpus holds the wrapper (id 2); the batch re-fetches its core
+    // (id 7, a TRIMMED copy) and one genuinely new doc (id 8)
+    val docs = Seq((2L, wrapper), (4L, (200 to 240).map(i => s"old$i").mkString(" ")),
+      (7L, core), (8L, fresh)).toDF("doc_id", "text")
+    val out = Dedup.containmentIncremental(docs, "doc_id", "text",
+      col("doc_id") >= 7, n = 3, minContainment = 0.5, maxDf = 20).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert((r.getLong(0), r.getLong(1)) === (7L, 2L))
+    assert(r.getDouble(5) === 1.0)  // core fully contained in the wrapper
+    assert(r.getInt(4) === r.getInt(2))
+    // hashed ≡ string (set compare; no terminal orderBy on the operator)
+    val str = Dedup.containmentIncremental(docs, "doc_id", "text",
+      col("doc_id") >= 7, n = 3, minContainment = 0.5, maxDf = 20,
+      hashGrams = false).collect()
+    assert(out.map(_.toSeq).toSet === str.map(_.toSeq).toSet)
+    // batch docs never pair with each other (in-batch pairing is dd19's
+    // job): two identical NEW docs over an unrelated corpus emit nothing
+    val twoNew = Seq((1L, (300 to 330).map(i => s"c$i").mkString(" ")),
+      (7L, core), (8L, core)).toDF("doc_id", "text")
+    assert(Dedup.containmentIncremental(twoNew, "doc_id", "text",
+      col("doc_id") >= 7, n = 3, minContainment = 0.5, maxDf = 20).count() === 0L)
+    // a df=1 corpus gram still pairs (the cap floor is 1, unlike dd19's 2)
+    val single = Seq((2L, wrapper), (7L, core)).toDF("doc_id", "text")
+    assert(Dedup.containmentIncremental(single, "doc_id", "text",
+      col("doc_id") === 7, n = 3, minContainment = 0.5, maxDf = 20).count() === 1L)
+  }
+
   test("containment ≡ brute force on seeded random corpora (full rule replica)") {
     val s = spark; import s.implicits._
     val n = 3; val maxDf = 6; val minC = 0.3

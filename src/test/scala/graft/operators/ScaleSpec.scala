@@ -334,7 +334,11 @@ class ScaleSpec extends SparkSpecBase {
       // dd19: gram-df agg (constant state) + pairable semi-join +
       // in-bucket pair expansion + distinct, then the two verify joins
       // (broadcast at audit scale) — never a gram self-join
-      "dd19_containment" -> "3/3/0/0/-")
+      "dd19_containment" -> "3/3/0/0/-",
+      // dd20: the ingest-gate shape — batch postings probe the df-capped
+      // corpus gram index (extra BHJ vs dd19: the batch⋈index join),
+      // distinct candidates, two verify joins
+      "dd20_incremental_containment" -> "3/4/0/0/-")
     try {
       val drift = graft.SparkEntry.all
         .filter(q => snapshot.contains(q.name))
@@ -344,7 +348,7 @@ class ScaleSpec extends SparkSpecBase {
           else Some(s"${q.name}: expected ${snapshot(q.name)}, got $live")
         }
       assert(drift.isEmpty, s"plan drift:\n${drift.mkString("\n")}")
-      assert(snapshot.size === 97)
+      assert(snapshot.size === 98)
     } finally sys.props.remove("graft.querymemo.disable")
   }
 
