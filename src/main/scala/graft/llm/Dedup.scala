@@ -710,22 +710,37 @@ object Dedup {
       .select(explode(pairExpr).as("p"))
       .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
       .distinct()
-    cands
-      .join(g.select(col("doc").as("id1"), col("g").as("g1")), "id1")
-      .join(g.select(col("doc").as("id2"), col("g").as("g2")), "id2")
-      .select(col("id1"), col("id2"),
-        size(col("g1")).as("n1"), size(col("g2")).as("n2"),
-        size(array_intersect(col("g1"), col("g2"))).as("shared"))
-      .withColumn("c1", col("shared").cast("double") / col("n1"))
-      .withColumn("c2", col("shared").cast("double") / col("n2"))
-      .filter(greatest(col("c1"), col("c2")) >= minContainment)
-      // floor(x·10⁴+0.5)/10⁴, NEVER round(): Spark's round() rounds the
-      // decimal expansion HALF_UP while DuckDB rounds the scaled double,
-      // so half-tie integer ratios flip between engines (the dd18 lesson)
-      .select(col("id1"), col("id2"), col("n1"), col("n2"), col("shared"),
-        (floor(col("c1") * 10000 + 0.5) / 10000.0).as("c1"),
-        (floor(col("c2") * 10000 + 0.5) / 10000.0).as("c2"))
+    verifyContainment(cands,
+      g.select(col("doc").as("id1"), col("g").as("__gl")),
+      g.select(col("doc").as("id2"), col("g").as("__gr")),
+      "id1", "id2", "n1", "n2", "c1", "c2", minContainment)
   }
+
+  /** Exact containment verify + threshold + rounding — ONE copy shared
+    * by [[containmentPairs]] and [[containmentIncremental]] so the
+    * floor(x·10⁴+0.5)/10⁴ rule can never drift between them. NEVER
+    * round(): Spark's round() rounds the decimal expansion HALF_UP
+    * while DuckDB rounds the scaled double, so half-tie integer ratios
+    * flip between engines (the dd18 lesson). `gLeft`/`gRight` carry
+    * (idCol, __gl/__gr gram arrays) — callers choose which docs each
+    * side reads, so cross-table variants compare the RIGHT copies. */
+  private def verifyContainment(cands: DataFrame,
+      gLeft: DataFrame, gRight: DataFrame,
+      leftId: String, rightId: String,
+      nL: String, nR: String, cL: String, cR: String,
+      minContainment: Double): DataFrame =
+    cands
+      .join(gLeft, leftId)
+      .join(gRight, rightId)
+      .select(col(leftId), col(rightId),
+        size(col("__gl")).as(nL), size(col("__gr")).as(nR),
+        size(array_intersect(col("__gl"), col("__gr"))).as("shared"))
+      .withColumn("__cl", col("shared").cast("double") / col(nL))
+      .withColumn("__cr", col("shared").cast("double") / col(nR))
+      .filter(greatest(col("__cl"), col("__cr")) >= minContainment)
+      .select(col(leftId), col(rightId), col(nL), col(nR), col("shared"),
+        (floor(col("__cl") * 10000 + 0.5) / 10000.0).as(cL),
+        (floor(col("__cr") * 10000 + 0.5) / 10000.0).as(cR))
 
   /** [[containmentPairs]] in the steady-state ingest shape (the
     * dd9/dd11/dd18 posture): each NEW doc is checked for containment
@@ -739,9 +754,16 @@ object Dedup {
     * join is ≤ maxDf corpus docs per batch posting; the batch is small
     * by definition. At 100 TB the capped corpus index is the persisted
     * artifact and each ingest batch probes it — exactly dd11's
-    * signature-index pattern at the gram level. Verify reads full gram
-    * arrays for candidate docs only. Same hashGrams contract as
-    * [[containmentPairs]]. */
+    * signature-index pattern at the gram level. The verify joins read
+    * the SPLIT sides (batch arrays vs corpus arrays), so a re-fetch
+    * that keeps its corpus doc_id compares its NEW text against the
+    * HELD text — the comparison the gate exists for — and the
+    * candidate side is batch-sized, so the corpus checkpoint is
+    * scanned once under a broadcast/AQE-sized join, never shuffled.
+    * Same hashGrams contract as [[containmentPairs]]. `isNew` must be
+    * NON-NULL for every row: a null evaluates false in BOTH filters
+    * and silently drops the doc from corpus and batch alike — coalesce
+    * upstream if the flag column is nullable. */
   def containmentIncremental(df: DataFrame, id: String, text: String,
                              isNew: Column, n: Int, minContainment: Double,
                              maxDf: Int, hashGrams: Boolean = true): DataFrame = {
@@ -762,20 +784,14 @@ object Dedup {
     val cands = invB
       .join(invC.join(pairable, "gram"), "gram")
       .select("new_id", "corpus_id").distinct()
-    cands
-      .join(g.select(col("doc").as("new_id"), col("g").as("gn")), "new_id")
-      .join(g.select(col("doc").as("corpus_id"), col("g").as("gc")), "corpus_id")
-      .select(col("new_id"), col("corpus_id"),
-        size(col("gn")).as("n_new"), size(col("gc")).as("n_corpus"),
-        size(array_intersect(col("gn"), col("gc"))).as("shared"))
-      .withColumn("c_new", col("shared").cast("double") / col("n_new"))
-      .withColumn("c_corpus", col("shared").cast("double") / col("n_corpus"))
-      .filter(greatest(col("c_new"), col("c_corpus")) >= minContainment)
-      // floor-fold rounding, never round() (the dd18/dd19 rule)
-      .select(col("new_id"), col("corpus_id"), col("n_new"), col("n_corpus"),
-        col("shared"),
-        (floor(col("c_new") * 10000 + 0.5) / 10000.0).as("c_new"),
-        (floor(col("c_corpus") * 10000 + 0.5) / 10000.0).as("c_corpus"))
+    // split verify sides: batch arrays for new_id, corpus arrays for
+    // corpus_id — an id present on BOTH sides (same-id re-fetch) joins
+    // each candidate row exactly once, new text against held text
+    verifyContainment(cands,
+      g.filter(col("is_new")).select(col("doc").as("new_id"), col("g").as("__gl")),
+      g.filter(!col("is_new")).select(col("doc").as("corpus_id"), col("g").as("__gr")),
+      "new_id", "corpus_id", "n_new", "n_corpus", "c_new", "c_corpus",
+      minContainment)
   }
 
   /** Test-set DECONTAMINATION: ids of training docs sharing any word

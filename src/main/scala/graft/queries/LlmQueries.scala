@@ -226,13 +226,13 @@ object LlmQueries {
           "doc_id", "text", n = 3, minContainment = 0.5, maxDf = 20,
           hashGrams = false)
         .orderBy("id1", "id2"),
-      Some("""WITH docs5 AS (SELECT * FROM documents WHERE doc_id < 1000),
+      Some("""WITH docs_prefix AS (SELECT * FROM documents WHERE doc_id < 1000),
              |grams AS (
              |  SELECT doc_id,
              |         list_distinct([array_to_string(tk[i:i+2], ' ')
              |                        FOR i IN generate_series(1, greatest(len(tk) - 2, 1))]) AS g
              |  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS tk
-             |        FROM docs5)),
+             |        FROM docs_prefix)),
              |inv AS (SELECT doc_id, unnest(g) AS gram FROM grams),
              |pairable AS (
              |  SELECT gram FROM inv GROUP BY gram HAVING count(*) BETWEEN 2 AND 20),
@@ -266,7 +266,7 @@ object LlmQueries {
           "doc_id", "text", col("doc_id") % 3 === 1,
           n = 3, minContainment = 0.5, maxDf = 20, hashGrams = false)
         .orderBy("new_id", "corpus_id"),
-      Some("""WITH docs5 AS (
+      Some("""WITH docs_prefix AS (
              |  SELECT doc_id, (doc_id % 3 = 1) AS is_new, text
              |  FROM documents WHERE doc_id < 1000),
              |grams AS (
@@ -274,7 +274,7 @@ object LlmQueries {
              |         list_distinct([array_to_string(tk[i:i+2], ' ')
              |                        FOR i IN generate_series(1, greatest(len(tk) - 2, 1))]) AS g
              |  FROM (SELECT doc_id, is_new, string_split_regex(lower(text), '\s+') AS tk
-             |        FROM docs5)),
+             |        FROM docs_prefix)),
              |invc AS (SELECT doc_id AS corpus_id, unnest(g) AS gram
              |         FROM grams WHERE NOT is_new),
              |pairable AS (SELECT gram FROM invc GROUP BY gram HAVING count(*) <= 20),

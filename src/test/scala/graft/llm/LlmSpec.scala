@@ -513,6 +513,15 @@ class LlmSpec extends SparkSpecBase {
     val single = Seq((2L, wrapper), (7L, core)).toDF("doc_id", "text")
     assert(Dedup.containmentIncremental(single, "doc_id", "text",
       col("doc_id") === 7, n = 3, minContainment = 0.5, maxDf = 20).count() === 1L)
+    // same-id re-fetch: the verify reads the SPLIT sides, so id 2's NEW
+    // text (the trimmed core) compares against id 2's HELD text (the
+    // wrapper) — one row, new-side sizes from the batch copy
+    val refetch = Seq((2L, wrapper), (2L, core)).toDF("doc_id", "text")
+    val rf = Dedup.containmentIncremental(refetch, "doc_id", "text",
+      col("text") === core, n = 3, minContainment = 0.5, maxDf = 20).collect()
+    assert(rf.length === 1)
+    assert((rf.head.getLong(0), rf.head.getLong(1)) === (2L, 2L))
+    assert(rf.head.getInt(2) === 18 && rf.head.getDouble(5) === 1.0)
   }
 
   test("containment ≡ brute force on seeded random corpora (full rule replica)") {
