@@ -529,6 +529,19 @@ object Dedup {
       .filter(col("dist") <= maxDist)
   }
 
+  /** The distinct word-n-gram array over the let-bound token column
+    * `tk` — THE tokenize/gram definition shared by [[ngramJaccard]] and
+    * [[containmentPairs]] (and mirrored verbatim by their DuckDB
+    * oracles' `array_to_string(tk[i:i+n-1])` comprehension): one copy,
+    * so a tokenization fix can never desynchronize the two operators
+    * from each other or from their twins. */
+  private def wordGramsOfTk(n: Int, hashGrams: Boolean): Column = {
+    val gram = (i: Column) => concat_ws(" ", slice(col("tk"), i, lit(n)))
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(col("tk")) - (n - 1), lit(1))),
+      i => if (hashGrams) xxhash64(gram(i)) else gram(i)))
+  }
+
   /** Word n-gram Jaccard similarity for a candidate pair set. Grams are
     * hashed to longs before the set ops (exact up to 64-bit collisions);
     * `hashGrams = false` keeps raw string grams — slower set ops, but the
@@ -561,19 +574,6 @@ object Dedup {
     * corpus's jaccard gap, not a universal guarantee. Prefilter requires
     * `hashGrams` (the sketch hashes ARE the grams); the portable string
     * path never thresholds. */
-  /** The distinct word-n-gram array over the let-bound token column
-    * `tk` — THE tokenize/gram definition shared by [[ngramJaccard]] and
-    * [[containmentPairs]] (and mirrored verbatim by their DuckDB
-    * oracles' `array_to_string(tk[i:i+n-1])` comprehension): one copy,
-    * so a tokenization fix can never desynchronize the two operators
-    * from each other or from their twins. */
-  private def wordGramsOfTk(n: Int, hashGrams: Boolean): Column = {
-    val gram = (i: Column) => concat_ws(" ", slice(col("tk"), i, lit(n)))
-    array_distinct(transform(
-      sequence(lit(1), greatest(size(col("tk")) - (n - 1), lit(1))),
-      i => if (hashGrams) xxhash64(gram(i)) else gram(i)))
-  }
-
   def ngramJaccard(df: DataFrame, id: String, text: String, n: Int,
                    pairs: DataFrame, hashGrams: Boolean = true,
                    minJaccard: Double = 0.0, estMargin: Double = -1,

@@ -28,12 +28,26 @@ object Pq {
     * the sequential chain costs m× the wall of one. Shared by the MLlib
     * and portable paths so a concurrency tweak lands once. Each fit is a
     * pure function of its slice + seed: interleaving never changes the
-    * models. */
+    * models.
+    *
+    * Each fit runs on its OWN short-lived thread (m is 4-8, a fit blocks
+    * for seconds on Spark jobs): a fit parked on the shared fork-join
+    * pool would starve every other global-EC user for its whole
+    * duration, and Spark's thread-local job properties (job group /
+    * scheduler pool, what setJobGroup-based cancellation keys on) are
+    * inherited at THREAD CREATION, so fits must not ride pre-existing
+    * pool threads — a dedicated thread created here inherits the
+    * caller's InheritableThreadLocal properties and a job-group cancel
+    * covers the concurrent fits too. */
   private def fitConcurrently[T](m: Int)(fit: Int => T): IndexedSeq[T] = {
-    import scala.concurrent.{Await, Future}
+    import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
-    Await.result(Future.sequence((0 until m).map(s => Future(fit(s)))), Duration.Inf)
+    implicit val ec: scala.concurrent.ExecutionContextExecutorService =
+      ExecutionContext.fromExecutorService(
+        java.util.concurrent.Executors.newFixedThreadPool(m))
+    try Await.result(
+      Future.sequence((0 until m).map(s => Future(fit(s)))), Duration.Inf)
+    finally ec.shutdown()
   }
 
   /** Per-subspace codebooks + the encoded corpus (id, codes array<int>).

@@ -9,8 +9,21 @@ import org.scalatest.funsuite.AnyFunSuite
   * artifacts" a compile-adjacent assert instead of a checklist item. */
 class ArtifactsSpec extends AnyFunSuite {
 
+  /** The artifacts live at the REPO ROOT, not wherever the test JVM was
+    * launched: walk up from user.dir to the nearest directory holding
+    * build.sbt so a forked-JVM or IDE run (different CWD) still reads the
+    * committed artifacts instead of dying on FileNotFoundException. */
+  private val repoRoot: java.nio.file.Path = {
+    var d = java.nio.file.Paths.get(sys.props("user.dir")).toAbsolutePath
+    while (d != null && !java.nio.file.Files.exists(d.resolve("build.sbt")))
+      d = d.getParent
+    require(d != null,
+      s"no build.sbt above ${sys.props("user.dir")} — run tests from inside the repo")
+    d
+  }
+
   private def read(p: String): String =
-    new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)),
+    new String(java.nio.file.Files.readAllBytes(repoRoot.resolve(p)),
       java.nio.charset.StandardCharsets.UTF_8)
 
   test("PLANS.md has a row for every registered query") {
