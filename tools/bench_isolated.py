@@ -18,15 +18,35 @@ nothing shared), and asserts:
 isolated session is the comparable estimator; historically in-suite minima
 sit AT OR BELOW isolated ones because the suite amortizes codegen).
 
-Writes bench_isolated.json next to bench_full.json and exits nonzero on a
-gate breach. Usage:
+SELF-ADJUDICATION (the r11 w6d_kml lesson: a single-sample 1.2x gate on a
++-0.5s query trips on noise, and the exoneration lived only in NOTES prose):
+a first-pass breach is a HYPOTHESIS, not a verdict. On breach the gate
+re-measures the isolated side K-1 more times (K fresh JVMs total, each
+min-of-REPEATS internally), gates on the MEDIAN of the K isolated minima,
+and writes every sample plus a machine verdict into bench_isolated.json:
+
+    noise        — the median-isolated ratio clears RATIO_MAX: the first
+                   isolated sample was a lucky-low outlier; not a breach.
+    interference — the ratio holds against the median: the query really is
+                   slower in-suite than in a session of its own.
+
+The in-suite side is already a min-of-REPEATS over full-suite passes (its
+spread and cold columns from bench_full.json are copied into the artifact
+for context), so the single-sample hazard lives on the isolated side — that
+is the side the adjudication resamples. Only `interference` verdicts remain
+in `breaches` / fail the exit code; `noise` trips are recorded under
+`noise_trips` with their full sample evidence.
+
+Writes bench_isolated.json next to bench_full.json and exits nonzero on an
+adjudicated breach. Usage:
 
     python3 tools/bench_isolated.py [sfDir] [ratio] [names...]
 
-Defaults: sfDir=/root/testdata/sf0.1, ratio=1.2, the 7 queries below.
+Defaults: sfDir=/root/testdata/sf0.1, ratio=1.2, the 7 queries below,
+K=SPARK_GRAFT_ADJUDICATE_RUNS (default 3).
 Requires a current bench_full.json (run `runMain graft.Bench` first).
 """
-import json, os, subprocess, sys
+import json, os, statistics, subprocess, sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
@@ -40,6 +60,7 @@ DEFAULT = ["w6d_kml", "p1_quality_filter", "j9_case_insensitive_join",
            "g2_pagerank", "cur9_curation_deterministic", "dd14_span_removal",
            "sim6_pq_ann"]
 NAMES = sys.argv[3:] or DEFAULT
+ADJ_RUNS = max(int(os.environ.get("SPARK_GRAFT_ADJUDICATE_RUNS", "3")), 2)
 
 full_path = os.path.join(REPO, "bench_full.json")
 with open(full_path) as f:
@@ -48,16 +69,16 @@ if os.path.basename(full.get("sf", "")) != os.path.basename(SF):
     print(f"bench_full.json is for sf={full.get('sf')}, gate asked for {SF}")
     sys.exit(2)
 suite_min = full["queries"]
+suite_spread = full.get("spread", {})
+suite_cold = full.get("cold", {})
 
 env = dict(os.environ, SPARK_GRAFT_SF_DIR=SF)
-rows = {}
-breaches = []
-for name in NAMES:
-    if name not in suite_min:
-        print(f"[isolated] {name}: not in bench_full.json, skipping")
-        continue
-    # fresh JVM per query: sbt -batch is a new process, runMain a new
-    # SparkSession; bench writes the name-filtered run to bench_partial.json
+
+
+def isolated_run(name):
+    """One fresh JVM (sbt -batch => new process, runMain => new
+    SparkSession); bench writes the name-filtered run to
+    bench_partial.json and reports the min over its internal repeats."""
     r = subprocess.run(
         ["sbt", "-batch", f"runMain graft.Bench {name}"],
         cwd=REPO, env=env, capture_output=True, text=True, timeout=3600)
@@ -65,25 +86,57 @@ for name in NAMES:
         print((r.stdout + r.stderr)[-2000:])
         sys.exit(1)
     with open(os.path.join(REPO, "bench_partial.json")) as f:
-        part = json.load(f)
-    iso = part["queries"][name]
+        return json.load(f)["queries"][name]
+
+
+rows = {}
+breaches = []
+noise_trips = []
+for name in NAMES:
+    if name not in suite_min:
+        print(f"[isolated] {name}: not in bench_full.json, skipping")
+        continue
+    iso_samples = [isolated_run(name)]
     ins = suite_min[name]
-    ratio = ins / iso if iso > 0 else float("inf")
-    rows[name] = {"isolated_min_sec": round(iso, 3),
-                  "in_suite_min_sec": round(ins, 3),
-                  "ratio": round(ratio, 3)}
-    verdict = "OK" if ratio <= RATIO_MAX else "BREACH"
-    print(f"[isolated] {name}: isolated {iso:.3f}s  in-suite {ins:.3f}s  "
-          f"ratio {ratio:.2f}  {verdict}")
+    ratio = ins / iso_samples[0] if iso_samples[0] > 0 else float("inf")
+    row = {"isolated_min_sec": round(iso_samples[0], 3),
+           "in_suite_min_sec": round(ins, 3),
+           "in_suite_spread": suite_spread.get(name),
+           "in_suite_cold_sec": suite_cold.get(name),
+           "ratio": round(ratio, 3)}
     if ratio > RATIO_MAX:
-        breaches.append(name)
+        # first-pass breach: resample the isolated side to K fresh-JVM
+        # minima and adjudicate on the median ratio
+        print(f"[isolated] {name}: first-pass ratio {ratio:.2f} > "
+              f"{RATIO_MAX} — adjudicating with {ADJ_RUNS - 1} more "
+              f"fresh-JVM run(s)")
+        while len(iso_samples) < ADJ_RUNS:
+            iso_samples.append(isolated_run(name))
+        med = statistics.median(iso_samples)
+        ratio_med = ins / med if med > 0 else float("inf")
+        verdict = "noise" if ratio_med <= RATIO_MAX else "interference"
+        row["adjudication"] = {
+            "isolated_samples_sec": [round(s, 3) for s in iso_samples],
+            "median_isolated_sec": round(med, 3),
+            "ratio_vs_median": round(ratio_med, 3),
+            "verdict": verdict}
+        (breaches if verdict == "interference" else noise_trips).append(name)
+        print(f"[isolated] {name}: samples "
+              f"{[round(s, 3) for s in iso_samples]}  median {med:.3f}s  "
+              f"ratio-vs-median {ratio_med:.2f}  verdict {verdict.upper()}")
+    else:
+        print(f"[isolated] {name}: isolated {iso_samples[0]:.3f}s  "
+              f"in-suite {ins:.3f}s  ratio {ratio:.2f}  OK")
+    rows[name] = row
 
 out = {"sf": SF, "ratio_max": RATIO_MAX, "repeats_env":
-       os.environ.get("SPARK_GRAFT_REPEATS", "3"), "queries": rows,
-       "breaches": breaches}
+       os.environ.get("SPARK_GRAFT_REPEATS", "3"),
+       "adjudicate_runs": ADJ_RUNS, "queries": rows,
+       "breaches": breaches, "noise_trips": noise_trips}
 with open(os.path.join(REPO, "bench_isolated.json"), "w") as f:
     json.dump(out, f, indent=1)
     f.write("\n")
 print(f"[isolated] wrote bench_isolated.json; "
-      f"{len(breaches)} breach(es) at ratio_max={RATIO_MAX}")
+      f"{len(breaches)} adjudicated breach(es), {len(noise_trips)} noise "
+      f"trip(s) at ratio_max={RATIO_MAX}")
 sys.exit(1 if breaches else 0)
