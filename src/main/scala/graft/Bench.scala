@@ -59,7 +59,10 @@ object Bench {
     "g2_pagerank", "emb1_covariance", "ev2_funnel", "ts14_heavy_hitters",
     "g7_personalized_pagerank", "g8_triangles", "g9_kcore",
     "dd13_line_dedup", "dd14_span_removal", "j10_bloom_prune",
-    "emb4_correlation")
+    "emb4_correlation",
+    // r12 additions: the containment production path and the estimate
+    // tier — both full-corpus and historically the suite's heavier tail
+    "dd19b_containment_hashed", "dd21_containment_estimate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -149,10 +149,7 @@ object Graph {
     // reference), so one eager checkpoint per round is the sweet spot.
     for (step <- 1 to iters) {
       val rankSide = if (copartition) ranks.hint("shuffle_hash") else broadcast(ranks)
-      val contrib = shareAll
-        .join(rankSide, shareAll("src") === rankSide("node"))
-        .groupBy(col("dst")).agg(sum(col("share") * col("r")).as("contrib"))
-        .localCheckpoint()
+      val contrib = contribOf(shareAll, rankSide).localCheckpoint()
       // the dangling mass is ONE value of the checkpointed (node-sized)
       // contrib table — it rides as a LAZY 1-row aggregate crossJoined
       // back as a broadcast row (HITS's normalizer pattern: the explicit
@@ -205,6 +202,42 @@ object Graph {
     * then reads it co-located. A pure function of (nodes, edges,
     * copartition), so g2/g7 (same edges, different teleport) memoize ONE
     * build and pass it via `shareAllPre`. */
+  /** The per-round contribution aggregate — THE shuffle every pagerank
+    * round pays, and the stage a power-law hot node stresses at 100×:
+    * all of the hot node's in-edges key to ONE dst. Safety rests on
+    * map-side PARTIAL aggregation (sum is algebraic, so each map task
+    * folds its slice of the hot key to a single row and the final
+    * aggregate receives at most one row per task per key, never the raw
+    * in-degree) — GraphSpec pins that property on this exact plan via
+    * [[pagerankContribAudit]] with a planted 100×-median-degree node.
+    * ONE copy used by the loop and the audit so the pinned plan can't
+    * drift from the shipped one. HITS' half-steps and label
+    * propagation's (nd, label) count share the same
+    * algebraic-groupBy-sum shape and inherit the same absorption. */
+  private def contribOf(shareAll: DataFrame, rankSide: DataFrame): DataFrame =
+    shareAll
+      .join(rankSide, shareAll("src") === rankSide("node"))
+      .groupBy(col("dst")).agg(sum(col("share") * col("r")).as("contrib"))
+
+  /** Round-1 contrib plan, un-checkpointed, for GraphSpec's skew audit:
+    * the loop's own stage construction (same shareTable, same
+    * rank-delivery mode) with the checkpoint left off so the physical
+    * aggregate is inspectable. */
+  private[graft] def pagerankContribAudit(nodes: DataFrame, edges: DataFrame,
+                                          copartition: Boolean): DataFrame = {
+    val ndPlan = nodes.select(col("node"))
+    val nd = (if (copartition) ndPlan.repartition(col("node")) else ndPlan)
+      .localCheckpoint()
+    val n = nd.count().toDouble
+    // checkpointed like the loop's persisted shareAll: the audited plan
+    // must be the STEADY-STATE round (share table already materialized,
+    // its one-time dangling-sink build not re-printed into every round)
+    val shareAll = shareTable(nd, edges, copartition).localCheckpoint()
+    val ranks = nd.withColumn("r", lit(1.0 / n)).localCheckpoint()
+    val rankSide = if (copartition) ranks.hint("shuffle_hash") else broadcast(ranks)
+    contribOf(shareAll, rankSide)
+  }
+
   def shareTable(nodes: DataFrame, edges: DataFrame,
                  copartition: Boolean = false): DataFrame = {
     val nd = nodes.select(col("node"))

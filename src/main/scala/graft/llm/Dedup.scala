@@ -530,11 +530,12 @@ object Dedup {
   }
 
   /** The distinct word-n-gram array over the let-bound token column
-    * `tk` — THE tokenize/gram definition shared by [[ngramJaccard]] and
-    * [[containmentPairs]] (and mirrored verbatim by their DuckDB
-    * oracles' `array_to_string(tk[i:i+n-1])` comprehension): one copy,
-    * so a tokenization fix can never desynchronize the two operators
-    * from each other or from their twins. */
+    * `tk` — THE tokenize/gram definition shared by [[ngramJaccard]],
+    * [[containmentPairs]], and [[containmentEstimatePairs]] (and
+    * mirrored verbatim by their DuckDB oracles'
+    * `array_to_string(tk[i:i+n-1])` comprehension): one copy, so a
+    * tokenization fix can never desynchronize the operators from each
+    * other or from their twins. */
   private def wordGramsOfTk(n: Int, hashGrams: Boolean): Column = {
     val gram = (i: Column) => concat_ws(" ", slice(col("tk"), i, lit(n)))
     array_distinct(transform(
@@ -688,18 +689,36 @@ object Dedup {
       .select(col("doc"), grams.as("g"))
       .localCheckpoint()
     // (doc, gram) is distinct by construction (array_distinct per doc),
-    // so count(*) per gram IS the document frequency — constant state
+    // so count(*) per gram IS the document frequency — constant state.
+    // The df table feeds TWO consumers (pairable grams + the per-doc
+    // above-cap counts for the prune below), so it is checkpointed once
+    // instead of re-running the explode+agg per consumer.
     val inv = g.select(col("doc"), explode(col("g")).as("gram"))
-    val pairable = inv.groupBy("gram").agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2 && col("df") <= maxDf)
+    val dfTab = inv.groupBy("gram").agg(count(lit(1)).as("df"))
+      .localCheckpoint()
+    val pairable = dfTab.filter(col("df") >= 2 && col("df") <= maxDf)
       .select("gram")
     // per-gram doc sets are ≤ maxDf rows — bounded aggregate state; the
     // in-bucket pair expansion is a bounded generator, never a self-join
-    val pairExpr = flatten(transform(
-      sequence(lit(0), size(col("ds")) - 2),
-      i => transform(sequence(i + 1, size(col("ds")) - 1),
-        j => struct(element_at(col("ds"), i + 1).as("id1"),
-                    element_at(col("ds"), j + 1).as("id2")))))
+    val pairExpr = inBucketPairs
+    // EXACT candidate prune (the r12 finding: the capped index still
+    // emitted 1.12M candidate pairs at sf0.1, ~9% of ALL doc pairs, and
+    // the exact verify on them was half the operator's cost). For a pair,
+    // shared <= C + min(a1, a2): a shared gram is either pairable
+    // (df in [2, maxDf] — counted EXACTLY by C, the number of buckets
+    // that generated the pair) or above-cap (bounded by either doc's
+    // above-cap gram count a_i; df=1 grams are in one doc only and can't
+    // be shared). So max(c1, c2) = shared/min(n1, n2) is bounded by
+    // (C + min(a1, a2))/min(n1, n2), and a pair whose BOUND misses the
+    // threshold can never verify — dropping it loses nothing. The
+    // groupBy(id1, id2) count is the same shuffle the old distinct()
+    // paid, and the doc-stats join is dim-sized (one row per doc).
+    val aboveCap = dfTab.filter(col("df") > maxDf).select("gram")
+    val stats = g.select(col("doc"), size(col("g")).as("__n"))
+      .join(inv.join(aboveCap, "gram")
+              .groupBy("doc").agg(count(lit(1)).as("__a")),
+            Seq("doc"), "left")
+      .na.fill(0, Seq("__a"))
     val cands = inv.join(pairable, "gram")
       .groupBy("gram").agg(sort_array(collect_set(col("doc"))).as("ds"))
       // defensive re-check on DISTINCT docs: under a duplicate-id input
@@ -709,12 +728,32 @@ object Dedup {
       .filter(size(col("ds")) >= 2)
       .select(explode(pairExpr).as("p"))
       .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
-      .distinct()
+      .groupBy("id1", "id2").agg(count(lit(1)).as("__c"))
+      .join(stats.select(col("doc").as("id1"),
+        col("__n").as("__n1"), col("__a").as("__a1")), "id1")
+      .join(stats.select(col("doc").as("id2"),
+        col("__n").as("__n2"), col("__a").as("__a2")), "id2")
+      .filter((col("__c") + least(col("__a1"), col("__a2"))).cast("double") /
+        least(col("__n1"), col("__n2")) >= minContainment)
+      .select("id1", "id2")
     verifyContainment(cands,
       g.select(col("doc").as("id1"), col("g").as("__gl")),
       g.select(col("doc").as("id2"), col("g").as("__gr")),
       "id1", "id2", "n1", "n2", "c1", "c2", minContainment)
   }
+
+  /** The bounded in-bucket pair generator over a sorted doc-set column
+    * `ds` — all (i, j) i<j pairs as structs, ≤ |ds|²/2 per row by
+    * construction, never a bucket self-join. ONE copy shared by every
+    * bucketed candidate stage ([[containmentPairs]],
+    * [[containmentEstimatePairs]]) so the generator's bounds can't
+    * drift. Callers must pre-filter `size(ds) >= 2`: a 1-element ds
+    * would drive sequence(0, -1) into illegal element_at(ds, 0). */
+  private def inBucketPairs: Column = flatten(transform(
+    sequence(lit(0), size(col("ds")) - 2),
+    i => transform(sequence(i + 1, size(col("ds")) - 1),
+      j => struct(element_at(col("ds"), i + 1).as("id1"),
+                  element_at(col("ds"), j + 1).as("id2")))))
 
   /** Exact containment verify + threshold + rounding — ONE copy shared
     * by [[containmentPairs]] and [[containmentIncremental]] so the
@@ -723,24 +762,28 @@ object Dedup {
     * while DuckDB rounds the scaled double, so half-tie integer ratios
     * flip between engines (the dd18 lesson). `gLeft`/`gRight` carry
     * (idCol, __gl/__gr gram arrays) — callers choose which docs each
-    * side reads, so cross-table variants compare the RIGHT copies. */
+    * side reads, so cross-table variants compare the RIGHT copies.
+    * `extra` columns on `cands` (e.g. a sketch estimate audited against
+    * the exact value) pass through to the output unchanged. */
   private def verifyContainment(cands: DataFrame,
       gLeft: DataFrame, gRight: DataFrame,
       leftId: String, rightId: String,
       nL: String, nR: String, cL: String, cR: String,
-      minContainment: Double): DataFrame =
+      minContainment: Double, extra: Seq[String] = Nil): DataFrame =
     cands
       .join(gLeft, leftId)
       .join(gRight, rightId)
-      .select(col(leftId), col(rightId),
+      .select(Seq(col(leftId), col(rightId),
         size(col("__gl")).as(nL), size(col("__gr")).as(nR),
-        size(array_intersect(col("__gl"), col("__gr"))).as("shared"))
+        size(array_intersect(col("__gl"), col("__gr"))).as("shared")) ++
+        extra.map(col): _*)
       .withColumn("__cl", col("shared").cast("double") / col(nL))
       .withColumn("__cr", col("shared").cast("double") / col(nR))
       .filter(greatest(col("__cl"), col("__cr")) >= minContainment)
-      .select(col(leftId), col(rightId), col(nL), col(nR), col("shared"),
+      .select(Seq(col(leftId), col(rightId), col(nL), col(nR), col("shared"),
         (floor(col("__cl") * 10000 + 0.5) / 10000.0).as(cL),
-        (floor(col("__cr") * 10000 + 0.5) / 10000.0).as(cR))
+        (floor(col("__cr") * 10000 + 0.5) / 10000.0).as(cR)) ++
+        extra.map(col): _*)
 
   /** [[containmentPairs]] in the steady-state ingest shape (the
     * dd9/dd11/dd18 posture): each NEW doc is checked for containment
@@ -777,13 +820,39 @@ object Dedup {
       .localCheckpoint()
     val invC = g.filter(!col("is_new"))
       .select(col("doc").as("corpus_id"), explode(col("g")).as("gram"))
-    val pairable = invC.groupBy("gram").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf).select("gram")
+    // corpus-side df feeds pairable grams AND the above-cap counts for
+    // the exact prune — checkpointed once (containmentPairs' posture)
+    val dfTab = invC.groupBy("gram").agg(count(lit(1)).as("df"))
+      .localCheckpoint()
+    val pairable = dfTab.filter(col("df") <= maxDf).select("gram")
     val invB = g.filter(col("is_new"))
       .select(col("doc").as("new_id"), explode(col("g")).as("gram"))
+    // the containmentPairs exact prune in the ingest shape: a shared
+    // gram is either in the capped corpus index (counted EXACTLY by C =
+    // the per-pair posting-match count) or above-cap in the corpus
+    // (bounded by either side's above-cap gram count; a batch gram
+    // absent from the corpus index is in no corpus doc and can't be
+    // shared), so shared <= C + min(a_new, a_corpus) and pairs whose
+    // bound misses the threshold skip the array verify with zero recall
+    // loss
+    val aboveCap = dfTab.filter(col("df") > maxDf).select("gram")
+    val aNew = invB.join(aboveCap, "gram")
+      .groupBy("new_id").agg(count(lit(1)).as("__a"))
+    val aCorpus = invC.join(aboveCap, "gram")
+      .groupBy("corpus_id").agg(count(lit(1)).as("__a"))
+    def stats(side: Column, idName: String, a: DataFrame) =
+      g.filter(side).select(col("doc").as(idName), size(col("g")).as("__n"))
+        .join(a, Seq(idName), "left").na.fill(0, Seq("__a"))
     val cands = invB
       .join(invC.join(pairable, "gram"), "gram")
-      .select("new_id", "corpus_id").distinct()
+      .groupBy("new_id", "corpus_id").agg(count(lit(1)).as("__c"))
+      .join(stats(col("is_new"), "new_id", aNew)
+        .select(col("new_id"), col("__n").as("__n1"), col("__a").as("__a1")), "new_id")
+      .join(stats(!col("is_new"), "corpus_id", aCorpus)
+        .select(col("corpus_id"), col("__n").as("__n2"), col("__a").as("__a2")), "corpus_id")
+      .filter((col("__c") + least(col("__a1"), col("__a2"))).cast("double") /
+        least(col("__n1"), col("__n2")) >= minContainment)
+      .select("new_id", "corpus_id")
     // split verify sides: batch arrays for new_id, corpus arrays for
     // corpus_id — an id present on BOTH sides (same-id re-fetch) joins
     // each candidate row exactly once, new text against held text
@@ -792,6 +861,139 @@ object Dedup {
       g.filter(!col("is_new")).select(col("doc").as("corpus_id"), col("g").as("__gr")),
       "new_id", "corpus_id", "n_new", "n_corpus", "c_new", "c_corpus",
       minContainment)
+  }
+
+  /** Containment pairs via MINHASH-SKETCH candidates — the LSH-Ensemble
+    * estimation tier (Zhu, Nazi, He, Miller, "LSH Ensemble: Internet-Scale
+    * Domain Search", VLDB 2016) that completes [[containmentPairs]]'s
+    * recall story IN ITS OWN GRAM SPACE: both operators measure
+    * containment over the SAME distinct word n-grams ([[wordGramsOfTk]],
+    * one shared definition), but the inverted-index form drops grams
+    * with df > maxDf before pairing, so a pair sharing ONLY boilerplate
+    * grams is never a candidate there. This form generates candidates
+    * from MinHash signatures over the doc's FULL gram set — document
+    * frequency never enters the sketch, so the boilerplate-only pair is
+    * exactly as discoverable as any other pair of the same Jaccard.
+    * (Character shingles were measured and rejected for this tier: on
+    * short docs the char-5 background similarity is so high that ≥0.5
+    * shingle containment holds for ~0.5% of ALL pairs at sf0.1 — the
+    * word-gram space is what makes the threshold discriminating, and it
+    * keeps the two tiers' verdicts comparable.) Grams ride the md5-28
+    * portable base (`('0x' || substr(md5(gram), 1, 7))::BIGINT`), the
+    * signature the shared LCG family — every stage engine-replayable.
+    *
+    * Adaptation of the paper to a batch pairwise job: LSH Ensemble
+    * partitions the indexed sets by SIZE and converts the containment
+    * threshold to a per-partition Jaccard threshold through the
+    * partition's size bounds — an index-time artifact, needed because a
+    * query-time probe can't know every candidate's exact size. A batch
+    * job holds every set's exact size, so the partition bound collapses
+    * to its limit: per PAIR, t-containment implies
+    * J >= J* = t·min(n1,n2)/(n1+n2−t·min(n1,n2)) (the paper's eq. with
+    * exact sizes for the bounds), and the sketch filter keeps a pair iff
+    * its signature agreement clears J* minus a 2.5σ binomial margin —
+    * dd5's documented prefilter posture: a true-boundary pair is missed
+    * with P ≈ Φ(−2.5) ≈ 0.6%, everything meaningfully above survives
+    * essentially always, and the filter is DETERMINISTIC given the
+    * hashes, so DuckDB replays it bit-for-bit. No margin is applied in
+    * containment space: the J→c conversion amplifies sketch noise by
+    * (n1+n2)/min/(1+J)² — up to (1+R) at size ratio R — which is the
+    * paper's own motivation for bounding R per partition; filtering in
+    * J-space sidesteps the amplification entirely. `maxSizeRatio` bounds
+    * the pair search the way the paper's partition range does (a 0.5
+    * containment at 20× size ratio is J ≈ 0.025 — beneath any sketch's
+    * resolution; raise numHashes if you raise the ratio). Banding recall
+    * at the (t=0.5, R=8) corner is 1−(1−J)^32 ≈ 86%, above 99% for
+    * R ≤ 3 — raise numHashes for tighter corners.
+    *
+    * Scale shape: one pass per doc builds the gram-hash set, its size,
+    * and the signature (checkpointed once, read by buckets, stats, and
+    * both verify sides); banding is r=1 over all numHashes positions
+    * (the low-J containment regime needs the most forgiving banding — a
+    * 0.5-containment pair at ratio 8 sits at J ≈ 0.06, where any
+    * multi-row band would miss); bucket membership counts are
+    * constant-state BEFORE any collect (the dd8/dd19 posture), buckets
+    * over `maxBucket` docs are dropped (the standard hot-bucket guard: a
+    * pair colliding ONLY in oversized buckets is lost, and has numHashes
+    * independent chances not to), and the in-bucket expansion is the
+    * shared bounded generator. The exact verify touches gram ARRAYS
+    * only for pairs that survive banding + size ratio + sketch filter.
+    * Output: [[containmentPairs]]'s schema plus `c_est` — the sketch's
+    * own containment estimate Ĵ(n1+n2)/((1+Ĵ)·min(n1,n2)), reported
+    * next to the exact c1/c2 so the estimator's accuracy is
+    * hash-audited against its own ground truth (the corpusOverlap
+    * pattern). */
+  def containmentEstimatePairs(df: DataFrame, id: String, text: String,
+                               n: Int = 3, numHashes: Int = 32,
+                               minContainment: Double = 0.5,
+                               maxSizeRatio: Double = 8.0,
+                               maxBucket: Int = 100): DataFrame = {
+    val toks = split(lower(col(text)), "\\s+")
+    // dd19's exact gram definition (string form), then the md5-28
+    // portable base per gram — word grams are ~2 orders sparser than
+    // char shingles, so the per-gram hex/conv fold is immaterial here
+    val grams = wordGramsOfTk(n, hashGrams = false)
+    val gramHash = (g: Column) =>
+      conv(substring(md5(g.cast("binary")), 1, 7), 16, 10).cast("long")
+    // the hash array is CHECKPOINTED before sig/size derive from it:
+    // projection collapse would otherwise inline the md5/hex/conv chain
+    // into every one of the numHashes array_min lambdas plus the size —
+    // 34 full re-hashes of every gram per row (measured 5× the stage).
+    // The LCG minima below are plain arithmetic over the materialized
+    // longs, cheap enough to re-derive per consumer.
+    val hCp = df.select(col(id).cast("long").as("doc"), toks.as("tk"))
+      .repartition(col("doc"))
+      .select(col("doc"), transform(grams, gramHash).as("h"))
+      .localCheckpoint()
+    val sigEntries = (0 until numHashes).map { i =>
+      val (a, b) = portableCoef(i)
+      array_min(transform(col("h"), x => (x * a + b) % portableP))
+    }
+    // second materialization: buckets, stats (×2 join sides), and both
+    // verify sides all read g — computing the signature once here beats
+    // re-deriving it inside every consumer (measured ~30% of the query)
+    val g = hCp.select(col("doc"), col("h"), size(col("h")).as("n"),
+      array(sigEntries: _*).as("sig"))
+      .localCheckpoint()
+    // (band, min-value) buckets, r=1: membership count first (constant
+    // state), collect only inside surviving buckets
+    val buckets = g.select(col("doc"), posexplode(col("sig")).as(Seq("band", "v")))
+    val keep = buckets.groupBy("band", "v").agg(count(lit(1)).as("bs"))
+      .filter(col("bs") >= 2 && col("bs") <= maxBucket)
+      .select("band", "v")
+    val cands = buckets.join(keep, Seq("band", "v"))
+      .groupBy("band", "v").agg(sort_array(collect_set(col("doc"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(explode(inBucketPairs).as("p"))
+      .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
+      .distinct()
+    val stats = g.select(col("doc"), col("n"), col("sig"))
+    val agree = graft.functions.AgreeCount(col("__s1"), col("__s2"))
+    // J* = t·min/(n1+n2−t·min); admit iff agree/numHashes >= J* − 2.5σ,
+    // σ = sqrt(J*(1−J*)/numHashes) — all double arithmetic the oracle
+    // replays verbatim
+    val minN = least(col("__n1"), col("__n2")).cast("double")
+    val jStar = lit(minContainment) * minN /
+      (col("__n1") + col("__n2") - lit(minContainment) * minN)
+    val sigma = sqrt(jStar * (lit(1.0) - jStar) / numHashes)
+    val jHat = col("__agree").cast("double") / numHashes
+    val cEst = jHat * (col("__n1") + col("__n2")) / ((lit(1.0) + jHat) * minN)
+    val filtered = cands
+      .join(stats.select(col("doc").as("id1"), col("n").as("__n1"),
+        col("sig").as("__s1")), "id1")
+      .join(stats.select(col("doc").as("id2"), col("n").as("__n2"),
+        col("sig").as("__s2")), "id2")
+      .filter(greatest(col("__n1"), col("__n2")).cast("double") /
+        least(col("__n1"), col("__n2")) <= maxSizeRatio)
+      .withColumn("__agree", agree)
+      .filter(jHat >= jStar - lit(2.5) * sigma)
+      .select(col("id1"), col("id2"),
+        (floor(cEst * 10000 + 0.5) / 10000.0).as("c_est"))
+    verifyContainment(filtered,
+      g.select(col("doc").as("id1"), col("h").as("__gl")),
+      g.select(col("doc").as("id2"), col("h").as("__gr")),
+      "id1", "id2", "n1", "n2", "c1", "c2", minContainment,
+      extra = Seq("c_est"))
   }
 
   /** Test-set DECONTAMINATION: ids of training docs sharing any word

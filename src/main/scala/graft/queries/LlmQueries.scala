@@ -48,6 +48,86 @@ object LlmQueries {
       Multimodal.imageTable(t(s, d, "documents"), "doc_id")
     }
 
+  /** DuckDB replay of [[Dedup.containmentEstimatePairs]] (dd21): dd19's
+    * word-gram definition hashed to the md5-28 base, the shared LCG
+    * minhash family, r=1 banding with the hot-bucket cap, the
+    * exact-size J* sketch filter, and the exact list_intersect verify —
+    * every constant generated from the SAME portableCoef family the
+    * Scala side uses, so the two sides cannot drift. */
+  private val containmentEstimateOracle: String = {
+    val nh = 32
+    val P = Dedup.portableP
+    val minExprs = (0 until nh).map { i =>
+      val (a, b) = Dedup.portableCoef(i)
+      s"min((h * $a + $b) % $P) AS m$i"
+    }.mkString(",\n         ")
+    val bandRows = (0 until nh)
+      .map(i => s"SELECT doc_id, $i AS band, m$i AS v FROM mins")
+      .mkString("\n  UNION ALL\n  ")
+    val agreeSum = (0 until nh)
+      .map(i => s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH grams AS (
+       |  SELECT doc_id,
+       |         list_distinct([array_to_string(tk[i:i+2], ' ')
+       |                        FOR i IN generate_series(1, greatest(len(tk) - 2, 1))]) AS gs
+       |  FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS tk
+       |        FROM documents)),
+       |sh AS (
+       |  SELECT doc_id,
+       |         ('0x' || substr(md5(unnest(gs)), 1, 7))::BIGINT AS h
+       |  FROM grams),
+       |gl AS (SELECT doc_id, list(h) AS g FROM sh GROUP BY doc_id),
+       |mins AS (
+       |  SELECT doc_id,
+       |         $minExprs
+       |  FROM sh GROUP BY doc_id),
+       |bk AS (
+       |  $bandRows),
+       |keep AS (SELECT band, v FROM bk GROUP BY band, v
+       |         HAVING count(*) BETWEEN 2 AND 100),
+       |bkf AS (SELECT bk.doc_id, bk.band, bk.v FROM bk JOIN keep USING (band, v)),
+       |cands AS (
+       |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+       |  FROM bkf a JOIN bkf b
+       |    ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id),
+       |sized AS (
+       |  SELECT c.id1, c.id2, len(na.g)::INT AS n1, len(nb.g)::INT AS n2
+       |  FROM cands c JOIN gl na ON na.doc_id = c.id1
+       |               JOIN gl nb ON nb.doc_id = c.id2
+       |  WHERE greatest(len(na.g), len(nb.g))::DOUBLE / least(len(na.g), len(nb.g))
+       |        <= 8.0::DOUBLE),
+       |agr AS (
+       |  SELECT s.id1, s.id2, s.n1, s.n2,
+       |         ($agreeSum)::INT AS agree
+       |  FROM sized s JOIN mins sa ON sa.doc_id = s.id1
+       |               JOIN mins sb ON sb.doc_id = s.id2),
+       |flt AS (
+       |  SELECT id1, id2, n1, n2,
+       |         agree::DOUBLE / $nh AS jhat,
+       |         (0.5::DOUBLE * least(n1, n2)::DOUBLE) /
+       |           ((n1 + n2) - 0.5::DOUBLE * least(n1, n2)::DOUBLE) AS jstar
+       |  FROM agr),
+       |kept AS (
+       |  SELECT id1, id2,
+       |         floor(jhat * (n1 + n2) / ((1.0::DOUBLE + jhat) * least(n1, n2)::DOUBLE)
+       |               * 10000 + 0.5) / 10000.0 AS c_est
+       |  FROM flt
+       |  WHERE jhat >= jstar - 2.5::DOUBLE * sqrt(jstar * (1.0::DOUBLE - jstar) / $nh)),
+       |v AS (
+       |  SELECT k2.id1, k2.id2, len(ga.g)::INT AS n1, len(gb.g)::INT AS n2,
+       |         len(list_intersect(ga.g, gb.g))::INT AS shared, k2.c_est
+       |  FROM kept k2 JOIN gl ga ON ga.doc_id = k2.id1
+       |               JOIN gl gb ON gb.doc_id = k2.id2)
+       |SELECT id1, id2, n1, n2, shared,
+       |       floor(shared / n1 * 10000 + 0.5) / 10000.0 AS c1,
+       |       floor(shared / n2 * 10000 + 0.5) / 10000.0 AS c2,
+       |       c_est
+       |FROM v
+       |WHERE greatest(shared / n1, shared / n2) >= 0.5
+       |ORDER BY id1, id2""".stripMargin
+  }
+
   private def portableComponents(s: SparkSession, d: String): DataFrame =
     QueryMemo.frame(s, d, "dd6_components") {
       val docs = t(s, d, "documents").filter(col("doc_id") % 5 === 0)
@@ -296,6 +376,49 @@ object LlmQueries {
              |FROM v
              |WHERE greatest(shared / n_new, shared / n_corpus) >= 0.5
              |ORDER BY new_id, corpus_id""".stripMargin)),
+
+    // ---- the PRODUCTION containment paths, benched at full scale: the
+    // dd19/dd20 registry forms above run string grams on the doc_id<1000
+    // prefix (the oracle-replay form; the prefix is the whole corpus at
+    // the correctness scales but 1/10th of it at bench scale), so their
+    // bench rows under-state what the shipped hashGrams=true default
+    // costs over the FULL corpus. These twins run exactly that — 64-bit
+    // gram hashes, no prefix — so bench_full.json carries the number a
+    // real user pays. Rows-only by construction (xxhash64 grams have no
+    // DuckDB replay); semantics are covered by the string twins plus
+    // LlmSpec's hashed≡string pin. ----
+    QueryDef("dd19b_containment_hashed",
+      (s, d) => Dedup.containmentPairs(
+          t(s, d, "documents"),
+          "doc_id", "text", n = 3, minContainment = 0.5, maxDf = 20)
+        .orderBy("id1", "id2"),
+      None),
+    QueryDef("dd20b_incremental_containment_hashed",
+      (s, d) => Dedup.containmentIncremental(
+          t(s, d, "documents"),
+          "doc_id", "text", col("doc_id") % 3 === 1,
+          n = 3, minContainment = 0.5, maxDf = 20)
+        .orderBy("new_id", "corpus_id"),
+      None),
+
+    // ---- containment ESTIMATE tier (LSH-Ensemble, Zhu et al. VLDB'16):
+    // MinHash-sketch candidates over the doc's FULL word-gram set (the
+    // SAME gram definition as dd19), so pairs sharing only above-cap
+    // boilerplate grams — invisible to dd19's df-capped index by
+    // design — are still discoverable. Exact sizes collapse the paper's
+    // per-partition Jaccard thresholds to a per-pair J* sketch filter;
+    // the sketch's own containment estimate (c_est) ships next to the
+    // exact verify so the estimator is hash-audited against its ground
+    // truth. Every stage (md5-28 gram hashes, LCG minhash family, r=1
+    // banding with the hot-bucket cap, J* filter, exact intersect)
+    // replays in DuckDB. ----
+    QueryDef("dd21_containment_estimate",
+      (s, d) => Dedup.containmentEstimatePairs(
+          t(s, d, "documents"), "doc_id", "text",
+          n = 3, numHashes = 32, minContainment = 0.5,
+          maxSizeRatio = 8.0, maxBucket = 100)
+        .orderBy("id1", "id2"),
+      Some(containmentEstimateOracle)),
 
     // ---- near-dup CONNECTED COMPONENTS (large-star/small-star): pairwise
     // near-dup under-deletes transitive groups (A~B, B~C, A!~C); clusters

@@ -138,6 +138,51 @@ class GraphSpec extends SparkSpecBase {
     } finally share.unpersist()
   }
 
+  test("pagerank skew: planted 100×-median hot node — map-side partial agg absorbs the hot key") {
+    // ring of 200 (every node in-degree 1, the median) + an edge from
+    // every ring node into node 0: in-degree(0) = 200 = 200× median —
+    // the dd8-style planted pathology for the per-round contrib shuffle,
+    // where all of the hot node's mass keys to ONE dst
+    val nodesSeq = (0L to 200L).toSeq
+    val ring = (1L to 200L).map(i => (i, if (i == 200L) 1L else i + 1, 1.0))
+    val spokes = (1L to 200L).map(i => (i, 0L, 1.0))
+    val nodes = nodesSeq.toDF("node")
+    val edges = (ring ++ spokes).toDF("src", "dst", "w")
+    // correctness under skew: both delivery modes match the local power
+    // iteration exactly (node 0 is also dangling — no out-edges)
+    val local = pagerankLocal(nodesSeq, ring ++ spokes, iters = 15, d = 0.85)
+    for (cp <- Seq(false, true)) {
+      val got = Graph.pagerank(nodes, edges, copartition = cp)
+        .as[(Long, Double)].collect().toMap
+      assert(got.keySet == local.keySet)
+      local.foreach { case (k, v) =>
+        assert(math.abs(v - got(k)) < 1e-12, s"node $k cp=$cp") }
+    }
+    // plan pin on the loop's own stage (pagerankContribAudit builds it
+    // through the same contribOf the rounds run): the groupBy(dst) sum
+    // must PARTIAL-aggregate before its exchange, so each map task folds
+    // its slice of the hot key to one row and the final aggregate
+    // receives at most one row per task per key — never the raw
+    // in-degree. That property, not luck, is what bounds the hot node's
+    // reduce-side state at 100×. HITS' half-steps and label
+    // propagation's (nd, label) count are the same algebraic
+    // groupBy-sum/count shape and inherit the same absorption.
+    for (cp <- Seq(false, true)) {
+      val audit = Graph.pagerankContribAudit(nodes, edges, copartition = cp)
+      audit.collect() // finalize AQE
+      val plan = audit.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(plan.contains("partial_sum"),
+        s"no map-side partial aggregation (cp=$cp):\n$plan")
+      assert("HashAggregate".r.findAllIn(plan).size >= 2,
+        s"expected partial+final hash aggregates (cp=$cp):\n$plan")
+      assert(plan.contains("Exchange hashpartitioning(dst"),
+        s"missing the dst aggregate exchange (cp=$cp):\n$plan")
+      if (cp) assert(!plan.contains("BroadcastExchange"),
+        s"copartitioned audit must not broadcast the rank vector:\n$plan")
+    }
+  }
+
   test("pagerank: symmetric cycle is uniform") {
     val nodes = Seq(1L, 2L, 3L).toDF("node")
     val edges = Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (3L, 1L, 1.0)).toDF("src", "dst", "w")

@@ -331,14 +331,26 @@ class ScaleSpec extends SparkSpecBase {
       // emb6: one quantize scan + posexplode to the driver-safe LONG
       // form, output sort
       "emb6_scalar_quant" -> "1/0/0/0/-",
-      // dd19: gram-df agg (constant state) + pairable semi-join +
-      // in-bucket pair expansion + distinct, then the two verify joins
-      // (broadcast at audit scale) — never a gram self-join
-      "dd19_containment" -> "3/3/0/0/-",
+      // dd19: gram-df agg (constant state, checkpointed) + pairable
+      // semi-join + in-bucket pair expansion + per-pair match count +
+      // the exact C+min(a1,a2) bound prune (its above-cap agg is the 4th
+      // exchange, its two dim-sized doc-stats joins 2 of the BHJs), then
+      // the two verify joins — never a gram self-join
+      "dd19_containment" -> "4/5/0/0/-",
       // dd20: the ingest-gate shape — batch postings probe the df-capped
       // corpus gram index (extra BHJ vs dd19: the batch⋈index join),
-      // distinct candidates, two verify joins
-      "dd20_incremental_containment" -> "3/4/0/0/-")
+      // counted candidates + the same bound prune, two verify joins
+      "dd20_incremental_containment" -> "4/6/0/0/-",
+      // the hashed full-corpus production twins must keep the string
+      // forms' plan shape exactly: the hash family changes bytes per
+      // posting, never the operator topology
+      "dd19b_containment_hashed" -> "4/5/0/0/-",
+      "dd20b_incremental_containment_hashed" -> "4/6/0/0/-",
+      // dd21 (estimate tier): bucket-size agg + per-pair match count +
+      // the J*/size-ratio sketch filter (its two dim-sized stats joins
+      // and both verify joins are the BHJs) — candidates only ever meet
+      // signatures and gram arrays through joins, never a doc self-join
+      "dd21_containment_estimate" -> "3/5/0/0/-")
     try {
       val drift = graft.SparkEntry.all
         .filter(q => snapshot.contains(q.name))
@@ -348,7 +360,7 @@ class ScaleSpec extends SparkSpecBase {
           else Some(s"${q.name}: expected ${snapshot(q.name)}, got $live")
         }
       assert(drift.isEmpty, s"plan drift:\n${drift.mkString("\n")}")
-      assert(snapshot.size === 98)
+      assert(snapshot.size === 101)
     } finally sys.props.remove("graft.querymemo.disable")
   }
 
