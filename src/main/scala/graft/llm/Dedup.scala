@@ -928,33 +928,7 @@ object Dedup {
                                minContainment: Double = 0.5,
                                maxSizeRatio: Double = 8.0,
                                maxBucket: Int = 100): DataFrame = {
-    val toks = split(lower(col(text)), "\\s+")
-    // dd19's exact gram definition (string form), then the md5-28
-    // portable base per gram — word grams are ~2 orders sparser than
-    // char shingles, so the per-gram hex/conv fold is immaterial here
-    val grams = wordGramsOfTk(n, hashGrams = false)
-    val gramHash = (g: Column) =>
-      conv(substring(md5(g.cast("binary")), 1, 7), 16, 10).cast("long")
-    // the hash array is CHECKPOINTED before sig/size derive from it:
-    // projection collapse would otherwise inline the md5/hex/conv chain
-    // into every one of the numHashes array_min lambdas plus the size —
-    // 34 full re-hashes of every gram per row (measured 5× the stage).
-    // The LCG minima below are plain arithmetic over the materialized
-    // longs, cheap enough to re-derive per consumer.
-    val hCp = df.select(col(id).cast("long").as("doc"), toks.as("tk"))
-      .repartition(col("doc"))
-      .select(col("doc"), transform(grams, gramHash).as("h"))
-      .localCheckpoint()
-    val sigEntries = (0 until numHashes).map { i =>
-      val (a, b) = portableCoef(i)
-      array_min(transform(col("h"), x => (x * a + b) % portableP))
-    }
-    // second materialization: buckets, stats (×2 join sides), and both
-    // verify sides all read g — computing the signature once here beats
-    // re-deriving it inside every consumer (measured ~30% of the query)
-    val g = hCp.select(col("doc"), col("h"), size(col("h")).as("n"),
-      array(sigEntries: _*).as("sig"))
-      .localCheckpoint()
+    val g = estimateGramTable(df, id, text, n, numHashes, pre = Nil)
     // (band, min-value) buckets, r=1: membership count first (constant
     // state), collect only inside surviving buckets
     val buckets = g.select(col("doc"), posexplode(col("sig")).as(Seq("band", "v")))
@@ -968,32 +942,114 @@ object Dedup {
       .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
       .distinct()
     val stats = g.select(col("doc"), col("n"), col("sig"))
+    val filtered = estimateFilter(cands, "id1", "id2", stats, stats,
+      numHashes, minContainment, maxSizeRatio)
+    verifyContainment(filtered,
+      g.select(col("doc").as("id1"), col("h").as("__gl")),
+      g.select(col("doc").as("id2"), col("h").as("__gr")),
+      "id1", "id2", "n1", "n2", "c1", "c2", minContainment,
+      extra = Seq("c_est"))
+  }
+
+  /** The gram-hash + size + portable-signature table shared by the
+    * estimate tier's batch and incremental forms: md5-28 gram hashes
+    * checkpointed FIRST (projection collapse would otherwise inline the
+    * hex/conv chain into every signature lambda — measured 5× the
+    * stage), then sizes + LCG minima materialized once for the many
+    * downstream readers. `pre` lets the incremental form thread its
+    * is_new flag through both checkpoints. */
+  private def estimateGramTable(df: DataFrame, id: String, text: String,
+      n: Int, numHashes: Int, pre: Seq[(String, Column)]): DataFrame = {
+    val toks = split(lower(col(text)), "\\s+")
+    val grams = wordGramsOfTk(n, hashGrams = false)
+    val gramHash = (g: Column) =>
+      conv(substring(md5(g.cast("binary")), 1, 7), 16, 10).cast("long")
+    val preCols = pre.map { case (nm, c) => c.as(nm) }
+    val preRefs = pre.map { case (nm, _) => col(nm) }
+    val hCp = df.select(col(id).cast("long").as("doc") +: preCols :+ toks.as("tk"): _*)
+      .repartition(col("doc"))
+      .select(col("doc") +: preRefs :+ transform(grams, gramHash).as("h"): _*)
+      .localCheckpoint()
+    val sigEntries = (0 until numHashes).map { i =>
+      val (a, b) = portableCoef(i)
+      array_min(transform(col("h"), x => (x * a + b) % portableP))
+    }
+    hCp.select(col("doc") +: preRefs :+ col("h") :+ size(col("h")).as("n") :+
+        array(sigEntries: _*).as("sig"): _*)
+      .localCheckpoint()
+  }
+
+  /** The J*-margin sketch filter + c_est shared by both estimate forms
+    * (see [[containmentEstimatePairs]] for the derivation): keeps a
+    * counted candidate pair iff its signature agreement clears the
+    * exact-size Jaccard threshold minus 2.5σ and its size ratio is
+    * within bounds; emits the floor-rounded containment estimate. */
+  private def estimateFilter(cands: DataFrame, leftId: String, rightId: String,
+      statsL: DataFrame, statsR: DataFrame, numHashes: Int,
+      minContainment: Double, maxSizeRatio: Double): DataFrame = {
     val agree = graft.functions.AgreeCount(col("__s1"), col("__s2"))
-    // J* = t·min/(n1+n2−t·min); admit iff agree/numHashes >= J* − 2.5σ,
-    // σ = sqrt(J*(1−J*)/numHashes) — all double arithmetic the oracle
-    // replays verbatim
     val minN = least(col("__n1"), col("__n2")).cast("double")
     val jStar = lit(minContainment) * minN /
       (col("__n1") + col("__n2") - lit(minContainment) * minN)
     val sigma = sqrt(jStar * (lit(1.0) - jStar) / numHashes)
     val jHat = col("__agree").cast("double") / numHashes
     val cEst = jHat * (col("__n1") + col("__n2")) / ((lit(1.0) + jHat) * minN)
-    val filtered = cands
-      .join(stats.select(col("doc").as("id1"), col("n").as("__n1"),
-        col("sig").as("__s1")), "id1")
-      .join(stats.select(col("doc").as("id2"), col("n").as("__n2"),
-        col("sig").as("__s2")), "id2")
+    cands
+      .join(statsL.select(col("doc").as(leftId), col("n").as("__n1"),
+        col("sig").as("__s1")), leftId)
+      .join(statsR.select(col("doc").as(rightId), col("n").as("__n2"),
+        col("sig").as("__s2")), rightId)
       .filter(greatest(col("__n1"), col("__n2")).cast("double") /
         least(col("__n1"), col("__n2")) <= maxSizeRatio)
       .withColumn("__agree", agree)
       .filter(jHat >= jStar - lit(2.5) * sigma)
-      .select(col("id1"), col("id2"),
+      .select(col(leftId), col(rightId),
         (floor(cEst * 10000 + 0.5) / 10000.0).as("c_est"))
+  }
+
+  /** [[containmentEstimatePairs]] in the steady-state ingest shape (the
+    * dd20 posture lifted to the sketch tier): each NEW doc's signature
+    * probes the EXISTING corpus's (band, min-value) bucket index, so a
+    * wrapped/trimmed re-fetch is flagged even when every shared gram is
+    * above [[containmentIncremental]]'s df cap — the estimation tier's
+    * recall, the ingest gate's shape. At 100 TB the capped corpus
+    * bucket index is the persisted artifact (numHashes longs per corpus
+    * doc, df never consulted) and each batch posting fans out to at
+    * most `maxBucket` corpus docs; in-batch pairing is deliberately
+    * [[containmentEstimatePairs]]'s job. The verify reads SPLIT sides
+    * (batch arrays vs corpus arrays), so a same-id re-fetch compares
+    * its NEW text against the HELD text. Same sketch-filter contract
+    * and `c_est` audit column as the batch form; `isNew` must be
+    * non-null for every row (dd20's contract). */
+  def containmentEstimateIncremental(df: DataFrame, id: String, text: String,
+                                     isNew: Column, n: Int = 3,
+                                     numHashes: Int = 32,
+                                     minContainment: Double = 0.5,
+                                     maxSizeRatio: Double = 8.0,
+                                     maxBucket: Int = 100): DataFrame = {
+    val g = estimateGramTable(df, id, text, n, numHashes,
+      pre = Seq("is_new" -> isNew))
+    // corpus bucket index: membership count first (constant state), cap
+    // floor 1 — a single-doc corpus bucket must still be probe-able by
+    // the batch, exactly dd20's df-floor rationale
+    val postC = g.filter(!col("is_new"))
+      .select(col("doc").as("corpus_id"), posexplode(col("sig")).as(Seq("band", "v")))
+    val keep = postC.groupBy("band", "v").agg(count(lit(1)).as("bs"))
+      .filter(col("bs") <= maxBucket).select("band", "v")
+    val postB = g.filter(col("is_new"))
+      .select(col("doc").as("new_id"), posexplode(col("sig")).as(Seq("band", "v")))
+    val cands = postB
+      .join(postC.join(keep, Seq("band", "v")), Seq("band", "v"))
+      .groupBy("new_id", "corpus_id").agg(count(lit(1)).as("__c"))
+    val filtered = estimateFilter(cands, "new_id", "corpus_id",
+      g.filter(col("is_new")).select(col("doc"), col("n"), col("sig")),
+      g.filter(!col("is_new")).select(col("doc"), col("n"), col("sig")),
+      numHashes, minContainment, maxSizeRatio)
     verifyContainment(filtered,
-      g.select(col("doc").as("id1"), col("h").as("__gl")),
-      g.select(col("doc").as("id2"), col("h").as("__gr")),
-      "id1", "id2", "n1", "n2", "c1", "c2", minContainment,
-      extra = Seq("c_est"))
+      g.filter(col("is_new")).select(col("doc").as("new_id"), col("h").as("__gl")),
+      g.filter(!col("is_new")).select(col("doc").as("corpus_id"), col("h").as("__gr")),
+      "new_id", "corpus_id", "n_new", "n_corpus", "c_new", "c_corpus",
+      minContainment, extra = Seq("c_est"))
   }
 
   /** Test-set DECONTAMINATION: ids of training docs sharing any word

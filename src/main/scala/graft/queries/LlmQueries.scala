@@ -54,19 +54,26 @@ object LlmQueries {
     * exact-size J* sketch filter, and the exact list_intersect verify —
     * every constant generated from the SAME portableCoef family the
     * Scala side uses, so the two sides cannot drift. */
+  /** The shared SQL generators for the two estimate-tier oracles: every
+    * constant derives from the same portableCoef family the Scala side
+    * uses. */
+  private val estNh = 32
+  private def estMinExprs: String = (0 until estNh).map { i =>
+    val (a, b) = Dedup.portableCoef(i)
+    s"min((h * $a + $b) % ${Dedup.portableP}) AS m$i"
+  }.mkString(",\n         ")
+  private def estBandRows(src: String): String = (0 until estNh)
+    .map(i => s"SELECT doc_id, $i AS band, m$i AS v FROM $src")
+    .mkString("\n  UNION ALL\n  ")
+  private def estAgreeSum: String = (0 until estNh)
+    .map(i => s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END")
+    .mkString(" + ")
+
   private val containmentEstimateOracle: String = {
-    val nh = 32
-    val P = Dedup.portableP
-    val minExprs = (0 until nh).map { i =>
-      val (a, b) = Dedup.portableCoef(i)
-      s"min((h * $a + $b) % $P) AS m$i"
-    }.mkString(",\n         ")
-    val bandRows = (0 until nh)
-      .map(i => s"SELECT doc_id, $i AS band, m$i AS v FROM mins")
-      .mkString("\n  UNION ALL\n  ")
-    val agreeSum = (0 until nh)
-      .map(i => s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END")
-      .mkString(" + ")
+    val nh = estNh
+    val minExprs = estMinExprs
+    val bandRows = estBandRows("mins")
+    val agreeSum = estAgreeSum
     s"""WITH grams AS (
        |  SELECT doc_id,
        |         list_distinct([array_to_string(tk[i:i+2], ' ')
@@ -126,6 +133,81 @@ object LlmQueries {
        |FROM v
        |WHERE greatest(shared / n1, shared / n2) >= 0.5
        |ORDER BY id1, id2""".stripMargin
+  }
+
+  /** DuckDB replay of [[Dedup.containmentEstimateIncremental]] (dd22):
+    * the dd21 chain in the ingest split — batch signatures probe the
+    * capped corpus bucket index (floor 1: a single-doc corpus bucket
+    * still pairs with the batch), verify reads split sides. */
+  private val containmentEstimateIncrementalOracle: String = {
+    val nh = estNh
+    s"""WITH grams AS (
+       |  SELECT doc_id, (doc_id % 3 = 1) AS is_new,
+       |         list_distinct([array_to_string(tk[i:i+2], ' ')
+       |                        FOR i IN generate_series(1, greatest(len(tk) - 2, 1))]) AS gs
+       |  FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS tk
+       |        FROM documents)),
+       |sh AS (
+       |  SELECT doc_id, is_new,
+       |         ('0x' || substr(md5(unnest(gs)), 1, 7))::BIGINT AS h
+       |  FROM grams),
+       |gl AS (SELECT doc_id, is_new, list(h) AS g FROM sh GROUP BY doc_id, is_new),
+       |mins AS (
+       |  SELECT doc_id, is_new,
+       |         $estMinExprs
+       |  FROM sh GROUP BY doc_id, is_new),
+       |minsc AS (SELECT * FROM mins WHERE NOT is_new),
+       |minsb AS (SELECT * FROM mins WHERE is_new),
+       |bkc AS (
+       |  ${estBandRows("minsc")}),
+       |bkb AS (
+       |  ${estBandRows("minsb")}),
+       |keep AS (SELECT band, v FROM bkc GROUP BY band, v
+       |         HAVING count(*) <= 100),
+       |cands AS (
+       |  SELECT DISTINCT b.doc_id AS new_id, c.doc_id AS corpus_id
+       |  FROM bkb b
+       |  JOIN bkc c ON b.band = c.band AND b.v = c.v
+       |  JOIN keep k ON k.band = b.band AND k.v = b.v),
+       |sized AS (
+       |  SELECT ca.new_id, ca.corpus_id,
+       |         len(nb.g)::INT AS n1, len(nc.g)::INT AS n2
+       |  FROM cands ca
+       |  JOIN gl nb ON nb.doc_id = ca.new_id AND nb.is_new
+       |  JOIN gl nc ON nc.doc_id = ca.corpus_id AND NOT nc.is_new
+       |  WHERE greatest(len(nb.g), len(nc.g))::DOUBLE / least(len(nb.g), len(nc.g))
+       |        <= 8.0::DOUBLE),
+       |agr AS (
+       |  SELECT s.new_id, s.corpus_id, s.n1, s.n2,
+       |         ($estAgreeSum)::INT AS agree
+       |  FROM sized s JOIN minsb sa ON sa.doc_id = s.new_id
+       |               JOIN minsc sb ON sb.doc_id = s.corpus_id),
+       |flt AS (
+       |  SELECT new_id, corpus_id, n1, n2,
+       |         agree::DOUBLE / $nh AS jhat,
+       |         (0.5::DOUBLE * least(n1, n2)::DOUBLE) /
+       |           ((n1 + n2) - 0.5::DOUBLE * least(n1, n2)::DOUBLE) AS jstar
+       |  FROM agr),
+       |kept AS (
+       |  SELECT new_id, corpus_id,
+       |         floor(jhat * (n1 + n2) / ((1.0::DOUBLE + jhat) * least(n1, n2)::DOUBLE)
+       |               * 10000 + 0.5) / 10000.0 AS c_est
+       |  FROM flt
+       |  WHERE jhat >= jstar - 2.5::DOUBLE * sqrt(jstar * (1.0::DOUBLE - jstar) / $nh)),
+       |v AS (
+       |  SELECT k2.new_id, k2.corpus_id,
+       |         len(ga.g)::INT AS n_new, len(gb.g)::INT AS n_corpus,
+       |         len(list_intersect(ga.g, gb.g))::INT AS shared, k2.c_est
+       |  FROM kept k2
+       |  JOIN gl ga ON ga.doc_id = k2.new_id AND ga.is_new
+       |  JOIN gl gb ON gb.doc_id = k2.corpus_id AND NOT gb.is_new)
+       |SELECT new_id, corpus_id, n_new, n_corpus, shared,
+       |       floor(shared / n_new * 10000 + 0.5) / 10000.0 AS c_new,
+       |       floor(shared / n_corpus * 10000 + 0.5) / 10000.0 AS c_corpus,
+       |       c_est
+       |FROM v
+       |WHERE greatest(shared / n_new, shared / n_corpus) >= 0.5
+       |ORDER BY new_id, corpus_id""".stripMargin
   }
 
   private def portableComponents(s: SparkSession, d: String): DataFrame =
@@ -419,6 +501,21 @@ object LlmQueries {
           maxSizeRatio = 8.0, maxBucket = 100)
         .orderBy("id1", "id2"),
       Some(containmentEstimateOracle)),
+
+    // ---- incremental containment estimate (dd21 in dd20's ingest
+    // shape): batch signatures probe the persisted capped corpus bucket
+    // index, so a wrapped/trimmed re-fetch is flagged even when every
+    // shared gram is above dd20's df cap; in-batch pairing is dd21's
+    // job. Split-side verify (new text vs held text), c_est audited
+    // against exact — whole chain DuckDB-replayed. ----
+    QueryDef("dd22_incremental_containment_estimate",
+      (s, d) => Dedup.containmentEstimateIncremental(
+          t(s, d, "documents"), "doc_id", "text",
+          col("doc_id") % 3 === 1,
+          n = 3, numHashes = 32, minContainment = 0.5,
+          maxSizeRatio = 8.0, maxBucket = 100)
+        .orderBy("new_id", "corpus_id"),
+      Some(containmentEstimateIncrementalOracle)),
 
     // ---- near-dup CONNECTED COMPONENTS (large-star/small-star): pairwise
     // near-dup under-deletes transitive groups (A~B, B~C, A!~C); clusters

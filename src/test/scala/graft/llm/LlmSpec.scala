@@ -569,6 +569,42 @@ class LlmSpec extends SparkSpecBase {
            estPlain.map(x => (x.getLong(0), x.getLong(1))).toSet)
   }
 
+  test("incremental containment estimate: catches the above-cap re-fetch " +
+       "the df-capped ingest gate misses") {
+    val s = spark; import s.implicits._
+    val core = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val wrapper = core + " " + (1 to 80).map(i => s"pad$i").mkString(" ")
+    // corpus: the wrapper plus 25 replicas of the core passage → every
+    // core gram has corpus df = 26 > maxDf = 20, so dd20's capped index
+    // drops all of them; the batch re-fetches the trimmed core (id 7)
+    val replicas = (10L to 34L).map(i =>
+      (i, core + " " + (100 to 120).map(j => s"x${i}y$j").mkString(" ")))
+    val docs = ((2L, wrapper) +: (7L, core) +: replicas).toDF("doc_id", "text")
+    val isNew = col("doc_id") === 7
+    assert(Dedup.containmentIncremental(docs, "doc_id", "text", isNew,
+      n = 3, minContainment = 0.5, maxDf = 20).count() === 0L,
+      "df-capped ingest gate should be blind to this corpus")
+    val est = Dedup.containmentEstimateIncremental(docs, "doc_id", "text",
+      isNew, n = 3, numHashes = 32, minContainment = 0.5,
+      maxSizeRatio = 8.0, maxBucket = 100).collect()
+    val pairs = est.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((7L, 2L)), s"missed the wrapped re-fetch: $pairs")
+    // only batch→corpus rows exist (in-batch pairing is dd21's job)
+    assert(est.forall(_.getLong(0) == 7L))
+    val r = est.find(x => x.getLong(1) == 2L).get
+    assert(r.getDouble(5) === 1.0) // c_new: the core is fully held already
+
+    // same-id re-fetch reads SPLIT sides: id 2's NEW trimmed text
+    // compares against id 2's HELD wrapper (dd20's semantics)
+    val refetch = Seq((2L, wrapper), (2L, core)).toDF("doc_id", "text")
+    val rf = Dedup.containmentEstimateIncremental(refetch, "doc_id", "text",
+      col("text") === core, n = 3, numHashes = 32, minContainment = 0.5,
+      maxSizeRatio = 8.0, maxBucket = 100).collect()
+    assert(rf.length === 1)
+    assert((rf.head.getLong(0), rf.head.getLong(1)) === (2L, 2L))
+    assert(rf.head.getInt(2) === 38 && rf.head.getDouble(5) === 1.0)
+  }
+
   test("containment ≡ brute force on seeded random corpora (full rule replica)") {
     val s = spark; import s.implicits._
     val n = 3; val maxDf = 6; val minC = 0.3

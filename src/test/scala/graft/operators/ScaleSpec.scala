@@ -350,7 +350,11 @@ class ScaleSpec extends SparkSpecBase {
       // the J*/size-ratio sketch filter (its two dim-sized stats joins
       // and both verify joins are the BHJs) — candidates only ever meet
       // signatures and gram arrays through joins, never a doc self-join
-      "dd21_containment_estimate" -> "3/5/0/0/-")
+      "dd21_containment_estimate" -> "3/5/0/0/-",
+      // dd22 (estimate tier, ingest split): corpus bucket index + batch
+      // probe (the extra BHJ vs dd21), counted candidates, sketch
+      // filter, split-side verify
+      "dd22_incremental_containment_estimate" -> "3/6/0/0/-")
     try {
       val drift = graft.SparkEntry.all
         .filter(q => snapshot.contains(q.name))
@@ -360,7 +364,7 @@ class ScaleSpec extends SparkSpecBase {
           else Some(s"${q.name}: expected ${snapshot(q.name)}, got $live")
         }
       assert(drift.isEmpty, s"plan drift:\n${drift.mkString("\n")}")
-      assert(snapshot.size === 101)
+      assert(snapshot.size === 102)
     } finally sys.props.remove("graft.querymemo.disable")
   }
 
