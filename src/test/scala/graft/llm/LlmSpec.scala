@@ -605,6 +605,113 @@ class LlmSpec extends SparkSpecBase {
     assert(rf.head.getInt(2) === 38 && rf.head.getDouble(5) === 1.0)
   }
 
+  test("containment estimate ≡ brute force on seeded random corpora " +
+       "(full rule replica, cap-drop path exercised)") {
+    val s = spark; import s.implicits._
+    val n = 3; val nh = 32; val minC = 0.5; val maxRatio = 8.0
+    // maxBucket deliberately TINY so the hot-bucket drop path (the
+    // documented recall guard) is part of what the replica must match
+    val maxBucket = 5
+    // the EXACT operator rules in plain Scala: same tokenize/grams (the
+    // dd19 replica's), md5-28 gram hash, LCG signature family, r=1
+    // banding with the cap, per-pair J* sketch filter at 2.5σ, exact
+    // verify, floor-rounding
+    val P = 268435399L
+    def coef(i: Int) = ((2L * i + 3) * 12582917L % P, (i + 1) * 15485863L % P)
+    def md5_28(x: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8"))
+      ((d(0) & 0xffL) << 20) | ((d(1) & 0xffL) << 12) |
+        ((d(2) & 0xffL) << 4) | ((d(3) & 0xffL) >>> 4)
+    }
+    def gramsOf(text: String): Set[Long] = {
+      val tk = text.toLowerCase.split("\\s+", -1).toSeq
+      val upper = math.max(tk.length - (n - 1), 1)
+      (1 to upper).map(i => tk.slice(i - 1, i - 1 + n).mkString(" "))
+        .toSet.map(md5_28)
+    }
+    def sigOf(hs: Set[Long]): IndexedSeq[Long] =
+      (0 until nh).map { i =>
+        val (a, b) = coef(i); hs.map(h => (h * a + b) % P).min
+      }
+    def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000.0
+    // the shared filter+verify tail: size ratio, J* − 2.5σ sketch
+    // filter, exact intersect, threshold, rounding — identical algebra
+    // and operation ORDER to estimateFilter/verifyContainment
+    def tail(a: Long, b: Long, g: Map[Long, Set[Long]],
+             sig: Map[Long, IndexedSeq[Long]]):
+        Option[(Long, Long, Int, Int, Int, Double, Double, Double)] = {
+      val n1 = g(a).size; val n2 = g(b).size
+      if (math.max(n1, n2).toDouble / math.min(n1, n2) > maxRatio) return None
+      val agree = (0 until nh).count(i => sig(a)(i) == sig(b)(i))
+      val jHat = agree.toDouble / nh
+      val minN = math.min(n1, n2).toDouble
+      val jStar = minC * minN / ((n1 + n2) - minC * minN)
+      val sigma = math.sqrt(jStar * (1.0 - jStar) / nh)
+      if (jHat < jStar - 2.5 * sigma) return None
+      val cEst = jHat * (n1 + n2) / ((1.0 + jHat) * minN)
+      val shared = (g(a) & g(b)).size
+      val c1 = shared.toDouble / n1; val c2 = shared.toDouble / n2
+      if (math.max(c1, c2) < minC) None
+      else Some((a, b, n1, n2, shared, r4(c1), r4(c2), r4(cEst)))
+    }
+    def brute(docs: Seq[(Long, String)]):
+        Set[(Long, Long, Int, Int, Int, Double, Double, Double)] = {
+      val g = docs.map { case (id, t) => id -> gramsOf(t) }.toMap
+      val sig = g.map { case (id, hs) => id -> sigOf(hs) }
+      val buckets = (for { (id, sg) <- sig.toSeq; i <- 0 until nh }
+        yield ((i, sg(i)), id)).groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+      val cands = buckets.values
+        .filter(ds => ds.size >= 2 && ds.size <= maxBucket)
+        .flatMap(_.toSeq.sorted.combinations(2).map { case Seq(a, b) => (a, b) })
+        .toSet
+      cands.flatMap { case (a, b) => tail(a, b, g, sig) }
+    }
+    def bruteInc(docs: Seq[(Long, String)], isNew: Long => Boolean):
+        Set[(Long, Long, Int, Int, Int, Double, Double, Double)] = {
+      val g = docs.map { case (id, t) => id -> gramsOf(t) }.toMap
+      val sig = g.map { case (id, hs) => id -> sigOf(hs) }
+      val corpus = docs.map(_._1).filterNot(isNew)
+      val batch = docs.map(_._1).filter(isNew)
+      // corpus bucket index, floor 1 (a single-doc bucket still pairs)
+      val cBuckets = (for { c <- corpus; i <- 0 until nh }
+        yield ((i, sig(c)(i)), c)).groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+        .filter(_._2.size <= maxBucket)
+      val cands = (for {
+        b <- batch; i <- 0 until nh
+        c <- cBuckets.getOrElse((i, sig(b)(i)), Set.empty)
+      } yield (b, c)).toSet
+      cands.flatMap { case (b, c) => tail(b, c, g, sig) }
+    }
+    val rnd = new scala.util.Random(47)
+    val vocab = (0 until 25).map(i => s"w$i")
+    for (trial <- 0 until 3) {
+      val bases = (0L until 12L).map { id =>
+        id -> Seq.fill(6 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }
+      // planted supersets exercise the containment-specific path; the
+      // small vocab makes shared mins (and capped buckets) common
+      val docs = bases ++ Seq(
+        20L -> (bases(0)._2 + " " + Seq.fill(15)(vocab(rnd.nextInt(vocab.size))).mkString(" ")),
+        21L -> bases(1)._2)
+      val got = Dedup.containmentEstimatePairs(docs.toDF("doc_id", "text"),
+          "doc_id", "text", n, nh, minC, maxRatio, maxBucket).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3),
+          r.getInt(4), r.getDouble(5), r.getDouble(6), r.getDouble(7))).toSet
+      assert(got === brute(docs), s"trial $trial diverged from the brute rule")
+      val isNew = (id: Long) => id >= 20L
+      val gotInc = Dedup.containmentEstimateIncremental(
+          docs.toDF("doc_id", "text"), "doc_id", "text",
+          col("doc_id") >= 20L, n, nh, minC, maxRatio, maxBucket).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3),
+          r.getInt(4), r.getDouble(5), r.getDouble(6), r.getDouble(7))).toSet
+      assert(gotInc === bruteInc(docs, isNew),
+        s"trial $trial (incremental) diverged from the brute rule")
+    }
+  }
+
   test("containment ≡ brute force on seeded random corpora (full rule replica)") {
     val s = spark; import s.implicits._
     val n = 3; val maxDf = 6; val minC = 0.3
