@@ -25,6 +25,12 @@ object Scalars {
     val sb = if (b == null) "" else b
     val total = sa.length + sb.length
     if (total == 0) return 100
+    // identical strings: one full-length matching block, ratio exactly
+    // 2n/2n = 100 — skip the matcher. Not an approximation: difflib's
+    // first find_longest_match returns the whole string. This is the hot
+    // path for every UNMAPPED credit row, where the normalize pipeline
+    // compares companySearch against its own coalesced fallback.
+    if (sa == sb) return 100
     val m = matchingBlocksTotal(sa, sb)
     math.round(100.0 * 2.0 * m / total).toInt
   }

@@ -958,6 +958,16 @@ object Dedup {
     * stage), then sizes + LCG minima materialized once for the many
     * downstream readers. `pre` lets the incremental form thread its
     * is_new flag through both checkpoints. */
+  /** The estimate tier's (doc, n, sig) signature table, exposed for the
+    * STREAMING containment gate's batch twin
+    * ([[graft.streaming.StreamContainment.flaggedBatch]]) so all four
+    * containment-estimate surfaces (dd21, dd22, st11 stream, st11 batch
+    * twin) share ONE gram/hash/minhash definition. */
+  private[graft] def estimateSigTable(df: DataFrame, id: String, text: String,
+      n: Int = 3, numHashes: Int = 32): DataFrame =
+    estimateGramTable(df, id, text, n, numHashes, pre = Nil)
+      .select(col("doc"), col("n"), col("sig"))
+
   private def estimateGramTable(df: DataFrame, id: String, text: String,
       n: Int, numHashes: Int, pre: Seq[(String, Column)]): DataFrame = {
     val toks = split(lower(col(text)), "\\s+")
@@ -984,7 +994,7 @@ object Dedup {
     * counted candidate pair iff its signature agreement clears the
     * exact-size Jaccard threshold minus 2.5σ and its size ratio is
     * within bounds; emits the floor-rounded containment estimate. */
-  private def estimateFilter(cands: DataFrame, leftId: String, rightId: String,
+  private[graft] def estimateFilter(cands: DataFrame, leftId: String, rightId: String,
       statsL: DataFrame, statsR: DataFrame, numHashes: Int,
       minContainment: Double, maxSizeRatio: Double): DataFrame = {
     val agree = graft.functions.AgreeCount(col("__s1"), col("__s2"))

@@ -39,7 +39,7 @@ object Pq {
     * pool threads — a dedicated thread created here inherits the
     * caller's InheritableThreadLocal properties and a job-group cancel
     * covers the concurrent fits too. */
-  private def fitConcurrently[T](m: Int)(fit: Int => T): IndexedSeq[T] = {
+  private[llm] def fitConcurrently[T](m: Int)(fit: Int => T): IndexedSeq[T] = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     implicit val ec: scala.concurrent.ExecutionContextExecutorService =

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.Tables
-import graft.llm.{Bpe, Dedup, Ivf, Multimodal, Pq, Similarity, TextAnalysis}
+import graft.llm.{Bpe, Dedup, Ivf, Ivfadc, Multimodal, Pq, Similarity, TextAnalysis}
 import graft.streaming.EventStreams
 
 /** Training-data-pipeline operators over documents/embeddings/events:
@@ -1292,6 +1292,61 @@ object LlmQueries {
       Some(Pq.portableOracleSql("embeddings", "vec_id", "embedding",
         m = 4, k = 16, rounds = 3, dim = 64, nQueries = 3, rerank = 50, kTop = 10))),
 
+    // ---- similarity: IVFADC ANN — IVF coarse quantizer + PQ of the
+    // RESIDUALS + in-cell ADC (Jégou et al. TPAMI 2011 §IV; FAISS
+    // IndexIVFPQ — THE standard billion-scale layout). Production path:
+    // both quantizer tiers trained driver-locally on a bounded hash
+    // sample (the FAISS train posture), index+search fully distributed.
+    // Rows-only: quantizers are model-dependent. Recall vs exact pinned
+    // in LlmSpec. ----
+    QueryDef("sim8_ivfadc_ann",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val q = emb.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        // trainHashMod=4: codebooks fit on a deterministic quarter-sample
+        // (still >700 points per centroid at sf0.1), everything encoded —
+        // the bounded-training posture a 100 TB corpus forces anyway
+        Ivfadc.topK(emb, "vec_id", "embedding", q, "qid", "qvec",
+            nLists = 8, m = 4, k = 16, dim = 64,
+            kTop = 10, rerank = 50, nProbes = 2, trainHashMod = 4)
+          .withColumn("sim", round(col("sim"), 4))
+      },
+      None),
+
+    // ---- portable IVFADC: md5-seeded fixed-round Lloyd's for BOTH
+    // quantizer tiers (coarse cells AND per-subspace residual codebooks),
+    // bit-exact residual projection (raw doubles − 6dp-rounded
+    // centroids), COSINE probe, explicit left-associative ADC chain, exact
+    // cosine rerank — the entire IVFADC search replayed in DuckDB. With
+    // sim3 (LSH), sim5b (IVF), sim6b (PQ) and sim7 (SQ8), all FIVE ANN
+    // families plus their flagship composition now have end-to-end
+    // oracles. sim8 keeps the MLlib production path. ----
+    QueryDef("sim8b_ivfadc_portable",
+      (s, d) => Ivfadc.portableTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+        kCoarse = 8, coarseRounds = 3, m = 4, k = 16, pqRounds = 3, dim = 64,
+        nQueries = 3, nProbes = 3, rerank = 50, kTop = 10),
+      Some(Ivfadc.portableOracleSql("embeddings", "vec_id", "embedding",
+        kCoarse = 8, coarseRounds = 3, m = 4, k = 16, pqRounds = 3, dim = 64,
+        nQueries = 3, nProbes = 3, rerank = 50, kTop = 10))),
+
+    // ---- incremental ANN ingest (dd20/dd22's posture lifted to the ANN
+    // family): quantizers train ONLY on the held corpus, the new batch
+    // (vec_id % 11 = 3) is encoded against the FROZEN codebooks — cell,
+    // residual, m codes, exactly FAISS add() after train() — and
+    // new-batch queries search the union index. Hash-green end-to-end:
+    // retraining on ingest would shift centroids and fail the oracle,
+    // so the add-after-train contract itself is what the hash pins. ----
+    QueryDef("sim9_incremental_ann",
+      (s, d) => Ivfadc.portableTopKIncremental(t(s, d, "embeddings"),
+        "vec_id", "embedding", isNew = col("vec_id") % 11 === 3,
+        kCoarse = 8, coarseRounds = 3, m = 4, k = 16, pqRounds = 3, dim = 64,
+        queryFilter = col("pid") % 55 === 3, nProbes = 3, rerank = 50, kTop = 10),
+      Some(Ivfadc.portableIncrementalOracleSql("embeddings", "vec_id", "embedding",
+        newSql = "pid % 11 = 3", kCoarse = 8, coarseRounds = 3, m = 4, k = 16,
+        pqRounds = 3, dim = 64, querySql = "pid % 55 = 3", nProbes = 3,
+        rerank = 50, kTop = 10))),
+
     // ---- similarity: embedding cosine near-dup pairs (rows-only).
     // Threshold 0.4: this corpus's max pairwise cosine is ~0.51, so higher
     // thresholds are vacuously empty. Planes/tables are auto-sized from the
@@ -2104,6 +2159,26 @@ object LlmQueries {
         .orderBy("doc"),
       Some {
         val inner = graft.streaming.StreamDedup.flaggedBatchOracleSql(
+          "docs5", "doc_id", "text")
+        s"""WITH docs5 AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+           |q AS ($inner)
+           |SELECT * FROM q ORDER BY doc""".stripMargin
+      }),
+
+    // ---- st11: streaming containment-estimate ingest gate — the
+    // estimate tier (dd21/dd22) in st4's online shape: capped
+    // (band, min-value) bucket state, J*-margin sketch flags naming the
+    // min earlier occupant, exact verify deliberately downstream. The
+    // registry entry runs the batch twin (the stream ≡ batch equivalence
+    // across micro-batches is pinned in StreamContainmentSpec, st4's
+    // pattern); the oracle replays grams → md5-28 → LCG minhash →
+    // capped buckets → sketch margin → min partner entirely in SQL. ----
+    QueryDef("st11_stream_containment",
+      (s, d) => graft.streaming.StreamContainment.flaggedBatch(
+          t(s, d, "documents").filter(col("doc_id") % 5 === 0))
+        .orderBy("doc"),
+      Some {
+        val inner = graft.streaming.StreamContainment.flaggedBatchOracleSql(
           "docs5", "doc_id", "text")
         s"""WITH docs5 AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
            |q AS ($inner)

@@ -216,6 +216,82 @@ class LlmSpec extends SparkSpecBase {
     idx.release()
   }
 
+  test("portable IVFADC: partition-independent, self found, usable recall") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, "qid", "qvec", 5)
+      .select("query_id", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def run(corpus: org.apache.spark.sql.DataFrame) =
+      Ivfadc.portableTopK(corpus, "vec_id", "embedding",
+        kCoarse = 8, coarseRounds = 3, m = 4, k = 16, pqRounds = 3, dim = 64,
+        nQueries = 3, nProbes = 3, rerank = 50, kTop = 5)
+    val out = run(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    val approx = out.map(t => (t._1, t._2)).toSet
+    // residual quantization on top of a 3/8-cell probe: query still finds
+    // itself (it lives in its own best cell and its own code reconstructs
+    // nearest) and the shortlist recovers a usable share of exact. Bar is
+    // the house IVF bar (0.4): this corpus is near-random in 64-d (max
+    // pairwise cosine ~0.51), so cosine neighborhoods do not cluster and
+    // IVF-family recall ≈ probed fraction — a data property, pinned as
+    // such in the sim5/sim5b tests too.
+    assert((0L until 3L).forall(i => approx.contains((i, i))), "query must find itself")
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.4, s"portable IVFADC recall $recall too low")
+    // the hash-green guarantee: BOTH Lloyd's tiers and the residual
+    // arithmetic are partition-independent, so a reshuffled input yields
+    // the identical ranked rows (the 6dp-rounding property, composed)
+    val out2 = run(emb.repartition(7, col("vec_id"))).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(out === out2, "IVFADC output must not depend on input partitioning")
+  }
+
+  test("IVFADC ANN (sample-trained): self found, recall usable through residual ADC") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val k = 5
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, "qid", "qvec", k)
+      .select("query_id", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Ivfadc.topK(emb, "vec_id", "embedding", q, "qid", "qvec",
+        nLists = 8, m = 4, k = 16, dim = 64, kTop = k, rerank = 50, nProbes = 2)
+      .select("query_id", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((0L until 5L).forall(i => approx.contains((i, i))), "query must find itself")
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.4, s"IVFADC recall $recall too low")
+  }
+
+  test("incremental IVFADC: frozen quantizers encode the new batch — exact twin found, partition-independent") {
+    val s = spark
+    val emb = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    // new batch = exact copies of corpus docs 0..2 under fresh ids: the
+    // add-after-train contract means each new doc must land in its
+    // twin's coarse cell and codes, so the search finds the twin at
+    // rank 1 (cosine 1.0, smaller id wins the tie) and itself at rank 2
+    val newDocs = emb.filter(col("vec_id") < 3)
+      .select((col("vec_id") + 1000).as("vec_id"), col("embedding"))
+    val df = emb.unionByName(newDocs)
+    def run(input: org.apache.spark.sql.DataFrame) =
+      Ivfadc.portableTopKIncremental(input, "vec_id", "embedding",
+        isNew = col("vec_id") >= 1000,
+        kCoarse = 8, coarseRounds = 3, m = 4, k = 16, pqRounds = 3, dim = 64,
+        queryFilter = lit(true), nProbes = 3, rerank = 50, kTop = 5)
+    val out = run(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    for (i <- 0L until 3L) {
+      val rows = out.filter(_._1 == 1000 + i).sortBy(_._3)
+      assert(rows(0)._2 === i, s"query ${1000 + i}: exact twin not at rank 1: ${rows.toSeq}")
+      assert(rows(0)._4 === 1.0)
+      assert(rows(1)._2 === 1000 + i, s"query ${1000 + i}: self not at rank 2")
+    }
+    // the composed frozen-assign path stays partition-independent
+    val out2 = run(df.repartition(7, col("vec_id"))).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(out === out2, "incremental IVFADC must not depend on input partitioning")
+  }
+
   test("language ID scores stopword evidence and falls back to unknown") {
     // NOTE: the synthetic documents table uses one shared vocabulary for all
     // lang labels (verified empirically — no token is lang-specific), so

@@ -143,6 +143,9 @@ class ScaleSpec extends SparkSpecBase {
       "dd7_decontaminate" -> "3/2/0/0/p",
       "ts7_repetition" -> "1/0/0/0/-",
       "st4_streaming_neardup" -> "2/1/0/0/-",
+      // st11 batch twin (r12): sig agg + band explode + cap window +
+      // pair distinct — the sketch joins are all broadcast
+      "st11_stream_containment" -> "4/3/0/0/-",
       // dd8 (skew-safe r10 shape): positions checkpointed once (gram
       // construction feeds the df-count chain AND the semi-join probe),
       // (gram,doc)-distinct shuffle + count agg + semi-join back (BHJ at
@@ -325,6 +328,18 @@ class ScaleSpec extends SparkSpecBase {
       // broadcast, the BHJ the probed-cell join; quantizer rounds are
       // checkpoint-truncated
       "sim5b_ivf_portable" -> "3/1/0/1/-",
+      // sim8 (IVFADC, r12): one codes-projection pass (argmin over
+      // broadcast centroid literals — no assignment join), BNLJ ×2 = the
+      // k-row centroid/codebook broadcasts, BHJ = LUT/rerank joins
+      "sim8_ivfadc_ann" -> "3/3/0/2/p",
+      // sim8b: both portable Lloyd's tiers + probe + ADC + rerank; the
+      // exchanges are the per-round argmin aggregates, every join a
+      // broadcast of model-sized state
+      "sim8b_ivfadc_portable" -> "9/11/0/1/-",
+      // sim9 (incremental IVFADC, r12): train-slice Lloyd's + FROZEN
+      // argmin assigns of all rows (the extra BNLJs are the k-row
+      // centroid broadcasts of the frozen-assign crossJoins — bounded)
+      "sim9_incremental_ann" -> "9/11/0/5/-",
       // sim7 (ADC, r11): codes-table scan + the 3-row broadcast query
       // BNLJ; the BHJs are the rerank id-joins back to the float vectors
       "sim7_sq_ann" -> "2/2/0/1/p",
@@ -364,7 +379,7 @@ class ScaleSpec extends SparkSpecBase {
           else Some(s"${q.name}: expected ${snapshot(q.name)}, got $live")
         }
       assert(drift.isEmpty, s"plan drift:\n${drift.mkString("\n")}")
-      assert(snapshot.size === 102)
+      assert(snapshot.size === 106)
     } finally sys.props.remove("graft.querymemo.disable")
   }
 

@@ -1,0 +1,108 @@
+package graft.streaming
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class StreamContainmentSpec extends SparkSpecBase {
+
+  test("sigOf is bit-equal to the estimate tier's Column signature on real docs") {
+    val s = spark
+    val docs = s.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val colSide = graft.llm.Dedup.estimateSigTable(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getSeq[Long](2)))).toMap
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    rows.foreach { case (id, txt) =>
+      val (nG, sig) = StreamContainment.sigOf(txt)
+      val (cn, csig) = colSide(id)
+      assert(nG === cn, s"doc $id gram count")
+      assert(sig.toSeq === csig, s"doc $id signature")
+    }
+  }
+
+  test("streaming gate flags a wrapped copy against earlier state, across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val page = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = StreamContainment.flagStream(s, mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("contain_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, page), (2L, "entirely different words about sailing ships at dawn"))
+      q.processAllAvailable()
+      // batch 2: page wrapped in boilerplate — containment of doc 1 in
+      // doc 3 is high even though Jaccard is diluted; must flag against
+      // STATE (doc 1 arrived in an earlier micro-batch)
+      mem.addData((3L, "site header navigation menu " + page + " footer copyright terms"),
+                  (4L, "unrelated prose on alpine meadows and quiet lakes"))
+      q.processAllAvailable()
+      val flags = s.sql("SELECT doc, partner FROM contain_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).distinct
+      assert(flags.toSet === Set((3L, 1L)), s"got ${flags.toSet}")
+    } finally q.stop()
+  }
+
+  test("stream equals batch twin on real documents across id-ordered micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val docs = s.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("text"))
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = StreamContainment.flagStream(s, mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("contain_stream_full")
+      .outputMode("append").start()
+    try {
+      rows.grouped(math.max(rows.length / 3, 1)).foreach { chunk =>
+        mem.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+      // stream emits per-bucket flags; comparable form = min partner per
+      // doc (with that pair's c_est)
+      val streamed = s.sql(
+          """SELECT doc, min(struct(partner, cEst)) AS m FROM contain_stream_full
+            |GROUP BY doc""".stripMargin)
+        .select(col("doc"), col("m.partner"), col("m.cEst"))
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+      val batch = StreamContainment.flaggedBatch(docs)
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+      assert(streamed === batch)
+      assert(batch.nonEmpty, "corpus should contain flaggable near-containments")
+    } finally q.stop()
+  }
+
+  test("bucket occupancy cap: later arrivals probe but are not added") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    // five identical docs, cap 2: docs 2..5 all flag against occupant 1
+    // (the min earlier occupant), and docs 4/5 still flag even though
+    // only 1 and 2 ever occupy any bucket
+    val txt = "one two three four five six seven eight nine ten"
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = StreamContainment.flagStream(s, mem.toDF().toDF("doc_id", "text"),
+        maxBucket = 2)
+      .writeStream.format("memory").queryName("contain_cap")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, txt), (2L, txt))
+      q.processAllAvailable()
+      mem.addData((4L, txt))
+      q.processAllAvailable()
+      mem.addData((5L, txt))
+      q.processAllAvailable()
+      val flags = s.sql("SELECT DISTINCT doc, partner FROM contain_cap").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(flags === Set((2L, 1L), (4L, 1L), (5L, 1L)), s"got $flags")
+      // batch twin with the same cap agrees
+      val docs = Seq((1L, txt), (2L, txt), (4L, txt), (5L, txt)).toDF("doc_id", "text")
+      val batch = StreamContainment.flaggedBatch(docs, maxBucket = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(batch === flags)
+    } finally q.stop()
+  }
+}
