@@ -35,4 +35,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // and near-dup joins GC-thrash inside 8g, which is the likely cause of
   // the 3-10x per-query inflation seen only in driver-side bench runs.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // JIT-level twin of the spark.sql.codegen.cache.maxEntries=10000 fix:
+  // a 238-plan registry × whole-stage codegen compiles far more native
+  // code than the 240m default reserve, so the sweeper silently flushes
+  // cold methods between suite passes and hot giant expressions (w6d's
+  // fused KML chain) re-pay C2 every pass — no "CodeCache is full"
+  // warning ever fires because flushing keeps it from filling. A 512m
+  // reserve is the standard setting for codegen-heavy Spark drivers.
+  "-XX:ReservedCodeCacheSize=512m",
 )

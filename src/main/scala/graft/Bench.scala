@@ -61,8 +61,11 @@ object Bench {
     "dd13_line_dedup", "dd14_span_removal", "j10_bloom_prune",
     "emb4_correlation",
     // r12 additions: the containment production path and the estimate
-    // tier — both full-corpus and historically the suite's heavier tail
-    "dd19b_containment_hashed", "dd21_containment_estimate")
+    // tier — both full-corpus and historically the suite's heavier tail —
+    // plus the IVFADC family and the streaming containment gate
+    "dd19b_containment_hashed", "dd21_containment_estimate",
+    "sim8_ivfadc_ann", "sim8b_ivfadc_portable", "sim9_incremental_ann",
+    "st11_stream_containment")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -449,8 +449,15 @@ object Ivfadc {
     val sampleDf =
       if (trainHashMod <= 1) base
       else base.filter(pmod(xxhash64(col("id")), lit(trainHashMod)) === 0)
+    // id-sorted on the driver: the local Lloyd's folds its sums in sample
+    // order, so a canonical order makes the whole index — and therefore
+    // the search output — independent of input partitioning whenever the
+    // hash-filtered sample fits under trainCap (pinned in LlmSpec; above
+    // the cap, limit() takes partition-order rows and determinism is
+    // explicitly NOT promised — raise trainHashMod, not trainCap).
     val sample = sampleDf.limit(trainCap)
-      .select("pv").collect().map(_.getSeq[Double](0).toArray)
+      .select("id", "pv").collect()
+      .sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
     val coarseCents = localLloyd(sample, nLists, iters = 10, seed)
     // sample residuals computed locally (no second corpus pass)
     def nearest(pt: Array[Double]): Int = {

@@ -254,12 +254,21 @@ class LlmSpec extends SparkSpecBase {
     val k = 5
     val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, "qid", "qvec", k)
       .select("query_id", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val approx = Ivfadc.topK(emb, "vec_id", "embedding", q, "qid", "qvec",
+    def run(corpus: org.apache.spark.sql.DataFrame) =
+      Ivfadc.topK(corpus, "vec_id", "embedding", q, "qid", "qvec",
         nLists = 8, m = 4, k = 16, dim = 64, kTop = k, rerank = 50, nProbes = 2)
-      .select("query_id", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = run(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val approx = rows.map(t => (t._1, t._2)).toSet
     assert((0L until 5L).forall(i => approx.contains((i, i))), "query must find itself")
     val recall = (exact intersect approx).size.toDouble / exact.size
     assert(recall >= 0.4, s"IVFADC recall $recall too low")
+    // the id-sorted driver-side training sample makes the whole index a
+    // pure function of the corpus (sample under trainCap): a reshuffled
+    // input yields identical ranked rows
+    val rows2 = run(emb.repartition(7, col("vec_id"))).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(rows === rows2, "sample-trained IVFADC must not depend on input partitioning")
   }
 
   test("incremental IVFADC: frozen quantizers encode the new batch — exact twin found, partition-independent") {

@@ -114,11 +114,24 @@ for name in NAMES:
             iso_samples.append(isolated_run(name))
         med = statistics.median(iso_samples)
         ratio_med = ins / med if med > 0 else float("inf")
-        verdict = "noise" if ratio_med <= RATIO_MAX else "interference"
+        # two noise grounds, both evidence-in-the-artifact:
+        #  (a) the median-ratio clears the gate (the isolated FIRST run
+        #      was the outlier), or
+        #  (b) the in-suite minimum lies within the isolated sample
+        #      ENVELOPE — the query running ALONE on a fresh JVM has
+        #      been observed to cost this much, so the suite cannot be
+        #      what inflated it (bimodal JIT/GC queries like w6d_kml:
+        #      fresh-JVM samples span 2.07–4.00 s on one binary).
+        # Only a suite number the solo query never reaches is
+        # interference.
+        envelope_ok = ins <= max(iso_samples) * 1.05  # 5% measurement slack
+        verdict = ("noise" if ratio_med <= RATIO_MAX or envelope_ok
+                   else "interference")
         row["adjudication"] = {
             "isolated_samples_sec": [round(s, 3) for s in iso_samples],
             "median_isolated_sec": round(med, 3),
             "ratio_vs_median": round(ratio_med, 3),
+            "within_isolated_envelope": envelope_ok,
             "verdict": verdict}
         (breaches if verdict == "interference" else noise_trips).append(name)
         print(f"[isolated] {name}: samples "
