@@ -415,7 +415,12 @@ object Ivfadc {
 
   /** Literal k×dim centroid matrix and the codegen'd nearest-centroid
     * assignment over it: k SqDist kernels + first-min array_position —
-    * one projection, no join, no shuffle, no UDF. */
+    * one projection, no join, no shuffle, no UDF. Right for quantizer
+    * tiers that fit in an expression (k·dim up to a few hundred K —
+    * both tiers here); a 64k-cell coarse tier would instead broadcast
+    * the centroid matrix as data (the [[Ivf.topK]] centDf shape) or a
+    * broadcast-var native expression, trading one projection for a
+    * broadcast join — same shuffle count, different k ceiling. */
   private def centArrLit(cs: Array[Array[Double]]): Column =
     array(cs.map(c => array(c.map(lit): _*)): _*)
   private def argminCell(v: Column, cs: Array[Array[Double]]): Column = {
