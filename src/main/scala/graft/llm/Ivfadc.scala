@@ -25,14 +25,18 @@ import org.apache.spark.sql.functions._
   * LUTs are m·k doubles). Per-query cost ≈ (nProbes/nLists)·corpus rows ×
   * m lookups — the two knobs a 100 TB deployment turns independently.
   *
-  * Two forms, the sim5/sim5b + sim6/sim6b pattern: [[topK]] is the MLlib
-  * production path (sampling init, early convergence — model-dependent, so
-  * rows-only with a recall pin in LlmSpec); [[portableTopK]] fixes both
-  * quantizer tiers to the md5-seeded fixed-round Lloyd's of
+  * Three forms: [[topK]] is the production path (both quantizer tiers
+  * trained by a driver-local seeded Lloyd's over one bounded id-sorted
+  * hash sample — the FAISS train posture; deterministic for a fixed
+  * corpus but model-shaped, so rows-only with recall +
+  * partition-independence pins in LlmSpec); [[portableTopK]] fixes both
+  * tiers to the md5-seeded fixed-round Lloyd's of
   * [[Ivf.portableQuantizer]] so every stage — coarse rounds, residuals,
   * subspace rounds, probe, ADC, rerank — replays bit-for-bit in DuckDB
   * ([[portableOracleSql]]) and the whole IVFADC search is hash-checked
-  * end-to-end.
+  * end-to-end; [[portableTopKIncremental]] is the ingest split (frozen
+  * codebooks encode a new batch — FAISS add-after-train — with its own
+  * oracle).
   */
 object Ivfadc {
 
@@ -41,8 +45,9 @@ object Ivfadc {
   /** Portable IVFADC: coarse portable quantizer (kCoarse cells,
     * coarseRounds Lloyd's), residual PQ (m subspaces × k codes, pqRounds
     * each, concurrent seeded fits — bit-identical regardless of
-    * interleaving), L2 probe of nProbes cells, ADC shortlist of `rerank`,
-    * exact cosine rerank to kTop. Residuals are plain IEEE subtractions of
+    * interleaving), cosine probe of nProbes cells (the search metric),
+    * squared-L2 residual-ADC shortlist of `rerank`, exact cosine rerank
+    * to kTop. Residuals are plain IEEE subtractions of
     * (raw parquet doubles − 6dp-rounded centroids), so they are
     * bit-identical across engines and the downstream Lloyd's chains stay
     * engine-exact; the ADC distance is an explicit left-associative chain
