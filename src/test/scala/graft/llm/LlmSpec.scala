@@ -271,6 +271,35 @@ class LlmSpec extends SparkSpecBase {
     assert(rows === rows2, "sample-trained IVFADC must not depend on input partitioning")
   }
 
+  test("localLloyd: seeded determinism, k centroids, fixed-point on separated clusters") {
+    // three tight clusters far apart in 4-d: Lloyd's must land one
+    // centroid on each cluster mean regardless of the seeded init, and
+    // the result must be bit-identical across calls (pure function of
+    // (points, k, iters, seed) — what makes sim8 deterministic)
+    val rnd = new scala.util.Random(7)
+    val centers = Seq(Array(0.0, 0, 0, 0), Array(100.0, 100, 0, 0), Array(0.0, 0, 100, 100))
+    val pts = centers.zipWithIndex.flatMap { case (c, ci) =>
+      (0 until 40).map { _ => Array.tabulate(4)(j => c(j) + rnd.nextGaussian() * 0.5) }
+    }.toArray
+    val a = Ivfadc.localLloyd(pts, k = 3, iters = 10, seed = 42L)
+    val b = Ivfadc.localLloyd(pts, k = 3, iters = 10, seed = 42L)
+    assert(a.map(_.toSeq) === b.map(_.toSeq), "same inputs must give identical centroids")
+    assert(a.length === 3)
+    // every true center has a learned centroid within 0.5 of it
+    centers.foreach { c =>
+      val d = a.map(cc => math.sqrt(cc.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum)).min
+      assert(d < 0.5, s"no centroid near ${c.toSeq}: min distance $d")
+    }
+    // fixed point: each centroid is the mean of the points it owns
+    val own = pts.groupBy(p => a.indices.minBy(ci =>
+      p.zip(a(ci)).map { case (x, y) => (x - y) * (x - y) }.sum))
+    own.foreach { case (ci, ps) =>
+      val mean = Array.tabulate(4)(j => ps.map(_(j)).sum / ps.length)
+      val drift = math.sqrt(mean.zip(a(ci)).map { case (x, y) => (x - y) * (x - y) }.sum)
+      assert(drift < 1e-9, s"centroid $ci not the mean of its points (drift $drift)")
+    }
+  }
+
   test("incremental IVFADC: frozen quantizers encode the new batch — exact twin found, partition-independent") {
     val s = spark
     val emb = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

@@ -75,6 +75,68 @@ class StreamContainmentSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("sigOf matches the Column signature on edge-case texts") {
+    val s = spark
+    import s.implicits._
+    // whitespace shapes and multi-byte chars: split/gram/md5 behavior at
+    // the boundaries the real-docs pin never exercises
+    val edge = Seq(
+      (1L, ""),                         // empty → tk = [""]
+      (2L, "   "),                      // leading/trailing whitespace runs
+      (3L, "one"),                      // fewer tokens than the gram width
+      (4L, "one two"),
+      (5L, "Tabs\tand\nnewlines mix"),  // \s+ covers tabs + newlines
+      (6L, "CASE Case case"),           // lowercase fold collapses grams
+      (7L, "áccents über naïve façade again"), // multi-byte UTF-8 in md5
+      (8L, "repeat repeat repeat repeat repeat") // heavy gram dedup
+    ).toDF("doc_id", "text")
+    val colSide = graft.llm.Dedup.estimateSigTable(edge, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getSeq[Long](2)))).toMap
+    edge.collect().map(r => (r.getLong(0), r.getString(1))).foreach { case (id, txt) =>
+      val (nG, sig) = StreamContainment.sigOf(txt)
+      assert((nG, sig.toSeq) === colSide(id), s"doc $id ('$txt')")
+    }
+  }
+
+  test("gate->verify handoff: flagged pairs carry real containment, verify prunes the rest") {
+    // the st11 contract: the stream emits the candidates the batch tier
+    // would send to exact verification. Demonstrate the handoff — exact
+    // word-gram containment over the flagged pairs confirms the planted
+    // wrapped copy and rejects a sketch-level near-miss.
+    val s = spark
+    import s.implicits._
+    val page = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    val docs = Seq(
+      (1L, page),
+      (2L, "site header navigation menu " + page + " footer copyright terms"),
+      // shares SOME vocabulary with the page but no long overlap: a
+      // bucket collision candidate at best, never exact containment
+      (3L, "alpha beta different words gamma delta unrelated tail " +
+           "epsilon zeta something else entirely iota kappa end")
+    ).toDF("doc_id", "text")
+    val flags = StreamContainment.flaggedBatch(docs)
+      .collect().map(r => (r.getLong(1), r.getLong(0))).toSet // (partner, doc)
+    assert(flags.contains((1L, 2L)), s"wrapped copy not flagged: $flags")
+    // exact verify (dd19's definition: distinct word 3-grams) over every
+    // flagged pair — the downstream merge-time step
+    def grams(t: String): Set[String] = {
+      val tk = t.toLowerCase.split("\\s+", -1)
+      (0 until math.max(tk.length - 2, 1))
+        .map(i => tk.slice(i, math.min(i + 3, tk.length)).mkString(" ")).toSet
+    }
+    val byId = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val verified = flags.filter { case (a, b) =>
+      val (ga, gb) = (grams(byId(a)), grams(byId(b)))
+      val shared = (ga intersect gb).size.toDouble
+      math.max(shared / ga.size, shared / gb.size) >= 0.5
+    }
+    assert(verified.contains((1L, 2L)), "verify must confirm the wrapped copy")
+    // doc 3 must not survive verification against either page doc even
+    // if the sketch flagged it — that pruning is WHY verify runs
+    assert(!verified.exists(p => p._1 == 3L || p._2 == 3L),
+      s"near-miss survived exact verify: $verified")
+  }
+
   test("bucket occupancy cap: later arrivals probe but are not added") {
     val s = spark
     import s.implicits._
