@@ -140,7 +140,12 @@ object Ivfadc {
     * assign of all rows, residuals, frozen subspace assigns, probe, ADC,
     * rerank) replays in DuckDB ([[portableIncrementalOracleSql]]), so
     * the add-after-train contract itself is hash-checked: retraining on
-    * ingest would shift centroids and fail the oracle. */
+    * ingest would shift centroids and fail the oracle.
+    *
+    * Both `isNew` and `queryFilter` are evaluated against the CALLER's
+    * original columns (they are resolved in the first select, before any
+    * internal rename), so pass predicates over the `id`/`vec` names you
+    * passed in — never over the internal `pid`. */
   def portableTopKIncremental(corpus: DataFrame, id: String, vec: String,
                               isNew: Column,
                               kCoarse: Int, coarseRounds: Int,
@@ -151,7 +156,7 @@ object Ivfadc {
     val subDim = dim / m
     val base = corpus.select(col(id).cast("long").as("pid"),
         transform(col(vec), _.cast("double")).as("pv"),
-        isNew.as("is_new"))
+        isNew.as("is_new"), queryFilter.as("is_query"))
       .localCheckpoint()
     val trainBase = base.filter(!col("is_new"))
     val (coarse, _) =
@@ -180,7 +185,7 @@ object Ivfadc {
         assignFrozen(slicedAll, fits(s0), "sv")
           .select(col("pid"), col("cell").as(s"c$s0")), "pid")
     }
-    val q = base.filter(col("is_new") && queryFilter)
+    val q = base.filter(col("is_new") && col("is_query"))
       .select(col("pid").as("qid"), col("pv").as("qv"))
     val probed = q.crossJoin(broadcast(coarse))
       .withColumn("cs", Similarity.cosine(col("qv"), col("cv")))
@@ -456,16 +461,36 @@ object Ivfadc {
     val base = corpus.select(col(id).cast("long").as("id"),
       transform(col(vec), _.cast("double")).as("pv"))
     // ---- train (driver-local, bounded sample) ----
-    val sampleDf =
-      if (trainHashMod <= 1) base
-      else base.filter(pmod(xxhash64(col("id")), lit(trainHashMod)) === 0)
+    // The sample is fully determined by the id hash: if the hash-filtered
+    // sample would exceed trainCap, the mod AUTO-ESCALATES (first jump to
+    // ceil(cnt/trainCap)·mod, then doubling) until it fits, with a
+    // warning — never a silent partition-order limit(). The trained index
+    // is therefore independent of input partitioning at EVERY corpus
+    // size (pinned in LlmSpec both under and over the cap); crossing the
+    // cap changes WHICH deterministic sample trains, which is the FAISS
+    // posture (train on a bounded sample) made loud.
+    def filtered(mod: Int): DataFrame =
+      if (mod <= 1) base
+      else base.filter(pmod(xxhash64(col("id")), lit(mod)) === 0)
+    var mod = math.max(trainHashMod, 1)
+    var cnt = filtered(mod).count()
+    if (cnt > trainCap) {
+      val first = mod.toLong * ((cnt + trainCap - 1) / trainCap)
+      mod = math.min(first, Int.MaxValue.toLong).toInt
+      cnt = filtered(mod).count()
+      while (cnt > trainCap && mod < Int.MaxValue / 2) {
+        mod *= 2; cnt = filtered(mod).count()
+      }
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"Ivfadc.topK: hash-filtered train sample exceeded trainCap=$trainCap " +
+          s"at trainHashMod=$trainHashMod; auto-escalated to mod=$mod " +
+          s"($cnt rows) to keep the sample partition-independent. " +
+          s"Pass trainHashMod >= $mod to silence this.")
+    }
     // id-sorted on the driver: the local Lloyd's folds its sums in sample
     // order, so a canonical order makes the whole index — and therefore
-    // the search output — independent of input partitioning whenever the
-    // hash-filtered sample fits under trainCap (pinned in LlmSpec; above
-    // the cap, limit() takes partition-order rows and determinism is
-    // explicitly NOT promised — raise trainHashMod, not trainCap).
-    val sample = sampleDf.limit(trainCap)
+    // the search output — independent of input partitioning.
+    val sample = filtered(mod)
       .select("id", "pv").collect()
       .sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
     val coarseCents = localLloyd(sample, nLists, iters = 10, seed)

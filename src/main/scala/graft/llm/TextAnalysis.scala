@@ -493,7 +493,7 @@ object TextAnalysis {
     * therefore fall back to a single shard — still correct, just serial,
     * matching the pre-sharding behavior. */
   def packByTokenBudget(df: DataFrame, id: String, text: String, budget: Int,
-                        nShards: Int = 32): DataFrame = {
+                        nShards: Int = 32, keep: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val idIsNumeric =
       df.schema(id).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
@@ -535,6 +535,7 @@ object TextAnalysis {
           lit(0L), (acc, t) => acc + t("__shard_total")))
       .withColumn("cum_tokens", col("__local_cum") + col("__offset"))
       .withColumn("pack_id", ((col("cum_tokens") - col("n_tokens")) / budget).cast("long"))
-      .select(col(id), col("n_tokens"), col("cum_tokens"), col("pack_id"))
+      .select(col(id) +: (keep.map(col) ++
+        Seq(col("n_tokens"), col("cum_tokens"), col("pack_id"))): _*)
   }
 }

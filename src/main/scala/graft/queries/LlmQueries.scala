@@ -217,6 +217,95 @@ object LlmQueries {
       Dedup.labelComponents(docs.select(col("doc_id")), "doc_id", edges)
     }
 
+  /** DuckDB replay of the ENTIRE e2e_llm_pipeline chain: each CTE is the
+    * corresponding single-stage oracle (ts16 / dd2 / dd3c+dd6b / dd7 /
+    * ts3 / cur3 / cur7) re-rooted at the previous stage's CTE, so one
+    * hash checks the whole composition. */
+  private def llmPipelineOracleSql: String = {
+    val cands = Dedup.minhashCandidatesPortableOracleSql("exact2", "doc_id", "text")
+    s"""WITH RECURSIVE
+       |train AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 17 <> 0),
+       |benchd AS (SELECT text FROM documents WHERE doc_id % 17 = 0),
+       |gw AS (
+       |  SELECT doc_id, source, text,
+       |         list_filter(regexp_split_to_array(trim(text), '[ \\t\\n\\r\\f]+'),
+       |                     x -> length(x) > 0) AS words,
+       |         string_split(text, chr(10)) AS lines
+       |  FROM train),
+       |gf AS (
+       |  SELECT doc_id, source, text,
+       |    len(words)::INT AS n_words,
+       |    round(list_sum(list_transform(words, x -> length(x)))::DOUBLE
+       |          / len(words), 6) AS mean_wl,
+       |    round(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+       |          / len(words), 6) AS alpha_frac,
+       |    len(list_distinct(list_filter(list_transform(words, x -> lower(x)),
+       |        x -> x IN ('the','be','to','of','and','a','in','that'))))::INT
+       |      AS stop_hits,
+       |    round(((length(text) - length(replace(text, '#', '')))
+       |     + (length(text) - length(replace(text, '...', ''))) / 3)
+       |      / len(words), 6) AS symbol_ratio,
+       |    round(len(list_filter(lines, x -> regexp_matches(ltrim(x), '^[-*•]')))::DOUBLE
+       |      / len(lines), 6) AS bullet_frac,
+       |    round(len(list_filter(lines, x -> ends_with(rtrim(x), '...')))::DOUBLE
+       |      / len(lines), 6) AS ell_frac
+       |  FROM gw),
+       |quality AS (
+       |  SELECT doc_id, source, text FROM gf
+       |  WHERE n_words BETWEEN 50 AND 100000 AND mean_wl BETWEEN 3.0 AND 10.0
+       |    AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9 AND ell_frac <= 0.3
+       |    AND alpha_frac >= 0.8 AND stop_hits >= 2),
+       |exact2 AS (
+       |  SELECT * FROM quality
+       |  WHERE doc_id IN (SELECT min(doc_id) FROM quality GROUP BY md5(text))),
+       |cands AS ($cands),
+       |sym AS (SELECT id1 AS u, id2 AS v FROM cands
+       |        UNION SELECT id2, id1 FROM cands),
+       |reach AS (
+       |  SELECT u, v FROM sym
+       |  UNION
+       |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u WHERE s.v <> r.u),
+       |comp AS (SELECT u AS doc_id, least(u, min(v)) AS component
+       |         FROM reach GROUP BY u),
+       |nearsurv AS (
+       |  SELECT e.* FROM exact2 e LEFT JOIN comp c USING (doc_id)
+       |  WHERE coalesce(c.component, e.doc_id) = e.doc_id),
+       |bgrams AS (
+       |  SELECT DISTINCT unnest(g) AS gram
+       |  FROM (SELECT [array_to_string(t[i:i+7], ' ')
+       |                FOR i IN generate_series(1, greatest(len(t) - 7, 1))] AS g
+       |        FROM (SELECT string_split_regex(lower(text), '\\s+') AS t FROM benchd))),
+       |tgrams AS (
+       |  SELECT doc_id, unnest(g) AS gram
+       |  FROM (SELECT doc_id, [array_to_string(t[i:i+7], ' ')
+       |                FOR i IN generate_series(1, greatest(len(t) - 7, 1))] AS g
+       |        FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+       |              FROM nearsurv))),
+       |dirty AS (SELECT DISTINCT doc_id FROM tgrams JOIN bgrams USING (gram)),
+       |clean AS (SELECT * FROM nearsurv
+       |          WHERE doc_id NOT IN (SELECT doc_id FROM dirty)),
+       |toks AS (
+       |  SELECT doc_id, source,
+       |         len(regexp_extract_all(text, '\\w+|[^\\w\\s]'))::INT AS n_tokens
+       |  FROM clean),
+       |packed AS (
+       |  SELECT doc_id, source, n_tokens,
+       |         sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)::BIGINT
+       |           AS cum_tokens
+       |  FROM toks)
+       |SELECT doc_id, source,
+       |       CASE WHEN f < 0.1 THEN 'test'
+       |            WHEN f < 0.2 THEN 'val'
+       |            ELSE 'train' END AS split,
+       |       n_tokens, cum_tokens,
+       |       ((cum_tokens - n_tokens) // 256)::BIGINT AS pack_id
+       |FROM (SELECT *,
+       |        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+       |          / 4294967296.0 AS f
+       |      FROM packed)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- exact dedup: content-hash groups ----
@@ -1341,7 +1430,7 @@ object LlmQueries {
       (s, d) => Ivfadc.portableTopKIncremental(t(s, d, "embeddings"),
         "vec_id", "embedding", isNew = col("vec_id") % 11 === 3,
         kCoarse = 8, coarseRounds = 3, m = 4, k = 16, pqRounds = 3, dim = 64,
-        queryFilter = col("pid") % 55 === 3, nProbes = 3, rerank = 50, kTop = 10),
+        queryFilter = col("vec_id") % 55 === 3, nProbes = 3, rerank = 50, kTop = 10),
       Some(Ivfadc.portableIncrementalOracleSql("embeddings", "vec_id", "embedding",
         newSql = "pid % 11 = 3", kCoarse = 8, coarseRounds = 3, m = 4, k = 16,
         pqRounds = 3, dim = 64, querySql = "pid % 55 = 3", nProbes = 3,
@@ -1885,6 +1974,54 @@ object LlmQueries {
              |              len(regexp_extract_all(text, '\w+|[^\w\s]'))::INT AS n_tokens
              |            FROM documents))
              |ORDER BY doc_id""".stripMargin)),
+
+    // ---- the composed LLM curation pipeline end-to-end, the production
+    // shape every stage above exists FOR: Gopher quality gate (ts16) →
+    // exact dedup survivors (dd2) → MinHash-LSH near-dup components, one
+    // survivor per cluster (dd3c/dd6b) → benchmark decontamination
+    // (dd7, word 8-grams) → token counting (ts3) → token-budget packing
+    // (cur3) → deterministic stratified split (cur7). One hash-green
+    // query: the DuckDB oracle replays the ENTIRE chain (gopher rules,
+    // md5 groups, portable signatures + banding, recursive components,
+    // gram overlap, running-sum pack, md5-fraction split), so stage
+    // composition itself — lineage, checkpoints, column plumbing — is
+    // what the hash checks. Survivor frames are localCheckpoint'ed at
+    // the two points consumed by more than one downstream stage (the
+    // staged-table pattern a production pipeline would persist anyway),
+    // so no shared stage re-computes. ----
+    QueryDef("e2e_llm_pipeline",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val train = docs.filter(col("doc_id") % 17 =!= 0)
+          .select("doc_id", "source", "text")
+        val bench = docs.filter(col("doc_id") % 17 === 0)
+        // 1. quality gate
+        val quality = TextAnalysis.gopherRules(train, "text")
+          .filter(col("gopher_pass")).select("doc_id", "source", "text")
+        // 2. exact dedup survivors — checkpointed: feeds the near-dup
+        // candidate build, the component node list, and the survivor
+        // semi-join (three consumers; the gopher scan must run once)
+        val exact = Dedup.exactSurvivors(quality, "doc_id", "text")
+          .localCheckpoint()
+        // 3. near-dup clusters over the exact survivors; keep the
+        // component minimum
+        val edges = Dedup.minhashCandidatesPortable(exact, "doc_id", "text")
+        val comp = Dedup.labelComponents(exact.select("doc_id"), "doc_id", edges)
+        val nearSurv = exact.join(
+          comp.filter(col("doc_id") === col("component")).select("doc_id"),
+          Seq("doc_id"), "left_semi")
+        // 4. decontaminate against the held-out benchmark slice
+        val clean = Dedup.decontaminate(nearSurv, "doc_id", "text",
+          bench, "text", n = 8, hashGrams = false)
+        // 5+6. token count + budget packing (source kept for the split)
+        val packed = TextAnalysis.packByTokenBudget(clean, "doc_id", "text",
+          budget = 256, keep = Seq("source"))
+        // 7. deterministic stratified split
+        TextAnalysis.stratifiedSplit(packed, "doc_id", valFrac = 0.1, testFrac = 0.1)
+          .select("doc_id", "source", "split", "n_tokens", "cum_tokens", "pack_id")
+          .orderBy("doc_id")
+      },
+      Some(llmPipelineOracleSql)),
 
     // ---- as-of join: each click matched to the user's latest prior view.
     // Oracle: DuckDB's native ASOF JOIN — two independent implementations

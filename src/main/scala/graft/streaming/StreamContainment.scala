@@ -122,14 +122,43 @@ object StreamContainment {
   }
 
   /** Streaming gate: append-mode flatMapGroupsWithState keyed by
-    * (band, min-value). Emits one ContainFlag per (bucket, flagged doc)
-    * naming the minimum earlier occupant that clears the sketch margin;
-    * the cross-bucket minimum is a downstream min (append mode cannot
-    * re-aggregate). Occupant lists are capped at `maxBucket`. */
+    * (band, min-value). An arriving doc is compared against EVERY current
+    * occupant regardless of id order: hits against smaller-id occupants
+    * emit one ContainFlag naming the minimum such partner (the batch
+    * twin's min-partner shape), and hits against LARGER-id occupants —
+    * which only exist under out-of-order arrival — each emit a flag keyed
+    * on that larger occupant (flag.doc is always the larger id of the
+    * pair, flag.partner the smaller, matching the batch twin's
+    * `partner < doc` orientation), so an early-arriving large id no
+    * longer silences the pair. The cross-bucket / cross-emission minimum
+    * is a downstream min (append mode cannot re-aggregate). Occupant
+    * lists are capped at `maxBucket`.
+    *
+    * Residual arrival-order caveat (inherent to any capped ONLINE gate):
+    * bucket ADMISSION is first-come — under out-of-order arrival the
+    * first `maxBucket` arrivals occupy the bucket, whereas the batch
+    * twin's row_number cap keeps the `maxBucket` SMALLEST ids. Pair
+    * detection is order-independent whenever at least one side of the
+    * pair is an occupant; only a pair where BOTH sides were refused
+    * admission (bucket already full with `maxBucket` other docs) is
+    * gate-invisible, same as in the batch twin.
+    *
+    * State budget: keys are (band, min-value) — at most `numHashes`
+    * buckets per distinct signature, each occupant `numHashes` longs +
+    * one int (~`8*numHashes+4` bytes; ~260 B at the default 32) — the
+    * corpus TEXT never enters state, but key cardinality still grows
+    * ~`numHashes` per distinct doc forever under the default
+    * `stateTtlMs = None` (an always-on gate must remember old corpus to
+    * flag re-fetches against it). For bounded-retention deployments pass
+    * `stateTtlMs = Some(ms)`: buckets untouched (neither probed nor
+    * appended to) for `ms` of processing time are evicted, trading
+    * flags against corpus older than the TTL for a state store bounded
+    * by the arrival rate × TTL window. */
   def flagStream(spark: SparkSession, docs: DataFrame, id: String = "doc_id",
                  text: String = "text", n: Int = 3, numHashes: Int = 32,
                  minContainment: Double = 0.5, maxSizeRatio: Double = 8.0,
-                 maxBucket: Int = 100): Dataset[ContainFlag] = {
+                 maxBucket: Int = 100,
+                 stateTtlMs: Option[Long] = None): Dataset[ContainFlag] = {
     import spark.implicits._
     val typed = docs.select(col(id).cast("long").as("doc"), col(text).as("text"))
       .as[(Long, String)]
@@ -138,30 +167,42 @@ object StreamContainment {
       val s = sig.toSeq
       Iterator.tabulate(numHashes)(band => BandedSig(band, sig(band), doc, nG, s))
     }
+    val timeout = if (stateTtlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+                  else GroupStateTimeout.NoTimeout()
     banded.groupByKey(b => (b.band, b.v))
       .flatMapGroupsWithState[List[Occ], ContainFlag](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeout) {
         case ((band, _), ds, state: GroupState[List[Occ]]) =>
-          var occupants = state.getOption.getOrElse(Nil)
-          var nOcc = occupants.size
-          val out = scala.collection.mutable.ArrayBuffer.empty[ContainFlag]
-          ds.toSeq.sortBy(_.doc).foreach { d =>
-            val hits = occupants.iterator
-              .filter(_.doc < d.doc)
-              .flatMap(e => pairFlag(e, d, numHashes, minContainment, maxSizeRatio)
-                .map(c => (e.doc, c)))
-              .toSeq
-            if (hits.nonEmpty) {
-              val (p, c) = hits.minBy(_._1)
-              out += ContainFlag(d.doc, p, band, c)
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var occupants = state.getOption.getOrElse(Nil)
+            var nOcc = occupants.size
+            val out = scala.collection.mutable.ArrayBuffer.empty[ContainFlag]
+            ds.toSeq.sortBy(_.doc).foreach { d =>
+              val hits = occupants.iterator
+                .filter(_.doc != d.doc)
+                .flatMap(e => pairFlag(e, d, numHashes, minContainment, maxSizeRatio)
+                  .map(c => (e.doc, c)))
+                .toSeq
+              val (earlier, later) = hits.partition(_._1 < d.doc)
+              if (earlier.nonEmpty) {
+                val (p, c) = earlier.minBy(_._1)
+                out += ContainFlag(d.doc, p, band, c)
+              }
+              // out-of-order arrival: the occupant has the larger id, so
+              // the flag is keyed on IT (batch orientation partner < doc)
+              later.foreach { case (p, c) => out += ContainFlag(p, d.doc, band, c) }
+              if (nOcc < maxBucket) {
+                occupants = Occ(d.doc, d.n, d.sig) :: occupants
+                nOcc += 1
+              }
             }
-            if (nOcc < maxBucket) {
-              occupants = Occ(d.doc, d.n, d.sig) :: occupants
-              nOcc += 1
-            }
+            state.update(occupants)
+            stateTtlMs.foreach(state.setTimeoutDuration)
+            out.iterator
           }
-          state.update(occupants)
-          out.iterator
       }
   }
 

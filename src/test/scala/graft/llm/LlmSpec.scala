@@ -271,6 +271,32 @@ class LlmSpec extends SparkSpecBase {
     assert(rows === rows2, "sample-trained IVFADC must not depend on input partitioning")
   }
 
+  test("IVFADC trainCap overflow auto-escalates the hash mod — loud, partition-independent") {
+    // corpus larger than trainCap at trainHashMod=1: pre-guard this
+    // silently trained on a partition-order limit(); now the mod
+    // escalates until the hash-filtered sample fits, so the index stays
+    // a pure function of the corpus at EVERY size
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    def run(corpus: org.apache.spark.sql.DataFrame) =
+      Ivfadc.topK(corpus, "vec_id", "embedding", q, "qid", "qvec",
+        nLists = 8, m = 4, k = 16, dim = 64, kTop = 3, rerank = 30, nProbes = 2,
+        trainCap = 50) // corpus is ~hundreds of rows -> cap crossed
+    val a = run(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    // the escalated sample is hash-determined: reshuffled and re-sliced
+    // inputs give the identical ranked output (limit() could not)
+    val b = run(emb.repartition(13, col("vec_id"))).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(a === b, "over-cap training must stay partition-independent")
+    val c = run(emb.repartition(3)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(a === c, "over-cap training must survive round-robin repartition")
+    assert((0L until 3L).forall(i => a.exists(t => t._1 == i && t._2 == i)),
+      "query must still find itself on the escalated-sample index")
+  }
+
   test("localLloyd: seeded determinism, k centroids, fixed-point on separated clusters") {
     // three tight clusters far apart in 4-d: Lloyd's must land one
     // centroid on each cluster mean regardless of the seeded init, and

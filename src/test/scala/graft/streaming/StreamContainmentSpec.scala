@@ -137,6 +137,83 @@ class StreamContainmentSpec extends SparkSpecBase {
       s"near-miss survived exact verify: $verified")
   }
 
+  test("out-of-order arrival: pair flagged keyed on the larger doc") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val page = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = StreamContainment.flagStream(s, mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("contain_ooo")
+      .outputMode("append").start()
+    try {
+      // the WRAPPED copy (larger id) arrives FIRST; the original page
+      // (smaller id) arrives in a later micro-batch. Pre-fix the pair was
+      // silently dropped (the occupant had the larger id and never
+      // re-probes); now the arriving doc tests both directions and the
+      // flag is keyed on the larger doc, matching batch orientation.
+      mem.addData((3L, "site header navigation menu " + page + " footer copyright terms"))
+      q.processAllAvailable()
+      mem.addData((1L, page))
+      q.processAllAvailable()
+      val flags = s.sql("SELECT DISTINCT doc, partner FROM contain_ooo").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(flags === Set((3L, 1L)), s"got $flags")
+      // and it agrees with the batch twin's min-partner result
+      val batch = StreamContainment.flaggedBatch(
+          Seq((1L, page), (3L, "site header navigation menu " + page +
+            " footer copyright terms")).toDF("doc_id", "text"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(batch === flags)
+    } finally q.stop()
+  }
+
+  test("stateTtlMs evicts buckets untouched past the TTL") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val page = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    // NOTE: with ProcessingTimeTimeout the engine keeps constructing
+    // no-data batches to fire timeouts, so processAllAvailable never sees
+    // quiescence — progress is observed through SENTINEL pairs (two
+    // identical docs always flag each other) polled in the sink instead.
+    val q = StreamContainment.flagStream(s, mem.toDF().toDF("doc_id", "text"),
+        stateTtlMs = Some(500L))
+      .writeStream.format("memory").queryName("contain_ttl")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+      .outputMode("append").start()
+    def awaitFlag(doc: Long, partner: Long): Unit = {
+      val t0 = System.currentTimeMillis()
+      while (!s.sql("SELECT doc, partner FROM contain_ttl").collect()
+               .exists(r => r.getLong(0) == doc && r.getLong(1) == partner)) {
+        assert(System.currentTimeMillis() - t0 < 60000L,
+          s"timed out waiting for sentinel flag ($doc, $partner)")
+        Thread.sleep(100L)
+      }
+    }
+    try {
+      mem.addData((1L, page),
+        (10L, "first sentinel corpus speaks of rivers and bridges tonight"),
+        (11L, "first sentinel corpus speaks of rivers and bridges tonight"))
+      awaitFlag(11L, 10L) // batch with doc 1 committed
+      Thread.sleep(1500L) // let doc 1's bucket deadlines (500 ms) expire
+      mem.addData(
+        (12L, "second sentinel mentions orchards and granite paths ahead"),
+        (13L, "second sentinel mentions orchards and granite paths ahead"))
+      awaitFlag(13L, 12L) // a post-deadline batch ran -> timeouts fired
+      // the wrapped copy of the now-EVICTED page must no longer flag
+      mem.addData((3L, "site header navigation menu " + page + " footer copyright terms"),
+        (14L, "third sentinel counts lanterns along the harbor wall"),
+        (15L, "third sentinel counts lanterns along the harbor wall"))
+      awaitFlag(15L, 14L) // doc 3's batch committed
+      val flags = s.sql("SELECT DISTINCT doc, partner FROM contain_ttl").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(!flags.contains((3L, 1L)), s"evicted page still flagged: $flags")
+      assert(flags === Set((11L, 10L), (13L, 12L), (15L, 14L)), s"got $flags")
+    } finally q.stop()
+  }
+
   test("bucket occupancy cap: later arrivals probe but are not added") {
     val s = spark
     import s.implicits._

@@ -123,8 +123,13 @@ for name in NAMES:
         #      what inflated it (bimodal JIT/GC queries like w6d_kml:
         #      fresh-JVM samples span 2.07–4.00 s on one binary).
         # Only a suite number the solo query never reaches is
-        # interference.
-        envelope_ok = ins <= max(iso_samples) * 1.05  # 5% measurement slack
+        # interference. Robustness (r12 advice): one slow solo outlier
+        # must not exonerate — the suite minimum has to be reached by at
+        # least TWO of the K fresh-JVM samples (i.e. <= the second-
+        # largest sample, with 5% measurement slack).
+        second_largest = sorted(iso_samples)[-2] if len(iso_samples) >= 2 \
+            else iso_samples[0]
+        envelope_ok = ins <= second_largest * 1.05
         verdict = ("noise" if ratio_med <= RATIO_MAX or envelope_ok
                    else "interference")
         row["adjudication"] = {
