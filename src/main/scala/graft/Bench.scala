@@ -89,6 +89,26 @@ object Bench {
     // query's number (~5s of non-query cost at sf0.1)
     spark.read.parquet(s"$sfDir/region.parquet")
       .write.format("noop").mode("overwrite").save()
+    // Box-drift sentinel: a FIXED synthetic CPU+shuffle workload that
+    // never touches the library or the testdata, so its time can move
+    // with the MACHINE (noisy neighbors, turbo state, GC debt) or the
+    // Spark version — never with the code under grade. Measured (min of
+    // 3) before and after the suite; round-over-round consumers divide
+    // per-query ratios by the sentinel ratio (tools/bench_compare.py) so
+    // the 1.3× regression gate measures code, not evening load — the
+    // w6d_kml class of noise trips that burned adjudication three rounds
+    // running.
+    def sentinelOnce(): Double = {
+      import org.apache.spark.sql.functions.{col, lit, pmod, sum, xxhash64}
+      val t0 = System.nanoTime()
+      // hashes folded to 30 bits before the sum so 50M terms can't
+      // overflow a long under ANSI semantics
+      spark.range(0, 50000000L, 1, cpus.toInt)
+        .select(sum(pmod(xxhash64(col("id") * 31 + 7), lit(1L << 30))).as("s"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val sentinelStart = (1 to 3).map(_ => sentinelOnce()).min
     // optional args = query-name filter for targeted local measurement
     val selected =
       if (args.isEmpty) SparkEntry.all
@@ -158,6 +178,7 @@ object Bench {
       (q.name, best, spread, okArr(i), ts.head)
     }
     val wallSec = (System.nanoTime() - wall0) / 1e9
+    val sentinelEnd = (1 to 3).map(_ => sentinelOnce()).min
     // a crashed query must not look like a fast success: its name is listed
     // under "failed"; per-query values stay raw positive durations so
     // consumers summing or ranking the map never see magic values.
@@ -172,7 +193,7 @@ object Bench {
     val spreads = results.map { case (k, _, s, _, _) => k -> s }
     val colds = results.map { case (k, _, _, _, c) => k -> c }
     val meta =
-      s""""unit":"sec","n_queries":${results.size},"repeats":$repeats,"wall_sec":${fmt(wallSec)},"failed":$failed,"sf":"$sfDir""""
+      s""""unit":"sec","n_queries":${results.size},"repeats":$repeats,"wall_sec":${fmt(wallSec)},"sentinel_sec":${fmt(sentinelStart)},"sentinel_end_sec":${fmt(sentinelEnd)},"failed":$failed,"sf":"$sfDir""""
     val full =
       s"""{"metric":"total","value":${fmt(total)},$meta,"queries":${toJson(mins)},"spread":${toJson(spreads)},"cold":${toJson(colds)}}"""
     // targeted (name-filtered) runs go to a scratch file: a 2-query A/B

@@ -451,9 +451,7 @@ object Graph {
     var auth: DataFrame = null
     for (_ <- 1 to iters) {
       val hubSide = side(hub)
-      val ac = e.join(hubSide, e("src") === hubSide("node"))
-        .groupBy(col("dst").as("node")).agg(sum(col("w") * col("h")).as("v"))
-        .localCheckpoint()
+      val ac = halfStepOf(e, hubSide, "src", "dst").localCheckpoint()
       if (prevAc != null) graft.SessionHygiene.freeCheckpoint(prevAc)
       prevAc = ac
       // backed the hub vector that ac just consumed; freeCheckpoint
@@ -462,9 +460,7 @@ object Graph {
       auth = ac.crossJoin(broadcast(ac.agg(sum("v").as("s"))))
         .select(col("node"), (col("v") / col("s")).as("h"))
       val authSide = side(auth)
-      val hc = eDst.join(authSide, eDst("dst") === authSide("node"))
-        .groupBy(col("src").as("node")).agg(sum(col("w") * col("h")).as("v"))
-        .localCheckpoint()
+      val hc = halfStepOf(eDst, authSide, "dst", "src").localCheckpoint()
       prevHc = hc
       hub = hc.crossJoin(broadcast(hc.agg(sum("v").as("s"))))
         .select(col("node"), (col("v") / col("s")).as("h"))
@@ -479,6 +475,34 @@ object Graph {
       .join(authL, Seq("node"), "left")
       .select(col("node"), coalesce(col("hub"), lit(0.0)).as("hub"),
         coalesce(col("auth"), lit(0.0)).as("auth"))
+  }
+
+  /** The HITS half-step aggregate — pagerank's [[contribOf]] in both edge
+    * directions (authority: sum over in-edges; hub: sum over out-edges).
+    * A power-law hot node stresses the `to`-keyed shuffle exactly like
+    * the pagerank contrib: safety is map-side PARTIAL aggregation, pinned
+    * by GraphSpec via [[hitsHalfStepAudit]] on this one shared copy. */
+  private def halfStepOf(edges: DataFrame, vecSide: DataFrame,
+                         from: String, to: String): DataFrame =
+    edges.join(vecSide, edges(from) === vecSide("node"))
+      .groupBy(col(to).as("node")).agg(sum(col("w") * col("h")).as("v"))
+
+  /** Round-1 half-step plans (authority then hub), un-checkpointed, for
+    * GraphSpec's skew audit — the loop's own stage construction (same
+    * edge layouts, same rank-delivery mode) with the checkpoints left
+    * off so the physical aggregates are inspectable. */
+  private[graft] def hitsHalfStepAudit(nodes: DataFrame, edges: DataFrame,
+                                       copartition: Boolean): (DataFrame, DataFrame) = {
+    val ndPlan = nodes.select(col("node"))
+    val nd = (if (copartition) ndPlan.repartition(col("node")) else ndPlan)
+      .localCheckpoint()
+    val e0 = edges.select(col("src"), col("dst"), col("w"))
+    val e = (if (copartition) e0.repartition(col("src")) else e0).localCheckpoint()
+    val eDst = if (copartition) e.repartition(col("dst")).localCheckpoint() else e
+    def side(v: DataFrame): DataFrame =
+      if (copartition) v.hint("shuffle_hash") else broadcast(v)
+    val vec = nd.withColumn("h", lit(1.0)).localCheckpoint()
+    (halfStepOf(e, side(vec), "src", "dst"), halfStepOf(eDst, side(vec), "dst", "src"))
   }
 
   /** Unrolled DuckDB oracle for [[hits]] over the supplier transition
@@ -553,13 +577,7 @@ object Graph {
       // each round pays exactly ONE eager checkpoint (the new label
       // vector), not two
       val labelSide = side(labels)
-      val winners = und
-        .join(labelSide, und("dst") === labelSide("node"))
-        .groupBy(col("src").as("nd"), col("label"))
-        .agg(sum("w").as("wv"))
-        .groupBy("nd")
-        .agg(max(struct(col("wv"), (-col("label")).as("nl"))).as("m"))
-        .select(col("nd"), (-col("m.nl")).as("lbl"))
+      val winners = voteOf(und, labelSide)
       // a node absent from the vote table has no edges, so its label is
       // still its initial id — coalesce to node ≡ coalesce to prev label
       val winnerSide = side(winners)
@@ -571,6 +589,39 @@ object Graph {
     }
     und.unpersist()
     labels
+  }
+
+  /** The label-propagation vote: a (node, label) weight sum followed by a
+    * deterministic argmax (max of a (weight, -label) struct — no
+    * per-node window). Both aggregates are algebraic, so a hot node's
+    * votes partial-aggregate map-side exactly like the pagerank contrib;
+    * GraphSpec pins that via [[lpVoteAudit]] on this one shared copy. */
+  private def voteOf(und: DataFrame, labelSide: DataFrame): DataFrame =
+    und
+      .join(labelSide, und("dst") === labelSide("node"))
+      .groupBy(col("src").as("nd"), col("label"))
+      .agg(sum("w").as("wv"))
+      .groupBy("nd")
+      .agg(max(struct(col("wv"), (-col("label")).as("nl"))).as("m"))
+      .select(col("nd"), (-col("m.nl")).as("lbl"))
+
+  /** Round-1 vote plan, un-checkpointed, for GraphSpec's skew audit —
+    * the loop's own stage construction (same symmetrized edge layout,
+    * same label-delivery mode) with the checkpoint left off. */
+  private[graft] def lpVoteAudit(nodes: DataFrame, edges: DataFrame,
+                                 copartition: Boolean): DataFrame = {
+    val ndPlan = nodes.select(col("node"))
+    val nd = (if (copartition) ndPlan.repartition(col("node")) else ndPlan)
+      .localCheckpoint()
+    val und0 = edges.select(col("src"), col("dst"), col("w"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      .groupBy("src", "dst").agg(sum("w").as("w"))
+    val und = (if (copartition) und0.repartition(col("dst")) else und0)
+      .localCheckpoint()
+    def side(v: DataFrame): DataFrame =
+      if (copartition) v.hint("shuffle_hash") else broadcast(v)
+    val labels = nd.withColumn("label", col("node")).localCheckpoint()
+    voteOf(und, side(labels))
   }
 
   /** DuckDB oracle for [[labelPropagation]]: rounds unrolled into chained

@@ -222,7 +222,19 @@ object LlmQueries {
     * ts3 / cur3 / cur7) re-rooted at the previous stage's CTE, so one
     * hash checks the whole composition. */
   private def llmPipelineOracleSql: String = {
-    val cands = Dedup.minhashCandidatesPortableOracleSql("exact2", "doc_id", "text")
+    val minExprs = (0 until 32).map { i =>
+      val (a, b) = Dedup.portableCoef(i)
+      s"min((h * $a + $b) % ${Dedup.portableP}) AS m$i"
+    }.mkString(",\n         ")
+    val bandJoins = (0 until 8).map { b =>
+      val eqs = (0 until 4).map(r => s"a.m${b * 4 + r} = b.m${b * 4 + r}")
+        .mkString(" AND ")
+      s"""SELECT a.doc_id AS id1, b.doc_id AS id2 FROM smins a JOIN smins b
+         |    ON $eqs AND a.doc_id < b.doc_id""".stripMargin
+    }.mkString("\n  UNION\n  ")
+    val agreeSum = (0 until 32)
+      .map(i => s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
     s"""WITH RECURSIVE
        |train AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 17 <> 0),
        |benchd AS (SELECT text FROM documents WHERE doc_id % 17 = 0),
@@ -258,9 +270,33 @@ object LlmQueries {
        |exact2 AS (
        |  SELECT * FROM quality
        |  WHERE doc_id IN (SELECT min(doc_id) FROM quality GROUP BY md5(text))),
-       |cands AS ($cands),
-       |sym AS (SELECT id1 AS u, id2 AS v FROM cands
-       |        UNION SELECT id2, id1 FROM cands),
+       |vgrams AS (
+       |  SELECT doc_id,
+       |         list_distinct([array_to_string(tk[i:i+2], ' ')
+       |                        FOR i IN generate_series(1, greatest(len(tk) - 2, 1))]) AS g
+       |  FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS tk
+       |        FROM exact2)),
+       |vsh AS (
+       |  SELECT doc_id, ('0x' || substr(md5(unnest(g)), 1, 7))::BIGINT AS h
+       |  FROM vgrams),
+       |smins AS (
+       |  SELECT doc_id,
+       |         $minExprs
+       |  FROM vsh GROUP BY doc_id),
+       |cands AS (
+       |  $bandJoins),
+       |edges AS (
+       |  SELECT c.id1, c.id2
+       |  FROM cands c
+       |  JOIN smins sa ON sa.doc_id = c.id1
+       |  JOIN smins sb ON sb.doc_id = c.id2
+       |  JOIN vgrams a ON a.doc_id = c.id1
+       |  JOIN vgrams b ON b.doc_id = c.id2
+       |  WHERE ($agreeSum) >= 20
+       |    AND len(list_intersect(a.g, b.g))
+       |          / len(list_distinct(list_concat(a.g, b.g))) >= 0.8),
+       |sym AS (SELECT id1 AS u, id2 AS v FROM edges
+       |        UNION SELECT id2, id1 FROM edges),
        |reach AS (
        |  SELECT u, v FROM sym
        |  UNION
@@ -2003,9 +2039,38 @@ object LlmQueries {
         // semi-join (three consumers; the gopher scan must run once)
         val exact = Dedup.exactSurvivors(quality, "doc_id", "text")
           .localCheckpoint()
-        // 3. near-dup clusters over the exact survivors; keep the
-        // component minimum
-        val edges = Dedup.minhashCandidatesPortable(exact, "doc_id", "text")
+        // 3. near-dup clusters over the exact survivors — MinHash-LSH
+        // with a TWO-STAGE verify, all three stages reading ONE portable
+        // 32-hash word-3-gram sketch (the dd21 md5-28/LCG family, so
+        // every stage replays in DuckDB):
+        //   (a) LSH banding, 8 bands × 4 rows on raw slice equality
+        //       (detection 1-(1-J⁴)⁸ ≈ 0.985 at the 0.8 threshold);
+        //   (b) sketch prune: agreement >= 20/32, i.e. J >= 0.8 minus
+        //       2.5σ — the banding false positives of this
+        //       one-vocabulary corpus are ~99.9% of candidates (166k
+        //       pairs / 99 real edges at sf0.1) and would otherwise
+        //       chain everything into giant components AND dominate the
+        //       query's cost;
+        //   (c) exact word-3-gram Jaccard >= 0.8 on the survivors.
+        // Then connected components, keep the component minimum.
+        val sig = Dedup.estimateSigTable(exact, "doc_id", "text", n = 3)
+        val banded = sig.select(col("doc"), explode(array((0 until 8).map(b =>
+            struct(lit(b).as("band"), slice(col("sig"), b * 4 + 1, 4).as("key"))): _*)).as("bb"))
+          .select(col("doc"), col("bb.band").as("band"), col("bb.key").as("key"))
+        val cands = banded.as("a").join(banded.as("b"),
+            col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+              col("a.doc") < col("b.doc"))
+          .select(col("a.doc").as("id1"), col("b.doc").as("id2"))
+          .distinct()
+        val agreeNeeded = 20 // ceil((0.8 - 2.5·sqrt(0.8·0.2/32)) · 32)
+        val pruned = cands
+          .join(sig.select(col("doc").as("id1"), col("sig").as("s1")), "id1")
+          .join(sig.select(col("doc").as("id2"), col("sig").as("s2")), "id2")
+          .filter(graft.functions.AgreeCount(col("s1"), col("s2")) >= agreeNeeded)
+          .select("id1", "id2")
+        val edges = Dedup.ngramJaccard(exact, "doc_id", "text", 3, pruned,
+            hashGrams = false)
+          .filter(col("jaccard") >= 0.8).select("id1", "id2")
         val comp = Dedup.labelComponents(exact.select("doc_id"), "doc_id", edges)
         val nearSurv = exact.join(
           comp.filter(col("doc_id") === col("component")).select("doc_id"),

@@ -183,6 +183,97 @@ class GraphSpec extends SparkSpecBase {
     }
   }
 
+  test("hits + labelPropagation skew: planted 200×-median hot node — partial agg absorbs, both modes exact") {
+    // same planted pathology as the pagerank skew pin: ring of 200
+    // (median in-degree 1) + a spoke from every ring node into node 0
+    val nodesSeq = (0L to 200L).toSeq
+    val ring = (1L to 200L).map(i => (i, if (i == 200L) 1L else i + 1, 1.0))
+    val spokes = (1L to 200L).map(i => (i, 0L, 1.0))
+    val es = ring ++ spokes
+    val nodes = nodesSeq.toDF("node")
+    val edges = es.toDF("src", "dst", "w")
+
+    // local HITS mirror (Graph.hits arithmetic: inner-join contribs, L1
+    // normalize over the contrib rows, absent nodes lift to 0.0)
+    def hitsLocal(iters: Int): Map[Long, (Double, Double)] = {
+      var hub = nodesSeq.map(_ -> 1.0).toMap
+      var auth = Map.empty[Long, Double]
+      for (_ <- 1 to iters) {
+        val ac = es.groupBy(_._2).map { case (d, g) =>
+          d -> g.map(e => e._3 * hub(e._1)).sum }
+        val s1 = ac.values.sum
+        auth = nodesSeq.map(n => n -> (ac.getOrElse(n, 0.0) / s1)).toMap
+        val hc = es.groupBy(_._1).map { case (s0, g) =>
+          s0 -> g.map(e => e._3 * auth(e._2)).sum }
+        val s2 = hc.values.sum
+        hub = nodesSeq.map(n => n -> (hc.getOrElse(n, 0.0) / s2)).toMap
+      }
+      nodesSeq.map(n => n -> ((hub(n), auth(n)))).toMap
+    }
+    // local synchronous LP mirror (vote = summed incident weight per
+    // neighbor label; max weight, ties to the smallest label)
+    def lpLocal(iters: Int): Map[Long, Long] = {
+      val und = es.flatMap(e => Seq((e._1, e._2, e._3), (e._2, e._1, e._3)))
+        .groupBy(e => (e._1, e._2))
+        .map { case ((s0, d), g) => (s0, d, g.map(_._3).sum) }.toSeq
+      var lab = nodesSeq.map(n => n -> n).toMap
+      for (_ <- 1 to iters) {
+        val votes = und.groupBy(_._1).map { case (n, g) =>
+          val byLabel = g.groupBy(e => lab(e._2))
+            .map { case (l, gg) => (l, gg.map(_._3).sum) }
+          n -> byLabel.toSeq.sortBy { case (l, wv) => (-wv, l) }.head._1
+        }
+        lab = nodesSeq.map(n => n -> votes.getOrElse(n, n)).toMap
+      }
+      lab
+    }
+
+    val hitsRef = hitsLocal(8)
+    val lpRef = lpLocal(6)
+    for (cp <- Seq(false, true)) {
+      val h = Graph.hits(nodes, edges, iters = 8, copartition = cp)
+        .as[(Long, Double, Double)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+      assert(h.keySet == hitsRef.keySet)
+      hitsRef.foreach { case (k, (hb, au)) =>
+        assert(math.abs(h(k)._1 - hb) < 1e-12, s"hub $k cp=$cp")
+        assert(math.abs(h(k)._2 - au) < 1e-12, s"auth $k cp=$cp")
+      }
+      val l = Graph.labelPropagation(nodes, edges, iters = 6, copartition = cp)
+        .as[(Long, Long)].collect().toMap
+      assert(l === lpRef, s"labelPropagation cp=$cp")
+    }
+
+    // plan pins through the loops' OWN stage constructions: every hot-key
+    // shuffle (both HITS half-steps, the LP (nd, label) vote sum and its
+    // argmax) must PARTIAL-aggregate map-side before its exchange —
+    // previously this was inherited from the pagerank pin by argument
+    // only; now each loop's audited plan asserts it directly
+    for (cp <- Seq(false, true)) {
+      val (ac, hc) = Graph.hitsHalfStepAudit(nodes, edges, copartition = cp)
+      for ((df, nm) <- Seq((ac, "auth"), (hc, "hub"))) {
+        df.collect()
+        val plan = df.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==").head
+        assert(plan.contains("partial_sum"),
+          s"no map-side partial aggregation in HITS $nm step (cp=$cp):\n$plan")
+        assert("HashAggregate".r.findAllIn(plan).size >= 2,
+          s"expected partial+final hash aggregates in HITS $nm step (cp=$cp):\n$plan")
+        if (cp) assert(!plan.contains("BroadcastExchange"),
+          s"copartitioned HITS $nm step must not broadcast the vector:\n$plan")
+      }
+      val vote = Graph.lpVoteAudit(nodes, edges, copartition = cp)
+      vote.collect()
+      val plan = vote.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(plan.contains("partial_sum"),
+        s"no map-side partial vote aggregation (cp=$cp):\n$plan")
+      assert(plan.contains("partial_max"),
+        s"no map-side partial argmax (cp=$cp):\n$plan")
+      if (cp) assert(!plan.contains("BroadcastExchange"),
+        s"copartitioned LP vote must not broadcast the label vector:\n$plan")
+    }
+  }
+
   test("pagerank: symmetric cycle is uniform") {
     val nodes = Seq(1L, 2L, 3L).toDF("node")
     val edges = Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (3L, 1L, 1.0)).toDF("src", "dst", "w")
