@@ -676,6 +676,34 @@ object Dedup {
     * the per-gram row count over-state document frequency; the bucket
     * stage still guards itself (`size(ds) >= 2` below) so a duplicated
     * id degrades to df-miscounting, never a crash. */
+  /** Loud guard for the sf1-scale finding (BENCH_sf1.json): on a
+    * gram-dense corpus the df-capped inverted index can SATURATE — every
+    * distinct gram lands above `maxDf` (boilerplate) or has nothing to
+    * pair with, the pairable set is EMPTY, and the exact tier returns
+    * zero pairs while real containment exists (measured at the 50k-doc
+    * scale twin: 29,791/29,791 grams above the cap, planted pairs still
+    * found by the df-free estimate tier). The blindness itself is the
+    * documented inverted-index recall posture; being SILENT about it is
+    * not acceptable for a production dedup pass — a 100 TB run would
+    * report "no contained duplicates" with no signal that the index
+    * never existed. One scalar aggregate over the already-checkpointed
+    * df table (gram-universe-sized scan, no extra corpus pass); returns
+    * whether it fired so the spec can pin the trigger exactly. */
+  private[graft] def warnIfDfCapSaturated(dfTab: DataFrame, pairablePred: Column,
+                                          maxDf: Int, op: String): Boolean = {
+    val r = dfTab.agg(count(lit(1)), count(when(pairablePred, 1))).first()
+    val (total, pairableCnt) = (r.getLong(0), r.getLong(1))
+    val saturated = total > 0 && pairableCnt == 0
+    if (saturated)
+      org.slf4j.LoggerFactory.getLogger("graft.llm.Dedup").warn(
+        s"$op: df-capped gram index is SATURATED -- 0 of $total distinct " +
+          s"grams are pairable at maxDf=$maxDf, so the exact containment " +
+          s"tier will report NO pairs regardless of real overlap. Raise " +
+          s"maxDf, or use the df-free estimate tier " +
+          s"(containmentEstimatePairs / containmentEstimateIncremental).")
+    saturated
+  }
+
   def containmentPairs(df: DataFrame, id: String, text: String, n: Int,
                        minContainment: Double, maxDf: Int,
                        hashGrams: Boolean = true): DataFrame = {
@@ -696,6 +724,8 @@ object Dedup {
     val inv = g.select(col("doc"), explode(col("g")).as("gram"))
     val dfTab = inv.groupBy("gram").agg(count(lit(1)).as("df"))
       .localCheckpoint()
+    warnIfDfCapSaturated(dfTab, col("df") >= 2 && col("df") <= maxDf,
+      maxDf, "containmentPairs")
     val pairable = dfTab.filter(col("df") >= 2 && col("df") <= maxDf)
       .select("gram")
     // per-gram doc sets are ≤ maxDf rows — bounded aggregate state; the
@@ -824,6 +854,8 @@ object Dedup {
     // the exact prune — checkpointed once (containmentPairs' posture)
     val dfTab = invC.groupBy("gram").agg(count(lit(1)).as("df"))
       .localCheckpoint()
+    warnIfDfCapSaturated(dfTab, col("df") <= maxDf,
+      maxDf, "containmentIncremental")
     val pairable = dfTab.filter(col("df") <= maxDf).select("gram")
     val invB = g.filter(col("is_new"))
       .select(col("doc").as("new_id"), explode(col("g")).as("gram"))

@@ -221,29 +221,19 @@ object LlmQueries {
     * corresponding single-stage oracle (ts16 / dd2 / dd3c+dd6b / dd7 /
     * ts3 / cur3 / cur7) re-rooted at the previous stage's CTE, so one
     * hash checks the whole composition. */
-  private def llmPipelineOracleSql: String = {
-    val minExprs = (0 until 32).map { i =>
-      val (a, b) = Dedup.portableCoef(i)
-      s"min((h * $a + $b) % ${Dedup.portableP}) AS m$i"
-    }.mkString(",\n         ")
-    val bandJoins = (0 until 8).map { b =>
-      val eqs = (0 until 4).map(r => s"a.m${b * 4 + r} = b.m${b * 4 + r}")
-        .mkString(" AND ")
-      s"""SELECT a.doc_id AS id1, b.doc_id AS id2 FROM smins a JOIN smins b
-         |    ON $eqs AND a.doc_id < b.doc_id""".stripMargin
-    }.mkString("\n  UNION\n  ")
-    val agreeSum = (0 until 32)
-      .map(i => s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END")
-      .mkString(" + ")
-    s"""WITH RECURSIVE
-       |train AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 17 <> 0),
-       |benchd AS (SELECT text FROM documents WHERE doc_id % 17 = 0),
-       |gw AS (
+  /** Gopher-rule quality CTE block (ts16's thresholds), rooted at `src`
+    * (must expose doc_id, source, text): emits CTEs `gw`, `gf`,
+    * `quality(doc_id, source, text)`. ONE copy shared by the composed
+    * e2e_llm_pipeline oracle and the st12 ingest-gate oracle so the rule
+    * battery can never drift between the batch and streaming
+    * compositions. */
+  private[queries] def gopherQualityCtesSql(src: String): String =
+    s"""gw AS (
        |  SELECT doc_id, source, text,
        |         list_filter(regexp_split_to_array(trim(text), '[ \\t\\n\\r\\f]+'),
        |                     x -> length(x) > 0) AS words,
        |         string_split(text, chr(10)) AS lines
-       |  FROM train),
+       |  FROM $src),
        |gf AS (
        |  SELECT doc_id, source, text,
        |    len(words)::INT AS n_words,
@@ -266,7 +256,26 @@ object LlmQueries {
        |  SELECT doc_id, source, text FROM gf
        |  WHERE n_words BETWEEN 50 AND 100000 AND mean_wl BETWEEN 3.0 AND 10.0
        |    AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9 AND ell_frac <= 0.3
-       |    AND alpha_frac >= 0.8 AND stop_hits >= 2),
+       |    AND alpha_frac >= 0.8 AND stop_hits >= 2)""".stripMargin
+
+  private def llmPipelineOracleSql: String = {
+    val minExprs = (0 until 32).map { i =>
+      val (a, b) = Dedup.portableCoef(i)
+      s"min((h * $a + $b) % ${Dedup.portableP}) AS m$i"
+    }.mkString(",\n         ")
+    val bandJoins = (0 until 8).map { b =>
+      val eqs = (0 until 4).map(r => s"a.m${b * 4 + r} = b.m${b * 4 + r}")
+        .mkString(" AND ")
+      s"""SELECT a.doc_id AS id1, b.doc_id AS id2 FROM smins a JOIN smins b
+         |    ON $eqs AND a.doc_id < b.doc_id""".stripMargin
+    }.mkString("\n  UNION\n  ")
+    val agreeSum = (0 until 32)
+      .map(i => s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH RECURSIVE
+       |train AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 17 <> 0),
+       |benchd AS (SELECT text FROM documents WHERE doc_id % 17 = 0),
+       |${gopherQualityCtesSql("train")},
        |exact2 AS (
        |  SELECT * FROM quality
        |  WHERE doc_id IN (SELECT min(doc_id) FROM quality GROUP BY md5(text))),
@@ -2071,13 +2080,27 @@ object LlmQueries {
         val edges = Dedup.ngramJaccard(exact, "doc_id", "text", 3, pruned,
             hashGrams = false)
           .filter(col("jaccard") >= 0.8).select("id1", "id2")
-        val comp = Dedup.labelComponents(exact.select("doc_id"), "doc_id", edges)
-        val nearSurv = exact.join(
-          comp.filter(col("doc_id") === col("component")).select("doc_id"),
-          Seq("doc_id"), "left_semi")
-        // 4. decontaminate against the held-out benchmark slice
-        val clean = Dedup.decontaminate(nearSurv, "doc_id", "text",
-          bench, "text", n = 8, hashGrams = false)
+        // Survivor test as a row-local filter over the EDGE-sized component
+        // map (dd6b's shape) — NOT a corpus×corpus semi-join on a survivor
+        // id list: the map holds only docs in >=1 near-dup pair (dup-rate
+        // bounded), AQE broadcasts it here, and at 100 TB the same join is
+        // a dup-bounded shuffle, never a corpus-wide sort.
+        val comp = Dedup.connectedComponents(edges).withColumnRenamed("id", "doc_id")
+        val nearSurv = exact.join(comp, Seq("doc_id"), "left")
+          .filter(coalesce(col("component"), col("doc_id")) === col("doc_id"))
+          .select("doc_id", "source", "text")
+        // 4. decontaminate against the held-out benchmark slice. The
+        // contaminated id list is bounded by docs sharing an 8-gram with
+        // the FIXED-size benchmark — dim-sized by construction, so the
+        // anti-join build side is hinted broadcast (the checkpointed scan
+        // underneath has no stats for the planner to see it itself).
+        // Checkpointed: the packing stage scans its input twice (rows +
+        // per-shard totals) and the split reads the packed rows again.
+        val clean = nearSurv.join(
+            broadcast(Dedup.contaminatedIds(nearSurv, "doc_id", "text",
+              bench, "text", n = 8, hashGrams = false)),
+            Seq("doc_id"), "left_anti")
+          .localCheckpoint()
         // 5+6. token count + budget packing (source kept for the split)
         val packed = TextAnalysis.packByTokenBudget(clean, "doc_id", "text",
           budget = 256, keep = Seq("source"))
@@ -2385,6 +2408,35 @@ object LlmQueries {
         s"""WITH docs5 AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
            |q AS ($inner)
            |SELECT * FROM q ORDER BY doc""".stripMargin
+      }),
+
+    // ---- st12: the composed ONLINE ingest gate — gopher quality →
+    // exact-dup gate → near-dup gate as ONE streaming query with two
+    // chained stateful operators (dropDuplicates + fMGWS). The registry
+    // entry runs the batch twin (stream ≡ batch across id-ordered
+    // micro-batches is pinned in IngestGateSpec); the oracle replays
+    // the whole admission chain: the shared gopher CTE block, min-id
+    // per content hash, the portable 8-hash band flags, anti-join,
+    // token count. ----
+    QueryDef("st12_stream_gate",
+      (s, d) => graft.streaming.IngestGate.admittedBatch(
+          t(s, d, "documents").filter(col("doc_id") % 5 === 0))
+        .orderBy("doc_id"),
+      Some {
+        val flags = graft.streaming.StreamDedup.flaggedBatchOracleSql(
+          "exact2", "doc_id", "text")
+        s"""WITH docs5 AS (SELECT doc_id, source, text FROM documents
+           |               WHERE doc_id % 5 = 0),
+           |${gopherQualityCtesSql("docs5")},
+           |exact2 AS (
+           |  SELECT doc_id, text FROM quality
+           |  WHERE doc_id IN (SELECT min(doc_id) FROM quality GROUP BY md5(text))),
+           |flags AS ($flags)
+           |SELECT doc_id,
+           |       len(regexp_extract_all(text, '\\w+|[^\\w\\s]'))::INT AS n_tokens
+           |FROM exact2
+           |WHERE doc_id NOT IN (SELECT doc FROM flags)
+           |ORDER BY doc_id""".stripMargin
       })
   )
 }

@@ -709,6 +709,68 @@ class LlmSpec extends SparkSpecBase {
            estPlain.map(x => (x.getLong(0), x.getLong(1))).toSet)
   }
 
+  test("df-cap saturation is LOUD: the exact tier warns when zero grams are " +
+       "pairable, and stays quiet on a healthy corpus") {
+    val s = spark; import s.implicits._
+    // the sf1-scale finding made a unit test: every core gram df = 27 >
+    // maxDf = 20, every junction gram df = 1 — the pairable set is EMPTY
+    // and containmentPairs is structurally blind. The run must say so.
+    val core = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val wrapper = core + " " + (1 to 80).map(i => s"pad$i").mkString(" ")
+    val others = (3L to 27L).map(i =>
+      (i, core + " " + (100 to 120).map(j => s"x${i}y$j").mkString(" ")))
+    val saturated = ((1L, core) +: (2L, wrapper) +: others).toDF("doc_id", "text")
+
+    // capture graft.llm.Dedup WARNs through a dedicated log4j2 logger
+    // config (the suite runs with root at ERROR)
+    import org.apache.logging.log4j.{Level, LogManager}
+    import org.apache.logging.log4j.core.LoggerContext
+    import org.apache.logging.log4j.core.appender.AbstractAppender
+    import org.apache.logging.log4j.core.config.{LoggerConfig, Property}
+    val captured = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val app = new AbstractAppender("dedup-warn-capture", null, null, true,
+        Property.EMPTY_ARRAY) {
+      override def append(e: org.apache.logging.log4j.core.LogEvent): Unit =
+        captured.add(e.getMessage.getFormattedMessage)
+    }
+    app.start()
+    val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
+    val cfg = ctx.getConfiguration
+    val lc = new LoggerConfig("graft.llm.Dedup", Level.WARN, true)
+    lc.addAppender(app, Level.WARN, null)
+    cfg.addLogger("graft.llm.Dedup", lc)
+    ctx.updateLoggers()
+    try {
+      assert(Dedup.containmentPairs(saturated, "doc_id", "text",
+        n = 3, minContainment = 0.5, maxDf = 20).count() === 0L)
+      assert(captured.toArray.exists(_.toString.contains(
+        "containmentPairs: df-capped gram index is SATURATED")),
+        s"expected a saturation warning, got: ${captured.toArray.mkString("; ")}")
+      captured.clear()
+      // the ingest gate warns too (its pairable predicate admits df = 1,
+      // so saturate it with replicas only — no unique junction grams)
+      val replicas = (10L to 34L).map(i => (i, core))
+      val ingest = ((2L, wrapper) +: replicas).toDF("doc_id", "text")
+      Dedup.containmentIncremental(ingest, "doc_id", "text",
+        col("doc_id") === 2L, n = 3, minContainment = 0.5, maxDf = 20).count()
+      assert(captured.toArray.exists(_.toString.contains(
+        "containmentIncremental: df-capped gram index is SATURATED")),
+        s"expected an ingest saturation warning, got: ${captured.toArray.mkString("; ")}")
+      captured.clear()
+      // healthy corpus: the wrapped-superset pair is pairable → no warning
+      val plain = Seq((1L, core), (2L, wrapper),
+        (3L, (100 to 130).map(i => s"body$i").mkString(" "))).toDF("doc_id", "text")
+      assert(Dedup.containmentPairs(plain, "doc_id", "text",
+        n = 3, minContainment = 0.5, maxDf = 20).count() === 1L)
+      assert(!captured.toArray.exists(_.toString.contains("SATURATED")),
+        s"no warning expected on the healthy corpus, got: ${captured.toArray.mkString("; ")}")
+    } finally {
+      cfg.removeLogger("graft.llm.Dedup")
+      ctx.updateLoggers()
+      app.stop()
+    }
+  }
+
   test("incremental containment estimate: catches the above-cap re-fetch " +
        "the df-capped ingest gate misses") {
     val s = spark; import s.implicits._
