@@ -1562,11 +1562,15 @@ object Dedup {
   def spanRemoval(df: DataFrame, id: String, text: String, l: Int = 8,
                   hashGrams: Boolean = true): DataFrame = {
     val toks = split(col(text), "\\s+")
-    val nGrams = greatest(size(toks) - (l - 1), lit(1))
-    val gramArr = transform(sequence(lit(1), nGrams), i => {
-      val g = lower(concat_ws(" ", slice(toks, i, lit(l))))
-      if (hashGrams) xxhash64(g).cast("string") else g
-    })
+    // token array let-bound through a one-element transform so the regex
+    // split runs once per row, not once per gram position (spanCoverage's
+    // idiom; measured here: the inlined split was 48 regex passes per
+    // doc and ~70% of the whole operator at sf0.1)
+    val gramArr = element_at(transform(array(toks), tk =>
+      transform(sequence(lit(1), greatest(size(tk) - (l - 1), lit(1))), i => {
+        val g = lower(concat_ws(" ", slice(tk, i, lit(l))))
+        if (hashGrams) xxhash64(g).cast("string") else g
+      })), 1)
     // the position table feeds TWO consumers (the first-doc aggregate and
     // the removable probe) — materialize it once: gram construction
     // (slice + concat_ws per position, or the raw strings the oracle
@@ -1608,23 +1612,29 @@ object Dedup {
     val removable = positions.join(fd, Seq("gram"))
       .filter(col(id) > col("__first_doc"))
       .select(col(id), col("pos"))
-    val covered = removable
-      .select(col(id), explode(sequence(col("pos"), col("pos") + (l - 1))).as("t"))
-      .distinct()
-    val tokenTable = df
-      .select(col(id), posexplode(toks).as(Seq("t0", "tok")))
-      .select(col(id), (col("t0") + 1).as("t"), col("tok"))
-    val kept = tokenTable.join(covered, Seq(id, "t"), "left_anti")
-    val rebuilt = kept.groupBy(col(id))
-      .agg(count(lit(1)).as("n_kept"),
-        concat_ws(" ",
-          transform(array_sort(collect_list(struct(col("t"), col("tok")))),
-            x => x("tok"))).as("clean_text"))
-    df.select(col(id), size(toks).cast("long").as("n_tokens"))
-      .join(rebuilt, Seq(id), "left")
-      .select(col(id), col("n_tokens"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"))
+    // Row-local rebuild (the r13 tail rewrite): the old tail shuffled
+    // EVERY corpus token twice (covered-position explode + distinct,
+    // token posexplode + anti-join) and reassembled each doc from a
+    // per-doc token-struct collect_list, just to delete a few spans.
+    // Instead, the dup-bounded removal-start set is aggregated per doc
+    // (collect_set of ints, state ≤ one int per gram position — strictly
+    // smaller than the token list it replaces) and the native SpanRemove
+    // kernel rebuilds the text in one pass over the doc's own row —
+    // O(tokens + l·starts), no corpus-token shuffle at all. The kernel
+    // tokenizes via UTF8String.split with the same pattern, so the
+    // output is bit-identical to the old Column composition
+    // (SpanRemoveSpec pins kernel ≡ composition; the DuckDB oracle is
+    // unchanged).
+    val remPerDoc = removable.groupBy(col(id))
+      .agg(collect_set(col("pos")).as("__rp"))
+    df.join(remPerDoc, Seq(id), "left")
+      .select(col(id), graft.functions.SpanRemove(col(text),
+        coalesce(col("__rp"), array().cast("array<int>")), l).as("__sr"))
+      // null-text parity with the old composition: n_tokens stays null,
+      // n_kept/clean_text coalesce to the empty outputs
+      .select(col(id), col("__sr.n_tokens").as("n_tokens"),
+        coalesce(col("__sr.n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("__sr.clean_text"), lit("")).as("clean_text"))
   }
 
   /** Cross-document boilerplate line removal — the line-level dedup pass of

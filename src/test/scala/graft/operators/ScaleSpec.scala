@@ -250,13 +250,16 @@ class ScaleSpec extends SparkSpecBase {
       // (diag + the two normalization joins) — audit-only recompute at
       // sf0.001, never the production shape
       "emb4_correlation" -> "6/8/0/1/-",
-      // dd14 (skew-safe r10 shape): positions checkpointed once (gram
-      // construction feeds both consumers), per-gram min/max agg filtered
-      // to the duplication-sized remover set and probed via broadcast
-      // (shuffled join with AQE skew split when it outgrows one) — no
-      // per-gram occurrence list anywhere; covered-distinct, token
-      // anti-join, reassembly agg
-      "dd14_span_removal" -> "4/3/0/0/p",
+      // dd14 (r13 kernel-tail shape): positions checkpointed once (gram
+      // construction — let-bound token array, split once per row — feeds
+      // both consumers), per-gram min/max agg filtered to the
+      // duplication-sized remover set and probed via broadcast (shuffled
+      // join with AQE skew split when it outgrows one) — no per-gram
+      // occurrence list anywhere; then the dup-bounded per-doc
+      // removal-start set and the row-local SpanRemove kernel rebuild
+      // (the old covered-distinct + token anti-join + reassembly agg
+      // shuffled every corpus token twice)
+      "dd14_span_removal" -> "3/2/0/0/-",
       // tok2: word explode+distinct, vocab fold, broadcast (word,n_toks)
       // join back to the text — the corpus side never shuffles before the
       // per-doc aggregate (fn also re-trains the merges here: the memo is
