@@ -151,23 +151,41 @@ object TextAnalysis {
                   minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
     val t = col(text)
     val words = filter(split(trim(t), """[ \t\n\r\f]+"""), w => length(w) > 0)
-    val nWords = size(words)
-    val meanWl = aggregate(words, lit(0L), (acc, w) => acc + length(w))
-      .cast("double") / nWords
-    val alphaFrac = size(filter(words, w => w.rlike("[A-Za-z]")))
-      .cast("double") / nWords
-    val stopHits = size(array_distinct(filter(transform(words, w => lower(w)),
-      w => w.isInCollection(Seq("the", "be", "to", "of", "and", "a", "in", "that")))))
+    val lines = split(t, "\n")
+    // ONE pass per row (the dd14 lesson systematized): every words- and
+    // lines-derived count folds into a struct inside a let-bound
+    // one-element transform, so the regex splits run once per row — the
+    // previous per-rule expressions each inlined their own copy of the
+    // split+filter chain (~8 evaluations per row). The struct columns
+    // are materialized in one projection and unpacked in the next:
+    // CollapseProject never inlines a multi-referenced non-cheap
+    // producer (SPARK-36718), so the barrier holds. The per-rule
+    // algebra below is textually unchanged — same ops, same order,
+    // same rounding — so results are bit-identical.
+    val wstats = element_at(transform(array(words), w => struct(
+      size(w).as("nw"),
+      aggregate(w, lit(0L), (acc, x) => acc + length(x)).as("swl"),
+      size(filter(w, x => x.rlike("[A-Za-z]"))).as("aw"),
+      size(array_distinct(filter(transform(w, x => lower(x)),
+        x => x.isInCollection(Seq("the", "be", "to", "of", "and", "a", "in", "that")))))
+        .as("sh"))), 1)
+    val lstats = element_at(transform(array(lines), ls => struct(
+      size(ls).as("nl"),
+      size(filter(ls, l => ltrim(l).rlike("^[-*•]"))).as("bl"),
+      size(filter(ls, l => rtrim(l).endsWith("..."))).as("el"))), 1)
     val hashes = length(t) - length(regexp_replace(t, "#", ""))
     val ellipses = (length(t) - length(regexp_replace(t, """\.\.\.""", ""))) / 3
+    val nWords = col("__gw.nw")
+    val meanWl = col("__gw.swl").cast("double") / nWords
+    val alphaFrac = col("__gw.aw").cast("double") / nWords
+    val stopHits = col("__gw.sh")
     val symbolRatio = (hashes + ellipses).cast("double") / nWords
-    val lines = split(t, "\n")
-    val nLines = size(lines)
-    val bulletFrac = size(filter(lines, l => ltrim(l).rlike("^[-*•]")))
-      .cast("double") / nLines
-    val ellLineFrac = size(filter(lines, l => rtrim(l).endsWith("...")))
-      .cast("double") / nLines
-    df.withColumn("n_words", nWords)
+    val nLines = col("__gl.nl")
+    val bulletFrac = col("__gl.bl").cast("double") / nLines
+    val ellLineFrac = col("__gl.el").cast("double") / nLines
+    df.withColumn("__gw", wstats)
+      .withColumn("__gl", lstats)
+      .withColumn("n_words", nWords)
       .withColumn("mean_wl", round(meanWl, 6))
       .withColumn("alpha_frac", round(alphaFrac, 6))
       .withColumn("stop_hits", stopHits)
@@ -181,6 +199,7 @@ object TextAnalysis {
       .withColumn("r_ellipsis", col("ell_frac") <= 0.3)
       .withColumn("r_alpha", col("alpha_frac") >= 0.8)
       .withColumn("r_stop", stopHits >= 2)
+      .drop("__gw", "__gl")
       .withColumn("gopher_pass",
         col("r_words") && col("r_mean_wl") && col("r_symbol") && col("r_bullet") &&
           col("r_ellipsis") && col("r_alpha") && col("r_stop"))
