@@ -118,7 +118,9 @@ object TextAnalysis {
     val digits = regexp_count(t, lit("[0-9]"))
     df.withColumn("n_chars_calc", nChars)
       .withColumn("n_words", nWords)
-      .withColumn("mean_word_len", nonWs.cast("double") / nWords)
+      // ratios read the materialized n_words attribute, not a second
+      // copy of the regexp_count expression (the gopherRules lesson)
+      .withColumn("mean_word_len", nonWs.cast("double") / col("n_words"))
       .withColumn("punct_ratio", punct.cast("double") / nChars)
       .withColumn("digit_ratio", digits.cast("double") / nChars)
       .withColumn("quality_score",

@@ -18,7 +18,7 @@ object PlanAudit {
     * codegen details across Spark patch versions; the join/shuffle shape is
     * what decides scale survival). */
   final case class PlanShape(exchanges: Int, bhj: Int, smj: Int, bnlj: Int,
-                             wscg: Int, pushdown: Boolean) {
+                             wscg: Int, pushdown: Boolean, ckptScans: Int = 0) {
     def snapshot: String = s"$exchanges/$bhj/$smj/$bnlj/${if (pushdown) "p" else "-"}"
   }
 
@@ -36,7 +36,13 @@ object PlanAudit {
       bnlj = count("BroadcastNestedLoopJoin"),
       wscg = lines.count(_.matches(""".*\*\(\d+\).*""")),
       pushdown = lines.exists(l =>
-        l.contains("PushedFilters: [") && !l.contains("PushedFilters: []")))
+        l.contains("PushedFilters: [") && !l.contains("PushedFilters: []")),
+      // eager localCheckpoints truncate lineage, so the audited plan is
+      // only the POST-checkpoint tail — report how many checkpoint scans
+      // feed it, so a row with ckpt > 0 reads as a partial audit (the
+      // truncated stages executed eagerly at build time, outside this
+      // plan; their shapes are documented at the operator)
+      ckptScans = count("Scan ExistingRDD"))
   }
 
   def main(args: Array[String]): Unit = {
@@ -58,17 +64,21 @@ object PlanAudit {
       println("# PLANS - physical-plan audit (finalized AQE plans, " + sfDir + ")")
       println()
       println("Exchanges = shuffles (broadcast exchanges excluded); BHJ/SMJ = join strategies;")
-      println("WSCG = whole-stage-codegen spans; pushdown = parquet PushedFilters non-empty.")
+      println("WSCG = whole-stage-codegen spans; pushdown = parquet PushedFilters non-empty;")
+      println("ckpt = checkpoint scans feeding the plan (ckpt > 0: the audit covers only the")
+      println("post-checkpoint tail — the truncated stages ran eagerly at build time and their")
+      println("shapes are documented at the operator).")
       println()
-      println("| query | exchanges | BHJ | SMJ | BNLJ | WSCG | pushdown |")
-      println("|---|---|---|---|---|---|---|")
+      println("| query | exchanges | BHJ | SMJ | BNLJ | WSCG | pushdown | ckpt |")
+      println("|---|---|---|---|---|---|---|---|")
     }
     for (q <- graft.SparkEntry.all if only.isEmpty || only.contains(q.name)) {
       try {
         val s = shape(q.fn(spark, sfDir))
         if (md)
           println(s"| ${q.name} | ${s.exchanges} | ${s.bhj} | ${s.smj} | ${s.bnlj} | " +
-            s"${s.wscg} | ${if (s.pushdown) "yes" else "-"} |")
+            s"${s.wscg} | ${if (s.pushdown) "yes" else "-"} | " +
+            s"${if (s.ckptScans > 0) s.ckptScans.toString else "-"} |")
         else
           println(f"${q.name}%-28s shuffles=${s.exchanges} bhj=${s.bhj} " +
             f"smj=${s.smj} wscg=${s.wscg} pushdown=${s.pushdown}")
