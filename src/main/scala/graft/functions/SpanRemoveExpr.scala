@@ -42,10 +42,15 @@ object SpanRemoveKernel {
     val covered = new Array[Boolean](n)
     var i = 0
     while (i < starts.numElements()) {
-      val r = starts.getInt(i) // 1-based gram start position
-      var t = if (r < 1) 1 else r
-      val end = math.min(r + l - 1, n)
-      while (t <= end) { covered(t - 1) = true; t += 1 }
+      // skip null elements defensively: getInt on a null slot reads 0,
+      // which would silently cover tokens 1..l (collect_set never emits
+      // nulls, but the expression is public surface)
+      if (!starts.isNullAt(i)) {
+        val r = starts.getInt(i) // 1-based gram start position
+        var t = if (r < 1) 1 else r
+        val end = math.min(r + l - 1, n)
+        while (t <= end) { covered(t - 1) = true; t += 1 }
+      }
       i += 1
     }
     val sb = new java.lang.StringBuilder

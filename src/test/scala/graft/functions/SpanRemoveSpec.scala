@@ -83,7 +83,8 @@ class SpanRemoveSpec extends SparkSpecBase {
     // direct expression call: starts beyond/athwart the doc bounds must
     // clamp, not throw or wrap (the n < l regime emits gram position 1
     // with a span longer than the doc)
-    val out = Seq(("a b c", Seq(1)), ("a b c", Seq(3)), ("a b c", Seq(0)))
+    val out = Seq(("a b c", Seq[Integer](1)), ("a b c", Seq[Integer](3)),
+        ("a b c", Seq[Integer](0)), ("a b c", Seq[Integer](null)))
       .toDF("text", "starts")
       .select(SpanRemove(col("text"), col("starts"), 8).as("r"))
       .select("r.n_tokens", "r.n_kept", "r.clean_text")
@@ -91,5 +92,6 @@ class SpanRemoveSpec extends SparkSpecBase {
     assert(out(0) === ((3L, 0L, "")))      // covers 1..8 -> clamp to 3
     assert(out(1) === ((3L, 2L, "a b")))   // covers 3..10 -> clamp to 3
     assert(out(2) === ((3L, 0L, "")))      // 0 -> floor at 1, covers all
+    assert(out(3) === ((3L, 3L, "a b c"))) // null start ignored, not pos 0
   }
 }
