@@ -79,9 +79,17 @@ object StreamDedup {
           val out = scala.collection.mutable.ArrayBuffer.empty[DupFlag]
           ds.toSeq.sortBy(_.doc).foreach { d =>
             val hits = seen.iterator
-              .filter(e => e.doc < d.doc && estimate(e.sig, d.sig) >= threshold)
-              .map(_.doc)
-            if (hits.nonEmpty) out += DupFlag(d.doc, hits.min, band)
+              .filter(e => e.doc != d.doc && estimate(e.sig, d.sig) >= threshold)
+              .map(_.doc).toSeq
+            val (earlier, later) = hits.partition(_ < d.doc)
+            if (earlier.nonEmpty) out += DupFlag(d.doc, earlier.min, band)
+            // out-of-order arrival (the StreamContainment r13 fix applied
+            // here too): an occupant with a LARGER id arrived first — the
+            // pair is emitted keyed on that larger doc (batch orientation
+            // dupOf < doc), never dropped. Under id-ordered feeding no
+            // larger-id occupant exists, so the id-ordered bit-equality
+            // contract is untouched.
+            later.foreach(p => out += DupFlag(p, d.doc, band))
             seen = DocSig(d.doc, d.sig) :: seen
           }
           state.update(seen)

@@ -81,6 +81,57 @@ class IngestGateSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("out-of-order arrival never drops a near-dup pair: the flag lands on the " +
+       "larger id, one representative per cluster survives") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    // the ordering contract documented on gateStream: id-ordered feeding
+    // reproduces batch bit-for-bit. This pins the guarantee WITHOUT it:
+    // the exact gate keeps the FIRST ARRIVAL (here the larger id 9) and
+    // silently drops the late exact copy (1); when the near-copy (3)
+    // then probes the bucket, the pair (3, 9) must be FLAGGED — keyed on
+    // the larger doc, batch orientation — not dropped because the
+    // occupant's id happens to be larger (the StreamDedup twin of the
+    // StreamContainment out-of-order fix). Which cluster member
+    // represents the near-dup group legitimately differs from the batch
+    // twin under arrival permutation (stream keeps 3 and flags 9; batch
+    // keeps min-id 1 and flags 3) — the invariant is ONE representative
+    // per near-dup cluster plus every non-dup doc, never zero or two.
+    val other = Array.fill(4)(
+      "a small ship sails to the cold north sea and the crew watches waves of grey salt water"
+    ).mkString(" ")
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = IngestGate.gateStream(s, mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("ingest_gate_ooo")
+      .outputMode("append").start()
+    try {
+      mem.addData((9L, base), (5L, other))    // larger id arrives FIRST
+      q.processAllAvailable()
+      mem.addData((1L, base))                 // the batch twin's winner, late
+      q.processAllAvailable()
+      mem.addData((3L, base.replace("lazy", "sleepy")))
+      q.processAllAvailable()
+      val flags = s.sql("SELECT doc, dupOf FROM ingest_gate_ooo").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).distinct
+      assert(flags.toSet === Set((9L, 3L)), s"got ${flags.toList}")
+      // admitted at read time: arrival-order exact survivors minus
+      // flagged docs = {3 (the cluster's surviving member), 5} — exactly
+      // one representative of the base/sleepy cluster plus the non-dup
+      val flagged = flags.map(_._1).toSet
+      val arrivalSurvivors = Set(9L, 5L, 3L) // 1 dropped by the exact gate
+      val admitted = arrivalSurvivors -- flagged
+      assert(admitted === Set(3L, 5L))
+      // batch twin on the same rows admits the same CLUSTER STRUCTURE
+      // with the min-id representative: {1, 5}
+      val all = Seq((9L, base), (5L, other), (1L, base),
+        (3L, base.replace("lazy", "sleepy")))
+      val batchAdmitted = IngestGate.admittedBatch(all.toDF("doc_id", "text"))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(batchAdmitted === Set(1L, 5L))
+    } finally q.stop()
+  }
+
   test("stream equals batch twin on real documents across id-ordered micro-batches") {
     val s = spark
     import s.implicits._
