@@ -53,7 +53,12 @@ object SessionHygiene {
     * every LogicalRDD found there would destroy blocks that can never be
     * recomputed (lineage truncated). Passing a derived frame throws
     * rather than guessing. */
-  def freeCheckpoint(df: DataFrame): Unit =
+  def freeCheckpoint(df: DataFrame): Unit = {
+    // audit mode (Ckpt.disabled): ckpt() was the identity, so loop frames
+    // are plain derived plans with nothing persisted to free — and the
+    // checkpoint-rooted guard below would (correctly, in production)
+    // reject them. No-op instead of throwing.
+    if (Ckpt.disabled) return
     df.queryExecution.analyzed match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(blocking = false)
@@ -63,6 +68,7 @@ object SessionHygiene {
           "LogicalRDDs inside a derived plan could strand other live " +
           "checkpoints")
     }
+  }
 
   def release(spark: SparkSession, keep: Seq[DataFrame]): Unit = {
     val protectedIds = keep.flatMap(df => persistedAncestors(df.rdd)).toSet

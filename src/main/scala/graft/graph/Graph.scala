@@ -1,5 +1,7 @@
 package graft.graph
 
+import graft.Ckpt._
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -119,7 +121,7 @@ object Graph {
     // co-located layout for free.
     val ndPlan = nodes.select(col("node"))
     val nd = (if (copartition) ndPlan.repartition(col("node")) else ndPlan)
-      .localCheckpoint()
+      .ckpt()
     val n = nd.count().toDouble // model parameter, like IVF's k — one scalar action
     // teleport distribution: uniform (classic) or an indicator at one node
     // (personalized PageRank — relevance of every node to the seed)
@@ -132,7 +134,7 @@ object Graph {
     // ride it; ownership stays with the caller (no unpersist here).
     val shareAll = shareAllPre.getOrElse(
       shareTable(nd, edges, copartition).persist())
-    var ranks = nd.withColumn("r", tCol).localCheckpoint()
+    var ranks = nd.withColumn("r", tCol).ckpt()
     // Broadcast mode: the rank vector is node-count sized
     // (dimension-scale for this tier's company graphs) and
     // checkpoint-backed, so the optimizer sees no stats — broadcast it
@@ -149,7 +151,7 @@ object Graph {
     // reference), so one eager checkpoint per round is the sweet spot.
     for (step <- 1 to iters) {
       val rankSide = if (copartition) ranks.hint("shuffle_hash") else broadcast(ranks)
-      val contrib = contribOf(shareAll, rankSide).localCheckpoint()
+      val contrib = contribOf(shareAll, rankSide).ckpt()
       // the dangling mass is ONE value of the checkpointed (node-sized)
       // contrib table — it rides as a LAZY 1-row aggregate crossJoined
       // back as a broadcast row (HITS's normalizer pattern: the explicit
@@ -167,7 +169,7 @@ object Graph {
         .select(nd("node"),
           (lit(1 - damping) * tCol +
             lit(damping) * (coalesce(col("contrib"), lit(0.0)) + col("__dm") * tCol)).as("r"))
-      val cp = next.localCheckpoint()
+      val cp = next.ckpt()
       // real frees: Dataset.unpersist is a no-op on checkpoint frames
       graft.SessionHygiene.freeCheckpoint(ranks)
       graft.SessionHygiene.freeCheckpoint(contrib)
@@ -227,13 +229,13 @@ object Graph {
                                           copartition: Boolean): DataFrame = {
     val ndPlan = nodes.select(col("node"))
     val nd = (if (copartition) ndPlan.repartition(col("node")) else ndPlan)
-      .localCheckpoint()
+      .ckpt()
     val n = nd.count().toDouble
     // checkpointed like the loop's persisted shareAll: the audited plan
     // must be the STEADY-STATE round (share table already materialized,
     // its one-time dangling-sink build not re-printed into every round)
-    val shareAll = shareTable(nd, edges, copartition).localCheckpoint()
-    val ranks = nd.withColumn("r", lit(1.0 / n)).localCheckpoint()
+    val shareAll = shareTable(nd, edges, copartition).ckpt()
+    val ranks = nd.withColumn("r", lit(1.0 / n)).ckpt()
     val rankSide = if (copartition) ranks.hint("shuffle_hash") else broadcast(ranks)
     contribOf(shareAll, rankSide)
   }
@@ -250,7 +252,7 @@ object Graph {
     // frees them between queries.
     val share = edges.join(wout, "src")
       .select(col("src"), col("dst"), (col("w") / col("wout")).as("share"))
-      .localCheckpoint()
+      .ckpt()
     val danglingSink = nd
       .join(share.select(col("src").as("node")).distinct(), Seq("node"), "left_anti")
       .select(col("node").as("src"), lit(null).cast("long").as("dst"),
@@ -277,7 +279,7 @@ object Graph {
     // the co-membership self-join) would each re-derive the upstream
     // membership chain — at corpus scale that chain is a fact-table join
     val m = membership.select(col(person).as("p"), col(company).as("c")).distinct()
-      .localCheckpoint()
+      .ckpt()
     val sizes = m.groupBy(col("c")).agg(count(lit(1)).as("n"))
     val shared = m.join(m.withColumnRenamed("c", "c2"), "p")
       .filter(col("c") < col("c2"))
@@ -304,7 +306,7 @@ object Graph {
     // unpersisted edge derivation would re-run upstream per round
     val e = edges.select(col("src"), col("dst")).persist()
     var dist = nodes.filter(col("node") === seed)
-      .select(col("node"), lit(0).as("hops")).localCheckpoint()
+      .select(col("node"), lit(0).as("hops")).ckpt()
     var frontier = dist
     var k = 0
     var done = frontier.isEmpty
@@ -316,15 +318,15 @@ object Graph {
         .select(col("dst").as("node")).distinct()
         .join(broadcast(dist), Seq("node"), "left_anti")
         .select(col("node"), lit(k).as("hops"))
-        .localCheckpoint()
+        .ckpt()
       if (next.isEmpty) done = true
       else {
-        dist = dist.union(next).localCheckpoint()
+        dist = dist.union(next).ckpt()
         frontier = next
       }
     }
     val out = nodes.join(broadcast(dist), Seq("node"), "left")
-      .select(nodes("node"), col("hops")).localCheckpoint()
+      .select(nodes("node"), col("hops")).ckpt()
     e.unpersist()
     out
   }
@@ -428,7 +430,7 @@ object Graph {
     require(iters >= 1, s"hits needs at least one iteration, got $iters")
     val ndPlan = nodes.select(col("node"))
     val nd = (if (copartition) ndPlan.repartition(col("node")) else ndPlan)
-      .localCheckpoint()
+      .ckpt()
     val e0 = edges.select(col("src"), col("dst"), col("w"))
     val e = (if (copartition) e0.repartition(col("src")) else e0).persist()
     // derived from the PERSISTED e, not e0: building the dst copy from
@@ -445,13 +447,13 @@ object Graph {
     // then Σ w·(v/Σv)) is unchanged, so the unrolled oracle still
     // replays it; nodes without contribs drop from the inner joins and
     // contribute exactly the 0.0 their coalesced rows used to.
-    var hub = nd.withColumn("h", lit(1.0)).localCheckpoint()
+    var hub = nd.withColumn("h", lit(1.0)).ckpt()
     var prevHc: DataFrame = hub
     var prevAc: DataFrame = null
     var auth: DataFrame = null
     for (_ <- 1 to iters) {
       val hubSide = side(hub)
-      val ac = halfStepOf(e, hubSide, "src", "dst").localCheckpoint()
+      val ac = halfStepOf(e, hubSide, "src", "dst").ckpt()
       if (prevAc != null) graft.SessionHygiene.freeCheckpoint(prevAc)
       prevAc = ac
       // backed the hub vector that ac just consumed; freeCheckpoint
@@ -460,7 +462,7 @@ object Graph {
       auth = ac.crossJoin(broadcast(ac.agg(sum("v").as("s"))))
         .select(col("node"), (col("v") / col("s")).as("h"))
       val authSide = side(auth)
-      val hc = halfStepOf(eDst, authSide, "dst", "src").localCheckpoint()
+      val hc = halfStepOf(eDst, authSide, "dst", "src").ckpt()
       prevHc = hc
       hub = hc.crossJoin(broadcast(hc.agg(sum("v").as("s"))))
         .select(col("node"), (col("v") / col("s")).as("h"))
@@ -495,13 +497,13 @@ object Graph {
                                        copartition: Boolean): (DataFrame, DataFrame) = {
     val ndPlan = nodes.select(col("node"))
     val nd = (if (copartition) ndPlan.repartition(col("node")) else ndPlan)
-      .localCheckpoint()
+      .ckpt()
     val e0 = edges.select(col("src"), col("dst"), col("w"))
-    val e = (if (copartition) e0.repartition(col("src")) else e0).localCheckpoint()
-    val eDst = if (copartition) e.repartition(col("dst")).localCheckpoint() else e
+    val e = (if (copartition) e0.repartition(col("src")) else e0).ckpt()
+    val eDst = if (copartition) e.repartition(col("dst")).ckpt() else e
     def side(v: DataFrame): DataFrame =
       if (copartition) v.hint("shuffle_hash") else broadcast(v)
-    val vec = nd.withColumn("h", lit(1.0)).localCheckpoint()
+    val vec = nd.withColumn("h", lit(1.0)).ckpt()
     (halfStepOf(e, side(vec), "src", "dst"), halfStepOf(eDst, side(vec), "dst", "src"))
   }
 
@@ -564,14 +566,14 @@ object Graph {
                        copartition: Boolean = false): DataFrame = {
     val ndPlan = nodes.select(col("node"))
     val nd = (if (copartition) ndPlan.repartition(col("node")) else ndPlan)
-      .localCheckpoint()
+      .ckpt()
     val und0 = edges.select(col("src"), col("dst"), col("w"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst"), col("w")))
       .groupBy("src", "dst").agg(sum("w").as("w"))
     val und = (if (copartition) und0.repartition(col("dst")) else und0).persist()
     def side(v: DataFrame): DataFrame =
       if (copartition) v.hint("shuffle_hash") else broadcast(v)
-    var labels = nd.withColumn("label", col("node")).localCheckpoint()
+    var labels = nd.withColumn("label", col("node")).ckpt()
     for (_ <- 1 to iters) {
       // the vote argmax stays LAZY inside the round's broadcast build, so
       // each round pays exactly ONE eager checkpoint (the new label
@@ -583,7 +585,7 @@ object Graph {
       val winnerSide = side(winners)
       val next = nd.join(winnerSide, nd("node") === winnerSide("nd"), "left")
         .select(nd("node"), coalesce(col("lbl"), nd("node")).as("label"))
-        .localCheckpoint()
+        .ckpt()
       graft.SessionHygiene.freeCheckpoint(labels)
       labels = next
     }
@@ -612,15 +614,15 @@ object Graph {
                                  copartition: Boolean): DataFrame = {
     val ndPlan = nodes.select(col("node"))
     val nd = (if (copartition) ndPlan.repartition(col("node")) else ndPlan)
-      .localCheckpoint()
+      .ckpt()
     val und0 = edges.select(col("src"), col("dst"), col("w"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst"), col("w")))
       .groupBy("src", "dst").agg(sum("w").as("w"))
     val und = (if (copartition) und0.repartition(col("dst")) else und0)
-      .localCheckpoint()
+      .ckpt()
     def side(v: DataFrame): DataFrame =
       if (copartition) v.hint("shuffle_hash") else broadcast(v)
-    val labels = nd.withColumn("label", col("node")).localCheckpoint()
+    val labels = nd.withColumn("label", col("node")).ckpt()
     voteOf(und, side(labels))
   }
 
@@ -669,7 +671,7 @@ object Graph {
     * is mapped via nanvl, matching DuckDB's corr). */
   def summary(nodes: DataFrame, edges: DataFrame): DataFrame = {
     val e = edges.select(col("src"), col("dst")).filter(col("src") =!= col("dst"))
-      .distinct().localCheckpoint() // referenced 4x below (counts, recip x2, und)
+      .distinct().ckpt() // referenced 4x below (counts, recip x2, und)
     val nN = nodes.select(col("node")).agg(count(lit(1)).as("n_nodes"))
     val nE = e.agg(count(lit(1)).as("n_edges"))
     val recip = e.as("a").join(e.as("b"),
@@ -758,7 +760,7 @@ object Graph {
             rounds: Int = 8): DataFrame = {
     var und = edges
       .select(least(col("src"), col("dst")).as("u"), greatest(col("src"), col("dst")).as("v"))
-      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+      .filter(col("u") =!= col("v")).distinct().ckpt()
     // Early exit on convergence is oracle-safe: peeling is idempotent at
     // the fixpoint, so running the remaining unrolled oracle rounds on a
     // converged edge set changes nothing. The count is on the checkpointed
@@ -768,11 +770,11 @@ object Graph {
     for (_ <- 1 to rounds if !converged) {
       val deg = und.select(col("u").as("n")).union(und.select(col("v").as("n")))
         .groupBy("n").agg(count(lit(1)).as("deg"))
-      val keep = deg.filter(col("deg") >= k).select("n").localCheckpoint()
+      val keep = deg.filter(col("deg") >= k).select("n").ckpt()
       und = und
         .join(broadcast(keep).select(col("n").as("u")), Seq("u"), "left_semi")
         .join(broadcast(keep).select(col("n").as("v")), Seq("v"), "left_semi")
-        .localCheckpoint()
+        .ckpt()
       val cur = und.count()
       converged = cur == prev
       prev = cur
@@ -853,9 +855,9 @@ object Graph {
     // exchanges / 23 joins in the audited plan vs 7/5 pinned)
     val und = edges
       .select(least(col("src"), col("dst")).as("u"), greatest(col("src"), col("dst")).as("v"))
-      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+      .filter(col("u") =!= col("v")).distinct().ckpt()
     val deg = und.select(col("u").as("n")).union(und.select(col("v").as("n")))
-      .groupBy("n").agg(count(lit(1)).as("deg")).localCheckpoint()
+      .groupBy("n").agg(count(lit(1)).as("deg")).ckpt()
     // degree is a node-cardinality dim — broadcast both endpoint joins
     val keyed = und
       .join(broadcast(deg).select(col("n").as("u"), col("deg").as("du")), "u")
@@ -866,7 +868,7 @@ object Graph {
       when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("v"))
         .otherwise(col("u")).as("b"))
       .join(broadcast(deg).select(col("n").as("b"), col("deg").as("db")), "b")
-      .localCheckpoint() // feeds both wedge sides and the closure probe
+      .ckpt() // feeds both wedge sides and the closure probe
     val e1 = oriented.select(col("a"), col("b").as("y"), col("db").as("dy"))
     val e2 = oriented.select(col("a"), col("b").as("z"), col("db").as("dz"))
     val tri = e1.join(e2, Seq("a"))

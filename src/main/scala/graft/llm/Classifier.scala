@@ -1,5 +1,7 @@
 package graft.llm
 
+import graft.Ckpt._
+
 import org.apache.spark.ml.classification.{LogisticRegression, LogisticRegressionModel}
 import org.apache.spark.ml.feature.HashingTF
 import org.apache.spark.ml.functions.vector_to_array
@@ -119,7 +121,7 @@ object Classifier {
     // instead of three
     val feats = featsPortable(train, id, text, numFeatures,
       Seq("y" -> label.cast("double")))
-      .repartition(col("pid")).localCheckpoint()
+      .repartition(col("pid")).ckpt()
     val n = train.count()
     val w = Array.fill(numFeatures + 1)(0.0)
     for (_ <- 1 to rounds) {

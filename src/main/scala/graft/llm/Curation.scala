@@ -1,5 +1,7 @@
 package graft.llm
 
+import graft.Ckpt._
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -36,7 +38,7 @@ object Curation {
     scored
       .filter(col("quality_score") >= cfg.minQuality)
       .filter(col("lang_pred").isin(cfg.keepLangs: _*))
-      .localCheckpoint()
+      .ckpt()
   }
 
   /** Stage 2 on an already-gated scan: first doc per fingerprint wins. */

@@ -1,5 +1,7 @@
 package graft.llm
 
+import graft.Ckpt._
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -78,7 +80,7 @@ object Dedup {
         graft.functions.MinHashFromHashes(
           transform(shingles(col(text), k), s => xxhash64(s)), numHashes)
       else graft.functions.MinHashText(lower(col(text)), k, numHashes)
-    df.select(col(id).as("doc"), sig.as("sig")).localCheckpoint()
+    df.select(col(id).as("doc"), sig.as("sig")).ckpt()
   }
 
   def minhashCandidatesFromSig(sig: DataFrame, bands: Int, rows: Int): DataFrame = {
@@ -232,7 +234,7 @@ object Dedup {
   def minhashCandidatesPortable(df: DataFrame, id: String, text: String, k: Int = 5): DataFrame = {
     // checkpointed: the four band self-joins otherwise re-run the md5
     // signature build eight times (once per join side)
-    val sig = minhashPortable(df, id, text, k, numHashes = 8).localCheckpoint()
+    val sig = minhashPortable(df, id, text, k, numHashes = 8).ckpt()
     val bands = Seq(Seq("m0", "m1"), Seq("m2", "m3"), Seq("m4", "m5"), Seq("m6", "m7"))
     bands.map { cols =>
       val a = sig.as("a"); val b = sig.as("b")
@@ -281,7 +283,7 @@ object Dedup {
       .select(col(source).as("s"),
         explode(graft.functions.PortableShingleHashes(col(text), k)).as("h"))
       .distinct()
-      .localCheckpoint()
+      .ckpt()
     val sizes = sh.groupBy("s").agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.h") === col("b.h") && col("a.s") < col("b.s"))
@@ -417,7 +419,7 @@ object Dedup {
       .select(col(id), isNew.as("is_new"),
         explode(graft.functions.CdcChunks(col(text), w, maskBits)).as("c"))
       .select(col(id), col("is_new"), col("c.hash").as("h"), col("c.len").as("len"))
-      .localCheckpoint() // both sides below read the one chunking pass
+      .ckpt() // both sides below read the one chunking pass
     val corpus = chunks.filter(!col("is_new")).select("h").distinct()
     val batch = chunks.filter(col("is_new"))
     val novel = batch.join(corpus, Seq("h"), "left_anti")
@@ -597,14 +599,14 @@ object Dedup {
     // broadcast it) — the broadcast decision is therefore made HERE, from
     // the materialized candidate-doc count: dim-sized gram tables join
     // map-side, larger ones fall back to the shuffle join they need.
-    val p = pairs.localCheckpoint()
+    val p = pairs.ckpt()
     val candIds = p.select(col("id1").as(id))
       .union(p.select(col("id2").as(id))).distinct()
     val gCp = df.join(candIds, id)
       .select(col(id), toks.as("tk"))
       .repartition(col(id))
       .select(col(id), grams.as("g"))
-      .localCheckpoint()
+      .ckpt()
     val small = gCp.count() <= 20000
     val g = if (small) broadcast(gCp) else gCp
     val verified = if (minJaccard > 0) {
@@ -617,7 +619,7 @@ object Dedup {
       // the materialized count
       val sigCp = gCp.select(col(id),
         graft.functions.MinHashFromHashes(col("g"), numEstHashes).as("sig"))
-        .localCheckpoint()
+        .ckpt()
       val sig = if (small) broadcast(sigCp) else sigCp
       val agree = graft.functions.AgreeCount(col("s1"), col("s2"))
       // integer agreement floor: agree/numEstHashes >= minJaccard - margin
@@ -691,15 +693,22 @@ object Dedup {
     * whether it fired so the spec can pin the trigger exactly. */
   private[graft] def warnIfDfCapSaturated(dfTab: DataFrame, pairablePred: Column,
                                           maxDf: Int, op: String): Boolean = {
-    val r = dfTab.agg(count(lit(1)), count(when(pairablePred, 1))).first()
-    val (total, pairableCnt) = (r.getLong(0), r.getLong(1))
-    val saturated = total > 0 && pairableCnt == 0
+    val r = dfTab.agg(count(lit(1)), count(when(pairablePred, 1)),
+      count(when(col("df") > maxDf, 1))).first()
+    val (total, pairableCnt, aboveCap) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    // "saturated" means the CAP blinded the index: zero pairable grams
+    // AND at least one gram actually above the cap. A duplicate-free
+    // corpus (every df = 1) also has zero pairable grams, but no cap is
+    // involved and raising maxDf changes nothing -- correctly-empty, not
+    // saturated, so it must not trip the warning (ADVICE r13).
+    val saturated = total > 0 && pairableCnt == 0 && aboveCap > 0
     if (saturated)
       org.slf4j.LoggerFactory.getLogger("graft.llm.Dedup").warn(
         s"$op: df-capped gram index is SATURATED -- 0 of $total distinct " +
-          s"grams are pairable at maxDf=$maxDf, so the exact containment " +
-          s"tier will report NO pairs regardless of real overlap. Raise " +
-          s"maxDf, or use the df-free estimate tier " +
+          s"grams are pairable at maxDf=$maxDf ($aboveCap grams sit ABOVE " +
+          s"the cap), so the exact containment tier will report NO pairs " +
+          s"regardless of real overlap. Raise maxDf, or use the df-free " +
+          s"estimate tier " +
           s"(containmentEstimatePairs / containmentEstimateIncremental).")
     saturated
   }
@@ -715,7 +724,7 @@ object Dedup {
     val g = df.select(col(id).cast("long").as("doc"), toks.as("tk"))
       .repartition(col("doc"))
       .select(col("doc"), grams.as("g"))
-      .localCheckpoint()
+      .ckpt()
     // (doc, gram) is distinct by construction (array_distinct per doc),
     // so count(*) per gram IS the document frequency — constant state.
     // The df table feeds TWO consumers (pairable grams + the per-doc
@@ -723,7 +732,7 @@ object Dedup {
     // instead of re-running the explode+agg per consumer.
     val inv = g.select(col("doc"), explode(col("g")).as("gram"))
     val dfTab = inv.groupBy("gram").agg(count(lit(1)).as("df"))
-      .localCheckpoint()
+      .ckpt()
     warnIfDfCapSaturated(dfTab, col("df") >= 2 && col("df") <= maxDf,
       maxDf, "containmentPairs")
     val pairable = dfTab.filter(col("df") >= 2 && col("df") <= maxDf)
@@ -770,6 +779,68 @@ object Dedup {
       g.select(col("doc").as("id1"), col("g").as("__gl")),
       g.select(col("doc").as("id2"), col("g").as("__gr")),
       "id1", "id2", "n1", "n2", "c1", "c2", minContainment)
+  }
+
+  /** Diagnostic companion to [[containmentPairs]]: a one-row summary of
+    * the df-capped index's health on a given corpus — gram universe
+    * size, pairable/above-cap split (the saturation warning's
+    * quantitative sibling), candidate pairs emitted by the bucketed
+    * generator, candidates surviving the exact upper-bound prune, and
+    * pairs the exact verify confirms. Runs the operator's own stages
+    * (same `wordGramsOfTk` / `inBucketPairs` / prune algebra — built in
+    * this object precisely so the numbers cannot drift from what
+    * [[containmentPairs]] executes) and charges one extra aggregate per
+    * stage; a capacity-planning probe you run on a corpus SAMPLE before
+    * committing a 100 TB pass to the exact tier, not a per-run tax. */
+  def containmentDiagnostics(df: DataFrame, id: String, text: String, n: Int,
+                             minContainment: Double, maxDf: Int,
+                             hashGrams: Boolean = true): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val toks = split(lower(col(text)), "\\s+")
+    val grams = wordGramsOfTk(n, hashGrams)
+    val g = df.select(col(id).cast("long").as("doc"), toks.as("tk"))
+      .repartition(col("doc"))
+      .select(col("doc"), grams.as("g"))
+      .ckpt()
+    val inv = g.select(col("doc"), explode(col("g")).as("gram"))
+    val dfTab = inv.groupBy("gram").agg(count(lit(1)).as("df")).ckpt()
+    val r = dfTab.agg(count(lit(1)),
+      count(when(col("df") >= 2 && col("df") <= maxDf, 1)),
+      count(when(col("df") > maxDf, 1)), max(col("df"))).first()
+    val (total, pairableCnt, aboveCap) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val maxObservedDf = if (r.isNullAt(3)) 0L else r.getLong(3)
+    val pairable = dfTab.filter(col("df") >= 2 && col("df") <= maxDf).select("gram")
+    val aboveCapGrams = dfTab.filter(col("df") > maxDf).select("gram")
+    val stats = g.select(col("doc"), size(col("g")).as("__n"))
+      .join(inv.join(aboveCapGrams, "gram")
+              .groupBy("doc").agg(count(lit(1)).as("__a")),
+            Seq("doc"), "left")
+      .na.fill(0, Seq("__a"))
+    val candTab = inv.join(pairable, "gram")
+      .groupBy("gram").agg(sort_array(collect_set(col("doc"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(explode(inBucketPairs).as("p"))
+      .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("__c"))
+      .ckpt()
+    val candidates = candTab.count()
+    val pruned = candTab
+      .join(stats.select(col("doc").as("id1"),
+        col("__n").as("__n1"), col("__a").as("__a1")), "id1")
+      .join(stats.select(col("doc").as("id2"),
+        col("__n").as("__n2"), col("__a").as("__a2")), "id2")
+      .filter((col("__c") + least(col("__a1"), col("__a2"))).cast("double") /
+        least(col("__n1"), col("__n2")) >= minContainment)
+      .count()
+    val verified = containmentPairs(df, id, text, n, minContainment, maxDf,
+      hashGrams).count()
+    Seq((total, pairableCnt, aboveCap, maxObservedDf,
+         total > 0 && pairableCnt == 0 && aboveCap > 0,
+         candidates, pruned, verified))
+      .toDF("grams_total", "grams_pairable", "grams_above_cap", "max_df",
+        "saturated", "candidate_pairs", "pruned_candidate_pairs",
+        "verified_pairs")
   }
 
   /** The bounded in-bucket pair generator over a sorted doc-set column
@@ -847,13 +918,13 @@ object Dedup {
     val g = df.select(col(id).cast("long").as("doc"), isNew.as("is_new"), toks.as("tk"))
       .repartition(col("doc"))
       .select(col("doc"), col("is_new"), grams.as("g"))
-      .localCheckpoint()
+      .ckpt()
     val invC = g.filter(!col("is_new"))
       .select(col("doc").as("corpus_id"), explode(col("g")).as("gram"))
     // corpus-side df feeds pairable grams AND the above-cap counts for
     // the exact prune — checkpointed once (containmentPairs' posture)
     val dfTab = invC.groupBy("gram").agg(count(lit(1)).as("df"))
-      .localCheckpoint()
+      .ckpt()
     warnIfDfCapSaturated(dfTab, col("df") <= maxDf,
       maxDf, "containmentIncremental")
     val pairable = dfTab.filter(col("df") <= maxDf).select("gram")
@@ -1011,14 +1082,14 @@ object Dedup {
     val hCp = df.select(col(id).cast("long").as("doc") +: preCols :+ toks.as("tk"): _*)
       .repartition(col("doc"))
       .select(col("doc") +: preRefs :+ transform(grams, gramHash).as("h"): _*)
-      .localCheckpoint()
+      .ckpt()
     val sigEntries = (0 until numHashes).map { i =>
       val (a, b) = portableCoef(i)
       array_min(transform(col("h"), x => (x * a + b) % portableP))
     }
     hCp.select(col("doc") +: preRefs :+ col("h") :+ size(col("h")).as("n") :+
         array(sigEntries: _*).as("sig"): _*)
-      .localCheckpoint()
+      .ckpt()
   }
 
   /** The J*-margin sketch filter + c_est shared by both estimate forms
@@ -1146,7 +1217,7 @@ object Dedup {
     // checkpointed: the gram explode otherwise re-runs for the Bloom
     // build AND the exact semi-join probe side
     val bg = bench.select(explode(wordGrams(col(btext), n, hashGrams)).as("g"))
-      .distinct().localCheckpoint()
+      .distinct().ckpt()
     val expected = math.max(bg.count(), 1L)
     val pruned =
       if (hashGrams) graft.operators.Bloom.semiJoin(dg, bg, "g", "g", expected, fpp)
@@ -1193,7 +1264,7 @@ object Dedup {
     var e = edges.toDF("eu", "ev")
       .filter(col("eu") =!= col("ev"))
       .select(greatest(col("eu"), col("ev")).as("u"), least(col("eu"), col("ev")).as("v"))
-      .distinct().localCheckpoint()
+      .distinct().ckpt()
     def signature(df: DataFrame): (Long, Long) = {
       // hashes folded into a 30-bit domain before the sum so the aggregate
       // cannot overflow under ANSI semantics (would need ~8.5e9 edges)
@@ -1221,7 +1292,7 @@ object Dedup {
         .select(col("v").as("u"), col("mv").as("v"))
         .union(mins2.select(col("u"), col("mv").as("v")))
         .distinct()
-      val next = ss.localCheckpoint()
+      val next = ss.ckpt()
       val sigNext = signature(next)
       converged = sigNext == sigE
       e = next; sigE = sigNext
@@ -1277,8 +1348,8 @@ object Dedup {
     * cross-table pairing is oracle-checkable. */
   def incrementalNeardup(batch: DataFrame, corpus: DataFrame,
                          id: String, text: String, k: Int = 5): DataFrame = {
-    val sigB = minhashPortable(batch, id, text, k, numHashes = 8).localCheckpoint()
-    val sigC = minhashPortable(corpus, id, text, k, numHashes = 8).localCheckpoint()
+    val sigB = minhashPortable(batch, id, text, k, numHashes = 8).ckpt()
+    val sigC = minhashPortable(corpus, id, text, k, numHashes = 8).ckpt()
     val bands = Seq(Seq("m0", "m1"), Seq("m2", "m3"), Seq("m4", "m5"), Seq("m6", "m7"))
     bands.map { cols =>
       val b = sigB.as("b"); val c = sigC.as("c")
@@ -1499,7 +1570,7 @@ object Dedup {
     // would otherwise run twice, and bare shuffle inputs are what keep
     // the fallback join AQE-skew-splittable (see spanRemoval)
     val positions = df.select(col(id), posexplode(gramArr).as(Seq("pos", "gram")))
-      .localCheckpoint()
+      .ckpt()
     // SKEW-SAFE inverted index: the document frequency is a plain
     // count over distinct (gram, doc) pairs — the distinct's partial
     // aggregate dedups map-side and its shuffle keys on the PAIR, so a
@@ -1579,7 +1650,7 @@ object Dedup {
     // the aggregate already pays
     val positions = df.select(col(id), posexplode(gramArr).as(Seq("pos0", "gram")))
       .select(col(id), (col("pos0") + 1).as("pos"), col("gram"))
-      .localCheckpoint()
+      .ckpt()
     // SKEW-SAFE duplicate-span marking: per-gram first_doc is a plain
     // min()/max() pair — constant aggregation state per gram no matter
     // how many occurrences it has (the earlier one-shuffle form carried a
@@ -1602,7 +1673,7 @@ object Dedup {
       .agg(min(col(id)).as("__first_doc"), max(col(id)).as("__max_doc"))
       .filter(col("__max_doc") > col("__first_doc"))
       .select(col("gram"), col("__first_doc"))
-      .localCheckpoint()
+      .ckpt()
     // the broadcast cutoff is sized by ROW WIDTH, not just count: hashed
     // grams are ~30-byte rows (hash string + id) where raw l-token string
     // grams run 100+ bytes — a count-only cutoff would let a just-under

@@ -1,5 +1,7 @@
 package graft.llm
 
+import graft.Ckpt._
+
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.ml.linalg.{Vector => MlVector}
@@ -71,7 +73,7 @@ object Ivf {
     import spark.implicits._
     val base = corpus.select(col(id).cast("long").as("pid"),
         transform(col(vec), _.cast("double")).as("pv"))
-      .localCheckpoint()
+      .ckpt()
     // Centroids are MODEL state (k×dim doubles — the Bpe-merge pattern):
     // collected per round and re-injected as a broadcast literal frame.
     // Each Lloyd round is then ONE distributed job (assign + per-dim
@@ -115,7 +117,7 @@ object Ivf {
     val cdf = centDf(cent)
     // checkpointed: callers reference the assignment table at least twice
     // (query slice + candidate cells)
-    (cdf, assign(cdf).localCheckpoint())
+    (cdf, assign(cdf).ckpt())
   }
 
   /** SQL fragments shared by the portable-quantizer oracles (sim5b's IVF,

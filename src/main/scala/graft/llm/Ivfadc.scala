@@ -1,5 +1,7 @@
 package graft.llm
 
+import graft.Ckpt._
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -65,7 +67,7 @@ object Ivfadc {
     val res = assigned.join(broadcast(coarse), "cell")
       .select(col("pid"), col("pv"), col("cell"),
         zip_with(col("pv"), col("cv"), (x, c) => x - c).as("rv"))
-      .localCheckpoint()
+      .ckpt()
     val fits = Pq.fitConcurrently(m) { s0 =>
       val sliced = res.select(col("pid"),
         slice(col("rv"), s0 * subDim + 1, subDim).as("sv"))
@@ -157,7 +159,7 @@ object Ivfadc {
     val base = corpus.select(col(id).cast("long").as("pid"),
         transform(col(vec), _.cast("double")).as("pv"),
         isNew.as("is_new"), queryFilter.as("is_query"))
-      .localCheckpoint()
+      .ckpt()
     val trainBase = base.filter(!col("is_new"))
     val (coarse, _) =
       Ivf.portableQuantizer(trainBase, "pid", "pv", kCoarse, coarseRounds)
@@ -168,7 +170,7 @@ object Ivfadc {
       .join(broadcast(coarse), "cell")
       .select(col("pid"), col("pv"), col("cell"),
         zip_with(col("pv"), col("cv"), (x, c) => x - c).as("rv"))
-      .localCheckpoint()
+      .ckpt()
     val trainIds = trainBase.select("pid")
     val fits = Pq.fitConcurrently(m) { s0 =>
       val slicedTrain = res.join(trainIds, "pid")

@@ -1,5 +1,7 @@
 package graft.llm
 
+import graft.Ckpt._
+
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -423,7 +425,7 @@ object Multimodal {
   def imageHammingDedup(media: DataFrame, maxDist: Int = 3): DataFrame = {
     require(maxDist >= 1 && maxDist <= 3,
       "4 x 16-bit pigeonhole chunks guarantee recall only for maxDist <= 3")
-    val h = imageAHash(media).localCheckpoint() // banding + verify + output all read it
+    val h = imageAHash(media).ckpt() // banding + verify + output all read it
     def chunks(c: org.apache.spark.sql.Column, off: Int) = (0 until 2).map { i =>
       struct(lit(off + i).as("chunk"),
         shiftright(c, i * 16).bitwiseAND(lit(0xFFFFL)).as("ckey"))

@@ -1,5 +1,7 @@
 package graft.llm
 
+import graft.Ckpt._
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -105,7 +107,7 @@ object Pca {
     * checkpointed once (d² rows — model-sized), so the diagonal self-join
     * does NOT rerun the corpus scan; both diagonal joins broadcast. */
   def correlation(emb: DataFrame, vec: String): DataFrame =
-    correlationFromCov(covariance(emb, vec).localCheckpoint())
+    correlationFromCov(covariance(emb, vec).ckpt())
 
   /** Diagonal normalization over an already-built covariance frame (d²
     * rows — model-sized). Callers that share the covariance across

@@ -1,5 +1,7 @@
 package graft.llm
 
+import graft.Ckpt._
+
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{Column, DataFrame}
@@ -156,7 +158,7 @@ object Pq {
     require(dim % m == 0, s"dim $dim not divisible by m $m")
     val subDim = dim / m
     val base = corpus.select(col(id).cast("long").as("pid"),
-      transform(col(vec), _.cast("double")).as("pv")).localCheckpoint()
+      transform(col(vec), _.cast("double")).as("pv")).ckpt()
     // join order below stays 0..m-1 for a stable plan regardless of
     // which concurrent fit finishes first
     val fits = fitConcurrently(m) { s0 =>

@@ -1,5 +1,7 @@
 package graft.llm
 
+import graft.Ckpt._
+
 import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
 import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
@@ -326,7 +328,7 @@ object Similarity {
       // rides a generator, the tok3 re-evaluation class). (doc, tbl,
       // bucket) triples are corpus×t SMALL rows — the same volume the
       // join shuffle moves anyway.
-      .localCheckpoint()
+      .ckpt()
     val a = sigs.as("a"); val bb = sigs.as("b")
     val pairs = a.join(bb,
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&

@@ -1,5 +1,7 @@
 package graft.llm
 
+import graft.Ckpt._
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -177,16 +179,23 @@ object TextAnalysis {
       size(filter(ls, l => rtrim(l).endsWith("..."))).as("el"))), 1)
     val hashes = length(t) - length(regexp_replace(t, "#", ""))
     val ellipses = (length(t) - length(regexp_replace(t, """\.\.\.""", ""))) / 3
-    val nWords = col("__gw.nw")
-    val meanWl = col("__gw.swl").cast("double") / nWords
-    val alphaFrac = col("__gw.aw").cast("double") / nWords
-    val stopHits = col("__gw.sh")
+    // staging-column names are derived collision-free from the input's
+    // own columns (an input that already carries __gw/__gl would
+    // otherwise be silently overwritten and dropped from the output)
+    val taken = df.columns.toSet
+    def fresh(base: String): String =
+      Iterator.iterate(base)(_ + "_").dropWhile(taken.contains).next()
+    val gw = fresh("__gw"); val gl = fresh("__gl")
+    val nWords = col(s"$gw.nw")
+    val meanWl = col(s"$gw.swl").cast("double") / nWords
+    val alphaFrac = col(s"$gw.aw").cast("double") / nWords
+    val stopHits = col(s"$gw.sh")
     val symbolRatio = (hashes + ellipses).cast("double") / nWords
-    val nLines = col("__gl.nl")
-    val bulletFrac = col("__gl.bl").cast("double") / nLines
-    val ellLineFrac = col("__gl.el").cast("double") / nLines
-    df.withColumn("__gw", wstats)
-      .withColumn("__gl", lstats)
+    val nLines = col(s"$gl.nl")
+    val bulletFrac = col(s"$gl.bl").cast("double") / nLines
+    val ellLineFrac = col(s"$gl.el").cast("double") / nLines
+    df.withColumn(gw, wstats)
+      .withColumn(gl, lstats)
       .withColumn("n_words", nWords)
       .withColumn("mean_wl", round(meanWl, 6))
       .withColumn("alpha_frac", round(alphaFrac, 6))
@@ -201,7 +210,7 @@ object TextAnalysis {
       .withColumn("r_ellipsis", col("ell_frac") <= 0.3)
       .withColumn("r_alpha", col("alpha_frac") >= 0.8)
       .withColumn("r_stop", stopHits >= 2)
-      .drop("__gw", "__gl")
+      .drop(gw, gl)
       .withColumn("gopher_pass",
         col("r_words") && col("r_mean_wl") && col("r_symbol") && col("r_bullet") &&
           col("r_ellipsis") && col("r_alpha") && col("r_stop"))
@@ -452,7 +461,7 @@ object TextAnalysis {
     // exchange-free on the blocks (the cls1b pattern); at corpus scale
     // one materialization always beats recomputing the upstream chain
     val local = sharded.withColumn("__local_rank", row_number().over(wLocal))
-      .localCheckpoint()
+      .ckpt()
     val counts = local.groupBy(col("__shard"))
       .agg(max(col("__local_rank")).as("__n"))
       .agg(collect_list(struct(col("__shard"), col("__n"))).as("__counts"))

@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.Ckpt._
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -48,7 +50,7 @@ object Ranking {
     // inherently two-pass; the eager checkpoint IS the pass-1
     // materialization (the staged-table write of the classic
     // count-then-offset implementation), pinning both data and pids.
-    val local = ranged.withColumn("__lrn", row_number().over(w)).localCheckpoint()
+    val local = ranged.withColumn("__lrn", row_number().over(w)).ckpt()
     val counts = local.groupBy(col("__pid")).agg(max(col("__lrn")).as("__n"))
       .agg(collect_list(struct(col("__pid"), col("__n"))).as("__counts"))
     local.crossJoin(broadcast(counts))

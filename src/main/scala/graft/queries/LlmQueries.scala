@@ -1,5 +1,7 @@
 package graft.queries
 
+import graft.Ckpt._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.Tables
@@ -2047,7 +2049,7 @@ object LlmQueries {
         // candidate build, the component node list, and the survivor
         // semi-join (three consumers; the gopher scan must run once)
         val exact = Dedup.exactSurvivors(quality, "doc_id", "text")
-          .localCheckpoint()
+          .ckpt()
         // 3. near-dup clusters over the exact survivors — MinHash-LSH
         // with a TWO-STAGE verify, all three stages reading ONE portable
         // 32-hash word-3-gram sketch (the dd21 md5-28/LCG family, so
@@ -2090,17 +2092,21 @@ object LlmQueries {
           .filter(coalesce(col("component"), col("doc_id")) === col("doc_id"))
           .select("doc_id", "source", "text")
         // 4. decontaminate against the held-out benchmark slice. The
-        // contaminated id list is bounded by docs sharing an 8-gram with
-        // the FIXED-size benchmark — dim-sized by construction, so the
-        // anti-join build side is hinted broadcast (the checkpointed scan
-        // underneath has no stats for the planner to see it itself).
+        // contaminated id list is bounded by CORPUS docs sharing an
+        // 8-gram with the benchmark — NOT by benchmark size: one
+        // boilerplate benchmark gram can contaminate a corpus-scale
+        // fraction, so a forced broadcast here could blow up the driver
+        // at 100 TB (ADVICE r13). No hint: the id list ends in a
+        // distinct() exchange, so AQE sees its RUNTIME size and picks
+        // BHJ when it is small (it is, at every tested scale — plan
+        // pinned in PLANS.md) and a shuffle join when it is not.
         // Checkpointed: the packing stage scans its input twice (rows +
         // per-shard totals) and the split reads the packed rows again.
         val clean = nearSurv.join(
-            broadcast(Dedup.contaminatedIds(nearSurv, "doc_id", "text",
-              bench, "text", n = 8, hashGrams = false)),
+            Dedup.contaminatedIds(nearSurv, "doc_id", "text",
+              bench, "text", n = 8, hashGrams = false),
             Seq("doc_id"), "left_anti")
-          .localCheckpoint()
+          .ckpt()
         // 5+6. token count + budget packing (source kept for the split)
         val packed = TextAnalysis.packByTokenBudget(clean, "doc_id", "text",
           budget = 256, keep = Seq("source"))
@@ -2300,7 +2306,7 @@ object LlmQueries {
     QueryDef("st10_streaming_topk",
       (s, d) => {
         val c = graft.streaming.TopKStream.counts(s, t(s, d, "documents"))
-          .toDF().localCheckpoint()
+          .toDF().ckpt()
         // exactness precondition CHECKED, not assumed: the oracle equality
         // below is only meaningful while capacity ≥ every bucket's
         // vocabulary (zero evictions ⇒ counters exact). Once a larger

@@ -1,5 +1,7 @@
 package graft.queries
 
+import graft.Ckpt._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.Tables
@@ -123,7 +125,7 @@ object PipelineQueries {
           ("americas", "39.8,-98.5")).toDF("region", "coords")
         // one 1-row envelope, four section explosions → checkpoint once
         val env = DwwPipeline.jumpsEnvelope(credits(s, d), regions, globalRegions)
-          .localCheckpoint()
+          .ckpt()
         val nullS = lit(null).cast("string")
         val jumps = env.select(explode(col("jumps")).as("doc"))
           .select(col("doc.id").as("k"), col("doc.name").as("v1"),

@@ -1,5 +1,7 @@
 package graft.queries
 
+import graft.Ckpt._
+
 import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -39,7 +41,7 @@ private[graft] object QueryMemo {
   def frame(s: SparkSession, dir: String, key: String)
            (build: => DataFrame): DataFrame =
     if (disabled) build
-    else frameMemo.computeIfAbsent((s, dir, key), _ => build.localCheckpoint())
+    else frameMemo.computeIfAbsent((s, dir, key), _ => build.ckpt())
 
   /** Memoized driver-side value (a fitted model, a dim snapshot). */
   def value[T <: AnyRef](s: SparkSession, dir: String, key: String)
@@ -60,7 +62,7 @@ private[graft] object QueryMemo {
     * of letting warm memos turn the per-query minima into
     * steady-state-only numbers (the round-8 "flattered min-sum" finding).
     * Frames are checkpoint-rooted by construction ([[frame]] stores
-    * `build.localCheckpoint()`), so [[graft.SessionHygiene.freeCheckpoint]]
+    * `build.ckpt()`), so [[graft.SessionHygiene.freeCheckpoint]]
     * applies directly. */
   def clear(): Unit = {
     import scala.jdk.CollectionConverters._

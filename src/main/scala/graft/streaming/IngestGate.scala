@@ -32,6 +32,15 @@ import graft.llm.{Dedup, TextAnalysis}
   * (st4's posture: an append-mode stream cannot re-aggregate its own
   * output, and the flag stream is the thing a 100 TB deployment
   * persists).
+  *
+  * Two read-side contracts a consumer must honor (details on
+  * [[StreamDedup.flagStream]]): (1) flags are EVENTS — under
+  * out-of-order arrival the same doc can be flagged repeatedly with
+  * different `dupOf`s, so dedupe BY DOC at read time; (2) stream and
+  * batch both admit exactly one doc per near-dup cluster, but WHICH
+  * member differs under arrival permutation (stream keeps the
+  * first-arriving probe, batch the min id) — diff cluster membership,
+  * not survivor ids.
   */
 object IngestGate {
 
@@ -46,12 +55,16 @@ object IngestGate {
     * IDENTICAL signature, so the near-dup gate flags it against the
     * original's still-held bucket occupancy (estimate 1.0) — the copy
     * is demoted from "silently dropped" to "flagged", never silently
-    * admitted (pinned in IngestGateSpec). */
+    * admitted (pinned in IngestGateSpec). `stateTtlMs` bounds the
+    * near-dup gate's bucket state the same way (StreamDedup.flagStream's
+    * processing-time eviction contract); an always-on deployment sets
+    * both knobs or neither. */
   def gateStream(spark: SparkSession, docs: DataFrame, id: String = "doc_id",
                  text: String = "text", k: Int = 5,
                  threshold: Double = 0.5,
                  eventTime: Option[String] = None,
-                 dedupHorizon: Option[String] = None): Dataset[StreamDedup.DupFlag] = {
+                 dedupHorizon: Option[String] = None,
+                 stateTtlMs: Option[Long] = None): Dataset[StreamDedup.DupFlag] = {
     val quality = TextAnalysis.gopherRules(docs, text)
       .filter(col("gopher_pass"))
       .select(col(id) +: col(text) +: eventTime.map(col).toSeq: _*)
@@ -61,7 +74,7 @@ object IngestGate {
         hashed.withWatermark(ts, h).dropDuplicatesWithinWatermark("__h")
       case _ => hashed.dropDuplicates("__h")
     }).drop("__h")
-    StreamDedup.flagStream(spark, deduped, id, text, k, threshold)
+    StreamDedup.flagStream(spark, deduped, id, text, k, threshold, stateTtlMs)
   }
 
   /** Batch twin: admitted documents (id, n_tokens) after all three

@@ -1,5 +1,7 @@
 package graft.streaming
 
+import graft.Ckpt._
+
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -65,35 +67,72 @@ object StreamDedup {
     * (band, bucket). Emits one DupFlag per (bucket, flagged doc) naming
     * the minimum earlier occupant above the estimate threshold; the
     * cross-bucket minimum is a downstream distinct/min (done batch-side
-    * or at read time — an append-mode stream cannot re-aggregate). */
+    * or at read time — an append-mode stream cannot re-aggregate).
+    *
+    * CARDINALITY CONTRACT (relaxed since the r13 out-of-order fix):
+    * flags are EVENTS, not a keyed table. Under out-of-order arrival the
+    * same doc can be flagged more than once with DIFFERENT `dupOf`
+    * values across arrivals (e.g. doc 9 gets (9,3), then (9,1) when a
+    * smaller near-dup arrives later), so the stream is no longer
+    * at-most-one-flag-per-doc-per-band. Consumers must dedupe BY DOC at
+    * read time (`groupBy(doc).agg(min(dupOf))` or a distinct-on-doc);
+    * keying on (doc, dupOf) or counting raw flags over-counts.
+    *
+    * REPRESENTATIVE CHURN vs the batch twin: both the stream gate and
+    * [[flaggedBatch]] keep exactly ONE survivor per near-dup cluster,
+    * but WHICH member survives differs under arrival permutation — the
+    * stream keeps the first-arriving probe (flags later arrivals against
+    * it), batch keeps the minimum id. Diffing stream vs batch survivor
+    * SETS therefore shows id-level churn inside clusters even though
+    * both sides satisfy the one-per-cluster invariant; compare cluster
+    * membership (or flag counts per cluster), not survivor ids.
+    *
+    * State budget: keys are (band, k1, k2) — 4 buckets per doc, each
+    * occupant 8 longs + a long id (~72 B). Bucket-key cardinality grows
+    * with distinct signatures FOREVER under the default
+    * `stateTtlMs = None` (an always-on gate must remember old corpus to
+    * flag re-fetches against it). For bounded-retention deployments pass
+    * `stateTtlMs = Some(ms)` (StreamContainment's contract): buckets
+    * untouched for `ms` of processing time are evicted, trading flags
+    * against corpus older than the TTL for a state store bounded by
+    * arrival rate × TTL window. */
   def flagStream(spark: SparkSession, docs: DataFrame, id: String = "doc_id",
                  text: String = "text", k: Int = 5,
-                 threshold: Double = 0.5): Dataset[DupFlag] = {
+                 threshold: Double = 0.5,
+                 stateTtlMs: Option[Long] = None): Dataset[DupFlag] = {
     import spark.implicits._
+    val timeout = if (stateTtlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+                  else GroupStateTimeout.NoTimeout()
     banded(docs, id, text, k).as[BandedDoc]
       .groupByKey(d => (d.band, d.k1, d.k2))
       .flatMapGroupsWithState[List[DocSig], DupFlag](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeout) {
         case ((band, _, _), ds, state: GroupState[List[DocSig]]) =>
-          var seen = state.getOption.getOrElse(Nil)
-          val out = scala.collection.mutable.ArrayBuffer.empty[DupFlag]
-          ds.toSeq.sortBy(_.doc).foreach { d =>
-            val hits = seen.iterator
-              .filter(e => e.doc != d.doc && estimate(e.sig, d.sig) >= threshold)
-              .map(_.doc).toSeq
-            val (earlier, later) = hits.partition(_ < d.doc)
-            if (earlier.nonEmpty) out += DupFlag(d.doc, earlier.min, band)
-            // out-of-order arrival (the StreamContainment r13 fix applied
-            // here too): an occupant with a LARGER id arrived first — the
-            // pair is emitted keyed on that larger doc (batch orientation
-            // dupOf < doc), never dropped. Under id-ordered feeding no
-            // larger-id occupant exists, so the id-ordered bit-equality
-            // contract is untouched.
-            later.foreach(p => out += DupFlag(p, d.doc, band))
-            seen = DocSig(d.doc, d.sig) :: seen
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var seen = state.getOption.getOrElse(Nil)
+            val out = scala.collection.mutable.ArrayBuffer.empty[DupFlag]
+            ds.toSeq.sortBy(_.doc).foreach { d =>
+              val hits = seen.iterator
+                .filter(e => e.doc != d.doc && estimate(e.sig, d.sig) >= threshold)
+                .map(_.doc).toSeq
+              val (earlier, later) = hits.partition(_ < d.doc)
+              if (earlier.nonEmpty) out += DupFlag(d.doc, earlier.min, band)
+              // out-of-order arrival (the StreamContainment r13 fix applied
+              // here too): an occupant with a LARGER id arrived first — the
+              // pair is emitted keyed on that larger doc (batch orientation
+              // dupOf < doc), never dropped. Under id-ordered feeding no
+              // larger-id occupant exists, so the id-ordered bit-equality
+              // contract is untouched.
+              later.foreach(p => out += DupFlag(p, d.doc, band))
+              seen = DocSig(d.doc, d.sig) :: seen
+            }
+            state.update(seen)
+            stateTtlMs.foreach(state.setTimeoutDuration)
+            out.iterator
           }
-          state.update(seen)
-          out.iterator
       }
   }
 
@@ -105,7 +144,7 @@ object StreamDedup {
                    k: Int = 5, threshold: Double = 0.5): DataFrame = {
     // checkpointed: both sides of the self-join otherwise recompute the
     // md5-per-shingle signature build
-    val b = banded(docs, id, text, k).localCheckpoint()
+    val b = banded(docs, id, text, k).ckpt()
     val a = b.as("a"); val c = b.as("b")
     a.join(c,
         col("a.band") === col("b.band") && col("a.k1") === col("b.k1") &&

@@ -72,9 +72,11 @@ object PlanAudit {
       println("| query | exchanges | BHJ | SMJ | BNLJ | WSCG | pushdown | ckpt |")
       println("|---|---|---|---|---|---|---|---|")
     }
+    val truncated = scala.collection.mutable.ArrayBuffer.empty[String]
     for (q <- graft.SparkEntry.all if only.isEmpty || only.contains(q.name)) {
       try {
         val s = shape(q.fn(spark, sfDir))
+        if (s.ckptScans > 0) truncated += q.name
         if (md)
           println(s"| ${q.name} | ${s.exchanges} | ${s.bhj} | ${s.smj} | ${s.bnlj} | " +
             s"${s.wscg} | ${if (s.pushdown) "yes" else "-"} | " +
@@ -85,6 +87,41 @@ object PlanAudit {
       } catch {
         case e: Throwable => println(s"| ${q.name} | audit failed: ${e.getMessage.take(60)} |")
       }
+    }
+    // Shadow pass (the r13 "ckpt > 0 rows are partial audits" gap): every
+    // query whose production plan is fed by checkpoint scans is rebuilt
+    // with Ckpt disabled, so the audited plan covers the FULL lineage the
+    // eager checkpoints otherwise run outside it. Shapes differ from the
+    // production rows BY DESIGN: un-truncated lineage means shared stages
+    // re-plan per consumer (more exchanges/WSCG, and scans become real
+    // parquet scans with pushdown) — the row answers "is there an SMJ or
+    // unhinted BNLJ hiding in a truncated stage", not "what does
+    // production execute". Skip with --noshadow (plain timing runs).
+    if (md && truncated.nonEmpty && !args.contains("--noshadow")) {
+      println()
+      println("## Shadow audit: full lineage, checkpoints disabled")
+      println()
+      println("Same queries as the ckpt > 0 rows above, rebuilt with -Dgraft.ckpt.disable=true")
+      println("(Ckpt.ckpt() = identity). These rows audit the stages the production plan")
+      println("truncates; exchange/WSCG counts are higher than production by design (shared")
+      println("stages re-plan per consumer without materialization).")
+      println()
+      println("| query | exchanges | BHJ | SMJ | BNLJ | WSCG | pushdown | ckpt |")
+      println("|---|---|---|---|---|---|---|---|")
+      sys.props("graft.ckpt.disable") = "true"
+      try {
+        for (name <- truncated; q <- graft.SparkEntry.all.find(_.name == name)) {
+          try {
+            val s = shape(q.fn(spark, sfDir))
+            println(s"| ${q.name} | ${s.exchanges} | ${s.bhj} | ${s.smj} | ${s.bnlj} | " +
+              s"${s.wscg} | ${if (s.pushdown) "yes" else "-"} | " +
+              s"${if (s.ckptScans > 0) s.ckptScans.toString else "-"} |")
+          } catch {
+            case e: Throwable =>
+              println(s"| ${q.name} | shadow audit failed: ${e.getMessage.take(60)} |")
+          }
+        }
+      } finally sys.props.remove("graft.ckpt.disable")
     }
     spark.stop()
   }

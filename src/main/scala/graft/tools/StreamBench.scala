@@ -1,0 +1,144 @@
+package graft.tools
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.{IngestGate, StreamDedup}
+import graft.llm.{Dedup, TextAnalysis}
+
+/** st12 as an ACTUAL stream (VERDICT r13 item 3): drives the composed
+  * online ingest gate (gopher quality → exact-dup gate → near-dup gate)
+  * with a file source over a documents corpus in id-ordered micro-batches
+  * and records what the registry's batch twin cannot show — per-batch
+  * trigger wall time and the state store's rows/bytes per operator per
+  * batch (the StreamingQueryProgress numbers), for both retention modes:
+  *
+  *  - "unbounded": the default always-on gate (no watermark horizon, no
+  *    TTL) — state grows monotonically with distinct corpus;
+  *  - "bounded": `dedupHorizon` on the exact gate
+  *    (dropDuplicatesWithinWatermark) + `stateTtlMs` on the near-dup
+  *    bucket state — the artifact must show state PLATEAU/EVICTION where
+  *    the unbounded run only grows.
+  *
+  * The unbounded run's flag set is also checked against the batch twin
+  * on the same corpus (id-ordered feeding ⇒ stream ≡ batch, the
+  * IngestGateSpec contract — re-verified here at bench scale, not just
+  * on the spec's micro corpus).
+  *
+  * Run: runMain graft.tools.StreamBench [sfDir] [outJson] [batches]
+  */
+object StreamBench {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/tmp/gensf01")
+    val outJson = args.lift(1).getOrElse("BENCH_st12_stream.json")
+    val nBatches = args.lift(2).map(_.toInt).getOrElse(20)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.streaming.metricsEnabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // ---- stage the corpus as one parquet file per micro-batch, in id
+    // order (the ordering contract under which stream ≡ batch), with a
+    // synthetic event time (1 doc = 1 second) for the watermark mode ----
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"),
+        timestamp_seconds(col("doc_id")).as("ts"))
+      .localCheckpoint()
+    val ids = docs.agg(min("doc_id"), max("doc_id")).first()
+    val (lo, hi) = (ids.getLong(0), ids.getLong(1))
+    val span = (hi - lo + 1 + nBatches - 1) / nBatches
+    val staging = Files.createTempDirectory("st12-stream-in").toString
+    val known = scala.collection.mutable.Set.empty[String]
+    val mtimeBase = System.currentTimeMillis() - 3600000L
+    for (b <- 0 until nBatches) {
+      docs.filter(col("doc_id") >= lo + b * span && col("doc_id") < lo + (b + 1) * span)
+        .orderBy("doc_id").coalesce(1)
+        .write.mode("append").parquet(staging)
+      // the file source orders new files by mtime: stamp each batch's
+      // part file explicitly so discovery order IS id order
+      for (f <- new File(staging).listFiles
+           if f.getName.startsWith("part-") && known.add(f.getName))
+        f.setLastModified(mtimeBase + b * 60000L)
+    }
+    val schema = spark.read.parquet(staging).schema
+
+    final case class BatchRow(batch: Long, rows: Long, trigMs: Long,
+                              state: Seq[(String, Long, Long)])
+    def run(label: String, horizon: Option[String], ttlMs: Option[Long],
+            paceMs: Long): (Seq[BatchRow], DataFrame) = {
+      val ckpt = Files.createTempDirectory(s"st12-ckpt-$label").toString
+      val src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(staging)
+      val flags = IngestGate.gateStream(spark, src,
+        eventTime = horizon.map(_ => "ts"), dedupHorizon = horizon,
+        stateTtlMs = ttlMs)
+      val q = flags.writeStream.format("memory").queryName(s"flags_$label")
+        .option("checkpointLocation", ckpt).outputMode("append")
+        .trigger(Trigger.ProcessingTime(s"$paceMs milliseconds"))
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      val rows = q.recentProgress.toSeq
+        .filter(p => p.numInputRows > 0 || p.stateOperators.nonEmpty)
+        .map { p =>
+          BatchRow(p.batchId, p.numInputRows,
+            p.durationMs.getOrDefault("triggerExecution", -1L),
+            p.stateOperators.toSeq.map(s =>
+              (s.operatorName, s.numRowsTotal, s.memoryUsedBytes)))
+        }
+      (rows, spark.table(s"flags_$label"))
+    }
+
+    // pacing: a fixed trigger interval puts real wall time between
+    // batches so the TTL mode's processing-time eviction is exercised
+    // (back-to-back triggers would finish inside the TTL window)
+    val (unb, unbFlags) = run("unbounded", None, None, paceMs = 300)
+    val (bnd, bndFlags) = run("bounded", Some("300 seconds"),
+      Some(3000L), paceMs = 300)
+
+    // ---- stream ≡ batch on this corpus (unbounded mode) ----
+    val quality = TextAnalysis.gopherRules(docs, "text")
+      .filter(col("gopher_pass")).select(col("doc_id"), col("text"))
+    val exact = Dedup.exactSurvivors(quality, "doc_id", "text").localCheckpoint()
+    val batchFlags = StreamDedup.flaggedBatch(exact, "doc_id", "text")
+    val streamSet = unbFlags.select(col("doc")).distinct()
+      .as[Long].collect().toSet
+    val batchSet = batchFlags.select(col("doc")).distinct()
+      .as[Long].collect().toSet
+    val exactN = exact.count()
+    val admittedBatchN = IngestGate.admittedBatch(docs, "doc_id", "text").count()
+
+    def stateJson(s: Seq[(String, Long, Long)]): String =
+      s.map { case (op, r, b) =>
+        s"""{"op":"$op","rows":$r,"bytes":$b}""" }.mkString("[", ",", "]")
+    def runJson(rows: Seq[BatchRow], flags: DataFrame): String = {
+      val perBatch = rows.map(r =>
+        s"""{"batch":${r.batch},"rows":${r.rows},"trigger_ms":${r.trigMs},""" +
+        s""""state":${stateJson(r.state)}}""").mkString("[", ",", "]")
+      val peak = rows.flatMap(_.state.map(_._2)).maxOption.getOrElse(0L)
+      val finalRows = rows.lastOption.map(_.state.map(_._2).sum).getOrElse(0L)
+      s"""{"batches":$perBatch,"flag_events":${flags.count()},""" +
+      s""""flagged_docs":${flags.select("doc").distinct().count()},""" +
+      s""""peak_state_rows_one_op":$peak,"final_state_rows_total":$finalRows}"""
+    }
+
+    val json =
+      s"""{"what":"st12 composed ingest gate driven as a real stream: file source, 1 file per trigger, id-ordered micro-batches over $sfDir ($nBatches batches)",
+         |"corpus":{"docs":${docs.count()},"quality_pass":${quality.count()},"exact_survivors":$exactN,"admitted_batch_twin":$admittedBatchN},
+         |"unbounded":${runJson(unb, unbFlags)},
+         |"bounded_horizon300s_ttl3s":${runJson(bnd, bndFlags)},
+         |"stream_equals_batch":{"stream_flagged_docs":${streamSet.size},"batch_flagged_docs":${batchSet.size},"sets_equal":${streamSet == batchSet}}}""".stripMargin
+    Files.write(Paths.get(outJson), json.getBytes(StandardCharsets.UTF_8))
+    println(json)
+    spark.stop()
+  }
+}

@@ -709,6 +709,39 @@ class LlmSpec extends SparkSpecBase {
            estPlain.map(x => (x.getLong(0), x.getLong(1))).toSet)
   }
 
+  test("containmentDiagnostics: funnel counts agree with the operator and " +
+       "the saturation flag matches the warning contract") {
+    val s = spark; import s.implicits._
+    val core = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val wrapper = core + " " + (1 to 80).map(i => s"pad$i").mkString(" ")
+    val healthy = Seq((1L, core), (2L, wrapper),
+      (3L, (100 to 130).map(i => s"body$i").mkString(" "))).toDF("doc_id", "text")
+    val d = Dedup.containmentDiagnostics(healthy, "doc_id", "text",
+      n = 3, minContainment = 0.5, maxDf = 20).first()
+    // verified_pairs must equal what containmentPairs itself returns
+    assert(d.getAs[Long]("verified_pairs") ===
+      Dedup.containmentPairs(healthy, "doc_id", "text",
+        n = 3, minContainment = 0.5, maxDf = 20).count())
+    assert(d.getAs[Long]("verified_pairs") === 1L)
+    assert(!d.getAs[Boolean]("saturated"))
+    // the funnel can only narrow: candidates >= pruned >= verified
+    assert(d.getAs[Long]("candidate_pairs") >= d.getAs[Long]("pruned_candidate_pairs"))
+    assert(d.getAs[Long]("pruned_candidate_pairs") >= d.getAs[Long]("verified_pairs"))
+    // gram partition is exhaustive: pairable + above-cap + df=1 = total
+    assert(d.getAs[Long]("grams_pairable") + d.getAs[Long]("grams_above_cap")
+      <= d.getAs[Long]("grams_total"))
+    // saturated regime (every core gram df = 27 > cap): flag set, zero pairs
+    val others = (3L to 27L).map(i =>
+      (i, core + " " + (100 to 120).map(j => s"x${i}y$j").mkString(" ")))
+    val sat = ((1L, core) +: (2L, wrapper) +: others).toDF("doc_id", "text")
+    val ds = Dedup.containmentDiagnostics(sat, "doc_id", "text",
+      n = 3, minContainment = 0.5, maxDf = 20).first()
+    assert(ds.getAs[Boolean]("saturated"))
+    assert(ds.getAs[Long]("grams_pairable") === 0L)
+    assert(ds.getAs[Long]("candidate_pairs") === 0L)
+    assert(ds.getAs[Long]("grams_above_cap") > 0L)
+  }
+
   test("df-cap saturation is LOUD: the exact tier warns when zero grams are " +
        "pairable, and stays quiet on a healthy corpus") {
     val s = spark; import s.implicits._
@@ -764,6 +797,19 @@ class LlmSpec extends SparkSpecBase {
         n = 3, minContainment = 0.5, maxDf = 20).count() === 1L)
       assert(!captured.toArray.exists(_.toString.contains("SATURATED")),
         s"no warning expected on the healthy corpus, got: ${captured.toArray.mkString("; ")}")
+      captured.clear()
+      // duplicate-free corpus: every gram df = 1 — ZERO pairable grams but
+      // also zero grams above the cap; no cap is involved and raising
+      // maxDf changes nothing, so the warning must stay quiet (ADVICE
+      // r13: the old total-saturation check claimed "SATURATED at maxDf"
+      // here and advised a useless knob turn)
+      val unique = (1L to 5L).map(i =>
+        (i, (1 to 30).map(j => s"u${i}w$j").mkString(" "))).toDF("doc_id", "text")
+      assert(Dedup.containmentPairs(unique, "doc_id", "text",
+        n = 3, minContainment = 0.5, maxDf = 20).count() === 0L)
+      assert(!captured.toArray.exists(_.toString.contains("SATURATED")),
+        "no warning expected on a duplicate-free (all df=1) corpus, got: " +
+          captured.toArray.mkString("; "))
     } finally {
       cfg.removeLogger("graft.llm.Dedup")
       ctx.updateLoggers()

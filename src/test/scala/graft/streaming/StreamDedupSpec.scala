@@ -27,6 +27,53 @@ class StreamDedupSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("stateTtlMs evicts buckets untouched past the TTL") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val page = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    // StreamContainmentSpec's TTL harness shape: with ProcessingTimeTimeout
+    // the engine keeps constructing no-data batches to fire timeouts, so
+    // processAllAvailable never sees quiescence — progress is observed
+    // through SENTINEL pairs (identical docs always flag, estimate 1.0)
+    // polled in the sink instead.
+    val q = StreamDedup.flagStream(s, mem.toDF().toDF("doc_id", "text"),
+        stateTtlMs = Some(500L))
+      .writeStream.format("memory").queryName("neardup_ttl")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+      .outputMode("append").start()
+    def awaitFlag(doc: Long, dupOf: Long): Unit = {
+      val t0 = System.currentTimeMillis()
+      while (!s.sql("SELECT doc, dupOf FROM neardup_ttl").collect()
+               .exists(r => r.getLong(0) == doc && r.getLong(1) == dupOf)) {
+        assert(System.currentTimeMillis() - t0 < 60000L,
+          s"timed out waiting for sentinel flag ($doc, $dupOf)")
+        Thread.sleep(100L)
+      }
+    }
+    try {
+      mem.addData((1L, page),
+        (10L, "first sentinel corpus speaks of rivers and bridges tonight"),
+        (11L, "first sentinel corpus speaks of rivers and bridges tonight"))
+      awaitFlag(11L, 10L) // batch with doc 1 committed
+      Thread.sleep(1500L) // let doc 1's bucket deadlines (500 ms) expire
+      mem.addData(
+        (12L, "second sentinel mentions orchards and granite paths ahead"),
+        (13L, "second sentinel mentions orchards and granite paths ahead"))
+      awaitFlag(13L, 12L) // a post-deadline batch ran -> timeouts fired
+      // an exact copy of the now-EVICTED page must no longer flag
+      mem.addData((3L, page),
+        (14L, "third sentinel counts lanterns along the harbor wall"),
+        (15L, "third sentinel counts lanterns along the harbor wall"))
+      awaitFlag(15L, 14L) // doc 3's batch committed
+      val flags = s.sql("SELECT DISTINCT doc, dupOf FROM neardup_ttl").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(!flags.contains((3L, 1L)), s"evicted page still flagged: $flags")
+      assert(flags === Set((11L, 10L), (13L, 12L), (15L, 14L)), s"got $flags")
+    } finally q.stop()
+  }
+
   test("stream equals batch twin on real documents across id-ordered micro-batches") {
     val s = spark
     import s.implicits._

@@ -16,9 +16,19 @@ twin and the 1.0-scale corpus with this generator and compare those two
 bench runs, so any generator-vs-driver mismatch cancels out of the ratio.
 The 0.1 twin's absolute times vs the driver's sf0.1 anchor the match.
 
-Usage: gen_scale.py OUTDIR SCALE [SEED]
+Usage: gen_scale.py OUTDIR SCALE [SEED] [--vocab=zipf]
   SCALE 0.1 -> 5,000 docs / 600k lineitem (the driver's sf0.1 shape)
   SCALE 1   -> 50,000 docs / 6M lineitem
+
+--vocab=zipf (r14, VERDICT r13 item 1): documents draw from a 50,000-type
+vocabulary with Zipf(s=1.1) rank frequencies instead of the 31-word
+uniform vocab. The two modes bracket the gram-density spectrum: uniform31
+saturates the word-3-gram space at sf1 (every gram above any df cap — the
+boilerplate-dense extreme BENCH_sf1.json measured), while zipf leaves most
+grams rare and PAIRABLE (the realistic middle where the exact containment
+tier's candidate volume and the LSH banding FP rate actually bite).
+Planted exact/near-dup/containment rates, doc lengths, lang/source mixes,
+and every non-document table are identical across modes.
 """
 import os
 import random
@@ -28,9 +38,11 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-OUT = sys.argv[1]
-SCALE = float(sys.argv[2])
-SEED = int(sys.argv[3]) if len(sys.argv) > 3 else 42
+args = [a for a in sys.argv[1:] if not a.startswith('--')]
+OUT = args[0]
+SCALE = float(args[1])
+SEED = int(args[2]) if len(args) > 2 else 42
+ZIPF = any(a == '--vocab=zipf' for a in sys.argv[1:])
 os.makedirs(OUT, exist_ok=True)
 rnd = random.Random(SEED)
 nprnd = np.random.default_rng(SEED)
@@ -39,6 +51,21 @@ VOCAB = ['a', 'agg', 'batch', 'big', 'column', 'customer', 'data', 'dup',
          'fast', 'filter', 'group', 'hash', 'join', 'key', 'line', 'merge',
          'order', 'part', 'query', 'row', 'scan', 'slow', 'small', 'sort',
          'spark', 'stream', 'table', 'the', 'value', 'vector', 'window']
+
+if ZIPF:
+    N_TYPES, ZIPF_S = 50000, 1.1
+    zipf_words = [f'z{r}' for r in range(N_TYPES)]
+    probs = np.arange(1, N_TYPES + 1, dtype=np.float64) ** (-ZIPF_S)
+    probs /= probs.sum()
+    zipf_cdf = np.cumsum(probs)
+
+    def draw_words(k):
+        """k Zipf-sampled word strings (inverse-CDF via searchsorted)."""
+        u = nprnd.random(k)
+        return [zipf_words[i] for i in np.searchsorted(zipf_cdf, u)]
+else:
+    def draw_words(k):
+        return [rnd.choice(VOCAB) for _ in range(k)]
 LANGS = ['en', 'de', 'es', 'fr', 'zh']
 LANG_W = [0.41, 0.1475, 0.1475, 0.1475, 0.1475]
 
@@ -58,7 +85,7 @@ for i in range(n_docs):
         texts.append(texts[rnd.randrange(i)])
     elif i > 10 and r < 0.023:        # near-dup: ~7% word substitutions
         ws = texts[rnd.randrange(i)].split()
-        ws = [rnd.choice(VOCAB) if rnd.random() < 0.07 else w for w in ws]
+        ws = [draw_words(1)[0] if rnd.random() < 0.07 else w for w in ws]
         texts.append(' '.join(ws))
     elif i > 10 and r < 0.073:        # containment: trim or wrap (25/500)
         ws = texts[rnd.randrange(i)].split()
@@ -66,13 +93,13 @@ for i in range(n_docs):
             k = rnd.randrange(1, max(2, len(ws) // 10))
             ws = ws[k:] if rnd.random() < 0.5 else ws[:-k]
         else:
-            pre = [rnd.choice(VOCAB) for _ in range(rnd.randrange(1, 4))]
-            suf = [rnd.choice(VOCAB) for _ in range(rnd.randrange(1, 4))]
+            pre = draw_words(rnd.randrange(1, 4))
+            suf = draw_words(rnd.randrange(1, 4))
             ws = pre + ws + suf
         texts.append(' '.join(ws))
     else:                             # fresh iid doc
         L = rnd.randint(10, 100)
-        texts.append(' '.join(rnd.choice(VOCAB) for _ in range(L)))
+        texts.append(' '.join(draw_words(L)))
     langs.append(rnd.choices(LANGS, weights=LANG_W)[0])
 write('documents', {
     'doc_id': pa.array(range(n_docs), pa.int64()),
