@@ -425,34 +425,62 @@ object Multimodal {
   def imageHammingDedup(media: DataFrame, maxDist: Int = 3): DataFrame = {
     require(maxDist >= 1 && maxDist <= 3,
       "4 x 16-bit pigeonhole chunks guarantee recall only for maxDist <= 3")
-    val h = imageAHash(media).ckpt() // banding + verify + output all read it
+    val h = imageAHash(media).ckpt() // grouping + output both read it
+    // Band over DISTINCT fingerprints, not media rows (the r14 gen-sf1
+    // finding: a low-diversity corpus — synthetic patterns, or a real
+    // shard full of logo/thumbnail boilerplate — puts thousands of
+    // hash-identical images in every chunk bucket, and the row-level
+    // self-join paid sum(bucket^2) on copies that tell the banding
+    // nothing: 38x runtime on 10x data for a LINEAR output). Identical
+    // fingerprints collapse to one representative (the group's min id);
+    // the banding join runs on distinct hashes only, so candidate volume
+    // is sum(distinct-hash bucket^2) — unchanged on diverse corpora,
+    // collapsed on duplicate-heavy ones. The per-member minimum is then
+    // reconstructed EXACTLY: min{y in S : y < x} = min(S) when
+    // min(S) < x and empty otherwise, so a member's best in-tolerance
+    // neighbor is the least of (its own group's min id, if smaller) and
+    // (the min over neighboring groups' min ids, if smaller) — same
+    // output, same oracle, bit for bit.
+    val groups = h.groupBy(col("phash_hi"), col("phash_lo"))
+      .agg(min(col("media_id")).as("gmin"))
+      .ckpt() // banding reads it twice (self-join), the member join once
     def chunks(c: org.apache.spark.sql.Column, off: Int) = (0 until 2).map { i =>
       struct(lit(off + i).as("chunk"),
         shiftright(c, i * 16).bitwiseAND(lit(0xFFFFL)).as("ckey"))
     }
-    val banded = h.select(col("media_id").as("doc"), col("phash_hi"), col("phash_lo"),
+    val banded = groups.select(col("gmin"), col("phash_hi"), col("phash_lo"),
         explode(array(chunks(col("phash_hi"), 0) ++ chunks(col("phash_lo"), 2): _*)).as("cc"))
-      .select(col("doc"), col("phash_hi"), col("phash_lo"),
+      .select(col("gmin"), col("phash_hi"), col("phash_lo"),
         col("cc.chunk").as("chunk"), col("cc.ckey").as("ckey"))
     val a = banded.as("a"); val b = banded.as("b")
-    val pairs = a.join(b,
+    // unordered distinct-hash pairs (lexicographic struct order breaks the
+    // symmetry); dist >= 1 by construction since the hashes differ
+    val nbr = a.join(b,
         col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") &&
-        col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("id1"), col("b.doc").as("id2"),
+        struct(col("a.phash_hi"), col("a.phash_lo")) <
+          struct(col("b.phash_hi"), col("b.phash_lo")))
+      .select(col("a.gmin").as("g1"), col("b.gmin").as("g2"),
         (bit_count(col("a.phash_hi").bitwiseXOR(col("b.phash_hi"))) +
          bit_count(col("a.phash_lo").bitwiseXOR(col("b.phash_lo")))).as("dist"))
       .distinct()
       .filter(col("dist") <= maxDist)
-    val minNb = pairs
-      .select(col("id2").as("media_id"), col("id1").as("nb"))
-      .groupBy("media_id").agg(min(col("nb")).as("min_neighbor"))
+    // per hash group: the least neighbor-group representative (both
+    // orientations — the member-level `< x` test happens below)
+    val nbMin = nbr.select(col("g1").as("g"), col("g2").as("m"))
+      .union(nbr.select(col("g2").as("g"), col("g1").as("m")))
+      .groupBy("g").agg(min(col("m")).as("nb_min"))
     // survivors carry -1, not NULL: a nullable BIGINT round-trips through
     // pandas as float NaN on the oracle side, where NaN != NaN breaks
-    // value comparison
-    h.join(minNb, Seq("media_id"), "left")
+    // value comparison. least() skips NULL operands, so each when()
+    // contributes only when its candidate qualifies.
+    val minNeighbor = least(
+      when(col("media_id") > col("gmin"), col("gmin")),
+      when(col("nb_min") < col("media_id"), col("nb_min")))
+    h.join(groups, Seq("phash_hi", "phash_lo"))
+      .join(nbMin, col("gmin") === col("g"), "left")
       .select(col("media_id"), col("phash_hi"), col("phash_lo"),
-        coalesce(col("min_neighbor"), lit(-1L)).as("min_neighbor"),
-        col("min_neighbor").isNull.as("survivor"))
+        coalesce(minNeighbor, lit(-1L)).as("min_neighbor"),
+        minNeighbor.isNull.as("survivor"))
   }
 
   // -------------------------------------------------------------------------

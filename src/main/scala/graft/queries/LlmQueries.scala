@@ -619,6 +619,69 @@ object LlmQueries {
         .orderBy("new_id", "corpus_id"),
       None),
 
+    // ---- containment index HEALTH probe (r14): the capacity-planning
+    // diagnostic behind the saturation warning — gram universe,
+    // pairable/above-cap split, candidate volume before and after the
+    // exact upper-bound prune, verified pairs. Run on a corpus SAMPLE
+    // before committing a 100 TB pass to the exact tier (the
+    // BENCH_sf1_zipf regime probes are exactly this query). Same
+    // doc_id < 1000 string-gram proof prefix as dd19, so the whole
+    // funnel replays in DuckDB. ----
+    QueryDef("dd23_containment_diagnostics",
+      (s, d) => Dedup.containmentDiagnostics(
+          t(s, d, "documents").filter(col("doc_id") < 1000),
+          "doc_id", "text", n = 3, minContainment = 0.5, maxDf = 20,
+          hashGrams = false),
+      Some("""WITH docs_prefix AS (SELECT * FROM documents WHERE doc_id < 1000),
+             |grams AS (
+             |  SELECT doc_id,
+             |         list_distinct([array_to_string(tk[i:i+2], ' ')
+             |                        FOR i IN generate_series(1, greatest(len(tk) - 2, 1))]) AS g
+             |  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS tk
+             |        FROM docs_prefix)),
+             |inv AS (SELECT doc_id, unnest(g) AS gram FROM grams),
+             |df AS (SELECT gram, count(*) AS df FROM inv GROUP BY gram),
+             |stats AS (
+             |  SELECT count(*)::BIGINT AS grams_total,
+             |         coalesce(sum((df BETWEEN 2 AND 20)::INT), 0)::BIGINT AS grams_pairable,
+             |         coalesce(sum((df > 20)::INT), 0)::BIGINT AS grams_above_cap,
+             |         coalesce(max(df), 0)::BIGINT AS max_df
+             |  FROM df),
+             |cold AS (SELECT i.doc_id, i.gram FROM inv i
+             |         JOIN (SELECT gram FROM df WHERE df BETWEEN 2 AND 20) p USING (gram)),
+             |candc AS (
+             |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+             |  FROM cold a JOIN cold b ON a.gram = b.gram AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2),
+             |acap AS (SELECT doc_id, count(*) AS a FROM inv
+             |         JOIN (SELECT gram FROM df WHERE df > 20) q USING (gram)
+             |         GROUP BY 1),
+             |nsz AS (SELECT doc_id, len(g) AS n FROM grams),
+             |pruned AS (
+             |  SELECT c.id1, c.id2
+             |  FROM candc c
+             |  JOIN nsz n1 ON n1.doc_id = c.id1
+             |  JOIN nsz n2 ON n2.doc_id = c.id2
+             |  LEFT JOIN acap a1 ON a1.doc_id = c.id1
+             |  LEFT JOIN acap a2 ON a2.doc_id = c.id2
+             |  WHERE (c.c + least(coalesce(a1.a, 0), coalesce(a2.a, 0)))
+             |          / least(n1.n, n2.n) >= 0.5),
+             |verified AS (
+             |  SELECT count(*)::BIGINT AS v FROM (
+             |    SELECT c.id1
+             |    FROM candc c
+             |    JOIN grams ga ON ga.doc_id = c.id1
+             |    JOIN grams gb ON gb.doc_id = c.id2
+             |    WHERE greatest(len(list_intersect(ga.g, gb.g)) / len(ga.g),
+             |                   len(list_intersect(ga.g, gb.g)) / len(gb.g)) >= 0.5))
+             |SELECT s.grams_total, s.grams_pairable, s.grams_above_cap, s.max_df,
+             |       (s.grams_total > 0 AND s.grams_pairable = 0
+             |          AND s.grams_above_cap > 0) AS saturated,
+             |       (SELECT count(*) FROM candc)::BIGINT AS candidate_pairs,
+             |       (SELECT count(*) FROM pruned)::BIGINT AS pruned_candidate_pairs,
+             |       (SELECT v FROM verified) AS verified_pairs
+             |FROM stats s""".stripMargin)),
+
     // ---- containment ESTIMATE tier (LSH-Ensemble, Zhu et al. VLDB'16):
     // MinHash-sketch candidates over the doc's FULL word-gram set (the
     // SAME gram definition as dd19), so pairs sharing only above-cap

@@ -203,4 +203,27 @@ write('region', {
     'r_regionkey': pa.array(range(5), pa.int32()),
     'r_name': pa.array(['AFRICA', 'AMERICA', 'ASIA', 'EUROPE', 'MIDDLE EAST']),
 })
+
+# ---- events: the append-ordered stream table (observed at driver sf0.1:
+# 100k events over 30 days, ts uniform and SORTED by event_id — an
+# append-time log; 5 uniform event types; value ~ Exponential(mean 50)
+# rounded to cents; user_id uniform over ~15k users per unit scale;
+# props = single-key JSON with k uniform 0..99). Generated LAST so the
+# other tables' RNG draws — and therefore their bytes — are unchanged
+# from the r13 artifacts. ----
+n_ev = int(round(1000000 * SCALE))
+n_users = max(int(round(15000 * SCALE)), 1)
+e0 = np.datetime64('2024-01-01', 'us')
+ev_ts = e0 + np.sort(
+    nprnd.integers(0, 30 * 86400_000_000, n_ev, dtype=np.int64)
+) * np.timedelta64(1, 'us')
+ETYPES = ['signup', 'purchase', 'view', 'click', 'error']
+write('events', {
+    'event_id': pa.array(range(n_ev), pa.int64()),
+    'ts': pa.array(ev_ts, pa.timestamp('us')),
+    'user_id': pa.array(nprnd.integers(0, n_users, n_ev), pa.int64()),
+    'event_type': pa.array([ETYPES[i] for i in nprnd.integers(0, 5, n_ev)]),
+    'value': pa.array(np.round(nprnd.exponential(50.0, n_ev), 2)),
+    'props': pa.array([f'{{"k": {k}}}' for k in nprnd.integers(0, 100, n_ev)]),
+})
 print(f"[gen] done -> {OUT} (scale {SCALE}, seed {SEED})")
