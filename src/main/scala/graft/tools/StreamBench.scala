@@ -39,7 +39,10 @@ object StreamBench {
     val outJson = args.lift(1).getOrElse("BENCH_st12_stream.json")
     val nBatches = args.lift(2).map(_.toInt).getOrElse(20)
     val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      // 8 shuffle partitions = 8 state-store partitions per stateful op:
+      // at this corpus size 32 would just multiply per-batch state-commit
+      // overhead (2 ops x partitions versions per micro-batch)
+      .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.streaming.metricsEnabled", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -73,8 +76,16 @@ object StreamBench {
 
     final case class BatchRow(batch: Long, rows: Long, trigMs: Long,
                               state: Seq[(String, Long, Long)])
+    val totalDocs = docs.count()
+    // With ProcessingTimeTimeout the engine keeps constructing NO-DATA
+    // batches to fire timeouts (the StreamContainmentSpec harness note),
+    // so (a) processAllAvailable never marks quiescence — progress is
+    // polled and the query stopped explicitly once every staged row has
+    // been read (+ a drain window so the TTL mode's evictions land), and
+    // (b) recentProgress's 100-entry ring would evict the data batches —
+    // progress rows are accumulated incrementally by batchId instead.
     def run(label: String, horizon: Option[String], ttlMs: Option[Long],
-            paceMs: Long): (Seq[BatchRow], DataFrame) = {
+            paceMs: Long, drainMs: Long): (Seq[BatchRow], DataFrame) = {
       val ckpt = Files.createTempDirectory(s"st12-ckpt-$label").toString
       val src = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(staging)
@@ -85,25 +96,42 @@ object StreamBench {
         .option("checkpointLocation", ckpt).outputMode("append")
         .trigger(Trigger.ProcessingTime(s"$paceMs milliseconds"))
         .start()
-      q.processAllAvailable()
-      q.stop()
-      val rows = q.recentProgress.toSeq
-        .filter(p => p.numInputRows > 0 || p.stateOperators.nonEmpty)
-        .map { p =>
-          BatchRow(p.batchId, p.numInputRows,
+      val seen = scala.collection.mutable.LinkedHashMap.empty[Long, BatchRow]
+      var fed = 0L
+      var drainUntil = -1L
+      val deadline = System.currentTimeMillis() + 600000L
+      while (drainUntil < 0 || System.currentTimeMillis() < drainUntil) {
+        for (p <- q.recentProgress if !seen.contains(p.batchId)) {
+          seen(p.batchId) = BatchRow(p.batchId, p.numInputRows,
             p.durationMs.getOrDefault("triggerExecution", -1L),
             p.stateOperators.toSeq.map(s =>
               (s.operatorName, s.numRowsTotal, s.memoryUsedBytes)))
+          fed += p.numInputRows
         }
-      (rows, spark.table(s"flags_$label"))
+        if (fed >= totalDocs && drainUntil < 0)
+          drainUntil = System.currentTimeMillis() + drainMs
+        if (System.currentTimeMillis() > deadline)
+          sys.error(s"$label: stalled at $fed/$totalDocs rows")
+        Thread.sleep(200L)
+      }
+      for (p <- q.recentProgress if !seen.contains(p.batchId))
+        seen(p.batchId) = BatchRow(p.batchId, p.numInputRows,
+          p.durationMs.getOrDefault("triggerExecution", -1L),
+          p.stateOperators.toSeq.map(s =>
+            (s.operatorName, s.numRowsTotal, s.memoryUsedBytes)))
+      q.stop()
+      (seen.values.toSeq, spark.table(s"flags_$label"))
     }
 
     // pacing: a fixed trigger interval puts real wall time between
     // batches so the TTL mode's processing-time eviction is exercised
-    // (back-to-back triggers would finish inside the TTL window)
-    val (unb, unbFlags) = run("unbounded", None, None, paceMs = 300)
+    // (back-to-back triggers would finish inside the TTL window); the
+    // bounded run drains 10 s past the last data batch so timeouts fire
+    // and the final state rows show the eviction
+    val (unb, unbFlags) = run("unbounded", None, None,
+      paceMs = 300, drainMs = 2000L)
     val (bnd, bndFlags) = run("bounded", Some("300 seconds"),
-      Some(3000L), paceMs = 300)
+      Some(3000L), paceMs = 300, drainMs = 10000L)
 
     // ---- stream ≡ batch on this corpus (unbounded mode) ----
     val quality = TextAnalysis.gopherRules(docs, "text")
