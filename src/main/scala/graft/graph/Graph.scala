@@ -134,7 +134,7 @@ object Graph {
     // ride it; ownership stays with the caller (no unpersist here).
     val shareAll = shareAllPre.getOrElse(
       shareTable(nd, edges, copartition).persist())
-    var ranks = nd.withColumn("r", tCol).ckpt()
+    var ranks = nd.withColumn("r", tCol).loopCkpt()
     // Broadcast mode: the rank vector is node-count sized
     // (dimension-scale for this tier's company graphs) and
     // checkpoint-backed, so the optimizer sees no stats — broadcast it
@@ -151,7 +151,7 @@ object Graph {
     // reference), so one eager checkpoint per round is the sweet spot.
     for (step <- 1 to iters) {
       val rankSide = if (copartition) ranks.hint("shuffle_hash") else broadcast(ranks)
-      val contrib = contribOf(shareAll, rankSide).ckpt()
+      val contrib = contribOf(shareAll, rankSide).loopCkpt()
       // the dangling mass is ONE value of the checkpointed (node-sized)
       // contrib table — it rides as a LAZY 1-row aggregate crossJoined
       // back as a broadcast row (HITS's normalizer pattern: the explicit
@@ -169,7 +169,7 @@ object Graph {
         .select(nd("node"),
           (lit(1 - damping) * tCol +
             lit(damping) * (coalesce(col("contrib"), lit(0.0)) + col("__dm") * tCol)).as("r"))
-      val cp = next.ckpt()
+      val cp = next.loopCkpt()
       // real frees: Dataset.unpersist is a no-op on checkpoint frames
       graft.SessionHygiene.freeCheckpoint(ranks)
       graft.SessionHygiene.freeCheckpoint(contrib)
@@ -306,7 +306,7 @@ object Graph {
     // unpersisted edge derivation would re-run upstream per round
     val e = edges.select(col("src"), col("dst")).persist()
     var dist = nodes.filter(col("node") === seed)
-      .select(col("node"), lit(0).as("hops")).ckpt()
+      .select(col("node"), lit(0).as("hops")).loopCkpt()
     var frontier = dist
     var k = 0
     var done = frontier.isEmpty
@@ -318,10 +318,10 @@ object Graph {
         .select(col("dst").as("node")).distinct()
         .join(broadcast(dist), Seq("node"), "left_anti")
         .select(col("node"), lit(k).as("hops"))
-        .ckpt()
+        .loopCkpt()
       if (next.isEmpty) done = true
       else {
-        dist = dist.union(next).ckpt()
+        dist = dist.union(next).loopCkpt()
         frontier = next
       }
     }
@@ -447,13 +447,13 @@ object Graph {
     // then Σ w·(v/Σv)) is unchanged, so the unrolled oracle still
     // replays it; nodes without contribs drop from the inner joins and
     // contribute exactly the 0.0 their coalesced rows used to.
-    var hub = nd.withColumn("h", lit(1.0)).ckpt()
+    var hub = nd.withColumn("h", lit(1.0)).loopCkpt()
     var prevHc: DataFrame = hub
     var prevAc: DataFrame = null
     var auth: DataFrame = null
     for (_ <- 1 to iters) {
       val hubSide = side(hub)
-      val ac = halfStepOf(e, hubSide, "src", "dst").ckpt()
+      val ac = halfStepOf(e, hubSide, "src", "dst").loopCkpt()
       if (prevAc != null) graft.SessionHygiene.freeCheckpoint(prevAc)
       prevAc = ac
       // backed the hub vector that ac just consumed; freeCheckpoint
@@ -462,7 +462,7 @@ object Graph {
       auth = ac.crossJoin(broadcast(ac.agg(sum("v").as("s"))))
         .select(col("node"), (col("v") / col("s")).as("h"))
       val authSide = side(auth)
-      val hc = halfStepOf(eDst, authSide, "dst", "src").ckpt()
+      val hc = halfStepOf(eDst, authSide, "dst", "src").loopCkpt()
       prevHc = hc
       hub = hc.crossJoin(broadcast(hc.agg(sum("v").as("s"))))
         .select(col("node"), (col("v") / col("s")).as("h"))
@@ -573,7 +573,7 @@ object Graph {
     val und = (if (copartition) und0.repartition(col("dst")) else und0).persist()
     def side(v: DataFrame): DataFrame =
       if (copartition) v.hint("shuffle_hash") else broadcast(v)
-    var labels = nd.withColumn("label", col("node")).ckpt()
+    var labels = nd.withColumn("label", col("node")).loopCkpt()
     for (_ <- 1 to iters) {
       // the vote argmax stays LAZY inside the round's broadcast build, so
       // each round pays exactly ONE eager checkpoint (the new label
@@ -585,7 +585,7 @@ object Graph {
       val winnerSide = side(winners)
       val next = nd.join(winnerSide, nd("node") === winnerSide("nd"), "left")
         .select(nd("node"), coalesce(col("lbl"), nd("node")).as("label"))
-        .ckpt()
+        .loopCkpt()
       graft.SessionHygiene.freeCheckpoint(labels)
       labels = next
     }
@@ -760,7 +760,7 @@ object Graph {
             rounds: Int = 8): DataFrame = {
     var und = edges
       .select(least(col("src"), col("dst")).as("u"), greatest(col("src"), col("dst")).as("v"))
-      .filter(col("u") =!= col("v")).distinct().ckpt()
+      .filter(col("u") =!= col("v")).distinct().loopCkpt()
     // Early exit on convergence is oracle-safe: peeling is idempotent at
     // the fixpoint, so running the remaining unrolled oracle rounds on a
     // converged edge set changes nothing. The count is on the checkpointed
@@ -770,11 +770,11 @@ object Graph {
     for (_ <- 1 to rounds if !converged) {
       val deg = und.select(col("u").as("n")).union(und.select(col("v").as("n")))
         .groupBy("n").agg(count(lit(1)).as("deg"))
-      val keep = deg.filter(col("deg") >= k).select("n").ckpt()
+      val keep = deg.filter(col("deg") >= k).select("n").loopCkpt()
       und = und
         .join(broadcast(keep).select(col("n").as("u")), Seq("u"), "left_semi")
         .join(broadcast(keep).select(col("n").as("v")), Seq("v"), "left_semi")
-        .ckpt()
+        .loopCkpt()
       val cur = und.count()
       converged = cur == prev
       prev = cur

@@ -1264,7 +1264,7 @@ object Dedup {
     var e = edges.toDF("eu", "ev")
       .filter(col("eu") =!= col("ev"))
       .select(greatest(col("eu"), col("ev")).as("u"), least(col("eu"), col("ev")).as("v"))
-      .distinct().ckpt()
+      .distinct().loopCkpt()
     def signature(df: DataFrame): (Long, Long) = {
       // hashes folded into a 30-bit domain before the sum so the aggregate
       // cannot overflow under ANSI semantics (would need ~8.5e9 edges)
@@ -1292,7 +1292,7 @@ object Dedup {
         .select(col("v").as("u"), col("mv").as("v"))
         .union(mins2.select(col("u"), col("mv").as("v")))
         .distinct()
-      val next = ss.ckpt()
+      val next = ss.loopCkpt()
       val sigNext = signature(next)
       converged = sigNext == sigE
       e = next; sigE = sigNext

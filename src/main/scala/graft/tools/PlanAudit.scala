@@ -111,15 +111,28 @@ object PlanAudit {
       sys.props("graft.ckpt.disable") = "true"
       try {
         for (name <- truncated; q <- graft.SparkEntry.all.find(_.name == name)) {
-          try {
-            val s = shape(q.fn(spark, sfDir))
-            println(s"| ${q.name} | ${s.exchanges} | ${s.bhj} | ${s.smj} | ${s.bnlj} | " +
-              s"${s.wscg} | ${if (s.pushdown) "yes" else "-"} | " +
-              s"${if (s.ckptScans > 0) s.ckptScans.toString else "-"} |")
-          } catch {
-            case e: Throwable =>
-              println(s"| ${q.name} | shadow audit failed: ${e.getMessage.take(60)} |")
-          }
+          // per-query watchdog: a query whose un-truncated lineage is
+          // still loop-shaped (a loopCkpt we missed) would hang Catalyst
+          // analysis forever — bound it and say so rather than wedge the
+          // whole audit (the r14 first-run lesson)
+          val result = new java.util.concurrent.atomic.AtomicReference[String](null)
+          val worker = new Thread(() => {
+            try {
+              val s = shape(q.fn(spark, sfDir))
+              result.set(s"| ${q.name} | ${s.exchanges} | ${s.bhj} | ${s.smj} | ${s.bnlj} | " +
+                s"${s.wscg} | ${if (s.pushdown) "yes" else "-"} | " +
+                s"${if (s.ckptScans > 0) s.ckptScans.toString else "-"} |")
+            } catch {
+              case e: Throwable =>
+                result.set(s"| ${q.name} | shadow audit failed: ${e.getMessage.take(60)} |")
+            }
+          })
+          worker.setDaemon(true)
+          worker.start()
+          worker.join(300000L)
+          println(Option(result.get).getOrElse(
+            s"| ${q.name} | shadow audit timed out (300s) — un-truncated lineage " +
+              "is loop-shaped; per-round shapes audited at the operator |"))
         }
       } finally sys.props.remove("graft.ckpt.disable")
     }
