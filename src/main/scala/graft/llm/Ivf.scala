@@ -5,7 +5,7 @@ import graft.Ckpt._
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.ml.linalg.{Vector => MlVector}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -69,6 +69,15 @@ object Ivf {
     * Returns (centroids (cell, cv), assignments (pid, pv, cell)). */
   def portableQuantizer(corpus: DataFrame, id: String, vec: String,
                         k: Int, rounds: Int): (DataFrame, DataFrame) = {
+    val (cdf, assignF) = quantizerCore(corpus, id, vec, k, rounds)
+    // checkpointed: callers reference the assignment table at least twice
+    // (query slice + candidate cells)
+    (cdf, assignF(cdf).ckpt())
+  }
+
+  private def quantizerCore(corpus: DataFrame, id: String, vec: String,
+                            k: Int, rounds: Int)
+      : (DataFrame, DataFrame => DataFrame) = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val base = corpus.select(col(id).cast("long").as("pid"),
@@ -115,9 +124,42 @@ object Ivf {
       }
     }
     val cdf = centDf(cent)
-    // checkpointed: callers reference the assignment table at least twice
-    // (query slice + candidate cells)
-    (cdf, assign(cdf).ckpt())
+    (cdf, assign)
+  }
+
+  /** [[portableQuantizer]]'s centroids WITHOUT the eager final
+    * assignment job — for callers (the PQ subspace fits) that encode
+    * rows themselves via [[pqCodeFrozen]] and would otherwise pay one
+    * corpus-sized assignment materialization per subspace only to
+    * discard it. Same training rounds, same centroids, bit for bit. */
+  def portableCentroids(corpus: DataFrame, id: String, vec: String,
+                        k: Int, rounds: Int): DataFrame =
+    quantizerCore(corpus, id, vec, k, rounds)._1
+
+  /** A centroid table collected to the driver — MODEL state (k x subDim
+    * doubles, the Bpe-merge pattern), reinjectable as literals. */
+  def collectCentroids(cdf: DataFrame): IndexedSeq[(Int, Seq[Double])] =
+    cdf.select(col("cell").cast("int"), col("cv"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toIndexedSeq
+      .sortBy(_._1)
+
+  /** Frozen-codebook code assignment as ONE Column: argmin cell of the
+    * row's vector slice against the (model-sized, driver-resident)
+    * centroid list, ties to the smaller cell — the same
+    * min(struct(d2, cell)) the crossJoin+groupBy assign computes, as a
+    * literal-centroid expression. Replaces the per-subspace
+    * corpus-sized `codes.join(assigned, "pid")` chain (the registry's
+    * ONLY SortMergeJoins, exposed by the r14 shadow audit): m subspace
+    * codes become m projections over one scan — zero joins, zero
+    * shuffles — instead of m-1 corpus x corpus equi-joins. Codes are
+    * bit-identical (same SqDist on the same doubles, same tie-break),
+    * so every PQ oracle hash is unchanged. */
+  def pqCodeFrozen(sv: Column, cents: Seq[(Int, Seq[Double])]): Column = {
+    val scored = cents.map { case (cell, cv) =>
+      struct(graft.functions.SqDist(sv, array(cv.map(lit): _*)).as("d2"),
+        lit(cell).as("cell"))
+    }
+    array_min(array(scored: _*)).getField("cell")
   }
 
   /** SQL fragments shared by the portable-quantizer oracles (sim5b's IVF,

@@ -71,17 +71,24 @@ object Ivfadc {
     val fits = Pq.fitConcurrently(m) { s0 =>
       val sliced = res.select(col("pid"),
         slice(col("rv"), s0 * subDim + 1, subDim).as("sv"))
-      Ivf.portableQuantizer(sliced, "pid", "sv", k, pqRounds)
+      Ivf.portableCentroids(sliced, "pid", "sv", k, pqRounds)
     }
-    // join order stays 0..m-1 for a stable plan regardless of which
-    // concurrent fit finishes first (the sim6b discipline)
+    // codes as m literal-centroid argmin projections over the one res
+    // scan (Ivf.pqCodeFrozen — see Pq.portableTopK: the former join
+    // chain was the registry's only SortMergeJoins); column order stays
+    // 0..m-1 regardless of which concurrent fit finishes first
     val cents = new Array[DataFrame](m)
-    var codes = res.select("pid", "cell")
+    val centSeqs = (0 until m).map(s0 => Ivf.collectCentroids(fits(s0)))
     (0 until m).foreach { s0 =>
-      val (cent, asg) = fits(s0)
-      cents(s0) = cent.select(col("cell").as(s"cell$s0"), col("cv").as(s"cv$s0"))
-      codes = codes.join(asg.select(col("pid"), col("cell").as(s"c$s0")), "pid")
+      cents(s0) = fits(s0).select(col("cell").as(s"cell$s0"), col("cv").as(s"cv$s0"))
     }
+    // checkpointed: the argmin projection must evaluate ONCE PER ROW --
+    // left lazy, the optimizer can float it above the probe join and
+    // recompute the m x k SqDist argmin per (row x probe) match
+    val codes = res.select(col("pid") +: col("cell") +: (0 until m).map(s0 =>
+      Ivf.pqCodeFrozen(slice(col("rv"), s0 * subDim + 1, subDim),
+        centSeqs(s0)).as(s"c$s0")): _*)
+      .ckpt()
     val q = assigned.filter(col("pid") < nQueries)
       .select(col("pid").as("qid"), col("pv").as("qv"))
     // probe: nProbes best coarse cells by COSINE to the centroid (the
@@ -175,18 +182,24 @@ object Ivfadc {
     val fits = Pq.fitConcurrently(m) { s0 =>
       val slicedTrain = res.join(trainIds, "pid")
         .select(col("pid"), slice(col("rv"), s0 * subDim + 1, subDim).as("sv"))
-      Ivf.portableQuantizer(slicedTrain, "pid", "sv", k, pqRounds)._1
+      Ivf.portableCentroids(slicedTrain, "pid", "sv", k, pqRounds)
     }
+    // frozen-codebook codes as literal-centroid argmin projections over
+    // the one res scan (Ivf.pqCodeFrozen ≡ assignFrozen's
+    // min(struct(d2, cell)), bit for bit) — replaces the per-subspace
+    // assignFrozen + corpus-sized pid join chain
     val cents = new Array[DataFrame](m)
-    var codes = res.select("pid", "cell")
+    val centSeqs = (0 until m).map(s0 => Ivf.collectCentroids(fits(s0)))
     (0 until m).foreach { s0 =>
-      val slicedAll = res.select(col("pid"),
-        slice(col("rv"), s0 * subDim + 1, subDim).as("sv"))
       cents(s0) = fits(s0).select(col("cell").as(s"cell$s0"), col("cv").as(s"cv$s0"))
-      codes = codes.join(
-        assignFrozen(slicedAll, fits(s0), "sv")
-          .select(col("pid"), col("cell").as(s"c$s0")), "pid")
     }
+    // checkpointed: the argmin projection must evaluate ONCE PER ROW --
+    // left lazy, the optimizer can float it above the probe join and
+    // recompute the m x k SqDist argmin per (row x probe) match
+    val codes = res.select(col("pid") +: col("cell") +: (0 until m).map(s0 =>
+      Ivf.pqCodeFrozen(slice(col("rv"), s0 * subDim + 1, subDim),
+        centSeqs(s0)).as(s"c$s0")): _*)
+      .ckpt()
     val q = base.filter(col("is_new") && col("is_query"))
       .select(col("pid").as("qid"), col("pv").as("qv"))
     val probed = q.crossJoin(broadcast(coarse))

@@ -159,20 +159,29 @@ object Pq {
     val subDim = dim / m
     val base = corpus.select(col(id).cast("long").as("pid"),
       transform(col(vec), _.cast("double")).as("pv")).ckpt()
-    // join order below stays 0..m-1 for a stable plan regardless of
+    // column order below stays 0..m-1 for a stable plan regardless of
     // which concurrent fit finishes first
     val fits = fitConcurrently(m) { s0 =>
       val sliced = base.select(col("pid"),
         slice(col("pv"), s0 * subDim + 1, subDim).as("sv"))
-      Ivf.portableQuantizer(sliced, "pid", "sv", k, rounds)
+      Ivf.portableCentroids(sliced, "pid", "sv", k, rounds)
     }
+    // codes as m literal-centroid argmin PROJECTIONS over one base scan
+    // (Ivf.pqCodeFrozen) — the former per-subspace assignment join chain
+    // was the registry's only SortMergeJoins (m-1 corpus x corpus joins
+    // on pid, exposed by the r14 shadow audit); codes are bit-identical
     val cents = new Array[DataFrame](m)
-    var codes = base.select("pid")
+    val centSeqs = (0 until m).map(s0 => Ivf.collectCentroids(fits(s0)))
     (0 until m).foreach { s0 =>
-      val (cent, assigned) = fits(s0)
-      cents(s0) = cent.select(col("cell").as(s"cell$s0"), col("cv").as(s"cv$s0"))
-      codes = codes.join(assigned.select(col("pid"), col("cell").as(s"c$s0")), "pid")
+      cents(s0) = fits(s0).select(col("cell").as(s"cell$s0"), col("cv").as(s"cv$s0"))
     }
+    // checkpointed: the argmin projection must evaluate ONCE PER ROW —
+    // left lazy, the optimizer can float it above the query crossJoin
+    // and recompute the m x k SqDist argmin per (row x query) match
+    val codes = base.select(col("pid") +: (0 until m).map(s0 =>
+      Ivf.pqCodeFrozen(slice(col("pv"), s0 * subDim + 1, subDim),
+        centSeqs(s0)).as(s"c$s0")): _*)
+      .ckpt()
     val q = base.filter(col("pid") < nQueries)
       .select(col("pid").as("qid"), col("pv").as("qv"))
     def d2(a: Column, b: Column): Column =
