@@ -338,11 +338,11 @@ class ScaleSpec extends SparkSpecBase {
       // sim8b: both portable Lloyd's tiers + probe + ADC + rerank; the
       // exchanges are the per-round argmin aggregates, every join a
       // broadcast of model-sized state
-      "sim8b_ivfadc_portable" -> "9/11/0/1/-",
+      "sim8b_ivfadc_portable" -> "4/7/0/1/-", // r14 join-free PQ codes
       // sim9 (incremental IVFADC, r12): train-slice Lloyd's + FROZEN
       // argmin assigns of all rows (the extra BNLJs are the k-row
       // centroid broadcasts of the frozen-assign crossJoins — bounded)
-      "sim9_incremental_ann" -> "9/11/0/5/-",
+      "sim9_incremental_ann" -> "4/7/0/1/-", // r14 join-free PQ codes
       // sim7 (ADC, r11): codes-table scan + the 3-row broadcast query
       // BNLJ; the BHJs are the rerank id-joins back to the float vectors
       "sim7_sq_ann" -> "2/2/0/1/p",
