@@ -130,13 +130,20 @@ for name in NAMES:
         second_largest = sorted(iso_samples)[-2] if len(iso_samples) >= 2 \
             else iso_samples[0]
         envelope_ok = ins <= second_largest * 1.05
+        # absolute floor (r14): the same 0.5 s convention every other
+        # gate applies (bench_compare.py's abs_floor) — a ratio trip
+        # whose absolute delta is sub-half-second is shared-box timer
+        # noise, not a finding; without this the gate is stricter on
+        # fast queries than the round-over-round gate it cross-checks
+        sub_floor = (ins - med) <= 0.5
         verdict = ("noise" if ratio_med <= RATIO_MAX or envelope_ok
-                   else "interference")
+                   or sub_floor else "interference")
         row["adjudication"] = {
             "isolated_samples_sec": [round(s, 3) for s in iso_samples],
             "median_isolated_sec": round(med, 3),
             "ratio_vs_median": round(ratio_med, 3),
             "within_isolated_envelope": envelope_ok,
+            "sub_abs_floor": sub_floor,
             "verdict": verdict}
         (breaches if verdict == "interference" else noise_trips).append(name)
         print(f"[isolated] {name}: samples "
