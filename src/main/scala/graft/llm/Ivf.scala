@@ -155,11 +155,55 @@ object Ivf {
     * bit-identical (same SqDist on the same doubles, same tie-break),
     * so every PQ oracle hash is unchanged. */
   def pqCodeFrozen(sv: Column, cents: Seq[(Int, Seq[Double])]): Column = {
+    val sorted = cents.sortBy(_._1)
+    require(sorted.zipWithIndex.forall { case ((c, _), i) => c == i },
+      "pqCodeFrozen expects contiguous cells 0..k-1")
+    if (sorted.size.toLong * sorted.head._2.size <= pqInlineLiteralBudget)
+      pqCodeInline(sv, sorted)
+    else pqCodeFolded(sv, sorted)
+  }
+
+  /** Inline budget for [[pqCodeFrozen]]'s unrolled form. The unrolled
+    * projection embeds k SqDist structs, each with a subDim-double
+    * literal array, and callers stack m of these columns in ONE select —
+    * past a few thousand literal doubles per column the generated method
+    * for the projection approaches the JVM's 64KB bytecode limit and
+    * Spark quietly drops the stage out of whole-stage codegen, losing
+    * exactly the perf the join-free rewrite bought. The registry's
+    * codebooks (k=16 × subDim=16 = 256) sit far inside the budget; a
+    * FAISS-typical k=256 × subDim=16 = 4096 lands on the boundary and
+    * larger codebooks take the folded path. */
+  private[llm] val pqInlineLiteralBudget = 4096L
+
+  /** k unrolled literal-centroid SqDist structs — maximally
+    * codegen-friendly for small codebooks. */
+  private[llm] def pqCodeInline(sv: Column, cents: Seq[(Int, Seq[Double])]): Column = {
     val scored = cents.map { case (cell, cv) =>
       struct(graft.functions.SqDist(sv, array(cv.map(lit): _*)).as("d2"),
         lit(cell).as("cell"))
     }
     array_min(array(scored: _*)).getField("cell")
+  }
+
+  /** Large-codebook form: the whole codebook as ONE array<array<double>>
+    * Literal (a data value, not k×subDim expression nodes) folded with
+    * `aggregate` — an O(k) loop in constant generated-code size instead
+    * of k unrolled branches. Same SqDist arithmetic on the same doubles;
+    * strict `<` on ascending cells keeps ties at the smaller cell, so
+    * codes are bit-identical to the inline form (pinned in LlmSpec). */
+  private[llm] def pqCodeFolded(sv: Column, cents: Seq[(Int, Seq[Double])]): Column = {
+    val carr = typedLit(cents.map(_._2))
+    val zero = struct(lit(Double.MaxValue).as("d2"), lit(Int.MaxValue).as("cell"))
+    aggregate(
+      sequence(lit(0), lit(cents.size - 1)),
+      zero,
+      (acc, i) => {
+        val cand = struct(
+          graft.functions.SqDist(sv, element_at(carr, (i + 1).cast("int"))).as("d2"),
+          i.cast("int").as("cell"))
+        when(cand < acc, cand).otherwise(acc)
+      }
+    ).getField("cell")
   }
 
   /** SQL fragments shared by the portable-quantizer oracles (sim5b's IVF,

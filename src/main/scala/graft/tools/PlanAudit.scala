@@ -109,14 +109,27 @@ object PlanAudit {
       println("| query | exchanges | BHJ | SMJ | BNLJ | WSCG | pushdown | ckpt |")
       println("|---|---|---|---|---|---|---|---|")
       sys.props("graft.ckpt.disable") = "true"
+      // A timed-out worker must not keep running against the shared
+      // session: its jobs would race later shadow rows and spark.stop(),
+      // and its remaining ckpt() calls would flip back to real
+      // checkpoints the instant the property is cleared. On timeout,
+      // cancel the worker's job group (interruptOnCancel kills the task
+      // threads), interrupt the worker, and confirm it exited before the
+      // next row; if it stays wedged, abandon the REST of the shadow
+      // pass with the property still set rather than clear it under a
+      // live worker.
+      var wedged = false
       try {
-        for (name <- truncated; q <- graft.SparkEntry.all.find(_.name == name)) {
+        for (name <- truncated; q <- graft.SparkEntry.all.find(_.name == name) if !wedged) {
           // per-query watchdog: a query whose un-truncated lineage is
           // still loop-shaped (a loopCkpt we missed) would hang Catalyst
           // analysis forever — bound it and say so rather than wedge the
           // whole audit (the r14 first-run lesson)
+          val group = s"shadow-audit-${q.name}"
           val result = new java.util.concurrent.atomic.AtomicReference[String](null)
           val worker = new Thread(() => {
+            spark.sparkContext.setJobGroup(group,
+              s"shadow plan audit: ${q.name}", interruptOnCancel = true)
             try {
               val s = shape(q.fn(spark, sfDir))
               result.set(s"| ${q.name} | ${s.exchanges} | ${s.bhj} | ${s.smj} | ${s.bnlj} | " +
@@ -125,16 +138,26 @@ object PlanAudit {
             } catch {
               case e: Throwable =>
                 result.set(s"| ${q.name} | shadow audit failed: ${e.getMessage.take(60)} |")
-            }
+            } finally spark.sparkContext.clearJobGroup()
           })
           worker.setDaemon(true)
           worker.start()
           worker.join(300000L)
+          if (worker.isAlive) {
+            spark.sparkContext.cancelJobGroup(group)
+            worker.interrupt()
+            worker.join(30000L) // grace: cancelled tasks unwind
+            wedged = worker.isAlive
+          }
           println(Option(result.get).getOrElse(
-            s"| ${q.name} | shadow audit timed out (300s) — un-truncated lineage " +
-              "is loop-shaped; per-round shapes audited at the operator |"))
+            s"| ${q.name} | shadow audit timed out (300s) — jobs cancelled" +
+              (if (wedged) "; worker wedged, abandoning shadow pass" else "") +
+              "; un-truncated lineage is loop-shaped; per-round shapes " +
+              "audited at the operator |"))
         }
-      } finally sys.props.remove("graft.ckpt.disable")
+      } finally if (!wedged) sys.props.remove("graft.ckpt.disable")
+      // wedged: leave the property set — the stuck worker still reads it
+      // per ckpt() call; spark.stop() below tears the session down.
     }
     spark.stop()
   }

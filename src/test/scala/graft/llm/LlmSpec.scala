@@ -1698,4 +1698,23 @@ class LlmSpec extends SparkSpecBase {
     assert(r(("beta", "gamma"))._1 === 0.0)
     assert(r(("alpha", "gamma"))._2 === 0.0)
   }
+  test("pqCodeFrozen: folded (large-codebook) form is bit-identical to the inline form") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val subDim = 16
+    val sliced = emb.select(col("vec_id").cast("long").as("pid"),
+      transform(slice(col("embedding"), 1, subDim), _.cast("double")).as("sv"))
+    val cents = Ivf.collectCentroids(
+      Ivf.portableCentroids(sliced, "pid", "sv", k = 16, rounds = 2))
+    // routing: the registry codebook (16x16 = 256 literals) stays inline;
+    // a FAISS-typical 256x17 (4352 > budget) must take the folded path
+    assert(16L * subDim <= Ivf.pqInlineLiteralBudget)
+    assert(256L * 17 > Ivf.pqInlineLiteralBudget)
+    val both = sliced.select(col("pid"),
+        Ivf.pqCodeInline(col("sv"), cents).as("ci"),
+        Ivf.pqCodeFolded(col("sv"), cents).as("cf"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getInt(1) === r.getInt(2),
+      s"pid ${r.getLong(0)}: inline ${r.getInt(1)} != folded ${r.getInt(2)}"))
+  }
 }

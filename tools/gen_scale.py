@@ -27,8 +27,14 @@ saturates the word-3-gram space at sf1 (every gram above any df cap — the
 boilerplate-dense extreme BENCH_sf1.json measured), while zipf leaves most
 grams rare and PAIRABLE (the realistic middle where the exact containment
 tier's candidate volume and the LSH banding FP rate actually bite).
-Planted exact/near-dup/containment rates, doc lengths, lang/source mixes,
-and every non-document table are identical across modes.
+Zipf word draws use a DEDICATED RNG (np.random.default_rng(SEED ^ 1)), so
+the shared nprnd stream is untouched and every nprnd-generated table
+(embeddings + all relational/events tables) is BIT-identical across
+modes. The documents table matches across modes DISTRIBUTIONALLY (same
+planted exact/near-dup/containment rates, length law, lang/source mixes)
+but not byte-wise beyond the words: per-doc branch/length/lang draws come
+from the shared `rnd` stream, which uniform mode consumes per word and
+zipf mode does not, so those per-doc draws land differently.
 """
 import os
 import random
@@ -59,9 +65,14 @@ if ZIPF:
     probs /= probs.sum()
     zipf_cdf = np.cumsum(probs)
 
+    # dedicated stream: word draws must not shift nprnd, or every later
+    # nprnd-generated table (embeddings, customer, orders, lineitem,
+    # events) would diverge byte-wise from uniform mode
+    zrnd = np.random.default_rng(SEED ^ 1)
+
     def draw_words(k):
         """k Zipf-sampled word strings (inverse-CDF via searchsorted)."""
-        u = nprnd.random(k)
+        u = zrnd.random(k)
         return [zipf_words[i] for i in np.searchsorted(zipf_cdf, u)]
 else:
     def draw_words(k):
