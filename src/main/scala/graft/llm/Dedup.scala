@@ -2,8 +2,39 @@ package graft.llm
 
 import graft.Ckpt._
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoder}
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
+
+/** One ranked partner for the bounded per-doc pair summary. */
+case class OrdPid(ord: Double, pid: Long)
+
+/** Bounded min-k typed aggregate (the [[Scored]]/TopKAgg pattern with an
+  * explicit ASCENDING sort key): keeps the k smallest inputs by
+  * (ord, pid). The buffer never exceeds k elements, so partial
+  * aggregation keeps per-partition state O(k·docs) and the shuffle
+  * carries only k rows per (doc, partition) — the bound that makes
+  * [[Dedup.pairTopKPerDoc]]'s output independent of how quadratic the
+  * pair set is. */
+class MinKByAgg(k: Int) extends Aggregator[OrdPid, Seq[OrdPid], Seq[OrdPid]] {
+  private def keep(xs: Seq[OrdPid]): Seq[OrdPid] =
+    xs.sortBy(x => (x.ord, x.pid)).take(k)
+  override def zero: Seq[OrdPid] = Vector.empty
+  // keep() leaves the buffer sorted, so its last element is the current
+  // worst — a full buffer rejects a loser in O(1)
+  override def reduce(b: Seq[OrdPid], a: OrdPid): Seq[OrdPid] =
+    if (b.size >= k && {
+      val w = b.last
+      a.ord > w.ord || (a.ord == w.ord && a.pid > w.pid)
+    }) b
+    else keep(b :+ a)
+  override def merge(x: Seq[OrdPid], y: Seq[OrdPid]): Seq[OrdPid] = keep(x ++ y)
+  override def finish(r: Seq[OrdPid]): Seq[OrdPid] = r
+  override def bufferEncoder: Encoder[Seq[OrdPid]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[OrdPid]]()
+  override def outputEncoder: Encoder[Seq[OrdPid]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[OrdPid]]()
+}
 
 /** Deduplication operators for large-scale training-data pipelines.
   *
@@ -529,6 +560,119 @@ object Dedup {
               bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("dist"))
       .distinct()
       .filter(col("dist") <= maxDist)
+  }
+
+  /** [[simhashCandidates]] over the PORTABLE 60-bit fingerprint
+    * ([[simhashPortable]]): 4 pigeonhole chunks of 15 bits, pairs sharing
+    * any exact chunk scored by Hamming distance, kept at `dist <= maxDist`.
+    * Every value is md5-derived, so the bucketing + distance machinery
+    * replays bit-for-bit in DuckDB ([[simhashCandidatesPortableOracleSql]])
+    * — the hash-green twin of the xxhash64 fast path. Recall contract is
+    * the fast path's: 4 chunks GUARANTEE any pair within distance 3 shares
+    * a chunk; above that the chunk share is heuristic (same posture as
+    * dd4's maxDist=10). */
+  def simhashCandidatesPortable(df: DataFrame, id: String, text: String,
+                                maxDist: Int = 10): DataFrame = {
+    // checkpointed: the chunk self-join otherwise rebuilds the md5
+    // fingerprint aggregate once per join side
+    val fp = simhashPortable(df, id, text).ckpt()
+    val chunked = fp.select(col(id).as("doc"), col("simhash"),
+      explode(array((0 until 4).map { c =>
+        struct(lit(c).as("chunk"),
+          shiftright(col("simhash"), c * 15).bitwiseAND(0x7FFFL).as("ckey"))
+      }: _*)).as("cc"))
+      .select(col("doc"), col("simhash"), col("cc.chunk"), col("cc.ckey"))
+    val a = chunked.as("a"); val b = chunked.as("b")
+    a.join(b, col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") &&
+              col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("id1"), col("b.doc").as("id2"),
+              bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
+  }
+
+  /** DuckDB SQL producing [[simhashCandidatesPortable]]'s (id1, id2, dist)
+    * set bit-for-bit (no ORDER BY — meant for CTE composition). */
+  def simhashCandidatesPortableOracleSql(table: String, id: String, text: String,
+                                         maxDist: Int = 10): String = {
+    val fp = simhashPortableOracleSql(table, id, text)
+    s"""WITH fps AS ($fp),
+       |chunks AS (
+       |  SELECT $id AS doc, simhash, cc.c,
+       |         (simhash >> (cc.c * 15)) & 32767 AS ckey
+       |  FROM fps CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS c) cc)
+       |SELECT DISTINCT a.doc AS id1, b.doc AS id2,
+       |       bit_count(xor(a.simhash, b.simhash))::INT AS dist
+       |FROM chunks a JOIN chunks b
+       |  ON a.c = b.c AND a.ckey = b.ckey AND a.doc < b.doc
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxDist""".stripMargin
+  }
+
+  /** Output-bounded per-doc summary of a symmetric candidate/pair listing
+    * — the 100 TB-safe way to ask "show me the near-dup evidence". The
+    * unbounded pair listings grow quadratically in cluster size by
+    * contract (at gen-1× the SimHash listing's ANSWER is 71.5 M rows and
+    * the bench tail was the global sort of that answer); a caller who
+    * wants evidence per document must never have to materialize them.
+    *
+    * For each doc appearing on either side of `pairs`, emits its total
+    * partner count and its k best partners by (`ord` ASC, partner ASC) —
+    * one row per (doc, rank), so the output and its final sort are
+    * ≤ k·n rows no matter how quadratic the pair set. The bound applies
+    * BEFORE anything is sorted or materialized globally: a bounded-heap
+    * Aggregator (partial+final ObjectHashAggregate, the TopKAgg pattern)
+    * keeps at most k candidates per doc in each partition's combine map,
+    * so only k survivors per (doc, partition) ever shuffle — never the
+    * pair set, and never a global sort of it.
+    *
+    * `ord` is evaluated over the symmetrized frame (columns `doc`,
+    * `partner`, plus every non-id column of `pairs`), so callers rank by
+    * a pair attribute (Hamming distance, negated cosine) or a
+    * deterministic sample key (md5 of the pair — a seedless reservoir
+    * both engines can replay). Returns
+    * (doc, n_candidates, rank, partner, ord). */
+  def pairTopKPerDoc(pairs: DataFrame, id1: String, id2: String,
+                     ord: Column, k: Int = 5): DataFrame = {
+    val others = pairs.columns.filterNot(c => c == id1 || c == id2)
+    def side(d: String, p: String) =
+      pairs.select(col(d).as("doc") +: col(p).as("partner") +: others.map(col): _*)
+    val sym = side(id1, id2).unionByName(side(id2, id1))
+    val mink = udaf(new MinKByAgg(k))
+    sym
+      .select(col("doc"), col("partner"), ord.as("__ord"))
+      .groupBy("doc")
+      .agg(count(lit(1)).as("n_candidates"),
+        mink(col("__ord"), col("partner")).as("tk"))
+      .select(col("doc"), col("n_candidates"), posexplode(col("tk")))
+      .select(col("doc"), col("n_candidates"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("col.pid").as("partner"), col("col.ord").as("ord"))
+  }
+
+  /** DuckDB twin of [[pairTopKPerDoc]]: `candsSql` must produce
+    * (id1, id2[, extra cols]); `extraCols` are carried through the
+    * symmetrize, `orderSql` ranks within a doc (partner ASC appended as
+    * the tie-break, matching the heap), `extraSelect` projects any extra
+    * output columns (", dist::INT AS dist"). */
+  def pairTopKPerDocOracleSql(candsSql: String, docAlias: String,
+                              orderSql: String, k: Int,
+                              extraCols: Seq[String] = Nil,
+                              extraSelect: String = ""): String = {
+    val ex = extraCols.map(c => s", $c").mkString
+    s"""WITH cands AS ($candsSql),
+       |sym AS (
+       |  SELECT id1 AS doc, id2 AS partner$ex FROM cands
+       |  UNION ALL
+       |  SELECT id2 AS doc, id1 AS partner$ex FROM cands),
+       |ranked AS (
+       |  SELECT doc, partner$ex,
+       |         count(*) OVER (PARTITION BY doc) AS n_candidates,
+       |         row_number() OVER (PARTITION BY doc
+       |           ORDER BY $orderSql, partner) AS rank
+       |  FROM sym)
+       |SELECT doc AS $docAlias, n_candidates::BIGINT AS n_candidates,
+       |       rank::INT AS rank, partner$extraSelect
+       |FROM ranked WHERE rank <= $k ORDER BY $docAlias, rank""".stripMargin
   }
 
   /** The distinct word-n-gram array over the let-bound token column

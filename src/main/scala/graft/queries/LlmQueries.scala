@@ -418,6 +418,32 @@ object LlmQueries {
           "FROM documents WHERE doc_id % 7 = 0) utf8docs",
         "doc_id", "text"))),
 
+    // ---- output-bounded candidate listing (VERDICT r14 item 1): dd3c's
+    // banded-LSH candidates summarized per doc — total partner count + a
+    // DETERMINISTIC k-sample (k smallest md5(doc:partner), the seedless
+    // reservoir both engines replay). One row per (doc, rank): the output
+    // and its sort are <= k·n no matter how quadratic the pair set, and
+    // the bound is a bounded-heap aggregate (partial+final
+    // ObjectHashAggregate), never a limit on the materialized pairs —
+    // the form a 100 TB caller runs instead of dd3c. ----
+    QueryDef("dd3e_minhash_candidates_sampled",
+      (s, d) => {
+        val cands = Dedup.minhashCandidatesPortable(t(s, d, "documents"), "doc_id", "text")
+        Dedup.pairTopKPerDoc(cands, "id1", "id2",
+            ord = conv(substring(md5(concat_ws(":", col("doc"), col("partner"))), 1, 13),
+              16, 10).cast("long").cast("double"),
+            k = 5)
+          .select(col("doc").as("doc_id"), col("n_candidates"),
+            col("rank"), col("partner"))
+          .orderBy("doc_id", "rank")
+      },
+      Some(Dedup.pairTopKPerDocOracleSql(
+        Dedup.minhashCandidatesPortableOracleSql("documents", "doc_id", "text"),
+        docAlias = "doc_id",
+        orderSql =
+          "('0x' || substr(md5(doc::VARCHAR || ':' || partner::VARCHAR), 1, 13))::BIGINT",
+        k = 5))),
+
     // ---- corpus-level overlap matrix: exact shingle-set Jaccard per
     // source pair AND its 32-hash MinHash-sketch estimate side by side —
     // the sketch (the 100 TB path: each corpus reduces to 32 longs) is
@@ -454,6 +480,29 @@ object LlmQueries {
       (s, d) => Dedup.simhashPortable(t(s, d, "documents"), "doc_id", "text")
         .orderBy("doc_id"),
       Some(Dedup.simhashPortableOracleSql("documents", "doc_id", "text"))),
+
+    // ---- output-bounded SimHash evidence (VERDICT r14 item 1): the
+    // portable fingerprint's pigeonhole candidates summarized per doc —
+    // partner count + top-5 partners by (Hamming distance, partner).
+    // dd4's unbounded listing is quadratic BY CONTRACT (71.5 M rows at
+    // gen-1x, bench tail = sorting the answer); this is the linear-output
+    // form, bounded by a per-partition heap BEFORE any sort, and — unlike
+    // dd4 — hash-green end-to-end via the md5 fingerprint family. ----
+    QueryDef("dd4c_simhash_topk_per_doc",
+      (s, d) => {
+        val cands = Dedup.simhashCandidatesPortable(t(s, d, "documents"),
+          "doc_id", "text", maxDist = 10)
+        Dedup.pairTopKPerDoc(cands, "id1", "id2",
+            ord = col("dist").cast("double"), k = 5)
+          .select(col("doc").as("doc_id"), col("n_candidates"), col("rank"),
+            col("partner"), col("ord").cast("int").as("dist"))
+          .orderBy("doc_id", "rank")
+      },
+      Some(Dedup.pairTopKPerDocOracleSql(
+        Dedup.simhashCandidatesPortableOracleSql("documents", "doc_id", "text",
+          maxDist = 10),
+        docAlias = "doc_id", orderSql = "dist", k = 5,
+        extraCols = Seq("dist"), extraSelect = ", dist::INT AS dist"))),
 
     // ---- word-3-gram Jaccard verify over LSH candidates, thresholded at
     // 0.5 (rows-only: xxhash64 grams). The sketch prefilter discards the
@@ -1570,6 +1619,29 @@ object LlmQueries {
       Some(Similarity.cosineNearDupPortableOracleSql(
         "embeddings", "vec_id", "embedding",
         threshold = 0.4, nPlanes = 6, nTables = 4, dim = 64))),
+
+    // ---- output-bounded cosine evidence (VERDICT r14 item 1): sim4b's
+    // portable near-dup pairs summarized per vector — partner count +
+    // top-5 partners by cosine DESC (ranked on the 4dp-rounded sim both
+    // engines agree on bit-for-bit; ord = −sim keeps the heap ascending).
+    // Output <= 5·n rows via the per-partition bounded heap — the form
+    // that replaces materializing the quadratic pair answer at scale. ----
+    QueryDef("sim4c_cosine_topk_per_doc",
+      (s, d) => {
+        val pairs = Similarity.cosineNearDupPairs(t(s, d, "embeddings"),
+            "vec_id", "embedding",
+            threshold = 0.4, nPlanes = 6, nTables = 4, dim = 64)
+          .withColumn("sim", round(col("sim"), 4))
+        Dedup.pairTopKPerDoc(pairs, "id1", "id2", ord = -col("sim"), k = 5)
+          .select(col("doc").as("vec_id"), col("n_candidates"), col("rank"),
+            col("partner"), (-col("ord")).as("sim"))
+          .orderBy("vec_id", "rank")
+      },
+      Some(Dedup.pairTopKPerDocOracleSql(
+        Similarity.cosineNearDupPortableOracleSql("embeddings", "vec_id", "embedding",
+          threshold = 0.4, nPlanes = 6, nTables = 4, dim = 64),
+        docAlias = "vec_id", orderSql = "sim DESC", k = 5,
+        extraCols = Seq("sim"), extraSelect = ", sim"))),
 
     // ---- multimodal: binary payload + metadata plumbing ----
     QueryDef("mm1_media_meta",

@@ -1717,4 +1717,48 @@ class LlmSpec extends SparkSpecBase {
     both.foreach(r => assert(r.getInt(1) === r.getInt(2),
       s"pid ${r.getLong(0)}: inline ${r.getInt(1)} != folded ${r.getInt(2)}"))
   }
+  test("pairTopKPerDoc: bounded heap equals window-rank over the full listing") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val cands = Dedup.simhashCandidatesPortable(docs, "doc_id", "text", maxDist = 10)
+      .localCheckpoint()
+    val k = 3
+    val bounded = Dedup.pairTopKPerDoc(cands, "id1", "id2",
+        ord = col("dist").cast("double"), k = k)
+      .select(col("doc"), col("n_candidates"), col("rank"), col("partner"),
+        col("ord").cast("int").as("dist"))
+    // reference: symmetrize + window rank over the FULL pair listing
+    val sym = cands.select(col("id1").as("doc"), col("id2").as("partner"), col("dist"))
+      .unionByName(cands.select(col("id2").as("doc"), col("id1").as("partner"), col("dist")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc").orderBy(col("dist"), col("partner"))
+    val wc = org.apache.spark.sql.expressions.Window.partitionBy("doc")
+    val reference = sym
+      .withColumn("rank", row_number().over(w))
+      .withColumn("n_candidates", count(lit(1)).over(wc))
+      .filter(col("rank") <= k)
+      .select(col("doc"), col("n_candidates"), col("rank"), col("partner"), col("dist"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getInt(4)))
+      .sortBy(x => (x._1, x._3)).toSeq
+    assert(rows(bounded) === rows(reference))
+    // the bound must be a partial+final object-hash aggregate (per-
+    // partition heap), not a window over the materialized pair set
+    val plan = bounded.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), s"expected bounded-heap aggregate plan:\n$plan")
+  }
+
+  test("simhashCandidatesPortable finds planted near-dups with distances") {
+    val s = spark; import s.implicits._
+    val base = "the quick brown fox jumps over the lazy dog while the cat watches"
+    val docs = Seq(
+      (0L, base), (1L, base),                       // exact dup: dist 0
+      (2L, base.replace("lazy", "sleepy")),         // near dup: small dist
+      (3L, "completely unrelated content about shuffle partitions and codegen budgets")
+    ).toDF("doc_id", "text")
+    val got = Dedup.simhashCandidatesPortable(docs, "doc_id", "text", maxDist = 10)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(got((0L, 1L)) === 0)
+    assert(got.contains((0L, 2L)) && got((0L, 2L)) > 0)
+    assert(!got.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+  }
 }
