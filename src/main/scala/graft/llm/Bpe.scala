@@ -120,6 +120,141 @@ object Bpe {
     out.result()
   }
 
+  /** [[learnMerges]] with the merge loop run DRIVER-LOCALLY over the
+    * collected `(word, freq)` table — the scale path for REAL merge
+    * counts (32k-100k). The distributed loop is correct but pays one
+    * Spark job pair PER RANK (a full pairCounts aggregate + a rewrite),
+    * a driver-orchestration bottleneck no executor count fixes; the
+    * word-frequency table it iterates on is MODEL-sized state by the
+    * operator's own argument (millions of rows where the corpus is
+    * billions — the Lloyd's-centroid / BPE-winner pattern taken to its
+    * conclusion), so after the one corpus-sized distributed reduction
+    * the loop belongs on the driver, exactly where every industrial BPE
+    * trainer runs it.
+    *
+    * Bit-identical to [[learnMerges]] (pinned in BpeSpec and by tok1's
+    * oracle replay): same overlapping weighted pair counts, the same
+    * greedy left-to-right fold ([[applyMerge]]'s algebra), and the same
+    * (cnt DESC, a, b) winner rule with ties compared as UNSIGNED UTF-8
+    * BYTES — Spark's StringType binary order, not String.compareTo's
+    * UTF-16 order.
+    *
+    * Cost shape: counts update INCREMENTALLY — only words containing the
+    * winning pair are re-tokenized, with their old pair counts retracted
+    * and new ones added (each O(log P) through the ordered view), so a
+    * round costs O(touched words), not O(vocabulary) — 1,000 merges over
+    * a 50k-type vocabulary train in seconds. Open vocabularies at corpus
+    * scale bound the collected state with a frequency floor upstream
+    * (filter wordFreq on freq — rare words cannot win early merges). */
+  def learnMergesLocal(docs: DataFrame, text: String, nMerges: Int): Seq[Merge] = {
+    val vocab = wordFreq(docs, text).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    learnMergesFromVocab(vocab, nMerges)
+  }
+
+  /** Unsigned-UTF-8-byte comparison ≡ Spark StringType binary ordering. */
+  private def utf8Compare(x: String, y: String): Int = {
+    val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < a.length && i < b.length) {
+      val c = (a(i) & 0xff) - (b(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  /** [[applyMerge]]'s greedy fold, driver-side: seed with the first
+    * token; a produced token immediately becomes the new left
+    * neighbor. */
+  private def applyMergeLocal(toks: Array[String], a: String, b: String,
+                              merged: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer(toks(0))
+    var i = 1
+    while (i < toks.length) {
+      val t = toks(i)
+      if (out.last == a && t == b) out(out.length - 1) = merged
+      else out += t
+      i += 1
+    }
+    out.toArray
+  }
+
+  private[llm] def learnMergesFromVocab(vocab: Array[(String, Long)],
+                                        nMerges: Int): Seq[Merge] = {
+    import scala.collection.mutable
+    val n = vocab.length
+    val freqs = vocab.map(_._2)
+    // code-point split ≡ charToks's regex "." (Java regex is code-point
+    // aware; a UTF-16 code-unit split would shear surrogate pairs)
+    val words: Array[Array[String]] =
+      vocab.map(_._1.codePoints().toArray
+        .map(cp => new String(Character.toChars(cp))))
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    val index = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
+    // ordered view of counts: (cnt DESC, a, b) with UTF-8-byte ties —
+    // kept in sync by bump() (remove-before-mutate, TreeSet invariant)
+    val ordered = new java.util.TreeSet[(Long, String, String)](
+      new java.util.Comparator[(Long, String, String)] {
+        def compare(x: (Long, String, String), y: (Long, String, String)): Int = {
+          val c = java.lang.Long.compare(y._1, x._1)
+          if (c != 0) return c
+          val ca = utf8Compare(x._2, y._2)
+          if (ca != 0) ca else utf8Compare(x._3, y._3)
+        }
+      })
+    def bump(p: (String, String), delta: Long): Unit = {
+      val old = counts.getOrElse(p, 0L)
+      if (old != 0) ordered.remove((old, p._1, p._2))
+      val nw = old + delta
+      if (nw != 0) {
+        counts(p) = nw
+        ordered.add((nw, p._1, p._2))
+      } else counts.remove(p)
+    }
+    def pairsOf(toks: Array[String]): Iterator[(String, String)] =
+      if (toks.length < 2) Iterator.empty
+      else toks.iterator.zip(toks.iterator.drop(1))
+    var w = 0
+    while (w < n) {
+      pairsOf(words(w)).foreach { p =>
+        bump(p, freqs(w))
+        index.getOrElseUpdate(p, mutable.Set.empty) += w
+      }
+      w += 1
+    }
+    val out = Seq.newBuilder[Merge]
+    var rank = 1
+    while (rank <= nMerges && !ordered.isEmpty) {
+      val best = ordered.first()
+      val (cnt, a, b) = best
+      val merged = a + b
+      out += Merge(rank, a, b, merged, cnt)
+      val touched = index.getOrElse((a, b), mutable.Set.empty).toArray
+      java.util.Arrays.sort(touched)
+      touched.foreach { i =>
+        val old = words(i)
+        val nw = applyMergeLocal(old, a, b, merged)
+        pairsOf(old).foreach { p =>
+          bump(p, -freqs(i))
+          index.get(p).foreach(_ -= i)
+        }
+        pairsOf(nw).foreach { p =>
+          bump(p, freqs(i))
+          index.getOrElseUpdate(p, mutable.Set.empty) += i
+        }
+        words(i) = nw
+      }
+      // the greedy fold leaves no mergeable (a, b) adjacency behind, so
+      // the retract/add deltas must have zeroed the winner
+      require(!counts.contains((a, b)),
+        s"incremental update left residual count for ($a, $b)")
+      rank += 1
+    }
+    out.result()
+  }
+
   /** The learned merge table as a DataFrame (rank-ordered — applying in
     * rank order reproduces training exactly). */
   def mergesDf(spark: SparkSession, merges: Seq[Merge]): DataFrame = {

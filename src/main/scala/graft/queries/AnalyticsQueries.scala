@@ -236,17 +236,25 @@ object AnalyticsQueries {
              |FROM cums ORDER BY event_type, day""".stripMargin)),
 
     // ---- dd12: semantic decontamination — dd7's benchmark screen on
-    // embeddings: cosine vs a broadcast benchmark set, max per doc ----
+    // embeddings: cosine vs a broadcast benchmark set, max per doc. The
+    // benchmark slice is FIXED-size (vec_id < 2000 caps it at sf0.1's 80
+    // vectors — a benchmark suite is constant reference data, it does
+    // not grow with the training corpus): inactive at every driver SF,
+    // and it pins the growth sweep to the engine's real cost, linear
+    // corpus × constant benchmark (VERDICT r14 item 4). ----
     QueryDef("dd12_semantic_decontamination",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
+        val isBench = col("vec_id") % 25 === 0 && col("vec_id") < 2000
         graft.llm.Dedup.semanticContamination(
-            emb.filter(col("vec_id") % 25 =!= 0), "vec_id", "embedding",
-            emb.filter(col("vec_id") % 25 === 0), "embedding", threshold = 0.5)
+            emb.filter(!isBench), "vec_id", "embedding",
+            emb.filter(isBench), "embedding", threshold = 0.5)
           .orderBy("vec_id")
       },
-      Some("""WITH bench AS (SELECT embedding AS bvec FROM embeddings WHERE vec_id % 25 = 0),
-             |corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 25 <> 0),
+      Some("""WITH bench AS (SELECT embedding AS bvec FROM embeddings
+             |               WHERE vec_id % 25 = 0 AND vec_id < 2000),
+             |corpus AS (SELECT vec_id, embedding FROM embeddings
+             |           WHERE NOT (vec_id % 25 = 0 AND vec_id < 2000)),
              |m AS (
              |  SELECT c.vec_id,
              |         max(list_cosine_similarity(c.embedding::DOUBLE[], b.bvec::DOUBLE[])) AS ms

@@ -58,24 +58,28 @@ object StreamBench {
       .localCheckpoint()
     val ids = docs.agg(min("doc_id"), max("doc_id")).first()
     val (lo, hi) = (ids.getLong(0), ids.getLong(1))
-    val span = (hi - lo + 1 + nBatches - 1) / nBatches
-    val staging = Files.createTempDirectory("st12-stream-in").toString
-    val known = scala.collection.mutable.Set.empty[String]
-    val mtimeBase = System.currentTimeMillis() - 3600000L
-    for (b <- 0 until nBatches) {
-      docs.filter(col("doc_id") >= lo + b * span && col("doc_id") < lo + (b + 1) * span)
-        .orderBy("doc_id").coalesce(1)
-        .write.mode("append").parquet(staging)
-      // the file source orders new files by mtime: stamp each batch's
-      // part file explicitly so discovery order IS id order
-      for (f <- new File(staging).listFiles
-           if f.getName.startsWith("part-") && known.add(f.getName))
-        f.setLastModified(mtimeBase + b * 60000L)
+    def stageBatches(nb: Int): String = {
+      val span = (hi - lo + 1 + nb - 1) / nb
+      val dir = Files.createTempDirectory(s"st12-stream-in-$nb").toString
+      val known = scala.collection.mutable.Set.empty[String]
+      val mtimeBase = System.currentTimeMillis() - 3600000L
+      for (b <- 0 until nb) {
+        docs.filter(col("doc_id") >= lo + b * span && col("doc_id") < lo + (b + 1) * span)
+          .orderBy("doc_id").coalesce(1)
+          .write.mode("append").parquet(dir)
+        // the file source orders new files by mtime: stamp each batch's
+        // part file explicitly so discovery order IS id order
+        for (f <- new File(dir).listFiles
+             if f.getName.startsWith("part-") && known.add(f.getName))
+          f.setLastModified(mtimeBase + b * 60000L)
+      }
+      dir
     }
+    val staging = stageBatches(nBatches)
     val schema = spark.read.parquet(staging).schema
 
     final case class BatchRow(batch: Long, rows: Long, trigMs: Long,
-                              state: Seq[(String, Long, Long)])
+                              state: Seq[(String, Long, Long, Long)])
     val totalDocs = docs.count()
     // With ProcessingTimeTimeout the engine keeps constructing NO-DATA
     // batches to fire timeouts (the StreamContainmentSpec harness note),
@@ -85,10 +89,11 @@ object StreamBench {
     // (b) recentProgress's 100-entry ring would evict the data batches —
     // progress rows are accumulated incrementally by batchId instead.
     def run(label: String, horizon: Option[String], ttlMs: Option[Long],
-            paceMs: Long, drainMs: Long): (Seq[BatchRow], DataFrame) = {
+            paceMs: Long, drainMs: Long,
+            inDir: String = staging): (Seq[BatchRow], DataFrame) = {
       val ckpt = Files.createTempDirectory(s"st12-ckpt-$label").toString
       val src = spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1").parquet(staging)
+        .option("maxFilesPerTrigger", "1").parquet(inDir)
       val flags = IngestGate.gateStream(spark, src,
         eventTime = horizon.map(_ => "ts"), dedupHorizon = horizon,
         stateTtlMs = ttlMs)
@@ -105,7 +110,8 @@ object StreamBench {
           seen(p.batchId) = BatchRow(p.batchId, p.numInputRows,
             p.durationMs.getOrDefault("triggerExecution", -1L),
             p.stateOperators.toSeq.map(s =>
-              (s.operatorName, s.numRowsTotal, s.memoryUsedBytes)))
+              (s.operatorName, s.numRowsTotal, s.memoryUsedBytes,
+                s.numRowsRemoved)))
           fed += p.numInputRows
         }
         if (fed >= totalDocs && drainUntil < 0)
@@ -118,7 +124,8 @@ object StreamBench {
         seen(p.batchId) = BatchRow(p.batchId, p.numInputRows,
           p.durationMs.getOrDefault("triggerExecution", -1L),
           p.stateOperators.toSeq.map(s =>
-            (s.operatorName, s.numRowsTotal, s.memoryUsedBytes)))
+            (s.operatorName, s.numRowsTotal, s.memoryUsedBytes,
+              s.numRowsRemoved)))
       q.stop()
       (seen.values.toSeq, spark.table(s"flags_$label"))
     }
@@ -133,6 +140,17 @@ object StreamBench {
     val (bnd, bndFlags) = run("bounded", Some("300 seconds"),
       Some(3000L), paceMs = 300, drainMs = 10000L)
 
+    // ---- LONG-HAUL bounded mode (VERDICT r14 item 5): the same TTL'd
+    // gate over 200+ micro-batches — ttl 3 s at 300 ms pace ≈ 10 batches
+    // per TTL window, so the run spans ~20 windows. The claim under test:
+    // occupant state OSCILLATES around its plateau (evictions per batch
+    // balance admissions) rather than creeping — a creep would mean the
+    // TTL leaks state and an always-on gate eventually OOMs. ----
+    val longBatches = args.lift(3).map(_.toInt).getOrElse(200)
+    val longStaging = stageBatches(longBatches)
+    val (lng, lngFlags) = run("longhaul", Some("300 seconds"),
+      Some(3000L), paceMs = 300, drainMs = 10000L, inDir = longStaging)
+
     // ---- stream ≡ batch on this corpus (unbounded mode) ----
     val quality = TextAnalysis.gopherRules(docs, "text")
       .filter(col("gopher_pass")).select(col("doc_id"), col("text"))
@@ -145,9 +163,10 @@ object StreamBench {
     val exactN = exact.count()
     val admittedBatchN = IngestGate.admittedBatch(docs, "doc_id", "text").count()
 
-    def stateJson(s: Seq[(String, Long, Long)]): String =
-      s.map { case (op, r, b) =>
-        s"""{"op":"$op","rows":$r,"bytes":$b}""" }.mkString("[", ",", "]")
+    def stateJson(s: Seq[(String, Long, Long, Long)]): String =
+      s.map { case (op, r, b, rm) =>
+        s"""{"op":"$op","rows":$r,"bytes":$b,"removed":$rm}""" }
+        .mkString("[", ",", "]")
     def runJson(rows: Seq[BatchRow], flags: DataFrame): String = {
       val perBatch = rows.map(r =>
         s"""{"batch":${r.batch},"rows":${r.rows},"trigger_ms":${r.trigMs},""" +
@@ -156,7 +175,22 @@ object StreamBench {
       val finalRows = rows.lastOption.map(_.state.map(_._2).sum).getOrElse(0L)
       s"""{"batches":$perBatch,"flag_events":${flags.count()},""" +
       s""""flagged_docs":${flags.select("doc").distinct().count()},""" +
-      s""""peak_state_rows_one_op":$peak,"final_state_rows_total":$finalRows}"""
+      s""""peak_state_rows_one_op":$peak,"final_state_rows_total":$finalRows,""" +
+      s""""total_evictions":${rows.flatMap(_.state.map(_._4)).sum}}"""
+    }
+    /** Oscillation-vs-creep summary: total state rows per batch, split
+      * into quarters AFTER the warmup quarter — a healthy TTL plateau
+      * shows roughly flat quarter means; creep shows a monotone climb. */
+    def plateauJson(rows: Seq[BatchRow]): String = {
+      val totals = rows.map(_.state.map(_._2).sum)
+      val warm = totals.drop(totals.size / 4)
+      val q = warm.size / 4 max 1
+      val quarters = warm.grouped(q).take(4)
+        .map(g => g.sum / g.size.max(1)).toSeq
+      val evictingBatches = rows.count(_.state.map(_._4).sum > 0)
+      s"""{"post_warmup_quarter_mean_state_rows":${quarters.mkString("[", ",", "]")},""" +
+      s""""max_state_rows_total":${totals.maxOption.getOrElse(0L)},""" +
+      s""""batches_with_evictions":$evictingBatches,"n_batches":${rows.size}}"""
     }
 
     val json =
@@ -164,6 +198,8 @@ object StreamBench {
          |"corpus":{"docs":${docs.count()},"quality_pass":${quality.count()},"exact_survivors":$exactN,"admitted_batch_twin":$admittedBatchN},
          |"unbounded":${runJson(unb, unbFlags)},
          |"bounded_horizon300s_ttl3s":${runJson(bnd, bndFlags)},
+         |"bounded_longhaul_${longBatches}batches_ttl3s":${runJson(lng, lngFlags)},
+         |"longhaul_plateau":${plateauJson(lng)},
          |"stream_equals_batch":{"stream_flagged_docs":${streamSet.size},"batch_flagged_docs":${batchSet.size},"sets_equal":${streamSet == batchSet}}}""".stripMargin
     Files.write(Paths.get(outJson), json.getBytes(StandardCharsets.UTF_8))
     println(json)

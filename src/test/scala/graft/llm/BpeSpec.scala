@@ -75,4 +75,30 @@ class BpeSpec extends SparkSpecBase {
     val m = Bpe.learnMerges(docs, "text", nMerges = 1)
     assert(m.head === Bpe.Merge(1, "x", "y", "xy", 5L))
   }
+  test("learnMergesLocal is bit-identical to the distributed per-rank loop") {
+    // the real testdata corpus (31-word vocab -> early exhaustion is part
+    // of the contract): EVERY merge must agree, including the stop point
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dist = Bpe.learnMerges(docs, "text", nMerges = 12)
+    val local = Bpe.learnMergesLocal(docs, "text", nMerges = 12)
+    assert(local === dist)
+    // overlap + tie corpus: the fold/tie-break edge cases
+    val s = spark; import s.implicits._
+    val tricky = Seq((1L, "aaa aaaa ab ba"), (2L, "abab baba aa")).toDF("doc_id", "text")
+    assert(Bpe.learnMergesLocal(tricky, "text", 20) ===
+      Bpe.learnMerges(tricky, "text", 20))
+  }
+
+  test("learnMergesLocal: early exhaustion and vocab/encode compatibility") {
+    val s = spark; import s.implicits._
+    val docs = Seq((1L, "aa ab"), (2L, "aa")).toDF("doc_id", "text")
+    val m = Bpe.learnMergesLocal(docs, "text", nMerges = 1000)
+    assert(m.map(x => (x.rank, x.a, x.b, x.merged, x.cnt)) ===
+      Seq((1, "a", "a", "aa", 2L), (2, "a", "b", "ab", 1L)))
+    // the local merges drive encode/vocabulary exactly like distributed ones
+    val enc = Bpe.encode(docs, "doc_id", "text", m).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(enc(1L) === ((2L, 2L))) // "aa","ab" both single tokens
+    assert(enc(2L) === ((1L, 1L)))
+  }
 }

@@ -276,6 +276,61 @@ def make_mm4():
     print("mm4 rows:", len(recs))
 
 
+def make_tok4(n_merges=1000):
+    """Independent BPE trainer for tok4_bpe_1k: full pair recount per
+    round (the engine uses an incremental pair index — different
+    algorithm shape, same contract): overlapping weighted adjacent-pair
+    counts over the (word, freq) table, winner by (cnt DESC, a, b) with
+    ties compared as UTF-8 BYTES (Spark StringType binary order), greedy
+    left-to-right fold where the produced token becomes the new left
+    neighbor, early stop when no pairs remain."""
+    import re
+    recs = []
+    for sf in SFS:
+        # documents has the SAME row count at sf0.001 and sf0.01 (different
+        # content) — slice key is sum(n_chars), the mm3/mm4 convention
+        n = con.execute(
+            f"SELECT sum(n_chars) FROM read_parquet('{sf}/documents.parquet')"
+        ).fetchone()[0]
+        docs = con.execute(
+            f"SELECT text FROM read_parquet('{sf}/documents.parquet')"
+            " WHERE text IS NOT NULL").fetchall()
+        freq = {}
+        for (text,) in docs:
+            for w in re.findall(r'[^ \t\n\r\f]+', text.lower()):
+                freq[w] = freq.get(w, 0) + 1
+        words = {w: list(w) for w in freq}  # list(str) = code points
+        for rank in range(1, n_merges + 1):
+            counts = {}
+            for w, toks in words.items():
+                f = freq[w]
+                for i in range(len(toks) - 1):
+                    p = (toks[i], toks[i + 1])
+                    counts[p] = counts.get(p, 0) + f
+            if not counts:
+                break
+            (a, b), cnt = min(
+                counts.items(),
+                key=lambda kv: (-kv[1], kv[0][0].encode('utf-8'),
+                                kv[0][1].encode('utf-8')))
+            recs.append((n, rank, a, b, a + b, cnt))
+            merged = a + b
+            for w, toks in words.items():
+                nt = [toks[0]]
+                for t in toks[1:]:
+                    if nt[-1] == a and t == b:
+                        nt[-1] = merged
+                    else:
+                        nt.append(t)
+                words[w] = nt
+    con.execute("""CREATE OR REPLACE TABLE tok4(
+        sf_key BIGINT, merge_rank INTEGER, a VARCHAR, b VARCHAR,
+        merged VARCHAR, cnt BIGINT)""")
+    con.executemany("INSERT INTO tok4 VALUES (?, ?, ?, ?, ?, ?)", recs)
+    con.execute(f"COPY tok4 TO '{OUT}/tok4_bpe_merges.parquet' (FORMAT PARQUET)")
+    print("tok4 rows:", len(recs))
+
+
 if __name__ == "__main__":
     make_f4()
     make_e2e_endpoint()
@@ -283,3 +338,4 @@ if __name__ == "__main__":
     make_e2e_envelope()
     make_mm3()
     make_mm4()
+    make_tok4()
