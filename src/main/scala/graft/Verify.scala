@@ -13,6 +13,12 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // bounded-buffer typed aggregates (TopKAgg/MinKByAgg) group by
+      // corpus-sized keys: the 128-key default silently flips
+      // ObjectHashAggregate to sort-based, paying a map-side sort of
+      // the whole input (measured 2.7x on the pair summaries); buffers
+      // are <= k rows per group, so hash aggregation is safe
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "2000000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -558,8 +558,11 @@ object Dedup {
               col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("id1"), col("b.doc").as("id2"),
               bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("dist"))
-      .distinct()
+      // dist is a pure function of the pair, so filtering BEFORE the
+      // distinct is identical — and the dedup shuffle then carries only
+      // pairs inside the distance band, not every chunk collision
       .filter(col("dist") <= maxDist)
+      .distinct()
   }
 
   /** [[simhashCandidates]] over the PORTABLE 60-bit fingerprint
@@ -571,24 +574,33 @@ object Dedup {
     * the fast path's: 4 chunks GUARANTEE any pair within distance 3 shares
     * a chunk; above that the chunk share is heuristic (same posture as
     * dd4's maxDist=10). */
-  def simhashCandidatesPortable(df: DataFrame, id: String, text: String,
-                                maxDist: Int = 10): DataFrame = {
-    // checkpointed: the chunk self-join otherwise rebuilds the md5
-    // fingerprint aggregate once per join side
-    val fp = simhashPortable(df, id, text).ckpt()
-    val chunked = fp.select(col(id).as("doc"), col("simhash"),
+  /** The 4 × 15-bit pigeonhole chunks of the portable 60-bit fingerprint
+    * — ONE definition shared by [[simhashCandidatesPortable]] and
+    * [[simhashDiagnostics]] (and mirrored by their oracles' `(simhash >>
+    * (c*15)) & 32767`). */
+  private def simhashChunks15(fp: DataFrame, id: String): DataFrame =
+    fp.select(col(id).as("doc"), col("simhash"),
       explode(array((0 until 4).map { c =>
         struct(lit(c).as("chunk"),
           shiftright(col("simhash"), c * 15).bitwiseAND(0x7FFFL).as("ckey"))
       }: _*)).as("cc"))
       .select(col("doc"), col("simhash"), col("cc.chunk"), col("cc.ckey"))
+
+  def simhashCandidatesPortable(df: DataFrame, id: String, text: String,
+                                maxDist: Int = 10): DataFrame = {
+    // checkpointed: the chunk self-join otherwise rebuilds the md5
+    // fingerprint aggregate once per join side
+    val fp = simhashPortable(df, id, text).ckpt()
+    val chunked = simhashChunks15(fp, id)
     val a = chunked.as("a"); val b = chunked.as("b")
     a.join(b, col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") &&
               col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("id1"), col("b.doc").as("id2"),
               bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("dist"))
-      .distinct()
+      // filter-before-distinct: identical set (dist is pair-determined),
+      // but the dedup shuffle carries only in-band pairs
       .filter(col("dist") <= maxDist)
+      .distinct()
   }
 
   /** DuckDB SQL producing [[simhashCandidatesPortable]]'s (id1, id2, dist)
@@ -606,6 +618,59 @@ object Dedup {
        |FROM chunks a JOIN chunks b
        |  ON a.c = b.c AND a.ckey = b.ckey AND a.doc < b.doc
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxDist""".stripMargin
+  }
+
+  /** SimHash banding health probe — the containmentDiagnostics (dd23)
+    * posture for the Hamming tier. Before enumerating chunk-bucket pairs,
+    * a caller (or an operator gate) asks whether the fingerprint space is
+    * SATURATED for this corpus: per-(chunk, bucket) occupancy gives the
+    * EXACT number of raw pair enumerations the chunk join will perform
+    * (Σ n·(n−1)/2), at the cost of one aggregate over 4·n rows — no pair
+    * is ever materialized. In a heavy-tail vocabulary the dominant words
+    * drive every document's sign bits the same way, fingerprints cluster,
+    * and the measured zipf-1× corpus puts 4.6% of ALL doc pairs within
+    * Hamming 10 (58M candidates from 50k docs) — a regime where
+    * distance-10 "near-dup evidence" is corpus-generic, not duplication,
+    * and the right move is a smaller maxDist or the dd6 component path.
+    * `saturated` flags bucket_pairs/doc above `pairBudgetPerDoc`.
+    *
+    * Output (one row): n_docs, n_distinct_fp, bucket_pairs, max_bucket,
+    * pairs_per_doc (4dp), saturated. Every value replays in DuckDB
+    * ([[simhashDiagnosticsOracleSql]]). */
+  def simhashDiagnostics(df: DataFrame, id: String, text: String,
+                         pairBudgetPerDoc: Double = 100.0): DataFrame = {
+    val fp = simhashPortable(df, id, text).ckpt()
+    val buckets = simhashChunks15(fp, id)
+      .groupBy("chunk", "ckey").agg(count(lit(1)).as("n"))
+    val fpAgg = fp.agg(count(lit(1)).as("n_docs"),
+      countDistinct(col("simhash")).as("n_distinct_fp"))
+    val bAgg = buckets.agg(
+      sum((col("n") * (col("n") - 1) / 2).cast("long")).as("bucket_pairs"),
+      max(col("n")).as("max_bucket"))
+    fpAgg.crossJoin(bAgg).select(
+      col("n_docs"), col("n_distinct_fp"), col("bucket_pairs"), col("max_bucket"),
+      round(col("bucket_pairs") / col("n_docs"), 4).as("pairs_per_doc"),
+      (col("bucket_pairs") / col("n_docs") > pairBudgetPerDoc).as("saturated"))
+  }
+
+  /** DuckDB twin of [[simhashDiagnostics]]. */
+  def simhashDiagnosticsOracleSql(table: String, id: String, text: String,
+                                  pairBudgetPerDoc: Double = 100.0): String = {
+    val fpSql = simhashPortableOracleSql(table, id, text)
+    s"""WITH fps AS ($fpSql),
+       |chunks AS (
+       |  SELECT $id AS doc, simhash, cc.c,
+       |         (simhash >> (cc.c * 15)) & 32767 AS ckey
+       |  FROM fps CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS c) cc),
+       |b AS (SELECT c, ckey, count(*) AS n FROM chunks GROUP BY 1, 2),
+       |s AS (SELECT sum(n * (n - 1) // 2)::BIGINT AS bucket_pairs,
+       |             max(n)::BIGINT AS max_bucket FROM b),
+       |d AS (SELECT count(*)::BIGINT AS n_docs,
+       |             count(DISTINCT simhash)::BIGINT AS n_distinct_fp FROM fps)
+       |SELECT d.n_docs, d.n_distinct_fp, s.bucket_pairs, s.max_bucket,
+       |       round(s.bucket_pairs / (d.n_docs * 1.0), 4) AS pairs_per_doc,
+       |       s.bucket_pairs / (d.n_docs * 1.0) > $pairBudgetPerDoc AS saturated
+       |FROM d, s""".stripMargin
   }
 
   /** Output-bounded per-doc summary of a symmetric candidate/pair listing
@@ -634,9 +699,16 @@ object Dedup {
   def pairTopKPerDoc(pairs: DataFrame, id1: String, id2: String,
                      ord: Column, k: Int = 5): DataFrame = {
     val others = pairs.columns.filterNot(c => c == id1 || c == id2)
-    def side(d: String, p: String) =
-      pairs.select(col(d).as("doc") +: col(p).as("partner") +: others.map(col): _*)
-    val sym = side(id1, id2).unionByName(side(id2, id1))
+    // symmetrize with a GENERATOR, not a self-union: a union would
+    // reference the pair set on both branches and Spark does not share
+    // subplans across union arms — the entire candidate enumeration
+    // (bucket join + distinct) re-ran per branch (measured ~2x on the
+    // zipf-1x SimHash candidates). explode doubles rows in the same scan.
+    def sideStruct(d: String, p: String) =
+      struct(col(d).as("doc") +: col(p).as("partner") +: others.map(col): _*)
+    val sym = pairs
+      .select(explode(array(sideStruct(id1, id2), sideStruct(id2, id1))).as("s"))
+      .select(col("s.*"))
     val mink = udaf(new MinKByAgg(k))
     sym
       .select(col("doc"), col("partner"), ord.as("__ord"))

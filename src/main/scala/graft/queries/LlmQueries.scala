@@ -487,11 +487,18 @@ object LlmQueries {
     // dd4's unbounded listing is quadratic BY CONTRACT (71.5 M rows at
     // gen-1x, bench tail = sorting the answer); this is the linear-output
     // form, bounded by a per-partition heap BEFORE any sort, and — unlike
-    // dd4 — hash-green end-to-end via the md5 fingerprint family. ----
+    // dd4 — hash-green end-to-end via the md5 fingerprint family.
+    // maxDist = 3, NOT dd4's heuristic 10: with 4 chunks the pigeonhole
+    // makes recall EXACT at ≤ 3 (every such pair shares a chunk), and in
+    // a heavy-tail vocabulary dist 10 is corpus-generic closeness, not
+    // duplication — dd4d measures that saturation (4.6% of ALL pairs
+    // within dist 10 at zipf-1×; within dist 3 only the real copy
+    // clusters survive, and runtime scales ~linearly: 5.6× on 10×
+    // data while the cluster-driven pair mass itself grows 102×). ----
     QueryDef("dd4c_simhash_topk_per_doc",
       (s, d) => {
         val cands = Dedup.simhashCandidatesPortable(t(s, d, "documents"),
-          "doc_id", "text", maxDist = 10)
+          "doc_id", "text", maxDist = 3)
         Dedup.pairTopKPerDoc(cands, "id1", "id2",
             ord = col("dist").cast("double"), k = 5)
           .select(col("doc").as("doc_id"), col("n_candidates"), col("rank"),
@@ -500,9 +507,22 @@ object LlmQueries {
       },
       Some(Dedup.pairTopKPerDocOracleSql(
         Dedup.simhashCandidatesPortableOracleSql("documents", "doc_id", "text",
-          maxDist = 10),
+          maxDist = 3),
         docAlias = "doc_id", orderSql = "dist", k = 5,
         extraCols = Seq("dist"), extraSelect = ", dist::INT AS dist"))),
+
+    // ---- SimHash banding health probe (the dd23 posture for the Hamming
+    // tier): exact raw-pair count the chunk join would enumerate, from
+    // one bucket-occupancy aggregate — the question a 100 TB caller asks
+    // BEFORE running dd4/dd4c. Heavy-tail vocabularies saturate the
+    // fingerprint space (dominant words drive every doc's sign bits the
+    // same way: measured 4.6% of ALL pairs within Hamming 10 at zipf-1×)
+    // and this row says so without materializing a pair. ----
+    QueryDef("dd4d_simhash_diagnostics",
+      (s, d) => Dedup.simhashDiagnostics(t(s, d, "documents"), "doc_id", "text",
+        pairBudgetPerDoc = 100.0),
+      Some(Dedup.simhashDiagnosticsOracleSql("documents", "doc_id", "text",
+        pairBudgetPerDoc = 100.0))),
 
     // ---- word-3-gram Jaccard verify over LSH candidates, thresholded at
     // 0.5 (rows-only: xxhash64 grams). The sketch prefilter discards the

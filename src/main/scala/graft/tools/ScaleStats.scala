@@ -24,6 +24,12 @@ object ScaleStats {
     val label = args.lift(1).getOrElse(sfDir)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      // bounded-buffer typed aggregates (TopKAgg/MinKByAgg) group by
+      // corpus-sized keys: the 128-key default silently flips
+      // ObjectHashAggregate to sort-based, paying a map-side sort of
+      // the whole input (measured 2.7x on the pair summaries); buffers
+      // are <= k rows per group, so hash aggregation is safe
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "2000000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
