@@ -20,6 +20,61 @@ object LlmQueries {
 
   private def t(s: SparkSession, d: String, n: String) = Tables.table(s, d, n)
 
+  /** Synthetic coordinates shared by the geo tier (geo1/geo2). Every 7th
+    * point sits ON the ±180° anti-meridian seam: even multiples of 35
+    * just west of +180, odd multiples just east of −180, lat pinned to a
+    * 0.2° band — so straddling pairs (e.g. custkeys 0↔35, ~25 km apart
+    * across the seam) exist at every scale factor and exercise GeoJoin's
+    * ring-wrapped lon cells. All literals double on BOTH engines
+    * (::DOUBLE in [[geoCandsSql]]) so the coordinate chains are
+    * bit-identical (the ts19 decimal-literal lesson). */
+  private def geoPts(s: SparkSession, d: String): DataFrame =
+    Tables.table(s, d, "customer")
+      .filter(col("c_custkey") % 5 === 0)
+      .select(col("c_custkey"),
+        when(col("c_custkey") % 7 === 0,
+          lit(40.0) + (col("c_custkey") * 7919 % 200) / 1000.0)
+          .otherwise(lit(40.0) + (col("c_custkey") * 7919 % 4000) / 1000.0)
+          .as("lat"),
+        when(col("c_custkey") % 70 === 0,
+          lit(179.82) + (col("c_custkey") * 104729 % 160) / 1000.0)
+          .when(col("c_custkey") % 7 === 0,
+            lit(-180.0) + (col("c_custkey") * 104729 % 160) / 1000.0)
+          .otherwise(lit(-74.0) + (col("c_custkey") * 104729 % 4000) / 1000.0)
+          .as("lon"))
+
+  /** The brute-force n² oracle of [[geoPts]]'s 40 km proximity pairs:
+    * (id1, id2, km) with km 4dp-rounded, membership on the unrounded
+    * distance — exactly GeoJoin.withinDistance's output contract. Used
+    * whole by geo1 and as the cands CTE body of geo2 (DuckDB accepts a
+    * WITH inside a CTE body). */
+  private val geoCandsSql: String =
+    """WITH pts AS (
+      |  SELECT c_custkey,
+      |         CASE WHEN c_custkey % 7 = 0
+      |           THEN 40.0::DOUBLE + (c_custkey * 7919 % 200) / 1000.0::DOUBLE
+      |           ELSE 40.0::DOUBLE + (c_custkey * 7919 % 4000) / 1000.0::DOUBLE
+      |         END AS lat,
+      |         CASE WHEN c_custkey % 70 = 0
+      |           THEN 179.82::DOUBLE + (c_custkey * 104729 % 160) / 1000.0::DOUBLE
+      |           WHEN c_custkey % 7 = 0
+      |           THEN -180.0::DOUBLE + (c_custkey * 104729 % 160) / 1000.0::DOUBLE
+      |           ELSE -74.0::DOUBLE + (c_custkey * 104729 % 4000) / 1000.0::DOUBLE
+      |         END AS lon
+      |  FROM customer WHERE c_custkey % 5 = 0),
+      |pairs AS (
+      |  SELECT a.c_custkey AS id1, b.c_custkey AS id2,
+      |         6371.0 * 2.0 * atan2(sqrt(
+      |             pow(sin(radians(b.lat - a.lat) / 2), 2)
+      |           + cos(radians(a.lat)) * cos(radians(b.lat))
+      |           * pow(sin(radians(b.lon - a.lon) / 2), 2)),
+      |           sqrt(1.0 - (pow(sin(radians(b.lat - a.lat) / 2), 2)
+      |           + cos(radians(a.lat)) * cos(radians(b.lat))
+      |           * pow(sin(radians(b.lon - a.lon) / 2), 2)))) AS km
+      |  FROM pts a JOIN pts b ON a.c_custkey < b.c_custkey)
+      |SELECT id1, id2, round(km, 4) AS km
+      |FROM pairs WHERE km <= 40.0""".stripMargin
+
   /** dd6 and dd6b both key off the SAME component labeling (clusters, then
     * one survivor per cluster): memoized via [[QueryMemo]] — whichever
     * runs first pays for candidate generation + large-star/small-star. */
@@ -2345,57 +2400,37 @@ object LlmQueries {
     // haversine verify — Σ cell² candidates, never n²; oracle = the
     // brute-force n² distance filter over the same synthesized coords ----
     QueryDef("geo1_proximity_join",
+      (s, d) =>
+        // coords shared with geo2 via [[geoPts]]/[[geoCandsSql]]; see
+        // those for the anti-meridian seam + double-literal notes
+        graft.operators.GeoJoin.withinDistance(
+            geoPts(s, d), "c_custkey", "lat", "lon", 40.0)
+          .orderBy("id1", "id2"),
+      Some(geoCandsSql + "\nORDER BY id1, id2")),
+
+    // ---- geo2: output-bounded geo evidence (the dd3e/dd4c/sim4c posture
+    // lifted to the spatial tier): per point, its in-radius partner count
+    // plus the k = 3 NEAREST partners by (4dp-rounded km, partner) — one
+    // row per (point, rank), ≤ k·n output no matter how dense the radius
+    // ball. geo1's full listing is output-bound BY CONTRACT (a fixed
+    // 40 km box densifies quadratically as points pour in: 100.6× output
+    // on 10× data in the r14 sweep) — this is the form a 100 TB caller
+    // runs instead. Same Σ cell² grid candidates; the bound is the
+    // bounded-heap aggregate BEFORE any global sort, and ranking on the
+    // ROUNDED km (already hash-proven cross-engine by geo1) keeps the
+    // heap order libm-independent. ----
+    QueryDef("geo2_knn_within_radius",
       (s, d) => {
-        // every 7th point sits ON the ±180° anti-meridian seam: even
-        // multiples of 35 just west of +180, odd multiples just east of
-        // −180, lat pinned to a 0.2° band — so straddling pairs (e.g.
-        // custkeys 0↔35, ~25 km apart across the seam) exist at every
-        // scale factor. Exercises GeoJoin's ring-wrapped lon cells; the
-        // brute n² oracle finds those pairs for free since haversine is
-        // 360°-periodic in Δlon. All literals double on BOTH engines
-        // (::DOUBLE in the SQL) so the coordinate chains are bit-identical
-        // (the ts19 decimal-literal lesson).
-        val pts = Tables.table(s, d, "customer")
-          .filter(col("c_custkey") % 5 === 0)
-          .select(col("c_custkey"),
-            when(col("c_custkey") % 7 === 0,
-              lit(40.0) + (col("c_custkey") * 7919 % 200) / 1000.0)
-              .otherwise(lit(40.0) + (col("c_custkey") * 7919 % 4000) / 1000.0)
-              .as("lat"),
-            when(col("c_custkey") % 70 === 0,
-              lit(179.82) + (col("c_custkey") * 104729 % 160) / 1000.0)
-              .when(col("c_custkey") % 7 === 0,
-                lit(-180.0) + (col("c_custkey") * 104729 % 160) / 1000.0)
-              .otherwise(lit(-74.0) + (col("c_custkey") * 104729 % 4000) / 1000.0)
-              .as("lon"))
-        graft.operators.GeoJoin.withinDistance(pts, "c_custkey", "lat", "lon", 40.0)
-          .orderBy("id1", "id2")
+        val pairs = graft.operators.GeoJoin.withinDistance(
+          geoPts(s, d), "c_custkey", "lat", "lon", 40.0)
+        Dedup.pairTopKPerDoc(pairs, "id1", "id2", ord = col("km"), k = 3)
+          .select(col("doc").as("c_custkey"), col("n_candidates"),
+            col("rank"), col("partner"), col("ord").as("km"))
+          .orderBy("c_custkey", "rank")
       },
-      Some("""WITH pts AS (
-             |  SELECT c_custkey,
-             |         CASE WHEN c_custkey % 7 = 0
-             |           THEN 40.0::DOUBLE + (c_custkey * 7919 % 200) / 1000.0::DOUBLE
-             |           ELSE 40.0::DOUBLE + (c_custkey * 7919 % 4000) / 1000.0::DOUBLE
-             |         END AS lat,
-             |         CASE WHEN c_custkey % 70 = 0
-             |           THEN 179.82::DOUBLE + (c_custkey * 104729 % 160) / 1000.0::DOUBLE
-             |           WHEN c_custkey % 7 = 0
-             |           THEN -180.0::DOUBLE + (c_custkey * 104729 % 160) / 1000.0::DOUBLE
-             |           ELSE -74.0::DOUBLE + (c_custkey * 104729 % 4000) / 1000.0::DOUBLE
-             |         END AS lon
-             |  FROM customer WHERE c_custkey % 5 = 0),
-             |pairs AS (
-             |  SELECT a.c_custkey AS id1, b.c_custkey AS id2,
-             |         6371.0 * 2.0 * atan2(sqrt(
-             |             pow(sin(radians(b.lat - a.lat) / 2), 2)
-             |           + cos(radians(a.lat)) * cos(radians(b.lat))
-             |           * pow(sin(radians(b.lon - a.lon) / 2), 2)),
-             |           sqrt(1.0 - (pow(sin(radians(b.lat - a.lat) / 2), 2)
-             |           + cos(radians(a.lat)) * cos(radians(b.lat))
-             |           * pow(sin(radians(b.lon - a.lon) / 2), 2)))) AS km
-             |  FROM pts a JOIN pts b ON a.c_custkey < b.c_custkey)
-             |SELECT id1, id2, round(km, 4) AS km
-             |FROM pairs WHERE km <= 40.0 ORDER BY id1, id2""".stripMargin)),
+      Some(Dedup.pairTopKPerDocOracleSql(
+        geoCandsSql, docAlias = "c_custkey", orderSql = "km", k = 3,
+        extraCols = Seq("km"), extraSelect = ", km"))),
 
     // ---- ov1: interval-OVERLAP join (interval×interval, binned to an
     // equi-join + residual filter — never a nested loop): each order's

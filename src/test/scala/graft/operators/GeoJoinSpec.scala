@@ -67,4 +67,31 @@ class GeoJoinSpec extends SparkSpecBase {
     val coords = cloud.collect().map(r0 => r0.getLong(0) -> r0.getDouble(2)).toMap
     assert(brute.exists { case (i, j) => coords(i) * coords(j) < 0 })
   }
+
+  test("kNN-within-radius (pairTopKPerDoc over the grid join) equals window ranking") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(23)
+    val pts = (1L to 200L).map(i =>
+      (i, 40.0 + rnd.nextDouble() * 2, -74.0 + rnd.nextDouble() * 2))
+      .toDF("id", "lat", "lon")
+    val pairs = GeoJoin.withinDistance(pts, "id", "lat", "lon", 30.0)
+    val got = graft.llm.Dedup.pairTopKPerDoc(pairs, "id1", "id2", ord = col("km"), k = 3)
+      .select("doc", "n_candidates", "rank", "partner", "ord")
+      .as[(Long, Long, Int, Long, Double)].collect().toSet
+    // reference: symmetrize + rank by (km, partner) with a plain window —
+    // the single-sort form the bounded heap must reproduce exactly
+    val sym = pairs.select(col("id1").as("doc"), col("id2").as("partner"), col("km"))
+      .union(pairs.select(col("id2").as("doc"), col("id1").as("partner"), col("km")))
+    val exp = sym
+      .withColumn("n_candidates", count(lit(1)).over(Window.partitionBy("doc")))
+      .withColumn("rank",
+        row_number().over(Window.partitionBy("doc").orderBy(col("km"), col("partner"))))
+      .filter(col("rank") <= 3)
+      .select(col("doc"), col("n_candidates"), col("rank").cast("int"),
+        col("partner"), col("km"))
+      .as[(Long, Long, Int, Long, Double)].collect().toSet
+    assert(exp.nonEmpty)
+    assert(got === exp)
+  }
 }

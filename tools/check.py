@@ -18,8 +18,11 @@ RUN_VERIFY = "--no-verify" not in sys.argv
 ONLY = [a for a in sys.argv[3:] if not a.startswith("--")]
 
 if RUN_VERIFY:
+    # forward any requested names so Verify dumps ONLY those (a full
+    # 240+-query dump costs ~15 min at sf0.01; targeted iteration doesn't)
+    names = " " + " ".join(ONLY) if ONLY else ""
     r = subprocess.run(
-        ["sbt", "-batch", f'runMain graft.Verify {SF} {OUT}'],
+        ["sbt", "-batch", f'runMain graft.Verify {SF} {OUT}{names}'],
         cwd="/root/repo", capture_output=True, text=True, timeout=1800)
     tail = (r.stdout + r.stderr)[-3000:]
     if r.returncode != 0:
