@@ -278,6 +278,57 @@ object Bpe {
       .agg(count(lit(1)).as("n_words"), sum("n_toks").cast("long").as("n_tokens"))
   }
 
+  /** [[encode]] with the merge fold run as a PER-PARTITION KERNEL over
+    * the broadcast merge list — the scale path for REAL merge counts.
+    * [[encode]]'s k chained `applyMerge` column folds are interpreted
+    * higher-order expressions: at k = 8 they are the right declarative
+    * shape, but a production tokenizer ships 1k-100k merges and the
+    * expression tree (and its per-row interpretation cost) grows with k.
+    * Here the distinct-word frame maps through a plain Scala loop
+    * applying the SAME greedy fold ([[applyMergeLocal]], the algebra
+    * BpeSpec pins ≡ [[applyMerge]]) rank by rank, with the merge table —
+    * model-sized driver state, the Lloyd's-centroid pattern — broadcast
+    * once per executor instead of inlined per expression. A merge (a, b)
+    * can only fire if its output `a+b` is a contiguous substring of the
+    * word (BPE tokens are contiguous substrings), so each rank first
+    * runs that cheap gate and most of the merge list costs one
+    * `indexOf` per word. Downstream is identical to [[encode]]: only
+    * the broadcast (word, n_toks) map meets the exploded text — the
+    * corpus never shuffles.
+    *
+    * Same-corpus identity: encoding with merges TRAINED on this corpus
+    * reproduces training's final tokenization word for word (each round
+    * of training applies its winner to every word, and per-word the
+    * rank-ordered fold is independent of other words) — tok5's fixture
+    * oracle pins exactly that end-to-end. */
+  def encodeFrozen(docs: DataFrame, id: String, text: String,
+                   merges: Seq[Merge]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs.select(col(id),
+      explode(regexp_extract_all(lower(col(text)), lit(wordRe), lit(0))).as("word"))
+    val bc = spark.sparkContext.broadcast(
+      merges.map(m => (m.a, m.b, m.merged)).toArray)
+    val vocab = words.select("word").distinct().as[String]
+      .mapPartitions { it =>
+        val ms = bc.value
+        it.map { w =>
+          var toks: Array[String] = w.codePoints().toArray
+            .map(cp => new String(Character.toChars(cp)))
+          var i = 0
+          while (i < ms.length && toks.length > 1) {
+            val (a, b, merged) = ms(i)
+            if (w.contains(merged)) toks = applyMergeLocal(toks, a, b, merged)
+            i += 1
+          }
+          (w, toks.length)
+        }
+      }.toDF("word", "n_toks")
+    words.join(broadcast(vocab), "word")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_words"), sum("n_toks").cast("long").as("n_tokens"))
+  }
+
   /** The trained vocabulary: every surviving token with its total corpus
     * occurrence count — the artifact a tokenizer ships alongside its
     * merge list. Same vocab-sized fold as [[encode]]; the corpus is

@@ -1120,6 +1120,26 @@ object LlmQueries {
              |WHERE sf_key = (SELECT sum(n_chars) FROM documents)
              |ORDER BY merge_rank""".stripMargin)),
 
+    // ---- corpus ENCODING with the 1k-merge model (closing tok4's loop:
+    // a trained tokenizer exists to be applied): per-doc word/BPE-token
+    // counts under the tok4 model, via the broadcast-kernel fold over
+    // distinct words (Bpe.encodeFrozen) — tok2's expression-fold shape
+    // is right at 8 merges and wrong at 1,000+ (the tree and its
+    // interpreted per-row cost grow with k; the kernel pays one
+    // substring gate per rank instead). Oracle = the SAME independent
+    // Python BPE that pins tok4, extended to re-encode each document
+    // with its trained model (make_fixtures.make_tok5), sf-sliced by
+    // sum(n_chars); kernel ≡ expression-fold is additionally spec-pinned
+    // at k = 8 in BpeSpec. ----
+    QueryDef("tok5_bpe_encode_1k",
+      (s, d) => Bpe.encodeFrozen(t(s, d, "documents"), "doc_id", "text",
+          Bpe.learnMergesLocal(t(s, d, "documents"), "text", nMerges = 1000))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, n_words, n_tokens
+             |FROM read_parquet('/root/repo/fixtures/tok5_bpe_encode.parquet')
+             |WHERE sf_key = (SELECT sum(n_chars) FROM documents)
+             |ORDER BY doc_id""".stripMargin)),
+
     // ---- document fingerprinting ----
     QueryDef("ts4_fingerprint",
       (s, d) => t(s, d, "documents")

@@ -101,4 +101,21 @@ class BpeSpec extends SparkSpecBase {
     assert(enc(1L) === ((2L, 2L))) // "aa","ab" both single tokens
     assert(enc(2L) === ((1L, 1L)))
   }
+
+  test("encodeFrozen kernel is bit-identical to the expression-fold encode") {
+    def pin(docs: org.apache.spark.sql.DataFrame, k: Int): Unit = {
+      val m = Bpe.learnMergesLocal(docs, "text", nMerges = k)
+      val expr = Bpe.encode(docs, "doc_id", "text", m).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val kern = Bpe.encodeFrozen(docs, "doc_id", "text", m).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(kern === expr)
+      assert(expr.nonEmpty)
+    }
+    // the real corpus at the expression path's home size (k = 8)...
+    pin(spark.read.parquet("/root/testdata/sf0.001/documents.parquet"), 8)
+    // ...and the overlap/tie corpus where greedy-fold order matters
+    val s = spark; import s.implicits._
+    pin(Seq((1L, "aaa aaaa ab ba"), (2L, "abab baba aa")).toDF("doc_id", "text"), 20)
+  }
 }

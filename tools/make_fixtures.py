@@ -331,6 +331,62 @@ def make_tok4(n_merges=1000):
     print("tok4 rows:", len(recs))
 
 
+def make_tok5(n_merges=1000):
+    """Per-doc encoding under the tok4 model, for tok5_bpe_encode_1k:
+    trains the same independent BPE as make_tok4, then re-encodes every
+    document — since training applies each winner to every corpus word,
+    the final words dict IS the rank-ordered fold of the full merge list
+    over each distinct word, so per-doc (n_words, n_tokens) is a plain
+    lookup-sum. Docs whose text yields zero words are omitted (the
+    engine's explode+join drops them identically)."""
+    import re
+    recs = []
+    for sf in SFS:
+        n = con.execute(
+            f"SELECT sum(n_chars) FROM read_parquet('{sf}/documents.parquet')"
+        ).fetchone()[0]
+        docs = con.execute(
+            f"SELECT doc_id, text FROM read_parquet('{sf}/documents.parquet')"
+            " WHERE text IS NOT NULL").fetchall()
+        freq = {}
+        for _, text in docs:
+            for w in re.findall(r'[^ \t\n\r\f]+', text.lower()):
+                freq[w] = freq.get(w, 0) + 1
+        words = {w: list(w) for w in freq}
+        for rank in range(1, n_merges + 1):
+            counts = {}
+            for w, toks in words.items():
+                f = freq[w]
+                for i in range(len(toks) - 1):
+                    p = (toks[i], toks[i + 1])
+                    counts[p] = counts.get(p, 0) + f
+            if not counts:
+                break
+            (a, b), cnt = min(
+                counts.items(),
+                key=lambda kv: (-kv[1], kv[0][0].encode('utf-8'),
+                                kv[0][1].encode('utf-8')))
+            merged = a + b
+            for w, toks in words.items():
+                nt = [toks[0]]
+                for t in toks[1:]:
+                    if nt[-1] == a and t == b:
+                        nt[-1] = merged
+                    else:
+                        nt.append(t)
+                words[w] = nt
+        for doc_id, text in docs:
+            ws = re.findall(r'[^ \t\n\r\f]+', text.lower())
+            if ws:
+                recs.append((n, doc_id, len(ws),
+                             sum(len(words[w]) for w in ws)))
+    con.execute("""CREATE OR REPLACE TABLE tok5(
+        sf_key BIGINT, doc_id BIGINT, n_words BIGINT, n_tokens BIGINT)""")
+    con.executemany("INSERT INTO tok5 VALUES (?, ?, ?, ?)", recs)
+    con.execute(f"COPY tok5 TO '{OUT}/tok5_bpe_encode.parquet' (FORMAT PARQUET)")
+    print("tok5 rows:", len(recs))
+
+
 if __name__ == "__main__":
     make_f4()
     make_e2e_endpoint()
@@ -339,3 +395,4 @@ if __name__ == "__main__":
     make_mm3()
     make_mm4()
     make_tok4()
+    make_tok5()
