@@ -43,6 +43,72 @@ object LlmQueries {
           .otherwise(lit(-74.0) + (col("c_custkey") * 104729 % 4000) / 1000.0)
           .as("lon"))
 
+  /** Exact cosine top-10 for the vec_id < 3 query set, ranked on the
+    * 4dp-ROUNDED similarity with id tiebreak (engine-independent order) —
+    * sim2b's pipeline, shared with the sim10 recall probe via
+    * [[QueryMemo]] (top-k-bounded result: 30 rows of checkpoint, the
+    * second rider skips the corpus scan). */
+  private def exactTopKRounded(s: SparkSession, d: String): DataFrame =
+    QueryMemo.frame(s, d, "sim_exact_topk") {
+    val emb = t(s, d, "embeddings")
+    val q = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val topk = udaf(new graft.llm.TopKAgg(10))
+    emb.crossJoin(broadcast(q))
+      .select(col("qid").as("query_id"), col("vec_id").cast("long").as("id"),
+        round(Similarity.cosine(col("embedding"), col("qvec")), 4).as("sim"))
+      .groupBy("query_id")
+      .agg(topk(col("sim"), col("id")).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")))
+      .select(col("query_id"), col("col.id").as("id"), col("col.sim").as("sim"),
+        (col("pos") + 1).cast("int").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  private val sim2bOracleSql: String =
+    """WITH scored AS (
+      |  SELECT q.vec_id AS query_id, e.vec_id AS id,
+      |         round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) AS sim
+      |  FROM embeddings e
+      |  CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 3) q),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, id) AS rank
+      |  FROM scored)
+      |SELECT query_id, id, sim, rank::INT AS rank FROM ranked
+      |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** Portable IVF top-10 (md5-Lloyd quantizer, 2-cell probe, in-cell
+    * rerank) for the same query set — sim5b's pipeline, shared with the
+    * sim10 recall probe via [[QueryMemo]] (the quantizer rounds run once
+    * per pass, whichever rider comes first). */
+  private def ivfPortableTopK(s: SparkSession, d: String): DataFrame =
+    QueryMemo.frame(s, d, "sim_ivf_topk") {
+    val (cent, assigned) = Ivf.portableQuantizer(
+      t(s, d, "embeddings"), "vec_id", "embedding", k = 8, rounds = 4)
+    val w = org.apache.spark.sql.expressions.Window
+    val q = assigned.filter(col("pid") < 3)
+      .select(col("pid").as("qid"), col("pv").as("qv"))
+    val probed = q.crossJoin(broadcast(cent))
+      .withColumn("csim", Similarity.cosine(col("qv"), col("cv")))
+      .withColumn("rn", row_number().over(
+        w.partitionBy("qid").orderBy(desc("csim"), asc("cell"))))
+      .filter(col("rn") <= 2)
+      .select(col("qid"), col("qv"), col("cell"))
+    assigned.join(broadcast(probed), "cell")
+      .withColumn("s", Similarity.cosine(col("pv"), col("qv")))
+      .withColumn("rank", row_number().over(
+        w.partitionBy("qid").orderBy(desc("s"), asc("pid"))))
+      .filter(col("rank") <= 10)
+      .select(col("qid").as("query_id"), col("pid").as("id"), col("rank"),
+        (floor(col("s") * 10000 + 0.5) / 10000.0).as("sim"))
+      .orderBy("query_id", "rank")
+  }
+
+  private val sim5bOracleSql: String =
+    Ivf.portableOracleSql("embeddings", "vec_id", "embedding",
+      k = 8, rounds = 4, dim = 64, querySql = "pid < 3",
+      nProbes = 2, kTop = 10)
+
   /** The brute-force n² oracle of [[geoPts]]'s 40 km proximity pairs:
     * (id1, id2, km) with km 4dp-rounded, membership on the unrounded
     * distance — exactly GeoJoin.withinDistance's output contract. Used
@@ -1463,31 +1529,8 @@ object LlmQueries {
     // sub-1e-7 float accumulation differences between engines (sim2 ranks
     // on the raw float and stays rows-only for exactly that reason) ----
     QueryDef("sim2b_topk_rounded",
-      (s, d) => {
-        val emb = t(s, d, "embeddings")
-        val q = emb.filter(col("vec_id") < 3)
-          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-        val topk = udaf(new graft.llm.TopKAgg(10))
-        emb.crossJoin(broadcast(q))
-          .select(col("qid").as("query_id"), col("vec_id").cast("long").as("id"),
-            round(Similarity.cosine(col("embedding"), col("qvec")), 4).as("sim"))
-          .groupBy("query_id")
-          .agg(topk(col("sim"), col("id")).as("tk"))
-          .select(col("query_id"), posexplode(col("tk")))
-          .select(col("query_id"), col("col.id").as("id"), col("col.sim").as("sim"),
-            (col("pos") + 1).cast("int").as("rank"))
-          .orderBy("query_id", "rank")
-      },
-      Some("""WITH scored AS (
-             |  SELECT q.vec_id AS query_id, e.vec_id AS id,
-             |         round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) AS sim
-             |  FROM embeddings e
-             |  CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 3) q),
-             |ranked AS (
-             |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, id) AS rank
-             |  FROM scored)
-             |SELECT query_id, id, sim, rank::INT AS rank FROM ranked
-             |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
+      (s, d) => exactTopKRounded(s, d),
+      Some(sim2bOracleSql)),
 
     // ---- similarity: LSH-bucketed ANN (rows-only; recall vs exact in LlmSpec) ----
     QueryDef("sim3_lsh_ann",
@@ -1527,30 +1570,41 @@ object LlmQueries {
     // tie-stable) — the third ANN family with an end-to-end oracle.
     // sim5 keeps the MLlib production path. ----
     QueryDef("sim5b_ivf_portable",
+      (s, d) => ivfPortableTopK(s, d),
+      Some(sim5bOracleSql)),
+
+    // ---- sim10: ANN RECALL probe (the dd23/dd4d diagnostics posture for
+    // the similarity tier): measured recall@10 of the portable IVF index
+    // against the exact brute-force top-10, per query — the number an
+    // ANN deployment publishes before anyone trusts the index, here as a
+    // first-class queryable row instead of a spec-only assertion. Both
+    // inputs are themselves hash-green queries (sim2b / sim5b share
+    // these exact pipelines via exactTopKRounded / ivfPortableTopK), so
+    // the intersection is deterministic cross-engine and the probe
+    // carries a full DuckDB oracle by CTE-composing their two oracle
+    // texts. Scale shape: both sides are top-k-bounded (k·queries rows),
+    // the join is on (query, id) — the probe costs the two searches it
+    // measures and nothing more. ----
+    QueryDef("sim10_ann_recall",
       (s, d) => {
-        val (cent, assigned) = Ivf.portableQuantizer(
-          t(s, d, "embeddings"), "vec_id", "embedding", k = 8, rounds = 4)
-        val w = org.apache.spark.sql.expressions.Window
-        val q = assigned.filter(col("pid") < 3)
-          .select(col("pid").as("qid"), col("pv").as("qv"))
-        val probed = q.crossJoin(broadcast(cent))
-          .withColumn("csim", Similarity.cosine(col("qv"), col("cv")))
-          .withColumn("rn", row_number().over(
-            w.partitionBy("qid").orderBy(desc("csim"), asc("cell"))))
-          .filter(col("rn") <= 2)
-          .select(col("qid"), col("qv"), col("cell"))
-        assigned.join(broadcast(probed), "cell")
-          .withColumn("s", Similarity.cosine(col("pv"), col("qv")))
-          .withColumn("rank", row_number().over(
-            w.partitionBy("qid").orderBy(desc("s"), asc("pid"))))
-          .filter(col("rank") <= 10)
-          .select(col("qid").as("query_id"), col("pid").as("id"), col("rank"),
-            (floor(col("s") * 10000 + 0.5) / 10000.0).as("sim"))
-          .orderBy("query_id", "rank")
+        val ex = exactTopKRounded(s, d).select(col("query_id"), col("id"))
+        val iv = ivfPortableTopK(s, d)
+          .select(col("query_id"), col("id"), lit(1).as("hit"))
+        ex.join(iv, Seq("query_id", "id"), "left")
+          .groupBy("query_id")
+          .agg(count(lit(1)).as("k"),
+            sum(coalesce(col("hit"), lit(0))).cast("long").as("hits"))
+          .select(col("query_id"), col("hits"),
+            (col("hits") / col("k")).as("recall_at_k"))
+          .orderBy("query_id")
       },
-      Some(Ivf.portableOracleSql("embeddings", "vec_id", "embedding",
-        k = 8, rounds = 4, dim = 64, querySql = "pid < 3",
-        nProbes = 2, kTop = 10))),
+      Some(s"""WITH exact_tk AS ($sim2bOracleSql),
+              |ivf_tk AS ($sim5bOracleSql)
+              |SELECT e.query_id, count(i.id)::BIGINT AS hits,
+              |       count(i.id) / count(*)::DOUBLE AS recall_at_k
+              |FROM exact_tk e LEFT JOIN ivf_tk i
+              |  ON e.query_id = i.query_id AND e.id = i.id
+              |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin)),
 
     // ---- similarity: product-quantization ANN (per-subspace k-means
     // codebooks, ADC scoring over the compact codes table, exact rerank;
