@@ -49,8 +49,8 @@ object Paths {
     // Deterministic stand-in for Math.random()*50+50 (pathCreator.js:115).
     val pathId =
       if (portableJitter)
-        conv(substring(md5(concat_ws("|", col(k.person), col(k.company),
-          col("to_company"), col(k.timeMs))), 1, 15), 16, 10).cast("long")
+        graft.functions.Md5Prefix(concat_ws("|", col(k.person), col(k.company),
+          col("to_company"), col(k.timeMs)), 15)
       else
         xxhash64(col(k.person), col(k.company), col("to_company"), col(k.timeMs))
     paired.withColumn("path_id", pathId)
@@ -112,30 +112,22 @@ object Paths {
     // serial. Cheap shuffle of the narrow pair rows, not of the tags.
     val paired = pairs(df, k, portableJitter)
       .repartition(df.sparkSession.sparkContext.defaultParallelism, col("path_id"))
-    val height = pmod(col("path_id"), lit(5000L)).cast("double") / 100.0 + 50.0
-    val diflat = col("to_lat") - col(k.lat)
-    val diflon = Scalars.lonDiff(col(k.lon), col("to_lon"))
-    val seqArr = sequence(lit(0), lit(maxCount))
-    def whenTag(i: Column) = concat(lit("<when>"),
-      date_format(timestamp_millis(
-        Scalars.interpMillis(col(k.timeMs), col("to_time_ms"), i, maxCount)), "yyyy-MM-dd"),
-      lit("</when>"))
-    def coordTag(i: Column) = {
-      val lat = col(k.lat) + diflat * i / maxCount
-      val lon = col(k.lon) + diflon * i / maxCount
-      val countShift = i - lit(maxCount / 2.0)
-      val alt = (-pow(countShift * rise, 2) + pow(lit(maxCount / 2.0 * rise), 2)) *
-        height + verticalOffset
-      concat(lit("<gx:coord>"), format_string(fmt, lon), lit(" "),
-        format_string(fmt, lat), lit(" "), format_string(fmt, alt), lit("</gx:coord>"))
-    }
+    // Fused native renderer (functions/KmlExpr.scala): the previous form
+    // built the track with two higher-order transform()s whose lambdas
+    // are interpreted per element (HOFs are CodegenFallback) — 102
+    // interpreted format/concat/date evaluations per pair row. The kernel
+    // renders the identical bytes (KmlExprSpec pins kernel ≡ the Column
+    // chain on real pair rows; the w6d oracle hash re-pins vs DuckDB) in
+    // one pass per row: w6d_kml 4.5 → 1.9 s same-session A/B at sf0.1
+    // (OPTIMIZATION_r15.md).
     paired.select(
       col(k.person).as("person_id"), col("path_id"),
       col(k.company).as("from_company"), col("to_company"),
-      concat(lit("<Placemark><gx:Track><altitudeMode>absolute</altitudeMode>"),
-        array_join(transform(seqArr, whenTag(_)), "\n"),
-        array_join(transform(seqArr, coordTag(_)), "\n"),
-        lit("</gx:Track></Placemark>")).as("kml"))
+      graft.functions.KmlTrack(
+        col(k.lat).cast("double"), col(k.lon).cast("double"),
+        col("to_lat").cast("double"), col("to_lon").cast("double"),
+        col(k.timeMs).cast("long"), col("to_time_ms").cast("long"),
+        col("path_id"), maxCount, rise, verticalOffset, fmt).as("kml"))
   }
 
   /** KML gx:Track rendering over an ALREADY-expanded frame (same output

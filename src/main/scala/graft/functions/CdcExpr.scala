@@ -37,22 +37,33 @@ object CdcKernel {
   def chunks(text: UTF8String, w: Int, maskBits: Int): ArrayData = {
     val n = text.numChars()
     if (n == 0) return new GenericArrayData(Array.empty[Any])
-    val digest = MinHashKernel.digest()
     val mask = (1L << maskBits) - 1
     val out = new scala.collection.mutable.ArrayBuffer[Any]
+    // ASCII fast path: char positions == byte positions, so boundary
+    // windows and chunk ids hash byte slices in place (no per-window
+    // UTF8String + byte-array allocation). Multi-byte text keeps the
+    // substringSQL windowing (char-based, the oracle contract).
+    val ascii = text.numBytes() == n
+    val raw = if (ascii) text.getBytes else null
     def emit(start: Int, end: Int): Unit = { // [start, end] 1-based inclusive
       val len = end - start + 1
-      val chunk = text.substringSQL(start, len)
-      digest.reset()
-      val h = MinHashKernel.md5Top60(digest.digest(chunk.getBytes))
+      val h =
+        if (ascii) Md5Kernel.first8(raw, start - 1, len) >>> 4
+        else {
+          val b = text.substringSQL(start, len).getBytes
+          Md5Kernel.first8(b, 0, b.length) >>> 4
+        }
       out += org.apache.spark.sql.catalyst.InternalRow(start, len, h)
     }
     var prev = 0
     var i = w
     while (i <= n) {
-      val win = text.substringSQL(i - w + 1, w)
-      digest.reset()
-      val h = MinHashKernel.md5Top28(digest.digest(win.getBytes))
+      val h =
+        if (ascii) Md5Kernel.first8(raw, i - w, w) >>> 36
+        else {
+          val b = text.substringSQL(i - w + 1, w).getBytes
+          Md5Kernel.first8(b, 0, b.length) >>> 36
+        }
       if ((h & mask) == 0L || i == n) { emit(prev + 1, i); prev = i }
       i += 1
     }

@@ -151,7 +151,6 @@ object MinHashKernel {
     val t = text.toLowerCase
     val nChars = t.numChars()
     val windows = math.max(nChars - k + 1, 1)
-    val digest = md.get()
     val mins = new Array[Long](numHashes)
     java.util.Arrays.fill(mins, Long.MaxValue)
     // hoisted: the (a, b) pairs are loop-invariant per seed
@@ -161,14 +160,22 @@ object MinHashKernel {
     while (s0 < numHashes) {
       val (a, b) = portableCoef(s0); as(s0) = a; bs(s0) = b; s0 += 1
     }
+    // ASCII fast path: bytes == chars, so each k-char window is a byte
+    // slice hashed in place (no per-window UTF8String + byte-array
+    // allocation). Multi-byte text keeps the substringSQL windowing the
+    // dd3d contract pins.
+    val ascii = t.numBytes() == nChars
+    val raw = if (ascii) t.getBytes else null
     var i = 0
     while (i < windows) {
-      // substringSQL is 1-based and clamps past the end — identical to
-      // the Column algebra's t.substr(i, k)
-      val sh = t.substringSQL(i + 1, k)
-      digest.reset()
-      val bytes = sh.getBytes
-      val h = md5Top28(digest.digest(bytes))
+      val h =
+        if (ascii) Md5Kernel.first8(raw, i, math.min(k, nChars - i)) >>> 36
+        else {
+          // substringSQL is 1-based and clamps past the end — identical
+          // to the Column algebra's t.substr(i, k)
+          val b = t.substringSQL(i + 1, k).getBytes
+          Md5Kernel.first8(b, 0, b.length) >>> 36
+        }
       var s = 0
       while (s < numHashes) {
         val v = (h * as(s) + bs(s)) % PORTABLE_P
@@ -192,13 +199,18 @@ object MinHashKernel {
     val t = text.toLowerCase
     val nChars = t.numChars()
     val windows = math.max(nChars - k + 1, 1)
-    val digest = md.get()
     val arr = new Array[Long](windows)
+    // same ASCII byte-window fast path as portableSignature
+    val ascii = t.numBytes() == nChars
+    val raw = if (ascii) t.getBytes else null
     var i = 0
     while (i < windows) {
-      val sh = t.substringSQL(i + 1, k)
-      digest.reset()
-      arr(i) = md5Top28(digest.digest(sh.getBytes))
+      arr(i) =
+        if (ascii) Md5Kernel.first8(raw, i, math.min(k, nChars - i)) >>> 36
+        else {
+          val b = t.substringSQL(i + 1, k).getBytes
+          Md5Kernel.first8(b, 0, b.length) >>> 36
+        }
       i += 1
     }
     java.util.Arrays.sort(arr)
@@ -220,20 +232,26 @@ object MinHashKernel {
     * positive. Replaces an explode of one row PER TOKEN plus a 60-column
     * aggregate shuffle with a single per-row pass. */
   def portableSimhash(text: UTF8String): Long = {
-    val toks = text.toLowerCase.toString.split(" ", -1)
+    // byte-level split on 0x20: UTF-8 never embeds a space byte inside a
+    // multi-byte sequence, so the segments (empties kept, incl. trailing)
+    // are exactly String.split(" ", -1)'s tokens — with no String/token/
+    // byte-array allocations per token
+    val bytes = text.toLowerCase.getBytes
     val votes = new Array[Int](60)
-    val digest = md.get()
-    var ti = 0
-    while (ti < toks.length) {
-      digest.reset()
-      val h = md5Top60(digest.digest(
-        toks(ti).getBytes(java.nio.charset.StandardCharsets.UTF_8)))
-      var i = 0
-      while (i < 60) {
-        if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
-        i += 1
+    val n = bytes.length
+    var start = 0
+    var bi = 0
+    while (bi <= n) {
+      if (bi == n || bytes(bi) == ' '.toByte) {
+        val h = Md5Kernel.first8(bytes, start, bi - start) >>> 4
+        var i = 0
+        while (i < 60) {
+          if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
+          i += 1
+        }
+        start = bi + 1
       }
-      ti += 1
+      bi += 1
     }
     var fp = 0L
     var i = 0

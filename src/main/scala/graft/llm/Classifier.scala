@@ -70,7 +70,7 @@ object Classifier {
   private val tokenSep = "[ \t\n\r\f]+"
 
   private def bucket(tok: Column, numFeatures: Int): Column =
-    conv(substring(md5(tok), 1, 7), 16, 10).cast("long") % numFeatures
+    graft.functions.Md5Prefix(tok, 7) % numFeatures
 
   private def fastSigmoid(z: Column): Column =
     lit(0.5) + lit(0.5) * z / (lit(1.0) + abs(z))

@@ -1291,8 +1291,13 @@ object Dedup {
       n: Int, numHashes: Int, pre: Seq[(String, Column)]): DataFrame = {
     val toks = split(lower(col(text)), "\\s+")
     val grams = wordGramsOfTk(n, hashGrams = false)
-    val gramHash = (g: Column) =>
-      conv(substring(md5(g.cast("binary")), 1, 7), 16, 10).cast("long")
+    // native md5-prefix fold: ≡ conv(substring(md5(g), 1, 7), 16, 10)
+    // .cast("long") with no hex-string / decimal-parse per gram
+    // (Md5KernelSpec pins the equality; the DuckDB oracle is unchanged).
+    // A fully fused per-doc gram kernel (one Pattern.split + StringBuilder
+    // + HashSet pass) was ALSO tried and measured 1.1-1.2× SLOWER than
+    // this codegen'd array chain — reverted (OPTIMIZATION_r15.md).
+    val gramHash = (g: Column) => graft.functions.Md5Prefix(g, 7)
     val preCols = pre.map { case (nm, c) => c.as(nm) }
     val preRefs = pre.map { case (nm, _) => col(nm) }
     val hCp = df.select(col(id).cast("long").as("doc") +: preCols :+ toks.as("tk"): _*)

@@ -372,7 +372,7 @@ object TextAnalysis {
     * first 8 hex digits of md5(id) form a uniform 32-bit fraction. */
   def mixtureSample(df: DataFrame, id: String, source: String,
                     weights: Map[String, Double], defaultWeight: Double = 0.0): DataFrame = {
-    val frac = conv(substring(md5(col(id).cast("string")), 1, 8), 16, 10)
+    val frac = graft.functions.Md5Prefix(col(id).cast("string"), 8)
       .cast("double") / 4294967296.0
     val rate = weights.foldLeft(lit(defaultWeight)) { case (acc, (src, w)) =>
       when(col(source) === src, w).otherwise(acc)
@@ -391,7 +391,7 @@ object TextAnalysis {
     * reservoir). u is offset by half a step to stay strictly inside
     * (0,1): Spark's log() is null at 0 where DuckDB's ln() is -inf. */
   def weightedSample(df: DataFrame, id: String, weight: Column, k: Int): DataFrame = {
-    val u = (conv(substring(md5(col(id).cast("string")), 1, 8), 16, 10)
+    val u = (graft.functions.Md5Prefix(col(id).cast("string"), 8)
       .cast("double") + 0.5) / 4294967296.0
     // non-positive/null weights are excluded up front: w = 0 would make
     // the key NULL, and Spark's NULLS FIRST ascending sort would then
@@ -425,7 +425,7 @@ object TextAnalysis {
       .withColumn("accept_rate",
         pow(col("__nmin").cast("double") / col("__n"), 1.0 - alpha))
       .select(col(source), col("accept_rate"))
-    val frac = conv(substring(md5(col(id).cast("string")), 1, 8), 16, 10)
+    val frac = graft.functions.Md5Prefix(col(id).cast("string"), 8)
       .cast("double") / 4294967296.0
     df.join(broadcast(rates), source)
       .filter(frac < col("accept_rate"))
@@ -485,7 +485,7 @@ object TextAnalysis {
                       valFrac: Double, testFrac: Double): DataFrame = {
     require(valFrac >= 0 && testFrac >= 0 && valFrac + testFrac < 1,
       "val/test fractions must be non-negative and sum below 1")
-    val frac = conv(substring(md5(col(id).cast("string")), 1, 8), 16, 10)
+    val frac = graft.functions.Md5Prefix(col(id).cast("string"), 8)
       .cast("double") / 4294967296.0
     df.withColumn("split",
       when(frac < testFrac, "test")

@@ -551,8 +551,8 @@ object LlmQueries {
       (s, d) => {
         val cands = Dedup.minhashCandidatesPortable(t(s, d, "documents"), "doc_id", "text")
         Dedup.pairTopKPerDoc(cands, "id1", "id2",
-            ord = conv(substring(md5(concat_ws(":", col("doc"), col("partner"))), 1, 13),
-              16, 10).cast("long").cast("double"),
+            ord = graft.functions.Md5Prefix(
+              concat_ws(":", col("doc"), col("partner")), 13).cast("double"),
             k = 5)
           .select(col("doc").as("doc_id"), col("n_candidates"),
             col("rank"), col("partner"))
