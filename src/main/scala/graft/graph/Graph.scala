@@ -151,7 +151,7 @@ object Graph {
     // reference), so one eager checkpoint per round is the sweet spot.
     for (step <- 1 to iters) {
       val rankSide = if (copartition) ranks.hint("shuffle_hash") else broadcast(ranks)
-      val contrib = contribOf(shareAll, rankSide).loopCkpt()
+      val contrib = contribOf(shareAll, rankSide)
       // the dangling mass is ONE value of the checkpointed (node-sized)
       // contrib table — it rides as a LAZY 1-row aggregate crossJoined
       // back as a broadcast row (HITS's normalizer pattern: the explicit
@@ -172,7 +172,6 @@ object Graph {
       val cp = next.loopCkpt()
       // real frees: Dataset.unpersist is a no-op on checkpoint frames
       graft.SessionHygiene.freeCheckpoint(ranks)
-      graft.SessionHygiene.freeCheckpoint(contrib)
       ranks = cp
     }
     if (shareAllPre.isEmpty) shareAll.unpersist()
@@ -449,20 +448,28 @@ object Graph {
     // contribute exactly the 0.0 their coalesced rows used to.
     var hub = nd.withColumn("h", lit(1.0)).loopCkpt()
     var prevHc: DataFrame = hub
-    var prevAc: DataFrame = null
+    var olderHc: DataFrame = null
     var auth: DataFrame = null
     for (_ <- 1 to iters) {
       val hubSide = side(hub)
-      val ac = halfStepOf(e, hubSide, "src", "dst").loopCkpt()
-      if (prevAc != null) graft.SessionHygiene.freeCheckpoint(prevAc)
-      prevAc = ac
-      // backed the hub vector that ac just consumed; freeCheckpoint
-      // because Dataset.unpersist is a no-op on checkpoint-backed frames
-      graft.SessionHygiene.freeCheckpoint(prevHc)
+      // ONE eager job per round (the hub-contrib checkpoint): the
+      // authority half-step stays LAZY inside it — its aggregate
+      // exchange is shared by the normalizer sum and the vector join
+      // (ReusedExchange), so un-checkpointing it removes an eager job
+      // per round without recomputing the half-step (same trim as the
+      // pagerank loop; round-15 A/B, outputs pinned by GraphSpec).
+      // Consequence: the round's `auth` stays lazy over the PREVIOUS
+      // hub checkpoint, so frames are freed one generation late — the
+      // post-loop lift still reads the final auth's backing blocks.
+      val ac = halfStepOf(e, hubSide, "src", "dst")
       auth = ac.crossJoin(broadcast(ac.agg(sum("v").as("s"))))
         .select(col("node"), (col("v") / col("s")).as("h"))
       val authSide = side(auth)
       val hc = halfStepOf(eDst, authSide, "dst", "src").loopCkpt()
+      // free two generations back (freeCheckpoint because
+      // Dataset.unpersist is a no-op on checkpoint-backed frames)
+      if (olderHc != null) graft.SessionHygiene.freeCheckpoint(olderHc)
+      olderHc = prevHc
       prevHc = hc
       hub = hc.crossJoin(broadcast(hc.agg(sum("v").as("s"))))
         .select(col("node"), (col("v") / col("s")).as("h"))
