@@ -448,28 +448,20 @@ object Graph {
     // contribute exactly the 0.0 their coalesced rows used to.
     var hub = nd.withColumn("h", lit(1.0)).loopCkpt()
     var prevHc: DataFrame = hub
-    var olderHc: DataFrame = null
+    var prevAc: DataFrame = null
     var auth: DataFrame = null
     for (_ <- 1 to iters) {
       val hubSide = side(hub)
-      // ONE eager job per round (the hub-contrib checkpoint): the
-      // authority half-step stays LAZY inside it — its aggregate
-      // exchange is shared by the normalizer sum and the vector join
-      // (ReusedExchange), so un-checkpointing it removes an eager job
-      // per round without recomputing the half-step (same trim as the
-      // pagerank loop; round-15 A/B, outputs pinned by GraphSpec).
-      // Consequence: the round's `auth` stays lazy over the PREVIOUS
-      // hub checkpoint, so frames are freed one generation late — the
-      // post-loop lift still reads the final auth's backing blocks.
-      val ac = halfStepOf(e, hubSide, "src", "dst")
+      val ac = halfStepOf(e, hubSide, "src", "dst").loopCkpt()
+      if (prevAc != null) graft.SessionHygiene.freeCheckpoint(prevAc)
+      prevAc = ac
+      // backed the hub vector that ac just consumed; freeCheckpoint
+      // because Dataset.unpersist is a no-op on checkpoint-backed frames
+      graft.SessionHygiene.freeCheckpoint(prevHc)
       auth = ac.crossJoin(broadcast(ac.agg(sum("v").as("s"))))
         .select(col("node"), (col("v") / col("s")).as("h"))
       val authSide = side(auth)
       val hc = halfStepOf(eDst, authSide, "dst", "src").loopCkpt()
-      // free two generations back (freeCheckpoint because
-      // Dataset.unpersist is a no-op on checkpoint-backed frames)
-      if (olderHc != null) graft.SessionHygiene.freeCheckpoint(olderHc)
-      olderHc = prevHc
       prevHc = hc
       hub = hc.crossJoin(broadcast(hc.agg(sum("v").as("s"))))
         .select(col("node"), (col("v") / col("s")).as("h"))

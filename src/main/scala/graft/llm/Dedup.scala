@@ -181,9 +181,12 @@ object Dedup {
     estimated
       .join(sh.select(col(id).as("id1"), col("sh").as("sh1")), "id1")
       .join(sh.select(col(id).as("id2"), col("sh").as("sh2")), "id2")
+      // count-only set sizes (one hash-set pass, SetSizesSpec pins ≡
+      // size(array_intersect)/size(array_union)): the builtins build and
+      // discard two result arrays per candidate pair just to be counted
+      .withColumn("__iu", graft.functions.SetSizes(col("sh1"), col("sh2")))
       .withColumn("jaccard",
-        size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
-        size(array_union(col("sh1"), col("sh2"))))
+        col("__iu.inter").cast("double") / col("__iu.union"))
       .filter(col("jaccard") >= threshold)
       .select("id1", "id2", "jaccard")
   }
@@ -849,9 +852,10 @@ object Dedup {
     val out = verified
       .join(g.select(col(id).as("id1"), col("g").as("g1")), "id1")
       .join(g.select(col(id).as("id2"), col("g").as("g2")), "id2")
+      // count-only set sizes — see the estimate-verify note above
+      .withColumn("__iu", graft.functions.SetSizes(col("g1"), col("g2")))
       .withColumn("jaccard",
-        size(array_intersect(col("g1"), col("g2"))).cast("double") /
-        size(array_union(col("g1"), col("g2"))))
+        col("__iu.inter").cast("double") / col("__iu.union"))
       .select("id1", "id2", "jaccard")
     if (minJaccard > 0) out.filter(col("jaccard") >= minJaccard) else out
   }
@@ -1092,7 +1096,8 @@ object Dedup {
       .join(gRight, rightId)
       .select(Seq(col(leftId), col(rightId),
         size(col("__gl")).as(nL), size(col("__gr")).as(nR),
-        size(array_intersect(col("__gl"), col("__gr"))).as("shared")) ++
+        graft.functions.SetSizes(col("__gl"), col("__gr"))
+          .getField("inter").as("shared")) ++
         extra.map(col): _*)
       .withColumn("__cl", col("shared").cast("double") / col(nL))
       .withColumn("__cr", col("shared").cast("double") / col(nR))
