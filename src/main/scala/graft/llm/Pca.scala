@@ -12,12 +12,12 @@ import org.apache.spark.sql.functions._
   * The d×d matrix is tiny (a MODEL, like IVF's centroids); the data pass
   * is the expensive part and must stay distributed:
   *
-  *   - [[covariance]] emits all d² second moments from ONE scan: each row
-  *     expands its outer product as a flat d²-array (pure column algebra,
-  *     inside codegen), then a partial+final hash aggregate sums per
-  *     (i, j). Only d² running sums cross the wire per partition — at
-  *     1000 executors and d=64 that is a 4096-double tree-aggregate, the
-  *     same shape regardless of corpus size.
+  *   - [[covariance]] emits all d² second moments from ONE scan: each
+  *     task folds its rows' outer products into one flat d²-double
+  *     buffer (GramSumAgg, partial+final ObjectHashAggregate). Only d²
+  *     running sums cross the wire per partition — at 1000 executors
+  *     and d=64 that is a 4096-double tree-aggregate, the same shape
+  *     regardless of corpus size.
   *   - [[fit]] collects the d×d matrix (model fit, not data movement) and
   *     eigendecomposes it on the driver with cyclic Jacobi — O(d³) on a
   *     64×64 symmetric matrix is microseconds; no cluster framework needed.
@@ -26,6 +26,65 @@ import org.apache.spark.sql.functions._
   *     same plan shape as Similarity's dot products.
   */
 object Pca {
+
+  /** Typed partial aggregate for the d² second-moment sums: each task
+    * folds its rows' outer products into ONE flat d²-double buffer
+    * (upper triangle only — x_i·x_j and x_j·x_i are the same IEEE
+    * product in the same row order, so the mirror at finish is exact),
+    * merge is an elementwise add, and only d² running sums cross the
+    * wire per partition. Replaces the posexplode of d² product ROWS per
+    * input row (134 M generate+hash-probe row operations at sf0.1)
+    * with d(d+1)/2 flat array adds per row; summation ORDER changes,
+    * which the covariance contract already absorbs (the oracle rounds
+    * to 7dp on both sides — see covarianceOracleSql's note). */
+  private[llm] class GramSumAgg(d: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[Seq[Double], Array[Double], Seq[Double]] {
+    override def zero: Array[Double] = new Array[Double](d * d)
+    override def reduce(b: Array[Double], v: Seq[Double]): Array[Double] = {
+      val a = v.toArray
+      var i = 0
+      while (i < d) {
+        val xi = a(i)
+        val row = i * d
+        var j = i
+        while (j < d) {
+          b(row + j) += xi * a(j)
+          j += 1
+        }
+        i += 1
+      }
+      b
+    }
+    override def merge(x: Array[Double], y: Array[Double]): Array[Double] = {
+      var i = 0
+      while (i < d) {
+        var j = i
+        while (j < d) {
+          val k = i * d + j
+          x(k) += y(k)
+          j += 1
+        }
+        i += 1
+      }
+      x
+    }
+    override def finish(b: Array[Double]): Seq[Double] = {
+      var i = 1
+      while (i < d) {
+        var j = 0
+        while (j < i) {
+          b(i * d + j) = b(j * d + i)
+          j += 1
+        }
+        i += 1
+      }
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(b)
+    }
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+  }
 
   /** Mean per dimension: (i, mean). One explode + hash agg (d keys). */
   def dimMeans(emb: DataFrame, vec: String): DataFrame = {
@@ -37,8 +96,9 @@ object Pca {
   }
 
   /** Covariance entries (i, j, cov) for all d² pairs, cov = E[xy] − E[x]E[y].
-    * The outer product rides a flattened nested transform so the whole
-    * row-side expansion is codegen'd column algebra; the (i, j) index is
+    * The second moments come from the GramSumAgg one-buffer partial
+    * aggregate (the pre-r15 posexplode-of-products form paid one
+    * generate + hash-probe row per PRODUCT); the (i, j) index is
     * recovered from the flat position via the dimension.
     *
     * The (i, j) recovery is only valid when EVERY vector has the same
@@ -61,10 +121,12 @@ object Pca {
     val d = stats.getInt(2)
     require(stats.getInt(1) == d,
       s"covariance: ragged '$vec' lengths (${stats.getInt(1)}..$d) would scatter products to wrong (i,j) cells")
-    val sums = emb
-      .select(posexplode(flatten(transform(v, x => transform(v, y => x * y))))
-        .as(Seq("idx", "p")))
-      .groupBy("idx").agg(sum("p").as("sp"))
+    // one-buffer partial aggregate (see GramSumAgg): the d² sums arrive
+    // as ONE array row, exploded back to (idx, sp) for the join below
+    val gram = udaf(new GramSumAgg(d),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]())
+    val sums = emb.agg(gram(v).as("g"))
+      .select(posexplode(col("g")).as(Seq("idx", "sp")))
     val means = dimMeans(emb, vec)
     sums
       .select((col("idx") / d).cast("int").as("i"),

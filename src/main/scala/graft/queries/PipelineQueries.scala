@@ -53,6 +53,35 @@ object PipelineQueries {
       Normalize.credits(rawCredits(s, d), cm, rm, lo, re)
     }
 
+  /** The per-person jumps docs feed BOTH envelope queries (the
+    * canonical-JSON render and the flattened hash-checked form) —
+    * memoized like the credits fact they derive from, so the
+    * credits→dedup→dummy-synthesis→doc-grouping chain runs once per
+    * (session, dataDir). Each query then assembles its own 1-row
+    * envelope over the docs: memoizing the ASSEMBLED envelope was tried
+    * first and measured 1.8× SLOWER for the render query —
+    * localCheckpoint of the single giant document row is a serial
+    * materialization of every nested struct, where the per-person docs
+    * checkpoint in parallel (OPTIMIZATION_r15.md #8). The credits memo
+    * is resolved BEFORE the docs build starts (QueryMemo.frame must
+    * never be entered reentrantly — see detStages' note). */
+  private def envelope(s: SparkSession, d: String): DataFrame = {
+    val cr = credits(s, d)
+    val docs = QueryMemo.frame(s, d, "e2e_jumps_docs")(DwwPipeline.jumpsDocs(cr))
+    import s.implicits._
+    val (_, _, lo, re) = dims(s)
+    val regions = lo.join(re, "location")
+      .select(col("location"), col("geoLoc"), col("globalRegion"))
+    val globalRegions = Seq(
+      ("oceania", "-25.0,140.0"), ("europe", "50.0,9.0"),
+      ("americas", "39.8,-98.5")).toDF("region", "coords")
+    graft.analytics.Envelope.unfiltered(
+      docs,
+      DwwPipeline.servingCredits(cr)
+        .select(col("matchedCompanyName").as("company"), col("geoLoc")),
+      regions, globalRegions)
+  }
+
   val defs: Seq[QueryDef] = Seq(
     // For this dressed input every stage's output is statically known
     // (exact map hits → ratio 100, role 'artist' → 'Artist', status-keyed
@@ -92,17 +121,7 @@ object PipelineQueries {
     // json.dumps(sort_keys=True)). Structural equality additionally in
     // IoSpec. ----
     QueryDef("e2e_jumps_envelope",
-      (s, d) => {
-        import s.implicits._
-        val (_, _, lo, re) = dims(s)
-        val regions = lo.join(re, "location")
-          .select(col("location"), col("geoLoc"), col("globalRegion"))
-        val globalRegions = Seq(
-          ("oceania", "-25.0,140.0"), ("europe", "50.0,9.0"),
-          ("americas", "39.8,-98.5")).toDF("region", "coords")
-        graft.analytics.Envelope.canonicalJson(
-          DwwPipeline.jumpsEnvelope(credits(s, d), regions, globalRegions))
-      },
+      (s, d) => graft.analytics.Envelope.canonicalJson(envelope(s, d)),
       Some("""SELECT envelope_json
              |FROM read_parquet('/root/repo/fixtures/e2e_envelope_json.parquet')
              |WHERE sf_key = (SELECT count(*) FROM orders)""".stripMargin)),
@@ -116,16 +135,10 @@ object PipelineQueries {
     // rows-only JSON form above, the last e2e shape is oracle-covered. ----
     QueryDef("e2e_envelope_flat",
       (s, d) => {
-        import s.implicits._
-        val (_, _, lo, re) = dims(s)
-        val regions = lo.join(re, "location")
-          .select(col("location"), col("geoLoc"), col("globalRegion"))
-        val globalRegions = Seq(
-          ("oceania", "-25.0,140.0"), ("europe", "50.0,9.0"),
-          ("americas", "39.8,-98.5")).toDF("region", "coords")
-        // one 1-row envelope, four section explosions → checkpoint once
-        val env = DwwPipeline.jumpsEnvelope(credits(s, d), regions, globalRegions)
-          .ckpt()
+        // one 1-row envelope, four section explosions: each section
+        // prunes to its own dim-sized aggregate over the memoized docs
+        // (the heavy jumps collect runs once, for the jumps section)
+        val env = envelope(s, d)
         val nullS = lit(null).cast("string")
         val jumps = env.select(explode(col("jumps")).as("doc"))
           .select(col("doc.id").as("k"), col("doc.name").as("v1"),

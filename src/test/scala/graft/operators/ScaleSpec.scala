@@ -197,7 +197,7 @@ class ScaleSpec extends SparkSpecBase {
       // emb1 lost an exchange + a BNLJ when the n/d stats moved to a
       // driver-side pre-scan (which also guards ragged/null vectors); the
       // remaining BNLJ is the 64-row means dim 1-row-style broadcast
-      "emb1_covariance" -> "4/2/0/1/-",
+      "emb1_covariance" -> "3/2/0/1/-", // r15: GramSumAgg replaced the posexplode+groupBy (one fewer exchange)
       // g5's audited plan is the checkpoint-truncated final sort (the
       // frontier rounds checkpoint like g2's); ts15's window runs AFTER
       // the top-N cutoff
@@ -249,7 +249,7 @@ class ScaleSpec extends SparkSpecBase {
       // the audit sees the full covariance chain referenced three times
       // (diag + the two normalization joins) — audit-only recompute at
       // sf0.001, never the production shape
-      "emb4_correlation" -> "6/8/0/1/-",
+      "emb4_correlation" -> "5/8/0/1/-", // r15: GramSumAgg (one fewer exchange)
       // dd14 (r13 kernel-tail shape): positions checkpointed once (gram
       // construction — let-bound token array, split once per row — feeds
       // both consumers), per-gram min/max agg filtered to the
