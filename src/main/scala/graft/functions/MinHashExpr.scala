@@ -262,6 +262,49 @@ object MinHashKernel {
     fp
   }
 
+  /** Portable LCG signature over PRE-HASHED md5-28 gram values: per seed
+    * i < numHashes, the minimum of `(h·a_i + b_i) % PORTABLE_P` over the
+    * array — exactly the Column algebra
+    * `array((0 until n).map(i => array_min(transform(h, x => (x*a_i+b_i) % P))))`
+    * of llm/Dedup.estimateGramTable, in ONE pass. The Column form pays
+    * numHashes interpreted `transform` evaluations per row (higher-order
+    * functions are CodegenFallback) and allocates numHashes intermediate
+    * arrays per row; this folds all seeds over one traversal with zero
+    * allocation per element. Inputs are md5-28 values (< 2^28) and the
+    * coefficients are < PORTABLE_P (< 2^28), so `h·a + b` stays below
+    * 2^57 — exact in a long, identical to the Column arithmetic. Null
+    * elements are skipped exactly as `array_min` skips them; if NO
+    * non-null element exists (empty array / all-null), every entry is
+    * null, matching `array_min`'s null-on-empty. */
+  def portableSignatureOfHashes(arr: ArrayData, numHashes: Int): ArrayData = {
+    val n = arr.numElements()
+    val mins = new Array[Long](numHashes)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val as = new Array[Long](numHashes)
+    val bs = new Array[Long](numHashes)
+    var s0 = 0
+    while (s0 < numHashes) {
+      val (a, b) = portableCoef(s0); as(s0) = a; bs(s0) = b; s0 += 1
+    }
+    var seen = false
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        seen = true
+        val h = arr.getLong(i)
+        var s = 0
+        while (s < numHashes) {
+          val v = (h * as(s) + bs(s)) % PORTABLE_P
+          if (v < mins(s)) mins(s) = v
+          s += 1
+        }
+      }
+      i += 1
+    }
+    if (!seen) new GenericArrayData(new Array[Any](numHashes)) // all-null entries
+    else new GenericArrayData(mins)
+  }
+
   /** Fused byte-shingle MinHash: slides a k-byte window directly over the
     * text's backing bytes — no substring allocation, no intermediate
     * shingle array, no dedup (min is duplicate-insensitive). Each window
@@ -360,6 +403,44 @@ object MinHashFromHashes {
   /** Column-API wrapper. */
   def apply(hashes: Column, numHashes: Int): Column =
     ColumnBridge.column(MinHashFromHashes(ColumnBridge.expression(hashes), numHashes))
+}
+
+/** Portable LCG minhash signature over pre-hashed md5-28 grams
+  * (array<long> → array<long>), the (a_i, b_i)/PORTABLE_P family shared
+  * with the DuckDB oracle side (see MinHashKernel.portableSignatureOfHashes
+  * for the bit-identity argument vs the Column algebra it replaces). */
+case class PortableMinHashFromHashes(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+
+  // array_min yields null on an empty/all-null array, so entries are nullable
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"portable_minhash_from_hashes expects array<bigint>, got $other")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashKernel.portableSignatureOfHashes(input.asInstanceOf[ArrayData], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.MinHashKernel.portableSignatureOfHashes($c, $numHashes)")
+
+  override def prettyName: String = "portable_minhash_from_hashes"
+
+  override protected def withNewChildInternal(newChild: Expression): PortableMinHashFromHashes =
+    copy(child = newChild)
+}
+
+object PortableMinHashFromHashes {
+  /** Column-API wrapper. */
+  def apply(hashes: Column, numHashes: Int): Column =
+    ColumnBridge.column(PortableMinHashFromHashes(ColumnBridge.expression(hashes), numHashes))
 }
 
 /** Fused text→signature form: byte-shingling and hashing in one kernel

@@ -36,6 +36,44 @@ class MinKByAgg(k: Int) extends Aggregator[OrdPid, Seq[OrdPid], Seq[OrdPid]] {
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[OrdPid]]()
 }
 
+/** Fused posting-list aggregate for the df-capped inverted indexes: ONE
+  * hash-aggregate pass yields a group's exact row count (document
+  * frequency / bucket size) AND its member list, with storage bounded at
+  * `cap`+1 elements — a group whose count exceeds the cap keeps counting
+  * but stops storing (its list is discarded at finish), so partial-
+  * aggregation state stays O(cap) per key at ANY corpus size, exactly
+  * the bound the old two-stage form (count aggregate → semi-join →
+  * collect_set aggregate) enforced with a SECOND shuffle of the full
+  * posting table. finish() returns `sort_array(collect_set(...))`
+  * semantics for kept groups: sorted, deduped (duplicate ids only arise
+  * under a violated unique-id precondition, where the old form also
+  * degraded to df-miscounting — behavior preserved). */
+case class DfDs(df: Long, ds: Seq[Long])
+
+class CountCollectCapAgg(cap: Int)
+    extends Aggregator[Long, (Long, Seq[Long]), DfDs] {
+  override def zero: (Long, Seq[Long]) = (0L, Vector.empty)
+  override def reduce(b: (Long, Seq[Long]), a: Long): (Long, Seq[Long]) =
+    (b._1 + 1L, if (b._2.size <= cap) b._2 :+ a else b._2)
+  override def merge(x: (Long, Seq[Long]), y: (Long, Seq[Long])): (Long, Seq[Long]) = {
+    val c = x._1 + y._1
+    val m =
+      if (x._2.size > cap) x._2
+      else if (y._2.size > cap) y._2
+      else {
+        val z = x._2 ++ y._2
+        if (z.size > cap + 1) z.take(cap + 1) else z
+      }
+    (c, m)
+  }
+  override def finish(r: (Long, Seq[Long])): DfDs =
+    DfDs(r._1, if (r._1 <= cap) r._2.sorted.distinct else Vector.empty)
+  override def bufferEncoder: Encoder[(Long, Seq[Long])] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Seq[Long])]()
+  override def outputEncoder: Encoder[DfDs] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[DfDs]()
+}
+
 /** Deduplication operators for large-scale training-data pipelines.
   *
   * Scale discipline (the whole point at 100 TB):
@@ -950,6 +988,16 @@ object Dedup {
     // The df table feeds TWO consumers (pairable grams + the per-doc
     // above-cap counts for the prune below), so it is checkpointed once
     // instead of re-running the explode+agg per consumer.
+    // NOTE (r16): a fused [[CountCollectCapAgg]] build (df + posting list
+    // in one exchange, the estimate tier's r16 shape) was tried here and
+    // measured 1.15× SLOWER on the full-corpus hashed form (dd19b
+    // 3.73→4.29 s same-session A/B): a word-gram universe is dominated
+    // by df=1 singletons, where the codegen'd count aggregate is nearly
+    // free and only the few pairable grams ever reach the collect_set —
+    // object-aggregating a one-element list per singleton gram costs
+    // more than the second (pairable-only) shuffle it saves. The fused
+    // form stays where postings are DENSE per key (the (band, v) bucket
+    // indexes of containmentEstimatePairs/Incremental, 0.60-0.63×).
     val inv = g.select(col("doc"), explode(col("g")).as("gram"))
     val dfTab = inv.groupBy("gram").agg(count(lit(1)).as("df"))
       .ckpt()
@@ -1143,7 +1191,9 @@ object Dedup {
     val invC = g.filter(!col("is_new"))
       .select(col("doc").as("corpus_id"), explode(col("g")).as("gram"))
     // corpus-side df feeds pairable grams AND the above-cap counts for
-    // the exact prune — checkpointed once (containmentPairs' posture)
+    // the exact prune — checkpointed once (containmentPairs' posture,
+    // including its r16 note: the fused CountCollectCapAgg build loses
+    // on sparse word-gram universes, so the count-first form stays)
     val dfTab = invC.groupBy("gram").agg(count(lit(1)).as("df"))
       .ckpt()
     warnIfDfCapSaturated(dfTab, col("df") <= maxDf,
@@ -1253,14 +1303,15 @@ object Dedup {
                                maxSizeRatio: Double = 8.0,
                                maxBucket: Int = 100): DataFrame = {
     val g = estimateGramTable(df, id, text, n, numHashes, pre = Nil)
-    // (band, min-value) buckets, r=1: membership count first (constant
-    // state), collect only inside surviving buckets
+    // (band, min-value) buckets, r=1: fused membership count + capped
+    // member list in ONE exchange ([[CountCollectCapAgg]], r16) — the
+    // old count-then-join-then-collect form shuffled the full posting
+    // table twice; state stays ≤ maxBucket+1 per bucket either way
     val buckets = g.select(col("doc"), posexplode(col("sig")).as(Seq("band", "v")))
-    val keep = buckets.groupBy("band", "v").agg(count(lit(1)).as("bs"))
-      .filter(col("bs") >= 2 && col("bs") <= maxBucket)
-      .select("band", "v")
-    val cands = buckets.join(keep, Seq("band", "v"))
-      .groupBy("band", "v").agg(sort_array(collect_set(col("doc"))).as("ds"))
+    val cc = udaf(new CountCollectCapAgg(maxBucket))
+    val cands = buckets.groupBy("band", "v").agg(cc(col("doc")).as("s"))
+      .filter(col("s.df") >= 2 && col("s.df") <= maxBucket)
+      .select(col("s.ds").as("ds"))
       .filter(size(col("ds")) >= 2)
       .select(explode(inBucketPairs).as("p"))
       .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
@@ -1309,12 +1360,13 @@ object Dedup {
       .repartition(col("doc"))
       .select(col("doc") +: preRefs :+ transform(grams, gramHash).as("h"): _*)
       .ckpt()
-    val sigEntries = (0 until numHashes).map { i =>
-      val (a, b) = portableCoef(i)
-      array_min(transform(col("h"), x => (x * a + b) % portableP))
-    }
+    // one-pass native LCG fold (functions/MinHashExpr.scala) — the Column
+    // form was numHashes interpreted transform() lambdas (HOFs are
+    // CodegenFallback) + numHashes intermediate arrays PER ROW; bit
+    // identity vs that algebra is pinned in MinHashExprSpec, and the
+    // DuckDB oracle replays the same (a_i, b_i)/P family unchanged
     hCp.select(col("doc") +: preRefs :+ col("h") :+ size(col("h")).as("n") :+
-        array(sigEntries: _*).as("sig"): _*)
+        graft.functions.PortableMinHashFromHashes(col("h"), numHashes).as("sig"): _*)
       .ckpt()
   }
 
@@ -1368,17 +1420,22 @@ object Dedup {
                                      maxBucket: Int = 100): DataFrame = {
     val g = estimateGramTable(df, id, text, n, numHashes,
       pre = Seq("is_new" -> isNew))
-    // corpus bucket index: membership count first (constant state), cap
-    // floor 1 — a single-doc corpus bucket must still be probe-able by
-    // the batch, exactly dd20's df-floor rationale
+    // corpus bucket index: fused membership count + capped member list
+    // in ONE exchange ([[CountCollectCapAgg]], r16; the old form
+    // re-shuffled the corpus postings through the keep semi-join into
+    // the batch join). Cap floor 1 — a single-doc corpus bucket must
+    // still be probe-able by the batch, exactly dd20's df-floor
+    // rationale.
     val postC = g.filter(!col("is_new"))
       .select(col("doc").as("corpus_id"), posexplode(col("sig")).as(Seq("band", "v")))
-    val keep = postC.groupBy("band", "v").agg(count(lit(1)).as("bs"))
-      .filter(col("bs") <= maxBucket).select("band", "v")
+    val cc = udaf(new CountCollectCapAgg(maxBucket))
+    val bk = postC.groupBy("band", "v").agg(cc(col("corpus_id")).as("s"))
+      .filter(col("s.df") <= maxBucket)
     val postB = g.filter(col("is_new"))
       .select(col("doc").as("new_id"), posexplode(col("sig")).as(Seq("band", "v")))
     val cands = postB
-      .join(postC.join(keep, Seq("band", "v")), Seq("band", "v"))
+      .join(bk, Seq("band", "v"))
+      .select(col("new_id"), explode(col("s.ds")).as("corpus_id"))
       .groupBy("new_id", "corpus_id").agg(count(lit(1)).as("__c"))
     val filtered = estimateFilter(cands, "new_id", "corpus_id",
       g.filter(col("is_new")).select(col("doc"), col("n"), col("sig")),

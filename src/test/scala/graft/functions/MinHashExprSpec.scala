@@ -55,6 +55,30 @@ class MinHashExprSpec extends SparkSpecBase {
     assert(viaArray === viaText)
   }
 
+  test("PortableMinHashFromHashes equals the per-seed array_min(transform) algebra") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (1L to 40L).map { id =>
+      val n = rnd.nextInt(50) // 0..49 elements — includes the empty array
+      (id, Seq.fill(n)(rnd.nextLong(1L << 28)))
+    }
+    val df = rows.toDF("id", "h")
+    val numHashes = 32
+    val composed = df.select(col("id"), array((0 until numHashes).map { i =>
+      val (a, b) = MinHashKernel.portableCoef(i)
+      array_min(transform(col("h"), x => (x * a + b) % MinHashKernel.PORTABLE_P))
+    }: _*).as("sig"))
+    val fused = df.select(col("id"),
+      PortableMinHashFromHashes(col("h"), numHashes).as("sig"))
+    val c = composed.collect().map(r => r.getLong(0) -> r.getSeq[Any](1)).toMap
+    val f = fused.collect().map(r => r.getLong(0) -> r.getSeq[Any](1)).toMap
+    assert(f === c)
+    // the empty-array rows must yield all-null entries, like array_min
+    val empties = rows.filter(_._2.isEmpty).map(_._1)
+    assert(empties.forall(id => f(id).forall(_ == null)))
+    assert(rows.exists(_._2.nonEmpty))
+  }
+
   test("PortableMinHash equals the md5-hex Column algebra, unicode included") {
     val s = spark; import s.implicits._
     val k = 5
