@@ -110,28 +110,47 @@ object Classifier {
         (col("c") * element_at(array(w.map(lit): _*), (col("f") + 1).cast("int"))).as("t")))),
       s => s.getField("t")))
 
+  /** [[zFold]] over a PRE-SORTED per-doc (f, c) array column: the same
+    * c·w(f) multiplications folded in the same f-ascending order (f is
+    * unique per doc, so sorting struct(f, c) IS the f order), just
+    * without re-collecting and re-sorting the rows every round. */
+  private def zFoldArr(fc: Column, w: Array[Double]): Column =
+    graft.functions.FoldSum(transform(fc,
+      s => s.getField("c") *
+        element_at(array(w.map(lit): _*), (s.getField("f") + 1).cast("int"))))
+
   /** Fixed-round portable fit. Returns the weight vector (numFeatures
     * term weights + trailing bias) — model-sized driver state, like
     * BPE's merge table or IVF's centroids. */
   def trainPortable(train: DataFrame, id: String, text: String, label: Column,
                     numFeatures: Int = 256, rounds: Int = 8, lr: Double = 4.0): Array[Double] = {
-    // pre-partitioned by pid and checkpointed (checkpoints preserve
-    // partitioning): every round's groupBy(pid) AND join(pid) then run
-    // exchange-free — one shuffle per round (the per-feature gradient)
-    // instead of three
-    val feats = featsPortable(train, id, text, numFeatures,
+    // Pre-grouped per-doc feature arrays (r16): the old loop re-ran a
+    // collect_list + array_sort aggregate over the (pid, f, c) rows PLUS
+    // a join back EVERY round (8×). Grouping once into an f-sorted
+    // (f, c) array per doc makes each round's error pass a pure
+    // PROJECTION over the doc-sized checkpoint and its gradient pass one
+    // explode + one aggregate — the round's only shuffle, as before.
+    // Fold orders are unchanged (zFoldArr's scaladoc for the dot; the
+    // gradient still folds struct(pid, t) sorted by pid over the same
+    // row set after the explode), so the weights replay bit-for-bit —
+    // ClassifierSpec pins them against the row-at-a-time form and the
+    // cls1b DuckDB oracle re-pins the whole chain.
+    val featsArr = featsPortable(train, id, text, numFeatures,
       Seq("y" -> label.cast("double")))
-      .repartition(col("pid")).ckpt()
+      .groupBy("pid")
+      .agg(first(col("y")).as("y"),
+           array_sort(collect_list(struct(col("f"), col("c")))).as("fc"))
+      .ckpt()
     val n = train.count()
     val w = Array.fill(numFeatures + 1)(0.0)
     for (_ <- 1 to rounds) {
-      val errs = feats.groupBy("pid")
-        .agg(first(col("y")).as("y"), zFold(w).as("z"))
-        .select(col("pid"), (col("y") - fastSigmoid(col("z"))).as("err"))
-      val grads = feats.join(errs, "pid")
-        .groupBy("f")
+      val werr = featsArr.select(col("pid"), col("fc"),
+        (col("y") - fastSigmoid(zFoldArr(col("fc"), w))).as("err"))
+      val grads = werr
+        .select(col("pid"), col("err"), explode(col("fc")).as("e"))
+        .groupBy(col("e.f").as("f"))
         .agg(graft.functions.FoldSum(transform(
-          array_sort(collect_list(struct(col("pid"), (col("c") * col("err")).as("t")))),
+          array_sort(collect_list(struct(col("pid"), (col("e.c") * col("err")).as("t")))),
           s => s.getField("t"))).as("g"))
         .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
       for (f <- 0 to numFeatures) w(f) = w(f) + lr * grads.getOrElse(f.toLong, 0.0) / n

@@ -69,6 +69,64 @@ class ClassifierSpec extends SparkSpecBase {
     assert(acc > base + 0.15, s"portable holdout accuracy $acc vs base rate $base")
   }
 
+  test("array-form trainPortable weights are bit-identical to the row-at-a-time GD") {
+    // trainPortable (r16) pre-groups the (pid, f, c) rows into f-sorted
+    // per-doc arrays and folds each round over them; this reference
+    // replays the OLD shape — per-round collect_list/array_sort aggregate
+    // over the rows plus a join back — with the same canonical fold
+    // orders. Weights must match EXACTLY (== on doubles): both run the
+    // identical multiplications and additions in the identical order.
+    val docs = graft.llm.TextAnalysis.qualityFeatures(
+      graft.model.Tables.documents(spark, "/root/testdata/sf0.001"), "text")
+      .filter(col("doc_id") % 5 === 0)
+    val numFeatures = 256; val rounds = 8; val lr = 4.0
+    val wNew = Classifier.trainPortable(docs, "doc_id", "text",
+      col("quality_score") >= 0.95, numFeatures, rounds, lr)
+    // reference: the pre-r16 row-at-a-time loop, rebuilt from the same
+    // public pieces (Md5Prefix bucketing, window TF, per-doc f-sorted
+    // dot fold, per-feature pid-sorted gradient fold)
+    val wTot = org.apache.spark.sql.expressions.Window.partitionBy("pid")
+    val toks = docs.select(col("doc_id").cast("long").as("pid"),
+        (col("quality_score") >= 0.95).cast("double").as("y"),
+        explode(split(lower(col("text")), "[ \t\n\r\f]+")).as("tok"))
+      .filter(col("tok") =!= "")
+    val feats = toks
+      .groupBy(col("pid"), col("y"),
+        (graft.functions.Md5Prefix(col("tok"), 7) % numFeatures).as("f"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("c", col("cnt").cast("double") / sum(col("cnt")).over(wTot).cast("double"))
+      .drop("cnt")
+      .unionByName(docs.select(col("doc_id").cast("long").as("pid"),
+        (col("quality_score") >= 0.95).cast("double").as("y"),
+        lit(numFeatures.toLong).as("f"), lit(1.0).as("c")))
+      .repartition(col("pid")).localCheckpoint()
+    def zFoldRef(w: Array[Double]) =
+      graft.functions.FoldSum(transform(
+        array_sort(collect_list(struct(col("f"),
+          (col("c") * element_at(array(w.map(lit): _*), (col("f") + 1).cast("int"))).as("t")))),
+        s => s.getField("t")))
+    def sigRef(z: org.apache.spark.sql.Column) =
+      lit(0.5) + lit(0.5) * z / (lit(1.0) + abs(z))
+    val n = docs.count()
+    val wRef = Array.fill(numFeatures + 1)(0.0)
+    for (_ <- 1 to rounds) {
+      val errs = feats.groupBy("pid")
+        .agg(first(col("y")).as("y"), zFoldRef(wRef).as("z"))
+        .select(col("pid"), (col("y") - sigRef(col("z"))).as("err"))
+      val grads = feats.join(errs, "pid")
+        .groupBy("f")
+        .agg(graft.functions.FoldSum(transform(
+          array_sort(collect_list(struct(col("pid"), (col("c") * col("err")).as("t")))),
+          s => s.getField("t"))).as("g"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      for (f <- 0 to numFeatures) wRef(f) = wRef(f) + lr * grads.getOrElse(f.toLong, 0.0) / n
+    }
+    assert(wNew.length === wRef.length)
+    val diffs = wNew.indices.filter(i => wNew(i) != wRef(i))
+    assert(diffs.isEmpty, s"weights differ at indices $diffs")
+    assert(wNew.exists(_ != 0.0), "training must actually move the weights")
+  }
+
   test("production MLlib model agrees with the hash-checked portable twin on the holdout") {
     // the machine-checked link from rows-only cls1 to hash-green cls1b
     // (VERDICT r9 item 5): different featurizer (HashingTF vs md5 buckets)
