@@ -438,34 +438,46 @@ object Graph {
     // rank-vector delivery per strategy (see scaladoc)
     def side(v: DataFrame): DataFrame =
       if (copartition) v.hint("shuffle_hash") else broadcast(v)
-    // Per half-step ONE eager job: the contrib table is checkpointed and
-    // the L1 normalizer rides as a LAZY 1-row aggregate of that
-    // checkpointed table, crossJoined back as a broadcast row — never a
-    // separate driver action (2 jobs/round; the explicit head() variant
-    // measured 3× this loop's wall time). Element arithmetic (v / Σv,
-    // then Σ w·(v/Σv)) is unchanged, so the unrolled oracle still
-    // replays it; nodes without contribs drop from the inner joins and
-    // contribute exactly the 0.0 their coalesced rows used to.
+    // ONE eager job per ROUND (r16; was one per half-step): each
+    // half-step aggregates per-`to` contribs AND the grand L1 total in a
+    // single ROLLUP aggregate (the total is the grouping-total row,
+    // node = null — pagerank's dangling-sink posture), so the normalizer
+    // is a filter over the SAME aggregate output as the vector rows,
+    // never a second aggregate consumer. Only the HUB half-step is
+    // checkpointed per round; the authority half-step rides as a lazy
+    // rollup subtree inside it, its one exchange shared by both
+    // consumers (the r15 trim failed exactly because the OLD normalizer
+    // — an agg ON TOP of the half-step — did not share the exchange;
+    // filters over one rollup do). The L1 total now folds the joined
+    // edge rows directly instead of the per-node sums — a different
+    // summation TREE for the same value, within the operator's
+    // documented float-noise contract (the per-node order was already
+    // hash-partition-nondeterministic; the trailing 6dp round absorbs
+    // it — oracle re-pinned at both correctness scales).
     var hub = nd.withColumn("h", lit(1.0)).loopCkpt()
-    var prevHc: DataFrame = hub
-    var prevAc: DataFrame = null
+    // hub checkpoints live TWO generations: the final lazy auth reads
+    // the previous round's hub blocks until authCp materializes below
+    var prev: DataFrame = hub
+    var prevPrev: DataFrame = null
     var auth: DataFrame = null
+    def normalized(hs: DataFrame): DataFrame =
+      hs.filter(col("node").isNotNull)
+        .crossJoin(broadcast(
+          hs.filter(col("node").isNull).select(col("v").as("s"))))
+        .select(col("node"), (col("v") / col("s")).as("h"))
     for (_ <- 1 to iters) {
-      val hubSide = side(hub)
-      val ac = halfStepOf(e, hubSide, "src", "dst").loopCkpt()
-      if (prevAc != null) graft.SessionHygiene.freeCheckpoint(prevAc)
-      prevAc = ac
-      // backed the hub vector that ac just consumed; freeCheckpoint
-      // because Dataset.unpersist is a no-op on checkpoint-backed frames
-      graft.SessionHygiene.freeCheckpoint(prevHc)
-      auth = ac.crossJoin(broadcast(ac.agg(sum("v").as("s"))))
-        .select(col("node"), (col("v") / col("s")).as("h"))
-      val authSide = side(auth)
-      val hc = halfStepOf(eDst, authSide, "dst", "src").loopCkpt()
-      prevHc = hc
-      hub = hc.crossJoin(broadcast(hc.agg(sum("v").as("s"))))
-        .select(col("node"), (col("v") / col("s")).as("h"))
+      val acr = halfStepOf(e, side(hub), "src", "dst")
+      auth = normalized(acr)
+      val hcr = halfStepOf(eDst, side(auth), "dst", "src").loopCkpt()
+      if (prevPrev != null) graft.SessionHygiene.freeCheckpoint(prevPrev)
+      prevPrev = prev
+      prev = hcr
+      hub = normalized(hcr)
     }
+    // materialize the final authority vector BEFORE releasing the edge
+    // cache — auth is a lazy subtree over e and the previous hub ckpt
+    val authCp = auth.loopCkpt()
+    auth = authCp
     e.unpersist(); if (copartition) eDst.unpersist()
     // lift the edge-supported vectors onto the full node spine (nd is
     // hash(node)-partitioned in copartition mode, so the hinted joins
@@ -479,14 +491,17 @@ object Graph {
   }
 
   /** The HITS half-step aggregate — pagerank's [[contribOf]] in both edge
-    * directions (authority: sum over in-edges; hub: sum over out-edges).
-    * A power-law hot node stresses the `to`-keyed shuffle exactly like
-    * the pagerank contrib: safety is map-side PARTIAL aggregation, pinned
-    * by GraphSpec via [[hitsHalfStepAudit]] on this one shared copy. */
+    * directions (authority: sum over in-edges; hub: sum over out-edges),
+    * as a ROLLUP so the L1 normalizer is the grouping-total row
+    * (node = null) of the SAME aggregate. A power-law hot node stresses
+    * the `to`-keyed shuffle exactly like the pagerank contrib: safety is
+    * map-side PARTIAL aggregation (rollup partial-aggregates per
+    * grouping set), pinned by GraphSpec via [[hitsHalfStepAudit]] on
+    * this one shared copy. */
   private def halfStepOf(edges: DataFrame, vecSide: DataFrame,
                          from: String, to: String): DataFrame =
     edges.join(vecSide, edges(from) === vecSide("node"))
-      .groupBy(col(to).as("node")).agg(sum(col("w") * col("h")).as("v"))
+      .rollup(col(to).as("node")).agg(sum(col("w") * col("h")).as("v"))
 
   /** Round-1 half-step plans (authority then hub), un-checkpointed, for
     * GraphSpec's skew audit — the loop's own stage construction (same
