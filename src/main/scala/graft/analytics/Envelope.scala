@@ -65,52 +65,61 @@ object Envelope {
     * this renderer character-for-character (dwwApi.js:201-223 shape).
     * Map entries are re-sorted defensively; the jumps array is already
     * sort_array'd by (id, name, rels). */
-  def canonicalJson(env: DataFrame): DataFrame = {
-    // Full JSON string escaping, exactly json.dumps' default repertoire:
-    // backslash, quote, the five short escapes, and \u00XX for every
-    // remaining control char < 0x20 — raw control chars would make the
-    // output invalid JSON and break the character-for-character oracle.
-    def esc(c: Column): Column = {
-      val base = regexp_replace(regexp_replace(c, "\\\\", "\\\\\\\\"), "\"", "\\\\\"")
-      val shorts = Seq('\b' -> "\\\\b", '\f' -> "\\\\f", '\n' -> "\\\\n",
-        '\r' -> "\\\\r", '\t' -> "\\\\t")
-      val withShorts = shorts.foldLeft(base) { case (col0, (ch, rep)) =>
-        regexp_replace(col0, java.util.regex.Pattern.quote(ch.toString), rep)
-      }
-      // Control chars are vanishingly rare in real text, but their
-      // replace chains are NOT free: unguarded, the full chain made the
-      // envelope render 5× slower. Two cheap rlike scans gate the
-      // branches — a clean string (the overwhelming case) pays only the
-      // two backslash/quote replaces it always needed.
-      val rare = (0 until 32).filterNot(i => "\b\f\n\r\t".contains(i.toChar))
-        .foldLeft(withShorts) { case (col0, i) =>
-          regexp_replace(col0, f"\\x$i%02x", f"\\\\u$i%04x")
-        }
-      when(c.rlike("[\\x00-\\x07\\x0b\\x0e-\\x1f]"), rare)
-        .when(c.rlike("[\\x08-\\x0d]"), withShorts)
-        .otherwise(base)
+  // Full JSON string escaping, exactly json.dumps' default repertoire:
+  // backslash, quote, the five short escapes, and \u00XX for every
+  // remaining control char < 0x20 — raw control chars would make the
+  // output invalid JSON and break the character-for-character oracle.
+  private def esc(c: Column): Column = {
+    val base = regexp_replace(regexp_replace(c, "\\\\", "\\\\\\\\"), "\"", "\\\\\"")
+    val shorts = Seq('\b' -> "\\\\b", '\f' -> "\\\\f", '\n' -> "\\\\n",
+      '\r' -> "\\\\r", '\t' -> "\\\\t")
+    val withShorts = shorts.foldLeft(base) { case (col0, (ch, rep)) =>
+      regexp_replace(col0, java.util.regex.Pattern.quote(ch.toString), rep)
     }
-    def str(c: Column): Column = concat(lit("\""), esc(c), lit("\""))
-    // every field is null-tolerant (rendered as JSON null, matching
-    // json.dumps) — a bare concat would NULL the whole rel string and
-    // array_join would then drop the rel SILENTLY
-    def strOrNull(c: Column): Column =
-      when(c.isNull, lit("null")).otherwise(str(c))
-    def rawOrNull(c: Column): Column = coalesce(c.cast("string"), lit("null"))
-    def relJson(r: Column): Column = concat(
-      lit("{\"dummy\":"), rawOrNull(r.getField("dummy")),
-      lit(",\"imdbMovieId\":"), strOrNull(r.getField("imdbMovieId")),
-      lit(",\"location\":"), strOrNull(r.getField("location")),
-      lit(",\"matchedCompanyName\":"), strOrNull(r.getField("matchedCompanyName")),
-      lit(",\"movieReleaseYear\":"), rawOrNull(r.getField("movieReleaseYear")),
-      lit(",\"personMappedRole\":"), strOrNull(r.getField("personMappedRole")),
-      lit(",\"region\":"), strOrNull(r.getField("region")),
-      lit(",\"seq\":"), rawOrNull(r.getField("seq")), lit("}"))
-    def docJson(d: Column): Column = concat(
-      lit("{\"id\":"), strOrNull(d.getField("id")),
-      lit(",\"name\":"), strOrNull(d.getField("name")),
-      lit(",\"rels\":["),
-      array_join(transform(d.getField("rels"), relJson(_)), ","), lit("]}"))
+    // Control chars are vanishingly rare in real text, but their
+    // replace chains are NOT free: unguarded, the full chain made the
+    // envelope render 5× slower. Two cheap rlike scans gate the
+    // branches — a clean string (the overwhelming case) pays only the
+    // two backslash/quote replaces it always needed.
+    val rare = (0 until 32).filterNot(i => "\b\f\n\r\t".contains(i.toChar))
+      .foldLeft(withShorts) { case (col0, i) =>
+        regexp_replace(col0, f"\\x$i%02x", f"\\\\u$i%04x")
+      }
+    when(c.rlike("[\\x00-\\x07\\x0b\\x0e-\\x1f]"), rare)
+      .when(c.rlike("[\\x08-\\x0d]"), withShorts)
+      .otherwise(base)
+  }
+  private def str(c: Column): Column = concat(lit("\""), esc(c), lit("\""))
+  // every field is null-tolerant (rendered as JSON null, matching
+  // json.dumps) — a bare concat would NULL the whole rel string and
+  // array_join would then drop the rel SILENTLY
+  private def strOrNull(c: Column): Column =
+    when(c.isNull, lit("null")).otherwise(str(c))
+  private def rawOrNull(c: Column): Column = coalesce(c.cast("string"), lit("null"))
+  private def relJson(r: Column): Column = concat(
+    lit("{\"dummy\":"), rawOrNull(r.getField("dummy")),
+    lit(",\"imdbMovieId\":"), strOrNull(r.getField("imdbMovieId")),
+    lit(",\"location\":"), strOrNull(r.getField("location")),
+    lit(",\"matchedCompanyName\":"), strOrNull(r.getField("matchedCompanyName")),
+    lit(",\"movieReleaseYear\":"), rawOrNull(r.getField("movieReleaseYear")),
+    lit(",\"personMappedRole\":"), strOrNull(r.getField("personMappedRole")),
+    lit(",\"region\":"), strOrNull(r.getField("region")),
+    lit(",\"seq\":"), rawOrNull(r.getField("seq")), lit("}"))
+  private def docJson(d: Column): Column = concat(
+    lit("{\"id\":"), strOrNull(d.getField("id")),
+    lit(",\"name\":"), strOrNull(d.getField("name")),
+    lit(",\"rels\":["),
+    array_join(transform(d.getField("rels"), relJson(_)), ","), lit("]}"))
+
+  /** The pre-r16 Column-chain render of the jumps section — kept as the
+    * readable reference implementation of [[graft.functions.JumpsJson]];
+    * IoSpec pins the kernel byte-identical to it on the real envelope
+    * (hostile strings included). */
+  private[graft] def jumpsJsonReference(env: DataFrame): DataFrame =
+    env.select(
+      array_join(transform(col("jumps"), docJson(_)), ",").as("jumps_json"))
+
+  def canonicalJson(env: DataFrame): DataFrame = {
     def strMapJson(m: Column): Column = concat(lit("{"),
       array_join(transform(array_sort(map_entries(m)), e =>
         concat(str(e.getField("key")), lit(":"), strOrNull(e.getField("value")))), ","),
@@ -122,10 +131,19 @@ object Envelope {
           lit(",\"globalRegion\":"), strOrNull(e.getField("value").getField("globalRegion")),
           lit("}"))), ","),
       lit("}"))
+    // the jumps section renders through the fused kernel
+    // (functions/JsonExpr.scala): the transform(docJson) form was two
+    // nested interpreted HOF lambdas whose per-field escape re-ran the
+    // regexp chain above for EVERY rel string, all inside the envelope's
+    // single serial row. Byte-identity is pinned by IoSpec's hostile-
+    // string fixtures (which route through this method), by the
+    // character-for-character envelope oracle, and by the
+    // kernel ≡ [[jumpsJsonReference]] pin. The tiny dim-echo maps keep
+    // the Column render (3-4 entries each — not worth a kernel).
     env.select(concat(
       lit("{\"globalRegions\":"), strMapJson(col("globalRegions")),
       lit(",\"jumps\":["),
-      array_join(transform(col("jumps"), docJson(_)), ","), lit("]"),
+      graft.functions.JumpsJson(col("jumps")), lit("]"),
       lit(",\"locations\":"), strMapJson(col("locations")),
       lit(",\"regions\":"), regionsJson,
       lit("}")).as("envelope_json"))

@@ -238,5 +238,14 @@ class IoSpec extends SparkSpecBase {
     val got = Envelope.canonicalJson(env).head.getString(0)
     val expected = "{\"globalRegions\":{\"ré\":\"9,9\"},\"jumps\":[{\"id\":\"p\\\"1\",\"name\":\"A\\\\li\\\"c\\u0001é\",\"rels\":[{\"dummy\":false,\"imdbMovieId\":null,\"location\":\"1,2\",\"matchedCompanyName\":\"St\\\"u\\nX\",\"movieReleaseYear\":123,\"personMappedRole\":\"Art\\\\ist\",\"region\":\"l\\\\o\\tz\",\"seq\":0},{\"dummy\":true,\"imdbMovieId\":\"m1\",\"location\":null,\"matchedCompanyName\":\"St\\\"u\\nX\",\"movieReleaseYear\":456,\"personMappedRole\":\"Art\\\\ist\",\"region\":\"l\\\\o\\tz\",\"seq\":1}]}],\"locations\":{\"St\\\"u\\nX\":\"1,2\"},\"regions\":{\"l\\\\o\\tz\":{\"geoLoc\":\"1,2\",\"globalRegion\":\"ré\"}}}"
     assert(got === expected)
+    // r16 kernel pin: the fused jumps_json renderer must emit the exact
+    // bytes of the Column-chain reference it replaced, on the same
+    // hostile fixture (escapes, nulls, booleans, longs)
+    val viaKernel = env
+      .select(graft.functions.JumpsJson(col("jumps")).as("jumps_json"))
+      .head.getString(0)
+    val viaColumns = Envelope.jumpsJsonReference(env).head.getString(0)
+    assert(viaKernel === viaColumns)
+    assert(expected.contains(viaKernel), "kernel render is the jumps section of the envelope")
   }
 }
