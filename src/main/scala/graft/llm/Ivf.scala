@@ -59,10 +59,11 @@ object Ivf {
     * replays exactly in DuckDB's unrolled round CTEs
     * ([[portableOracleSql]]). An empty cell keeps its previous centroid.
     *
-    * Scale shape: per round one n×k broadcast expansion + per-id argmin
-    * + one (cell, dim)-sized mean aggregate — linear in the corpus, the
-    * same cost class as MLlib's own Lloyd's pass; lineage truncated per
-    * round. MLlib [[build]] stays the production path (sampling init,
+    * Scale shape: per round one literal-centroid argmin projection over
+    * the corpus scan (n×k SqDist evaluations inside one expression — no
+    * crossJoin rows, no per-id shuffle) + one (cell, dim)-sized mean
+    * aggregate — linear in the corpus, the same cost class as MLlib's
+    * own Lloyd's pass; lineage truncated per round. MLlib [[build]] stays the production path (sampling init,
     * early convergence); this twin exists so the quantizer itself is
     * oracle-checkable end-to-end.
     *
@@ -72,12 +73,12 @@ object Ivf {
     val (cdf, assignF) = quantizerCore(corpus, id, vec, k, rounds)
     // checkpointed: callers reference the assignment table at least twice
     // (query slice + candidate cells)
-    (cdf, assignF(cdf).ckpt())
+    (cdf, assignF().ckpt())
   }
 
   private def quantizerCore(corpus: DataFrame, id: String, vec: String,
                             k: Int, rounds: Int)
-      : (DataFrame, DataFrame => DataFrame) = {
+      : (DataFrame, () => DataFrame) = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val base = corpus.select(col(id).cast("long").as("pid"),
@@ -96,15 +97,17 @@ object Ivf {
       .select("pv").collect()
       .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](0)) }.toIndexedSeq
     def centDf(c: IndexedSeq[(Int, Seq[Double])]): DataFrame = c.toDF("cell", "cv")
-    // native kernel, identical (x−c)² L2R accumulation to the zip_with
-    // fold it replaces — the per-point×per-centroid inner loop of every
-    // Lloyd round
-    val d2 = graft.functions.SqDist(col("pv"), col("cv"))
-    def assign(c: DataFrame): DataFrame = base.crossJoin(broadcast(c))
-      .withColumn("d2", d2)
-      .groupBy("pid")
-      .agg(min(struct(col("d2"), col("cell"))).as("m"), first("pv").as("pv"))
-      .select(col("pid"), col("pv"), col("m.cell").as("cell"))
+    // Assignment is a literal-centroid argmin PROJECTION over one scan
+    // (r16): the centroids are driver-resident model state every round,
+    // so [[pqCodeFrozen]] — already pinned bit-identical to the
+    // crossJoin + min(struct(d2, cell)) form it replaced in the PQ code
+    // path (same SqDist on the same doubles, same smaller-cell
+    // tie-break) — assigns cells with ZERO joins and ZERO shuffles,
+    // where the old crossJoin(broadcast) + groupBy(pid) materialized
+    // n×k rows and re-shuffled the corpus every round AND once more for
+    // the final index build.
+    def assign(c: IndexedSeq[(Int, Seq[Double])]): DataFrame =
+      base.select(col("pid"), col("pv"), pqCodeFrozen(col("pv"), c).as("cell"))
     // order-canonical mean: fold the cell's values SORTED, so the double
     // sum is bit-identical across partitionings AND engines (DuckDB twin:
     // list_sum(list_sort(list(x))), the same L2R fold) — without this the
@@ -112,7 +115,7 @@ object Ivf {
     // boundary under a different partition order
     val sortedSum = graft.functions.FoldSum(array_sort(collect_list(col("x"))))
     for (_ <- 1 to rounds) {
-      val means = assign(centDf(cent))
+      val means = assign(cent)
         .select(col("cell"), posexplode(col("pv")).as(Seq("i", "x")))
         .groupBy("cell", "i")
         .agg((floor(sortedSum / count(lit(1)) * 1000000 + 0.5) / 1000000.0).as("mean"))
@@ -124,7 +127,8 @@ object Ivf {
       }
     }
     val cdf = centDf(cent)
-    (cdf, assign)
+    val frozen = cent
+    (cdf, () => assign(frozen))
   }
 
   /** [[portableQuantizer]]'s centroids WITHOUT the eager final
