@@ -34,7 +34,19 @@ object TextAnalysis {
     * re-ran the split and all four intersects several times per document
     * (higher-order filters are CodegenFallback, so codegen's
     * common-subexpression elimination never rescues them). */
-  def langId(text: Column): Column = {
+  def langId(text: Column): Column =
+    // fused kernel (functions/LangIdExpr.scala, r16): the let-bound
+    // Column chain below remains the readable reference — one
+    // interpreted higher-order expression per row that re-hashed every
+    // token against every language's literal array; the kernel does one
+    // token → language-bitmask lookup per token. TextAnalysisSpec pins
+    // kernel ≡ reference; the per-language list_intersect oracle SQL is
+    // unchanged.
+    graft.functions.LangIdExpr(text, stopwords.toSeq.sortBy(_._1))
+
+  /** The pre-r16 Column-chain language ID — the reference implementation
+    * of [[graft.functions.LangIdExpr]], spec-pinned equal. */
+  private[graft] def langIdReference(text: Column): Column = {
     def let1(c: Column)(body: Column => Column): Column =
       element_at(transform(array(c), body), 1)
     let1(tokens(text)) { toks =>

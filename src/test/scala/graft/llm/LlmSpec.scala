@@ -378,6 +378,33 @@ class LlmSpec extends SparkSpecBase {
     assert(out(5L) === "unknown")
   }
 
+  test("langId kernel equals the Column-chain reference on real + hostile text") {
+    // r16 pin: the fused LangIdExpr must agree with the let-bound Column
+    // algebra it replaced on every document of the real corpus AND on
+    // constructed edge cases (ties, zero evidence, shared stopwords
+    // between languages, empty/whitespace text, repeated stopwords that
+    // must count once, mixed case, CJK tokens)
+    val s = spark; import s.implicits._
+    val real = graft.model.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val hostile = Seq(
+      (9001L, ""), (9002L, "   "), (9003L, "\tthe\n\nthe THE the "),
+      (9004L, "la la la"),            // fr+es shared stopword → tie → unknown
+      (9005L, "le la et est"),        // fr-heavy with shared words
+      (9006L, "的 是 在 了"),          // zh
+      (9007L, "the und le el 的"),    // five-way tie
+      (9008L, "The AND Of tO a In") // case-normalized en
+    ).toDF("doc_id", "text")
+    val both = real.unionByName(hostile)
+    val got = both.select(col("doc_id"),
+        TextAnalysis.langId(col("text")).as("k"),
+        TextAnalysis.langIdReference(col("text")).as("r"))
+      .collect()
+    val diff = got.filter(r => r.getString(1) != r.getString(2))
+    assert(diff.isEmpty,
+      s"kernel != reference on ${diff.take(5).mkString(";")}")
+  }
+
   test("token counts and quality features are consistent") {
     val s = spark; import s.implicits._
     val df = Seq((1L, "hello world, this is text!"), (2L, "one")).toDF("doc_id", "text")
