@@ -232,6 +232,12 @@ object MinHashKernel {
     * positive. Replaces an explode of one row PER TOKEN plus a 60-column
     * aggregate shuffle with a single per-row pass. */
   def portableSimhash(text: UTF8String): Long = {
+    // Valid UTF-8 is assumed: the pre-r15 path round-tripped through
+    // String (toString.split), which replaces MALFORMED UTF-8 sequences
+    // with U+FFFD before hashing — for invalid input this byte path
+    // hashes the raw bytes instead and the fingerprint differs. The
+    // tier's corpora are valid UTF-8 (parquet string columns), so the
+    // case is unreachable here; sanitize upstream if that ever changes.
     // byte-level split on 0x20: UTF-8 never embeds a space byte inside a
     // multi-byte sequence, so the segments (empties kept, incl. trailing)
     // are exactly String.split(" ", -1)'s tokens — with no String/token/

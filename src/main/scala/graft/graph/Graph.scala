@@ -142,21 +142,23 @@ object Graph {
     // Copartition mode: the shuffled-hash hint BUILDS the node-sized
     // rank side; both sides' existing hash layouts satisfy the join's
     // distribution, so no exchange is inserted on either side.
-    // Only the CONTRIB table is checkpointed per round: the next rank
-    // vector is then a shallow lazy plan (nodes + two broadcasts of the
-    // checkpointed contribs), so lineage stays depth-1 without paying a
-    // second eager materialization per round. Chaining multiple
-    // un-checkpointed rounds into one plan measured SLOWER (AQE re-plans
-    // the deeper tree and the aggregates recompute inside every rank
-    // reference), so one eager checkpoint per round is the sweet spot.
+    // Only the NEXT RANK vector is checkpointed per round (one eager job
+    // per iteration); the contrib aggregate stays a LAZY subtree inside
+    // that plan, shared by its two consumers (the dangling-mass 1-row
+    // aggregate and the join side) via exchange reuse, so it is still
+    // computed once — just without its own eager job and block
+    // round-trip. Chaining multiple un-checkpointed ROUNDS into one plan
+    // measured SLOWER (AQE re-plans the deeper tree and the aggregates
+    // recompute inside every rank reference), so one eager checkpoint
+    // per round is the sweet spot.
     for (step <- 1 to iters) {
       val rankSide = if (copartition) ranks.hint("shuffle_hash") else broadcast(ranks)
       val contrib = contribOf(shareAll, rankSide)
-      // the dangling mass is ONE value of the checkpointed (node-sized)
-      // contrib table — it rides as a LAZY 1-row aggregate crossJoined
-      // back as a broadcast row (HITS's normalizer pattern: the explicit
-      // per-round head() was a separate driver job each iteration and
-      // measured the loop ~3× slower there). Same value, same
+      // the dangling mass is ONE value of the LAZY contrib subtree — it
+      // rides as a 1-row aggregate crossJoined back as a broadcast row,
+      // deduped against the join-side consumer by exchange reuse (the
+      // explicit per-round head() was a separate driver job each
+      // iteration and measured the loop ~3× slower). Same value, same
       // arithmetic — the rank expression just reads it as a column.
       val dmRow = contrib.filter(col("dst").isNull)
         .agg(coalesce(sum("contrib"), lit(0.0)).as("__dm"))

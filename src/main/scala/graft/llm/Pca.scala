@@ -113,10 +113,17 @@ object Pca {
       count(lit(1)).as("n"),
       min(size(col(vec))).as("dmin"),
       max(size(col(vec))).as("dmax"),
-      count(when(col(vec).isNull, 1)).as("nulls")).head()
+      count(when(col(vec).isNull, 1)).as("nulls"),
+      // null ELEMENTS are a hard error too (ADVICE r15): the Seq[Double]
+      // buffer encoder of GramSumAgg would otherwise throw an opaque
+      // "null value in non-nullable field" mid-aggregate, where the old
+      // posexplode form silently skipped the null products
+      count(when(exists(col(vec), _.isNull), 1)).as("null_elems")).head()
     val n = stats.getLong(0)
     require(stats.getLong(3) == 0,
       s"covariance: ${stats.getLong(3)} null '$vec' vectors — filter them before the outer-product expansion")
+    require(stats.getLong(4) == 0,
+      s"covariance: ${stats.getLong(4)} '$vec' vectors contain null ELEMENTS — clean them before the Gram fold")
     require(n > 0, s"covariance: empty input")
     val d = stats.getInt(2)
     require(stats.getInt(1) == d,

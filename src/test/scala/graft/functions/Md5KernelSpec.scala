@@ -4,11 +4,14 @@ import graft.SparkSpecBase
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Pins the single-block MD5 fast path bit-for-bit to the JDK
-  * MessageDigest and the Md5Prefix expression to the
-  * conv(substring(md5(x), 1, h), 16, 10) Column chain it replaces —
-  * across the 55-byte single-block/fallback boundary and on multi-byte
-  * UTF-8, so every portable oracle is unaffected by construction. */
+/** Pins Md5Kernel.first8's byte-fold and (off, len) slice handling
+  * bit-for-bit to a fresh JDK MessageDigest (the kernel itself stays on
+  * the thread-local MessageDigest — a hand-rolled single-block transform
+  * was tried and measured SLOWER, see Md5Kernel's note), including
+  * lengths straddling the 55-byte one-block boundary, and pins the
+  * Md5Prefix expression to the conv(substring(md5(x), 1, h), 16, 10)
+  * Column chain it replaces — multi-byte UTF-8 included — so every
+  * portable oracle is unaffected by construction. */
 class Md5KernelSpec extends SparkSpecBase {
 
   private def jdkFirst8(bytes: Array[Byte]): Long = {
