@@ -89,8 +89,11 @@ object Paths {
   def roleIndex(paths: DataFrame, role: String): DataFrame =
     paths.select(col(role), col("path_id")).distinct()
       .groupBy(col(role))
-      .agg(sort_array(collect_set(col("path_id"))).as("path_ids"),
-           countDistinct(col("path_id")).as("n_paths"))
+      .agg(sort_array(collect_set(col("path_id"))).as("path_ids"))
+      // n_paths IS the collected set's size — computing it as a second
+      // countDistinct aggregate forced an Expand (2× the aggregate
+      // input) for a number the set already carries (r16)
+      .withColumn("n_paths", size(col("path_ids")).cast("long"))
 
   /** KML gx:Track rendering fused over the PAIR rows (pathCreator.js:
     * 108-131): every Placemark derives from exactly one from→to pair, so
