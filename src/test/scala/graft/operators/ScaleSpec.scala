@@ -174,10 +174,11 @@ class ScaleSpec extends SparkSpecBase {
       "ts10_bm25" -> "2/0/0/1/-",
       "ts11_bigram_lm" -> "7/2/0/1/p",
       "cur10_temperature_mix" -> "4/1/0/1/p",
-      // dd10: the portable md5-Lloyd quantizer tail (round-9) — one more
-      // exchange than the MLlib form: the within-cell pair shuffle plus
-      // the larger-id anti-join's distinct; BHJs are the cell joins
-      "dd10_semantic_dedup" -> "5/2/0/0/-",
+      // dd10: the portable md5-Lloyd quantizer tail — r16 drops two
+      // exchanges: the Lloyd assignment is a literal-centroid argmin
+      // projection (no per-pid shuffle), leaving the within-cell pair
+      // shuffle + anti-join distinct; BHJs are the cell joins
+      "dd10_semantic_dedup" -> "3/2/0/0/-",
       "wf3_frames" -> "2/0/0/0/-",
       "so8_grouping_sets" -> "2/0/0/0/-",
       "dd11_incremental_neardup" -> "2/4/0/0/-",
@@ -280,11 +281,13 @@ class ScaleSpec extends SparkSpecBase {
       // g11's audited plan is the final node-spine join. The query tier
       // delivers ranks by BROADCAST (measured ~2x faster below the
       // ceiling; the round-8 close) so the lifts are BHJs, not
-      // shuffled-hash exchanges; the two BNLJs are the lazy 1-row
-      // L1-normalizer broadcasts of the last round. GraphSpec pins the
-      // copartitioned 100x-scale path ≡ broadcast with zero per-round
-      // exchanges
-      "g11_hits" -> "3/2/0/2/-",
+      // shuffled-hash exchanges. r16: both half-steps are rollup
+      // aggregates whose grouping-total row IS the L1 normalizer and the
+      // final authority vector is checkpointed, so only ONE lazy
+      // normalizer BNLJ (the hub side's) and one output exchange remain
+      // in the audited tail. GraphSpec pins the copartitioned 100x-scale
+      // path ≡ broadcast with zero per-round exchanges
+      "g11_hits" -> "1/2/0/1/-",
       // g12 is a 1-row summary: its exchanges are the per-aggregate
       // finals over the checkpointed node/edge-scale frames, its BNLJs
       // the 1-row stat crossJoins
@@ -364,15 +367,17 @@ class ScaleSpec extends SparkSpecBase {
       // posting, never the operator topology
       "dd19b_containment_hashed" -> "4/5/0/0/-",
       "dd20b_incremental_containment_hashed" -> "4/6/0/0/-",
-      // dd21 (estimate tier): bucket-size agg + per-pair match count +
-      // the J*/size-ratio sketch filter (its two dim-sized stats joins
-      // and both verify joins are the BHJs) — candidates only ever meet
-      // signatures and gram arrays through joins, never a doc self-join
-      "dd21_containment_estimate" -> "3/5/0/0/-",
-      // dd22 (estimate tier, ingest split): corpus bucket index + batch
-      // probe (the extra BHJ vs dd21), counted candidates, sketch
+      // dd21 (estimate tier): fused bucket index (count + capped member
+      // list in ONE aggregate, r16 — the keep semi-join is gone) +
+      // per-pair match count + the J*/size-ratio sketch filter (its two
+      // dim-sized stats joins and both verify joins are the BHJs) —
+      // candidates only ever meet signatures and gram arrays through
+      // joins, never a doc self-join
+      "dd21_containment_estimate" -> "3/4/0/0/-",
+      // dd22 (estimate tier, ingest split): fused corpus bucket index
+      // (r16, as dd21) + batch probe, counted candidates, sketch
       // filter, split-side verify
-      "dd22_incremental_containment_estimate" -> "3/6/0/0/-")
+      "dd22_incremental_containment_estimate" -> "3/5/0/0/-")
     try {
       val drift = graft.SparkEntry.all
         .filter(q => snapshot.contains(q.name))
