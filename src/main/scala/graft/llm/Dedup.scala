@@ -1356,16 +1356,23 @@ object Dedup {
     val gramHash = (g: Column) => graft.functions.Md5Prefix(g, 7)
     val preCols = pre.map { case (nm, c) => c.as(nm) }
     val preRefs = pre.map { case (nm, _) => col(nm) }
-    val hCp = df.select(col(id).cast("long").as("doc") +: preCols :+ toks.as("tk"): _*)
+    // ONE checkpoint (r16; was two): with the sig computed by the
+    // one-pass native LCG fold (functions/MinHashExpr.scala) the gram
+    // column `h` is referenced three times in the outer projection
+    // (h, size(h), the kernel) — a non-cheap multi-referenced producer
+    // CollapseProject never inlines (SPARK-36718, the gopherRules
+    // barrier), so the md5 gram chain still runs once per row WITHOUT
+    // materializing an intermediate h table first. The pre-r16 hCp
+    // checkpoint existed because the OLD sig algebra was numHashes
+    // interpreted transform() lambdas, each of which projection collapse
+    // would have fed its own copy of the hex/conv chain (measured 5× the
+    // stage). Bit identity of the fold vs that algebra is pinned in
+    // MinHashExprSpec; the DuckDB oracle replays the same (a_i, b_i)/P
+    // family unchanged.
+    df.select(col(id).cast("long").as("doc") +: preCols :+ toks.as("tk"): _*)
       .repartition(col("doc"))
       .select(col("doc") +: preRefs :+ transform(grams, gramHash).as("h"): _*)
-      .ckpt()
-    // one-pass native LCG fold (functions/MinHashExpr.scala) — the Column
-    // form was numHashes interpreted transform() lambdas (HOFs are
-    // CodegenFallback) + numHashes intermediate arrays PER ROW; bit
-    // identity vs that algebra is pinned in MinHashExprSpec, and the
-    // DuckDB oracle replays the same (a_i, b_i)/P family unchanged
-    hCp.select(col("doc") +: preRefs :+ col("h") :+ size(col("h")).as("n") :+
+      .select(col("doc") +: preRefs :+ col("h") :+ size(col("h")).as("n") :+
         graft.functions.PortableMinHashFromHashes(col("h"), numHashes).as("sig"): _*)
       .ckpt()
   }
